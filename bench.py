@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + materialize counts via
+a cheap action). A warmup query absorbs JVM/codegen startup so numbers
+reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from distributed_computing_spark.registry import QUERIES
+from distributed_computing_spark.session import get_spark
+
+HEADLINE = [
+    "word_count_top10",
+    "inverted_index",
+    "kv_state",
+    "shard_routing",
+    "pricing_summary",
+    "top_orders",
+    "revenue_by_segment",
+    "regional_revenue",
+    "order_running_totals",
+    "events_windowed",
+    "user_sessions",
+    "exact_dedup",
+    "minhash_neardup",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "lsh_topk",
+    "text_stats",
+    "quality_scores",
+    "lang_id",
+    "corpus_summary",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: JVM + codegen + parquet footer reads.
+    QUERIES["pricing_summary"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        # count() forces full execution of every operator; results are
+        # small aggregates so this measures compute, not driver transfer.
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Text column expressions (all JVM-side, whole-stage-codegen friendly).
+
+Tokenization parity: the reference splits on non-letter/non-digit runes
+(``strings.FieldsFunc`` with ``!IsLetter && !IsNumber`` —
+src/main/wc.go:16-29, src/main/ii.go:17-31). We use the ASCII-alnum
+regex class, which is identical on the synthetic corpus and keeps the
+same regex runnable in the DuckDB oracle.
+
+Everything here is a pure Column function — no UDFs — so the operators
+built on top stay inside whole-stage codegen at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Same class in Spark (Java regex) and DuckDB (RE2): safe for oracles.
+TOKEN_SPLIT_RE = "[^A-Za-z0-9]+"
+
+# Tiny per-language stopword sets for the n-gram/lexicon lang-id
+# heuristic. Deterministic and SQL-expressible on both engines.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est", "que", "pour"),
+    "es": ("el", "la", "que", "de", "los", "una", "es", "por", "con", "para"),
+    "zh": ("de", "shi", "le", "zai", "you", "wo", "ta", "men", "zhe", "bu"),
+}
+
+EN_STOPWORDS = LANG_LEXICONS["en"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Split into alnum tokens, dropping empty strings (T2)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace/punct token count — [EXT] token counting."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish proxy: alnum runs + each punct char counts as a token.
+
+    A real BPE needs a vocab file; this regex estimate (word pieces +
+    punctuation marks) is the standard cheap proxy and stays JVM-side.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    punct = F.length(F.regexp_replace(c, "[A-Za-z0-9\\s]", ""))
+    return token_count(c) + punct
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    p = F.length(F.regexp_replace(c, "[^.,;:!?]", ""))
+    return F.when(n > 0, p.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are (lowercased) stopwords."""
+    toks = tokens(col)
+    lowered = F.transform(toks, F.lower)
+    hits = F.size(F.filter(lowered, lambda t: t.isin(*stopwords)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text_col: Column | str) -> Column:
+    """[EXT] deterministic quality score in [0,1].
+
+    Blend of length band, stopword presence, and punctuation sanity —
+    the standard cheap heuristics a pretraining filter applies. The
+    exact formula is mirrored in the DuckDB oracle (see registry).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_tok = token_count(c).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    sw = stopword_ratio(c)
+    sw_score = F.least(sw * F.lit(5.0), F.lit(1.0))
+    punct_pen = F.least(punct_ratio(c) * F.lit(4.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.5) * len_score + F.lit(0.4) * sw_score + F.lit(0.1) * (F.lit(1.0) - punct_pen),
+        6,
+    )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase + whitespace-collapse + trim — canonical form for dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """[EXT] document fingerprint: md5 of the normalized text.
+
+    md5 exists verbatim in DuckDB so the oracle matches bit-for-bit. A
+    rolling/winnowing fingerprint variant lives in operators/dedup.py
+    (simhash) where cross-engine parity is not required.
+    """
+    return F.md5(normalize_text(col))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the token stream.
+
+    Guarded for docs shorter than n tokens: F.sequence(0, negative)
+    would DESCEND and emit bogus indices, so short docs map to [].
+    """
+    toks = tokens(col)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(grams)

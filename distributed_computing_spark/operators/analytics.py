@@ -1,0 +1,222 @@
+"""Relational analytics surface: aggregation, joins, windows, rollups.
+
+The reference has no joins/windows/set-ops (SURVEY.md §2.8) — these are
+the capabilities a *complete* engine over the same data model needs, so
+they're first-class here, expressed declaratively so Catalyst chooses
+broadcast vs shuffle joins, pushes filters into the parquet scans, and
+prunes columns.
+
+Every query takes (spark, sf_dir) and has an exact DuckDB oracle in the
+registry. Aggregate doubles are rounded to stabilize the cross-engine
+value hash (summation order differs; values agree to ~1e-10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distributed_computing_spark.sources.catalog import load_table, load_tables
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (A3/A6: partial+final agg).
+
+    Scan-heavy single-shuffle aggregate: partial HashAggregate before
+    the exchange means only (flag,status)-grouped partials shuffle —
+    the 100 TB plan is identical, just more partitions.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def top_orders(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """O3: global top-k by value → TakeOrderedAndProject, no full sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .limit(k)
+    )
+
+
+def revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-style fact-fact join + dimension broadcast.
+
+    lineitem ⋈ orders shuffles on orderkey (both huge at scale);
+    customer is small → Catalyst broadcasts it. Filters push into both
+    parquet scans before the join.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("o_orderstatus") != "F")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-style 6-table join: star joins collapse to broadcasts.
+
+    Only lineitem⋈orders shuffles; region/nation/customer/supplier ride
+    as broadcast hash joins, so the plan has exactly one wide exchange
+    — the shape that survives 1000 executors.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def order_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: per-customer order rank + running revenue.
+
+    One shuffle on o_custkey serves both window specs (same
+    partitioning). Returns only the top-3 ranked orders per customer to
+    bound output.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("order_rank"),
+            F.round(
+                F.sum("o_totalprice").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                2,
+            ).alias("running_total"),
+        )
+        .where(F.col("order_rank") <= 3)
+    )
+
+
+def priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (grouping sets) over order status × priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type (batch form).
+
+    Same logical op as the Structured Streaming path
+    (streaming/windows.py) — date_trunc keeps it oracle-mirrorable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal/nested data: JSON props → typed column + aggregate.
+
+    ``get_json_object`` on the hot path is fine (codegen'd); for fixed
+    schemas prefer ``from_json`` once + struct access.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def user_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-analog on events: per-user ordered distinct event-type list."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
+            F.count("*").alias("n_events"),
+        )
+        .where(F.col("n_events") >= 5)
+    )
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] HLL approximate distinct (no oracle — approximation differs
+    per engine; the driver records rows-only, and tests bound the error
+    against exact countDistinct)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+def set_ops_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (absent in the reference, §2.8): customers with
+    orders INTERSECT high-balance, then EXCEPT low-balance."""
+    t = load_tables(spark, sf_dir)
+    with_orders = t["orders"].select(F.col("o_custkey").alias("c_custkey")).distinct()
+    high = t["customer"].where(F.col("c_acctbal") > 5000).select("c_custkey")
+    low = t["customer"].where(F.col("c_acctbal") < 0).select("c_custkey")
+    return with_orders.intersect(high).exceptAll(low).orderBy("c_custkey")

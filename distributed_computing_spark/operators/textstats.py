@@ -1,0 +1,101 @@
+"""Text-analysis operators ([EXT]): lang-id, quality, tokens, fingerprints.
+
+All pure Column pipelines over the `documents` table — no UDFs, fully
+codegen'd, and each has an exact DuckDB-SQL mirror in the registry so
+the driver's oracle gate covers them value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_computing_spark.functions.text import (
+    LANG_LEXICONS,
+    bpe_ish_token_count,
+    fingerprint,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from distributed_computing_spark.sources.catalog import load_table
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: token counts, punct/stopword ratios, length."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+    )
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] quality score per doc + keep/drop flag at 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score("text")
+    return docs.select(
+        "doc_id",
+        q.alias("quality"),
+        (q >= 0.5).cast("int").alias("keep"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] lexicon-hit lang-id heuristic with deterministic argmax.
+
+    Scores each language by the count of its lexicon words in the
+    token stream; predicted = highest count, ties → alphabetically
+    first lang, no hits → 'und'. (The synthetic corpus shares one
+    vocabulary across langs, so this exercises the operator shape, not
+    linguistic accuracy — the lexicons are swappable.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+
+    def lexicon_hits(lex: tuple[str, ...]):
+        # NB: the F.filter lambda must take exactly one parameter — a
+        # second parameter would be bound to the element *index*.
+        return F.size(F.filter(toks, lambda t: t.isin(*lex)))
+
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            lexicon_hits(lex).alias(f"score_{lang}")
+            for lang, lex in sorted(LANG_LEXICONS.items())
+        ],
+    )
+    langs = sorted(LANG_LEXICONS)
+    best = F.greatest(*[F.col(f"score_{la}") for la in langs])
+    pred = F.lit("und")
+    # reverse order so the alphabetically-first winner is applied last
+    for la in reversed(langs):
+        pred = F.when(F.col(f"score_{la}") == best, F.lit(la)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return scored.select("doc_id", F.col("lang").alias("labeled_lang"), pred.alias("pred_lang"))
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] md5-of-normalized-text fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) rollup of corpus composition — the dataset-card
+    query a pipeline runs before training: docs, chars, token budget."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(token_count("text")).alias("total_tokens"),
+        )
+    )

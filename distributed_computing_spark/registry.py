@@ -1,0 +1,480 @@
+"""Query registry: every implemented operator as a (spark, sf_dir) query,
+with its exact DuckDB oracle SQL where SQL-expressible.
+
+This is the engine's declared coverage surface (SURVEY.md §2): the
+driver runs each Spark query and its oracle side-by-side and compares
+row counts + schema + order-insensitive value hashes. Column names and
+value rounding are aligned on both sides by construction.
+
+Queries with engine-specific hashing (MinHash/SimHash/LSH/HLL) have no
+oracle — the driver records rows-only; their semantic correctness is
+covered by recall/error-bound tests in tests/.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_computing_spark.operators import analytics, dedup, similarity, textstats
+from distributed_computing_spark.operators.kv import (
+    dedup_ops,
+    ops_from_events,
+    replay,
+    snapshot_at,
+)
+from distributed_computing_spark.operators.mapreduce import inverted_index, word_count
+from distributed_computing_spark.operators.sharding import key2shard
+from distributed_computing_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# KV query wrappers (ops log derived deterministically from `events`)
+# ---------------------------------------------------------------------------
+
+
+def _ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops_from_events(load_table(spark, sf_dir, "events"))
+
+
+def kv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2+K3+K4+K5: full deduped ordered replay → (key, value)."""
+    return replay(_ops(spark, sf_dir))
+
+
+def kv_effective_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 observable: per-client surviving op count + high-water req_id."""
+    eff = dedup_ops(_ops(spark, sf_dir))
+    return eff.groupBy("client_id").agg(
+        F.count("*").alias("n_effective"),
+        F.max("req_id").alias("high_water"),
+    )
+
+
+def kv_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6: state at log index max_seq/2 (snapshot/time-travel)."""
+    ops = _ops(spark, sf_dir)
+    half = ops.agg((F.max("seq") / 2).cast("long")).collect()[0][0]
+    return snapshot_at(ops, int(half))
+
+
+def kv_get_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1: point lookups for a fixed key set against the replayed state."""
+    state = kv_state(spark, sf_dir)
+    return state.where(F.col("key").isin("0", "7", "13", "19"))
+
+
+def shard_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7+A7: first-byte shard routing census over the KV keyspace."""
+    ops = _ops(spark, sf_dir)
+    return (
+        ops.withColumn("shard", key2shard("key"))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_ops"), F.countDistinct("key").alias("n_keys"))
+    )
+
+
+def shard_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P4 observable: route state keys through a 3-group config.
+
+    Config = {gid 100+s%3} (deterministic), attached via broadcast join
+    Spark-side; the oracle computes the same assignment arithmetically.
+    """
+    spark_cfg = spark.createDataFrame(
+        [(s, 100 + s % 3) for s in range(10)], "shard int, gid int"
+    )
+    state = kv_state(spark, sf_dir).withColumn("shard", key2shard("key"))
+    routed = state.join(F.broadcast(spark_cfg), "shard")
+    return routed.groupBy("gid").agg(
+        F.count("*").alias("n_keys"),
+        F.sum(F.length("value")).alias("total_len"),
+    )
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) per user over events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return marked.groupBy("user_id").agg(F.sum("new_s").alias("n_sessions"))
+
+
+def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.35)
+
+
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=6)
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.35, max_df=None)
+
+
+def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return similarity.lsh_topk(emb, queries, k=5)
+
+
+def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 0.45 sits in the empirical gap between the planted near-dup pairs
+    # (sim ≥ ~0.45) and the random-pair bulk (< 0.4) — no boundary flaps.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup(emb, threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL building blocks
+# ---------------------------------------------------------------------------
+
+_TOKENS = "list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> x <> '')"
+
+_OPS_CTE = """
+ops AS (
+  SELECT event_id AS seq,
+         user_id % 50 AS client_id,
+         event_id % 97 AS req_id,
+         CASE WHEN event_type IN ('click','view') THEN 'append'
+              WHEN event_type IN ('purchase','signup') THEN 'put'
+              ELSE 'get' END AS op,
+         CAST(user_id % 20 AS VARCHAR) AS "key",
+         substr(event_type, 1, 2) || CAST(event_id % 10 AS VARCHAR) AS "value"
+  FROM events
+)"""
+
+_EFF_CTE = """
+hw AS (
+  SELECT *, max(req_id) OVER (
+      PARTITION BY client_id ORDER BY seq
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM ops
+),
+eff AS (SELECT * FROM hw WHERE prev_max IS NULL OR req_id > prev_max)"""
+
+_REPLAY_SQL = """
+lp AS (
+  SELECT *, max(CASE WHEN op = 'put' THEN seq END) OVER (PARTITION BY "key") AS last_put_seq
+  FROM eff
+)
+SELECT "key", string_agg("value", '' ORDER BY seq) AS "value"
+FROM lp
+WHERE op IN ('put', 'append') AND seq >= coalesce(last_put_seq, -1)
+GROUP BY "key\""""
+
+_QUALITY_EXPR = """
+round(
+  0.5 * least(CAST(len({toks}) AS DOUBLE) / 50.0, 1.0)
+  + 0.4 * least(
+      (CASE WHEN len({toks}) > 0
+            THEN CAST(len(list_filter({toks}, x -> list_contains(
+                 ['the','and','of','to','a','in','is','that','it','for'], lower(x)))) AS DOUBLE)
+                 / CAST(len({toks}) AS DOUBLE)
+            ELSE 0.0 END) * 5.0, 1.0)
+  + 0.1 * (1.0 - least(
+      (CASE WHEN length(text) > 0
+            THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE)
+            ELSE 0.0 END) * 4.0, 1.0)),
+  6)""".format(toks=_TOKENS)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # MapReduce analytics (S1,T1-T4,A1-A6,O1-O4)
+    "word_count_top10": word_count,
+    "inverted_index": inverted_index,
+    # KV engine (K1-K6)
+    "kv_state": kv_state,
+    "kv_effective_ops": kv_effective_ops,
+    "kv_snapshot": kv_snapshot,
+    "kv_get": kv_get_demo,
+    # Sharding (T5-T7, A7, P1-P5)
+    "shard_census": shard_census,
+    "shard_routing": shard_routing,
+    # Relational analytics
+    "pricing_summary": analytics.pricing_summary,
+    "top_orders": analytics.top_orders,
+    "revenue_by_segment": analytics.revenue_by_segment,
+    "regional_revenue": analytics.regional_revenue,
+    "order_running_totals": analytics.order_running_totals,
+    "priority_rollup": analytics.priority_rollup,
+    "events_windowed": analytics.events_windowed,
+    "events_json_extract": analytics.events_json_extract,
+    "user_event_profile": analytics.user_event_profile,
+    "user_sessions": user_sessions,
+    "set_ops": analytics.set_ops_demo,
+    "approx_distinct_users": analytics.approx_distinct_users,
+    # [EXT] dedup
+    "exact_dedup": exact_dedup_q,
+    "ngram_jaccard_pairs": ngram_jaccard,
+    "minhash_neardup": minhash_neardup,
+    "simhash_neardup": simhash_neardup,
+    # [EXT] text analysis
+    "text_stats": textstats.text_stats,
+    "quality_scores": textstats.quality_scores,
+    "lang_id": textstats.lang_id,
+    "fingerprints": textstats.fingerprints,
+    "corpus_summary": textstats.corpus_summary,
+    # [EXT] similarity search
+    "cosine_topk": cosine_topk_q,
+    "lsh_topk": lsh_topk_q,
+    "embedding_neardup": embedding_neardup_q,
+}
+
+
+ORACLES: dict[str, str] = {
+    "word_count_top10": f"""
+WITH tok AS (SELECT unnest({_TOKENS}) AS word FROM documents)
+SELECT word, count(*) AS cnt
+FROM tok GROUP BY word
+ORDER BY cnt DESC, word
+LIMIT 10""",
+    "inverted_index": f"""
+WITH tok AS (
+  SELECT DISTINCT 'doc' || CAST(doc_id AS VARCHAR) AS doc, unnest({_TOKENS}) AS word
+  FROM documents)
+SELECT word, count(DISTINCT doc) AS n_docs,
+       string_agg(DISTINCT doc, ',' ORDER BY doc) AS postings
+FROM tok GROUP BY word
+HAVING count(DISTINCT doc) >= 100""",
+    "kv_state": f"WITH {_OPS_CTE}, {_EFF_CTE}, {_REPLAY_SQL}",
+    "kv_effective_ops": f"""
+WITH {_OPS_CTE}, {_EFF_CTE}
+SELECT client_id, count(*) AS n_effective, max(req_id) AS high_water
+FROM eff GROUP BY client_id""",
+    "kv_snapshot": f"""
+WITH {_OPS_CTE},
+cut AS (SELECT CAST(max(seq) / 2 AS BIGINT) AS half FROM ops),
+ops2 AS (SELECT * FROM ops WHERE seq <= (SELECT half FROM cut)),
+hw AS (
+  SELECT *, max(req_id) OVER (
+      PARTITION BY client_id ORDER BY seq
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM ops2
+),
+eff AS (SELECT * FROM hw WHERE prev_max IS NULL OR req_id > prev_max),
+{_REPLAY_SQL}""",
+    "kv_get": f"""
+WITH {_OPS_CTE}, {_EFF_CTE},
+state AS (WITH {_REPLAY_SQL})
+SELECT * FROM state WHERE "key" IN ('0', '7', '13', '19')""",
+    "shard_census": f"""
+WITH {_OPS_CTE}
+SELECT ascii("key") % 10 AS shard, count(*) AS n_ops, count(DISTINCT "key") AS n_keys
+FROM ops GROUP BY 1""",
+    "shard_routing": f"""
+WITH {_OPS_CTE}, {_EFF_CTE},
+state AS (WITH {_REPLAY_SQL})
+SELECT 100 + (ascii("key") % 10) % 3 AS gid,
+       count(*) AS n_keys,
+       CAST(sum(length("value")) AS BIGINT) AS total_len
+FROM state GROUP BY 1""",
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+GROUP BY l_returnflag, l_linestatus""",
+    "top_orders": """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10""",
+    "revenue_by_segment": """
+SELECT c_mktsegment,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus <> 'F'
+GROUP BY c_mktsegment""",
+    "regional_revenue": """
+SELECT r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name""",
+    "order_running_totals": """
+WITH w AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(row_number() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS order_rank,
+         round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+  FROM orders)
+SELECT * FROM w WHERE order_rank <= 3""",
+    "priority_rollup": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    "events_windowed": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2""",
+    "events_json_extract": """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type""",
+    "user_event_profile": """
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+HAVING count(*) >= 5""",
+    "user_sessions": """
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+m AS (
+  SELECT user_id,
+         CASE WHEN prev IS NULL
+                   OR (epoch(ts)::BIGINT - epoch(prev)::BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM o)
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+FROM m GROUP BY user_id""",
+    "set_ops": """
+SELECT c_custkey FROM (
+  (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+   INTERSECT
+   SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+  EXCEPT ALL
+  SELECT c_custkey FROM customer WHERE c_acctbal < 0
+) t ORDER BY c_custkey""",
+    "exact_dedup": """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1""",
+    "ngram_jaccard_pairs": f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM t),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY doc_id),
+common AS (
+  SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS n_common
+  FROM g ga JOIN g gb ON ga.shingle = gb.shingle AND ga.doc_id < gb.doc_id
+  GROUP BY 1, 2)
+SELECT c.a, c.b,
+       round(CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON c.a = sa.doc_id
+JOIN sizes sb ON c.b = sb.doc_id
+WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) >= 0.35""",
+    "text_stats": f"""
+SELECT doc_id,
+       CAST(len({_TOKENS}) AS INTEGER) AS n_tokens,
+       CAST(len({_TOKENS}) + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS INTEGER) AS n_bpe_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars_computed,
+       round(CASE WHEN length(text) > 0
+             THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
+             ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN len({_TOKENS}) > 0
+             THEN CAST(len(list_filter({_TOKENS}, x -> list_contains(
+                  ['the','and','of','to','a','in','is','that','it','for'], lower(x)))) AS DOUBLE)
+                  / len({_TOKENS})
+             ELSE 0.0 END, 6) AS stopword_ratio
+FROM documents""",
+    "quality_scores": f"""
+SELECT doc_id,
+       {_QUALITY_EXPR} AS quality,
+       CAST({_QUALITY_EXPR} >= 0.5 AS INTEGER) AS keep
+FROM documents""",
+    "lang_id": """
+WITH t AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(text), '[^a-z0-9]+') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, lang,
+    len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','ein','mit','zu','den'], x))) AS score_de,
+    len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) AS score_en,
+    len(list_filter(toks, x -> list_contains(['el','la','que','de','los','una','es','por','con','para'], x))) AS score_es,
+    len(list_filter(toks, x -> list_contains(['le','la','et','les','des','un','une','est','que','pour'], x))) AS score_fr,
+    len(list_filter(toks, x -> list_contains(['de','shi','le','zai','you','wo','ta','men','zhe','bu'], x))) AS score_zh
+  FROM t)
+SELECT doc_id, lang AS labeled_lang,
+  CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) = 0 THEN 'und'
+       WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+       WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+       WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+       WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+       ELSE 'zh' END AS pred_lang
+FROM s""",
+    "fingerprints": """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents""",
+    "corpus_summary": f"""
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len({_TOKENS})) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY lang, source""",
+    "cosine_topk": """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 100 = 0),
+s AS (
+  SELECT q.q_id, e.vec_id AS nn_id,
+         list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+r AS (
+  SELECT q_id, nn_id,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS INTEGER) AS rank
+  FROM s)
+SELECT q_id, nn_id, rank FROM r WHERE rank <= 5""",
+    "embedding_neardup": """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45""",
+    # minhash_neardup / simhash_neardup / lsh_topk / approx_distinct_users:
+    # engine-specific hashing → rows-only check; semantics tested in tests/.
+}

@@ -1,0 +1,85 @@
+"""Table catalog over the driver-generated parquet test data.
+
+Mirrors the reference's sources/sinks surface (SURVEY.md §2.1):
+- S1/S2 whole-file text scan + per-file splits → ``read_text_corpus``
+- parquet star schema (the engine's native columnar format; the
+  reference's JSON shuffle files are Spark-internal shuffle now)
+
+Column pruning + predicate pushdown reach the parquet scan because all
+downstream operators are lazy DataFrame transforms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects. Read nanos as long, then truncate to micros
+        # (integer `div`, not float division — ns epochs overflow double
+        # precision) — same truncation DuckDB applies, so oracles agree.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view so ``spark.sql`` works too."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """S1: text files → (doc, line) rows, one doc id per source file.
+
+    Reference reads each whole file into one map task
+    (mapreduce/common_map.go:50-56). Spark's split-per-file/block is
+    strictly more scalable; ``input_file_name`` preserves the doc id.
+    """
+    return spark.read.text(path).select(
+        F.input_file_name().alias("doc"), F.col("value").alias("line")
+    )
+
+
+def write_merged_text(df: DataFrame, path: str, key: str = "key", value: str = "value") -> None:
+    """S6: merged, key-sorted ``"k: v"`` text sink.
+
+    Reference merges all reduce outputs single-threaded on the driver
+    (mapreduce/master_splitmerge.go:14-51) — exactly what we must not do
+    at 100 TB. ``orderBy`` gives a global range-partitioned sort; the
+    single output file is only for golden-parity tests (coalesce(1) is
+    opt-in by small output size, not a driver collect).
+    """
+    (
+        df.orderBy(key)
+        .select(F.concat_ws(": ", F.col(key).cast("string"), F.col(value).cast("string")).alias("line"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )

@@ -1,0 +1,83 @@
+"""Dedup operator tests: planted duplicates, MinHash recall vs the exact
+Jaccard oracle, SimHash sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_computing_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_keep,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+
+from tests.conftest import SF_DIR_MID
+
+DOCS = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOCS)
+
+
+def test_exact_dedup_planted(spark):
+    rows = [
+        (1, "Hello   World", "en", "s", 11),
+        (2, "hello world", "en", "s", 11),  # same after normalize
+        (3, "something else", "en", "s", 14),
+    ]
+    res = {r["keep_doc_id"]: r["n_copies"] for r in exact_dedup(_docs(spark, rows)).collect()}
+    assert res == {1: 2, 3: 1}
+    kept = sorted(r["doc_id"] for r in exact_dedup_keep(_docs(spark, rows)).collect())
+    assert kept == [1, 3]
+
+
+def test_minhash_recall_against_exact(spark, sf_dir):
+    """MinHash-LSH must find ≥90% of true Jaccard≥0.5 pairs (sf0.01 has
+    25 planted near-dup pairs at j≥0.9, so recall should be 100%)."""
+    docs = spark.read.parquet(f"{SF_DIR_MID}/documents.parquet")
+    exact = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_df=None).collect()
+    }
+    approx = {
+        (r["a"], r["b"]) for r in minhash_lsh_pairs(docs, threshold=0.35).collect()
+    }
+    assert exact, "oracle should find planted near-dups"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall {recall}: {exact - approx}"
+
+
+def test_jaccard_pairs_exact_values(spark):
+    rows = [
+        (1, "a b c d e f g h", "en", "s", 10),
+        (2, "a b c d e f g h", "en", "s", 10),  # identical → j=1.0
+        (3, "z y x w v u t s", "en", "s", 10),
+    ]
+    pairs = ngram_jaccard_pairs(_docs(spark, rows), threshold=0.5, max_df=None).collect()
+    assert [(p["a"], p["b"], p["jaccard"]) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_max_df_guard_drops_head_shingles(spark):
+    """All docs share one boilerplate phrase; max_df kills that bucket."""
+    boiler = "subscribe to our newsletter now please thanks"
+    rows = [(i, f"{boiler} unique{i} text{i} words{i}", "en", "s", 10) for i in range(10)]
+    no_guard = ngram_jaccard_pairs(_docs(spark, rows), threshold=0.3, max_df=None).count()
+    guarded = ngram_jaccard_pairs(_docs(spark, rows), threshold=0.3, max_df=0.5).count()
+    assert no_guard > 0 and guarded == 0
+
+
+def test_simhash_identical_docs_same_hash(spark):
+    rows = [
+        (1, "alpha beta gamma delta", "en", "s", 10),
+        (2, "alpha beta gamma delta", "en", "s", 10),
+        (3, "totally different words entirely", "en", "s", 10),
+    ]
+    h = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark, rows)).collect()}
+    assert h[1] == h[2]
+    assert h[1] != h[3]
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(_docs(spark, rows), max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0

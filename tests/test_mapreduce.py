@@ -1,0 +1,76 @@
+"""MapReduce surface tests — layers 1+2 of the reference's strategy:
+golden-equivalence for wc/ii (vs DuckDB oracle) and the synthetic-int
+round-trip property (mapreduce/test_test.go:15-95)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from distributed_computing_spark.operators.mapreduce import (
+    grouped_values,
+    inverted_index,
+    map_reduce,
+    word_count,
+)
+from distributed_computing_spark.registry import ORACLES
+
+from tests.conftest import SF_DIR_MID
+
+
+def _oracle(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con.execute(sql).fetchall()
+
+
+def test_word_count_matches_oracle(spark):
+    got = [(r["word"], r["cnt"]) for r in word_count(spark, SF_DIR_MID).collect()]
+    want = _oracle(SF_DIR_MID, ORACLES["word_count_top10"])
+    assert got == [tuple(r) for r in want]
+
+
+def test_inverted_index_matches_oracle(spark):
+    got = {
+        r["word"]: (r["n_docs"], r["postings"])
+        for r in inverted_index(spark, SF_DIR_MID).collect()
+    }
+    want = {r[0]: (r[1], r[2]) for r in _oracle(SF_DIR_MID, ORACLES["inverted_index"])}
+    assert got == want
+
+
+def test_map_reduce_identity_roundtrip(spark):
+    """Layer-2 analog: identity mapF/reduceF over synthetic ints — output
+    must be exactly the sorted input (test_test.go check(), :45-85)."""
+    n = 1000
+    df = spark.createDataFrame(
+        [(str(i), str(i)) for i in range(n)], "key string, value string"
+    )
+    out = map_reduce(df, lambda k, v: [(v, "")], lambda k, vs: "", n_reduce=10)
+    keys = sorted(int(r["key"]) for r in out.collect())
+    assert keys == list(range(n))
+
+
+def test_map_reduce_wordcount_parity(spark):
+    """The wc.go hooks through the generic facade equal the DataFrame path."""
+    rows = [("d1", "the cat and the hat"), ("d2", "the end")]
+    df = spark.createDataFrame(rows, "key string, value string")
+
+    def map_f(k, v):
+        import re
+
+        return [(w, "1") for w in re.split(r"[^A-Za-z0-9]+", v) if w]
+
+    def reduce_f(k, vs):
+        return str(sum(int(x) for x in vs))
+
+    got = {r["key"]: r["value"] for r in map_reduce(df, map_f, reduce_f).collect()}
+    assert got == {"the": "3", "cat": "1", "and": "1", "hat": "1", "end": "1"}
+
+
+def test_grouped_values_sorted(spark):
+    df = spark.createDataFrame(
+        [("a", "z"), ("a", "x"), ("b", "y")], "key string, value string"
+    )
+    got = {r["key"]: r["values"] for r in grouped_values(df).collect()}
+    assert got == {"a": ["x", "z"], "b": ["y"]}

@@ -1,0 +1,56 @@
+"""Similarity-search tests: exact top-k sanity, LSH recall vs brute
+force, pandas path parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_computing_spark.operators.similarity import (
+    _pandas_cosine_topk,
+    cosine_topk,
+    embedding_neardup,
+    lsh_topk,
+)
+
+from tests.conftest import SF_DIR_MID
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR_MID}/embeddings.parquet")
+
+
+def test_cosine_topk_self_excluded_and_k(spark):
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") < 3)
+    res = cosine_topk(emb, q, k=5).collect()
+    assert len(res) == 15
+    for r in res:
+        assert r["q_id"] != r["nn_id"]
+        assert 1 <= r["rank"] <= 5
+
+
+def test_lsh_recall_vs_exact(spark):
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    exact = {(r["q_id"], r["nn_id"]) for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {(r["q_id"], r["nn_id"]) for r in lsh_topk(emb, q, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    # 4 planes × 8 tables: expected ≈0.66 recall on random-tail
+    # neighbors (cos≈0.3), ≈1.0 on planted near-dups; 0.45 is the
+    # deterministic-seed floor with margin.
+    assert recall >= 0.45, f"LSH recall too low: {recall}"
+
+
+def test_pandas_path_matches_jvm_path(spark):
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") < 5)
+    jvm = {(r["q_id"], r["nn_id"], r["rank"]) for r in cosine_topk(emb, q, k=3).collect()}
+    pd_ = {(r["q_id"], r["nn_id"], r["rank"]) for r in _pandas_cosine_topk(emb, q, k=3).collect()}
+    assert jvm == pd_
+
+
+def test_neardup_symmetric_free(spark):
+    emb = _emb(spark)
+    pairs = embedding_neardup(emb, threshold=0.45).collect()
+    assert all(r["a"] < r["b"] for r in pairs)
+    assert len(pairs) == len({(r["a"], r["b"]) for r in pairs})

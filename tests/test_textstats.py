@@ -1,0 +1,59 @@
+"""Text-analysis operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_computing_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    quality_score,
+    shingles,
+    token_count,
+)
+from distributed_computing_spark.operators.textstats import lang_id, quality_scores, text_stats
+
+
+def test_token_count_basics(spark):
+    df = spark.createDataFrame([("a b,c  d!",), ("",), ("...",)], "text string")
+    got = [r["n"] for r in df.select(token_count("text").alias("n")).collect()]
+    assert got == [4, 0, 0]
+
+
+def test_bpe_ish_counts_punct(spark):
+    df = spark.createDataFrame([("a b,c!",)], "text string")
+    got = df.select(bpe_ish_token_count("text").alias("n")).collect()[0]["n"]
+    assert got == 5  # 3 words + ',' + '!'
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("one two",), ("one two three four",)], "text string")
+    got = [r["s"] for r in df.select(shingles("text", 3).alias("s")).collect()]
+    assert got[0] == []
+    assert got[1] == ["one two three", "two three four"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame([("Hello   World",), ("hello world",)], "text string")
+    fps = [r["fp"] for r in df.select(fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_quality_score_range(spark, sf_dir):
+    scores = quality_scores(spark, sf_dir).collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in scores)
+    assert all(r["keep"] in (0, 1) for r in scores)
+
+
+def test_lang_id_deterministic_and_total(spark, sf_dir):
+    res = lang_id(spark, sf_dir)
+    n = res.count()
+    assert res.where(F.col("pred_lang").isin("de", "en", "es", "fr", "zh", "und")).count() == n
+
+
+def test_text_stats_consistency(spark, sf_dir):
+    stats = text_stats(spark, sf_dir).collect()
+    for r in stats:
+        assert r["n_bpe_tokens"] >= r["n_tokens"]
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
