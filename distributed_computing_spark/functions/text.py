@@ -105,14 +105,26 @@ def fingerprint(col: Column | str) -> Column:
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the token stream.
+    """Distinct word n-gram shingles of the token stream, as one array.
 
-    Guarded for docs shorter than n tokens: F.sequence(0, negative)
-    would DESCEND and emit bogus indices, so short docs map to [].
+    Implementation note (measured): referencing the token array inside a
+    higher-order-function lambda re-evaluates the whole split per
+    element (no CSE on the interpreted HOF path), so this builds the
+    n-gram windows with ``arrays_zip`` of shifted slices — each input
+    array evaluates O(n) times per ROW, not per element. For the
+    operators that explode shingles anyway (dedup/minhash), prefer
+    ``operators.dedup.shingle_rows`` — posexplode + window-lead — whose
+    doc_id shuffle is reused by their downstream aggregation.
     """
     toks = tokens(col)
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    parts = [
+        F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0))).alias(f"t{k}")
+        for k in range(n)
+    ]
+    zipped = F.arrays_zip(*parts)
+    lim = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    windows = F.slice(zipped, 1, lim)
+    grams = F.transform(
+        windows, lambda s: F.concat_ws(" ", *[s[f"t{k}"] for k in range(n)])
+    )
     return F.array_distinct(grams)

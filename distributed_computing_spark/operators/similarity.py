@@ -13,6 +13,8 @@ UDF (``_pandas_cosine``) which BLAS-vectorizes the inner loop.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -82,27 +84,44 @@ def lsh_topk(
     At 100 TB the corpus-side bucket ids are computed once and written
     bucketed-by(bucket) so query lookups prune to matching buckets.
     """
-    tables = []
-    for t in range(n_tables):
-        planes = random_hyperplanes(dim, n_planes, seed=42 + t)
-        emb_b = embeddings.select(
-            F.col(id_col).alias("nn_id"),
-            F.col(vec_col).alias("nn_vec"),
-            F.lit(t).alias("table"),
-            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-        )
-        q_b = queries.select(
-            F.col(id_col).alias("q_id"),
-            F.col(vec_col).alias("q_vec"),
-            F.lit(t).alias("table"),
-            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-        )
-        tables.append((emb_b, q_b))
-    cand = None
-    for emb_b, q_b in tables:
-        c = emb_b.join(F.broadcast(q_b), ["table", "bucket"]).select("q_id", "q_vec", "nn_id", "nn_vec")
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.dropDuplicates(["q_id", "nn_id"]).where(F.col("q_id") != F.col("nn_id"))
+    # All tables' buckets in ONE pass over each side: an Arrow-batched
+    # pandas UDF does a single (batch × dim) @ (dim × tables·planes)
+    # GEMM and packs sign bits — a tiny constant plan regardless of
+    # n_tables·n_planes (the pure-Column form builds a literal tree of
+    # n_tables·n_planes·dim nodes, which measured *slower* than the
+    # Arrow round-trip). posexplode then yields (table, bucket) keys so
+    # one broadcast join serves every table.
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [p for t in range(n_tables) for p in random_hyperplanes(dim, n_planes, seed=42 + t)]
+    )  # (n_tables*n_planes, dim)
+    weights = 1 << np.arange(n_planes)
+    T, P = n_tables, n_planes
+
+    @pandas_udf("array<long>")
+    def bucket_array(vs: pd.Series) -> pd.Series:
+        mat = np.array(list(vs), dtype="float64")  # (B, dim)
+        bits = (mat @ planes.T) > 0  # (B, T*P)
+        vals = (bits.reshape(len(mat), T, P) * weights).sum(axis=2)
+        return pd.Series([row.tolist() for row in vals])
+
+    emb_b = embeddings.select(
+        F.col(id_col).alias("nn_id"),
+        F.col(vec_col).alias("nn_vec"),
+        F.posexplode(bucket_array(F.col(vec_col))).alias("table", "bucket"),
+    )
+    q_b = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.posexplode(bucket_array(F.col(vec_col))).alias("table", "bucket"),
+    )
+    cand = (
+        emb_b.join(F.broadcast(q_b), ["table", "bucket"])
+        .select("q_id", "q_vec", "nn_id", "nn_vec")
+        .dropDuplicates(["q_id", "nn_id"])
+        .where(F.col("q_id") != F.col("nn_id"))
+    )
     sims = cand.select("q_id", "nn_id", cosine(F.col("q_vec"), F.col("nn_vec")).alias("sim"))
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
     return (
@@ -148,9 +167,6 @@ def _pandas_cosine_topk(
     comfortably in memory — the broadcast contract), then each corpus
     batch does one BLAS GEMM. Wins over the JVM fold for wide vectors.
     """
-    import numpy as np
-    import pandas as pd
-
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[id_col] for r in q_rows])
     q_mat = np.array([r[vec_col] for r in q_rows], dtype="float64")
