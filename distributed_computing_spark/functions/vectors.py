@@ -31,7 +31,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Zero-norm-safe (ANSI mode errors on x/0; real corpora contain
+    zero vectors): defined as 0.0 when either norm is 0."""
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def l2_distance(a: Column, b: Column) -> Column:

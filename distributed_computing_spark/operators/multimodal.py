@@ -1,0 +1,175 @@
+"""Multimodal column plumbing ([EXT]): images/audio/video as opaque
+binary columns with typed metadata, processed via Arrow-batched UDFs.
+
+The container has no image/audio codecs, so the decode kernels are
+STUBS behind ``_HAS_PIL``-style gates: a clearly-marked deterministic
+fake stands in so the Spark-side plumbing — schemas, batch iteration,
+partition sizing, UDF signatures — is real and tested end-to-end. Swap
+``_fake_decode_rgb`` for a PIL/ffmpeg call and nothing else changes.
+
+Scale notes: binary payloads ride ``BinaryType`` columns in parquet;
+``mapInPandas`` streams Arrow batches so one task never materializes
+more than ``spark.sql.execution.arrow.maxRecordsPerBatch`` blobs;
+decode before shuffle is the rule (ship features, not pixels).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # pragma: no cover - codec not present in this container
+    from PIL import Image  # type: ignore # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+BLOB_SCHEMA = (
+    "blob_id long, modality string, data binary, "
+    "meta struct<mime:string, width:int, height:int, duration_ms:long>"
+)
+
+FEATURE_DIM = 16
+
+
+def make_blob_table(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic blob table (test fixture — the engine's
+    real inputs are parquet files with the same schema)."""
+    rows = []
+    for i in range(n):
+        modality = ["image", "audio", "video"][i % 3]
+        data = hashlib.sha256(f"blob{i}".encode()).digest() * 4  # 128 bytes
+        meta = {
+            "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[modality],
+            "width": 64 + i % 16 if modality != "audio" else None,
+            "height": 48 + i % 16 if modality != "audio" else None,
+            "duration_ms": 1000 * (i % 30) if modality != "image" else None,
+        }
+        rows.append((i, modality, data, meta))
+    return spark.createDataFrame(rows, BLOB_SCHEMA)
+
+
+def blob_stats(blobs: DataFrame) -> DataFrame:
+    """Pure-JVM metadata pass: size, hash, modality census inputs."""
+    return blobs.select(
+        "blob_id",
+        "modality",
+        F.length("data").alias("n_bytes"),
+        F.sha2(F.col("data"), 256).alias("sha256"),
+        F.col("meta.mime").alias("mime"),
+    )
+
+
+def _fake_decode_rgb(data: bytes, width: int, height: int) -> np.ndarray:
+    """DETERMINISTIC FAKE decode (no codec in container): expands the
+    blob's sha256 into a (height, width, 3) uint8 array. Replace with
+    ``PIL.Image.open(io.BytesIO(data))`` when a codec is available."""
+    seed = hashlib.sha256(data).digest()
+    reps = (width * height * 3 + len(seed) - 1) // len(seed)
+    buf = (seed * reps)[: width * height * 3]
+    return np.frombuffer(buf, dtype=np.uint8).reshape(height, width, 3)
+
+
+def decode_images(blobs: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Decode + resize image blobs → per-pixel-mean features.
+
+    mapInPandas: each Arrow batch decodes independently; output schema
+    is fixed so downstream plans don't depend on the codec. Non-image
+    rows are filtered before Python (predicate stays JVM-side).
+    """
+    if _HAS_PIL:  # pragma: no cover
+        raise NotImplementedError(
+            "real PIL decode path not wired in this container build"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "blob_id": pdf["blob_id"],
+                "width": [],
+                "height": [],
+                "mean_r": [],
+                "mean_g": [],
+                "mean_b": [],
+            }
+            for data, w, h in zip(pdf["data"], pdf["width"], pdf["height"]):
+                img = _fake_decode_rgb(bytes(data), int(w), int(h))
+                # "resize": block-mean down to (out_h, out_w)
+                ys = np.linspace(0, img.shape[0], out_h + 1, dtype=int)
+                xs = np.linspace(0, img.shape[1], out_w + 1, dtype=int)
+                small = np.array(
+                    [
+                        [
+                            img[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean(axis=(0, 1))
+                            for j in range(out_w)
+                        ]
+                        for i in range(out_h)
+                    ]
+                )
+                out["width"].append(int(w))
+                out["height"].append(int(h))
+                out["mean_r"].append(float(small[..., 0].mean()))
+                out["mean_g"].append(float(small[..., 1].mean()))
+                out["mean_b"].append(float(small[..., 2].mean()))
+            yield pd.DataFrame(out)
+
+    imgs = blobs.where(F.col("modality") == "image").select(
+        "blob_id",
+        "data",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return imgs.mapInPandas(
+        decode,
+        schema="blob_id long, width int, height int, mean_r double, mean_g double, mean_b double",
+    )
+
+
+def sample_frames(blobs: DataFrame, k: int = 4) -> DataFrame:
+    """Deterministic frame sampling for video blobs: k evenly-spaced
+    timestamps from meta.duration_ms — pure JVM (the decode of each
+    frame would go through decode_images' path)."""
+    vids = blobs.where(F.col("modality") == "video").select(
+        "blob_id", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    idx = F.sequence(F.lit(0), F.lit(k - 1))
+    return vids.select(
+        "blob_id",
+        "duration_ms",
+        F.explode(
+            F.transform(idx, lambda i: (i * F.col("duration_ms") / k).cast("long"))
+        ).alias("frame_ts_ms"),
+    )
+
+
+def extract_features(blobs: DataFrame) -> DataFrame:
+    """Modality-agnostic feature extraction → array<float> embedding.
+
+    DETERMINISTIC FAKE (sha256-seeded) in place of a real encoder; the
+    output contract (fixed FEATURE_DIM float vector, unit-normalized)
+    matches what similarity.cosine_topk consumes, so the multimodal →
+    embedding → ANN pipeline composes end-to-end.
+    """
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for data in pdf["data"]:
+                seed = hashlib.sha256(bytes(data)).digest()
+                raw = (seed * ((FEATURE_DIM + 31) // 32))[:FEATURE_DIM]
+                # bytes → finite floats in [-1, 1] (raw float32 reinterpret
+                # can yield inf/NaN), then unit-normalize
+                vec = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 127.5) / 127.5
+                vec = vec / (np.linalg.norm(vec) or 1.0)
+                feats.append([float(x) for x in vec])
+            yield pd.DataFrame({"blob_id": pdf["blob_id"], "embedding": feats})
+
+    return blobs.select("blob_id", "data").mapInPandas(
+        featurize, schema="blob_id long, embedding array<float>"
+    )

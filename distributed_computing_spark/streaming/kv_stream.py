@@ -1,0 +1,248 @@
+"""Streaming KV surface: the ops log consumed as a Structured Stream.
+
+Maps the reference's apply loop (kvraft/server.go:166-214 — single
+consumer applies committed ops in order, K5) onto two Spark-native
+shapes:
+
+1. ``foreach_batch_apply`` — micro-batch exactly-once apply: each batch
+   is deduped against the persistent high-water table and folded into
+   the persistent state table (parquet-backed MERGE analog). This is the
+   production shape: all state lives in tables, nothing on the driver,
+   and a batch is the unit of atomic install (the K5/P7 "apply once, in
+   order" contract comes from Structured Streaming's serialized
+   micro-batches + checkpointing).
+
+2. ``stateful_fold_stream`` — per-key ``applyInPandasWithState``: the
+   custom-stateful-operator shape for when per-event latency matters.
+   State per key = (value, applied_hw per client) — the same dedup+fold
+   semantics, held in the Spark state store (RocksDB/HDFS-backed at
+   scale), checkpointed like the reference's snapshots (K6 =
+   raft.go:416-450 log compaction, for free).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+OPS_SCHEMA = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("client_id", LongType()),
+        StructField("req_id", LongType()),
+        StructField("op", StringType()),
+        StructField("key", StringType()),
+        StructField("value", StringType()),
+    ]
+)
+
+STATE_SCHEMA = "key string, value string"
+HW_SCHEMA = "client_id long, high_water long"
+
+
+class KVTableStore:
+    """Parquet-backed KV state + per-client high-water tables.
+
+    The durable-state half of shape 1. ``apply_batch`` is the
+    distributed merge: read state, apply the (deduped) batch delta,
+    atomically swap. With Delta/Iceberg this is literally MERGE INTO;
+    on plain parquet we write-new-then-swap, which keeps the same
+    all-or-nothing batch semantics.
+    """
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        self.state_dir = os.path.join(root, "state")
+        self.hw_dir = os.path.join(root, "high_water")
+
+    def state(self) -> DataFrame:
+        if os.path.exists(self.state_dir):
+            return self.spark.read.parquet(self.state_dir)
+        return self.spark.createDataFrame([], STATE_SCHEMA)
+
+    def high_water(self) -> DataFrame:
+        if os.path.exists(self.hw_dir):
+            return self.spark.read.parquet(self.hw_dir)
+        return self.spark.createDataFrame([], HW_SCHEMA)
+
+    def apply_batch(self, batch: DataFrame) -> None:
+        """Dedup the batch against persistent high-water, fold writes
+        into state, advance high-water — the K4+K2+K3 batch merge."""
+        from distributed_computing_spark.operators.kv import dedup_ops
+
+        spark = self.spark
+        hw = self.high_water()
+        # Drop ops at-or-below each client's persisted high-water (K4
+        # across batches), then in-batch dedup (K4 within the batch).
+        joined = batch.join(F.broadcast(hw), "client_id", "left")
+        fresh = joined.where(
+            F.col("high_water").isNull() | (F.col("req_id") > F.col("high_water"))
+        ).drop("high_water")
+        eff = dedup_ops(fresh)
+        eff.persist()
+        try:
+            # fold the batch's writes on top of current state: existing
+            # value acts as a seq=-inf append base unless a put resets.
+            cur = self.state().select("key", F.col("value").alias("_base"))
+            writes = eff.where(F.col("op").isin("put", "append"))
+            last_put = writes.groupBy("key").agg(
+                F.max(F.when(F.col("op") == "put", F.col("seq"))).alias("_lp")
+            )
+            folded = (
+                writes.join(last_put, "key", "left")
+                .where(F.col("seq") >= F.coalesce(F.col("_lp"), F.lit(-1)))
+                .groupBy("key")
+                .agg(
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("seq", "value"))),
+                            lambda s: s["value"],
+                        ),
+                    ).alias("_delta"),
+                    F.max("_lp").alias("_lp"),
+                )
+            )
+            new_state = (
+                cur.join(folded, "key", "full")
+                .select(
+                    "key",
+                    F.when(
+                        F.col("_delta").isNull(), F.col("_base")
+                    )
+                    .when(F.col("_lp").isNotNull(), F.col("_delta"))
+                    .otherwise(F.concat(F.coalesce(F.col("_base"), F.lit("")), F.col("_delta")))
+                    .alias("value"),
+                )
+            )
+            new_hw = (
+                hw.unionByName(
+                    eff.groupBy("client_id").agg(F.max("req_id").alias("high_water"))
+                )
+                .groupBy("client_id")
+                .agg(F.max("high_water").alias("high_water"))
+            )
+            self._swap(new_state, self.state_dir)
+            self._swap(new_hw, self.hw_dir)
+        finally:
+            eff.unpersist()
+
+    def _swap(self, df: DataFrame, path: str) -> None:
+        tmp = path + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        old = path + ".old"
+        if os.path.exists(path):
+            os.replace(path, old)
+        os.replace(tmp, path)
+        if os.path.exists(old):
+            import shutil
+
+            shutil.rmtree(old, ignore_errors=True)
+
+
+def foreach_batch_apply(
+    ops_stream: DataFrame, store: KVTableStore, checkpoint: str
+):
+    """Shape 1: attach the micro-batch apply loop to an ops stream."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        store.apply_batch(batch)
+
+    return (
+        ops_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def dedup_stream(ops_stream: DataFrame) -> DataFrame:
+    """Shape 2a: per-CLIENT stateful high-water dedup (streaming K4).
+
+    The reference's dedup is per client across ALL keys
+    (kvraft/server.go:72-80), while the fold state is per key — two
+    different groupings, so they are two chained stateful stages (the
+    standard Spark pattern: compose via an intermediate sink/topic).
+    This stage emits only the surviving ("effective") ops; state per
+    client is just the high-water req_id.
+    """
+    state_schema = StructType([StructField("high_water", LongType())])
+
+    def dedup(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        hw = state.get[0] if state.exists else -1
+        for pdf in pdfs:
+            pdf = pdf.sort_values("seq")
+            keep = []
+            for i, req in enumerate(pdf["req_id"]):
+                if req > hw:
+                    hw = int(req)
+                    keep.append(i)
+            if keep:
+                yield pdf.iloc[keep]
+        state.update((hw,))
+
+    return ops_stream.groupBy("client_id").applyInPandasWithState(
+        dedup,
+        outputStructType=OPS_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stateful_fold_stream(effective_ops: DataFrame) -> DataFrame:
+    """Shape 2b: per-KEY applyInPandasWithState ordered fold (K2+K3).
+
+    Input contract: an already-deduped ("effective") ops stream — the
+    output of ``dedup_stream`` replayed through an intermediate sink.
+    State per key: (value, max applied seq); ops at-or-below the
+    watermark seq are skipped, making redelivery idempotent. Output:
+    one (key, value) row per key per batch — the streaming analog of
+    the replayed state table.
+    """
+    out_schema = StructType(
+        [StructField("key", StringType()), StructField("value", StringType())]
+    )
+    state_schema = StructType(
+        [StructField("value", StringType()), StructField("max_seq", LongType())]
+    )
+
+    def fold(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        value, max_seq = state.get if state.exists else ("", -1)
+        rows = pd.concat(list(pdfs)).sort_values("seq")
+        for _, r in rows.iterrows():
+            seq = int(r["seq"])
+            if seq <= max_seq:
+                continue  # redelivered slice — already applied
+            max_seq = seq
+            if r["op"] == "put":
+                value = r["value"]
+            elif r["op"] == "append":
+                value = value + r["value"]
+        state.update((value, max_seq))
+        yield pd.DataFrame({"key": [key[0]], "value": [value]})
+
+    return effective_ops.groupBy("key").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

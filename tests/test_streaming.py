@@ -1,0 +1,156 @@
+"""Structured Streaming tests: the ops log consumed as a stream must
+reach the same state as batch replay (K5 streaming/batch parity), and
+windowed aggs must equal their batch equivalents."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_computing_spark.operators.kv import replay
+from distributed_computing_spark.streaming.kv_stream import (
+    OPS_SCHEMA,
+    KVTableStore,
+    foreach_batch_apply,
+    stateful_fold_stream,
+)
+from distributed_computing_spark.streaming.windows import (
+    session_windows,
+    sliding_rates,
+    tumbling_counts,
+)
+from tests.test_kv import OPS_SCHEMA as OPS_DDL
+from tests.test_kv import random_ops, serial_replay
+
+
+def _write_ops_batches(spark, tmpdir: str, ops: list[tuple], n_batches: int = 3) -> str:
+    """Write the ops log as n_batches parquet files (arrival batches
+    follow log order, like committed raft log slices)."""
+    src = os.path.join(tmpdir, "ops_src")
+    per = (len(ops) + n_batches - 1) // n_batches
+    for b in range(n_batches):
+        chunk = ops[b * per : (b + 1) * per]
+        if chunk:
+            spark.createDataFrame(chunk, OPS_DDL).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+    return src
+
+
+def test_foreach_batch_apply_matches_batch_replay(spark, tmp_path):
+    ops = random_ops(11, n=300)
+    src = _write_ops_batches(spark, str(tmp_path), ops)
+    stream = spark.readStream.schema(OPS_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    store = KVTableStore(spark, str(tmp_path / "store"))
+    q = foreach_batch_apply(stream, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {r["key"]: r["value"] for r in store.state().collect() if r["value"] != ""}
+    want = {k: v for k, v in serial_replay(ops).items() if v != ""}
+    assert got == want
+
+
+def test_foreach_batch_is_incremental(spark, tmp_path):
+    """New files after the first run are picked up from the checkpoint
+    and applied exactly once (restart = reference's snapshot restore)."""
+    ops = random_ops(5, n=200)
+    first, second = ops[:120], ops[120:]
+    src = str(tmp_path / "ops_src")
+    spark.createDataFrame(first, OPS_DDL).coalesce(1).write.mode("append").parquet(src)
+    store = KVTableStore(spark, str(tmp_path / "store"))
+    stream = spark.readStream.schema(OPS_SCHEMA).parquet(src)
+    foreach_batch_apply(stream, store, str(tmp_path / "ckpt")).awaitTermination(120)
+    spark.createDataFrame(second, OPS_DDL).coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(OPS_SCHEMA).parquet(src)
+    foreach_batch_apply(stream2, store, str(tmp_path / "ckpt")).awaitTermination(120)
+    got = {r["key"]: r["value"] for r in store.state().collect() if r["value"] != ""}
+    want = {k: v for k, v in serial_replay(ops).items() if v != ""}
+    assert got == want
+
+
+def test_stateful_fold_pipeline_matches_batch(spark, tmp_path):
+    """dedup_stream (per-client K4) → intermediate sink → fold stream
+    (per-key K2/K3) reaches exactly the serial-replay state."""
+    from distributed_computing_spark.streaming.kv_stream import dedup_stream
+
+    ops = random_ops(23, n=300)
+    src = _write_ops_batches(spark, str(tmp_path), ops, n_batches=1)
+    stream = spark.readStream.schema(OPS_SCHEMA).parquet(src)
+    eff_dir = str(tmp_path / "effective")
+    q1 = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", eff_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(120)
+    eff_stream = spark.readStream.schema(OPS_SCHEMA).parquet(eff_dir)
+    q2 = (
+        stateful_fold_stream(eff_stream)
+        .writeStream.format("memory")
+        .queryName("kv_fold_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fold"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM kv_fold_out").collect()
+    got = {}
+    for r in rows:
+        got[r["key"]] = r["value"]
+    got = {k: v for k, v in got.items() if v != ""}
+    want = {k: v for k, v in serial_replay(ops).items() if v != ""}
+    assert got == want
+
+
+def test_tumbling_counts_stream_equals_batch(spark, sf_dir, tmp_path):
+    # events.parquet has ns timestamps; load through the catalog (micros)
+    from distributed_computing_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 4))
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    want = {
+        (r["ws"], r["event_type"]): (r["n"], round(r["sv"], 4))
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .collect()
+    }
+    # watermark with availableNow emits all windows; batch must agree
+    # on every window the stream emitted
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
+
+
+def test_session_and_sliding_plans_build(spark, sf_dir):
+    """Plan-level checks for the remaining window shapes (batch mode)."""
+    from distributed_computing_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    assert session_windows(ev).count() > 0
+    assert sliding_rates(ev).count() > 0
