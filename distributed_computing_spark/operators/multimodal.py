@@ -55,6 +55,39 @@ def make_blob_table(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, BLOB_SCHEMA)
 
 
+def blobs_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic blob-table adapter over the shared `documents`
+    table: the text's UTF-8 bytes stand in for an image/audio/video
+    payload, with modality and typed metadata derived from doc_id.
+
+    This keeps the registry/oracle gate on driver-provided inputs (no
+    synthesized tables) while exercising the full binary-column path:
+    BinaryType payloads, nested meta struct, modality pruning.
+    """
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    mime = (
+        F.when(modality == "image", F.lit("image/png"))
+        .when(modality == "audio", F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+    )
+    wh = F.when(modality != "audio", (F.col("doc_id") % 16).cast("int"))
+    duration = F.when(modality != "image", 1000 * (F.col("doc_id") % 30))
+    return docs.select(
+        F.col("doc_id").alias("blob_id"),
+        modality.alias("modality"),
+        F.encode("text", "UTF-8").alias("data"),
+        F.struct(
+            mime.alias("mime"),
+            (64 + wh).alias("width"),
+            (48 + wh).alias("height"),
+            duration.cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
 def blob_stats(blobs: DataFrame) -> DataFrame:
     """Pure-JVM metadata pass: size, hash, modality census inputs."""
     return blobs.select(

@@ -131,6 +131,127 @@ def lsh_topk(
     )
 
 
+def _ivf_centroids(
+    embeddings: DataFrame,
+    n_lists: int,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic IVF codebook: seed with the ``n_lists`` corpus
+    vectors of smallest ``hash(id)`` (a reproducible pseudo-random
+    sample), then refine with ``n_iter`` distributed Lloyd steps.
+
+    The per-list mean is computed by posexplode → groupBy(list, pos) →
+    avg: N·dim skinny rows through one shuffle, no vector ever
+    collected per-list — this is the 100 TB-safe k-means step. Only the
+    (n_lists × dim) codebook reaches the driver.
+    """
+    seeds = (
+        embeddings.select(F.col(vec_col).alias("v"), F.hash(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(n_lists)
+        .collect()
+    )
+    cents = np.array([r["v"] for r in seeds], dtype="float64")
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12
+    for _ in range(n_iter):
+        assign = _list_assign_udf(cents)
+        means = (
+            embeddings.select(
+                assign(F.col(vec_col)).alias("list"),
+                F.posexplode(vec_col).alias("pos", "x"),
+            )
+            .groupBy("list", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("list")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("a"))
+            .select("list", F.transform("a", lambda s: s["m"]).alias("mean"))
+            .collect()
+        )
+        for r in means:
+            v = np.array(r["mean"], dtype="float64")
+            n = np.linalg.norm(v)
+            if n > 0:
+                cents[r["list"]] = v / n
+    return cents
+
+
+def _list_assign_udf(cents: np.ndarray):
+    """pandas_udf: vector → nearest-centroid list id (one GEMM/batch)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        mat = np.array(list(vs), dtype="float64")
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
+        return pd.Series((mat @ cents.T).argmax(axis=1)).astype("int32")
+
+    return assign
+
+
+def _list_probe_udf(cents: np.ndarray, n_probe: int):
+    """pandas_udf: query vector → its ``n_probe`` nearest list ids."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def probe(vs: pd.Series) -> pd.Series:
+        mat = np.array(list(vs), dtype="float64")
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
+        idx = np.argsort(-(mat @ cents.T), axis=1)[:, :n_probe]
+        return pd.Series([row.tolist() for row in idx])
+
+    return probe
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) partitioning.
+
+    Corpus vectors are assigned to their nearest of ``n_lists``
+    k-means centroids; each query probes its ``n_probe`` closest lists
+    and exact-reranks only those candidates — cost drops from O(Q·N) to
+    O(Q·N·n_probe/n_lists) plus one tiny codebook broadcast.
+
+    At 100 TB the assignment runs once at ingest and the corpus is
+    written ``partitionBy("list")`` (or bucketed), so a probe prunes to
+    n_probe partitions at the parquet scan — the Spark-native analog of
+    a FAISS IVF index. Recall rises with n_probe (= n_lists recovers
+    exact brute force).
+    """
+    cents = _ivf_centroids(embeddings, n_lists, id_col=id_col, vec_col=vec_col)
+    assign = _list_assign_udf(cents)
+    probe = _list_probe_udf(cents, n_probe)
+    corpus = embeddings.select(
+        F.col(id_col).alias("nn_id"),
+        F.col(vec_col).alias("nn_vec"),
+        assign(F.col(vec_col)).alias("list"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe(F.col(vec_col))).alias("list"),
+    )
+    cand = (
+        corpus.join(F.broadcast(q), "list")
+        .where(F.col("q_id") != F.col("nn_id"))
+        .select("q_id", "nn_id", cosine(F.col("q_vec"), F.col("nn_vec")).alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "nn_id", "rank")
+    )
+
+
 def embedding_neardup(
     embeddings: DataFrame,
     threshold: float = 0.95,

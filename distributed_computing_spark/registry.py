@@ -143,6 +143,128 @@ def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup(emb, threshold=0.45)
 
 
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return similarity.ivf_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Streaming queries (Structured Streaming run to completion — runner.py)
+# ---------------------------------------------------------------------------
+
+
+def stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows executed on the STREAMING path
+    (stateful agg + watermark), oracle = the batch hourly rollup."""
+    from distributed_computing_spark.streaming.runner import run_to_batch, stream_table
+    from distributed_computing_spark.streaming.windows import tumbling_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    out = run_to_batch(tumbling_counts(stream_table(spark, ev)), spark)
+    return out.select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window per user on the streaming path; oracle = the
+    gaps-and-islands SQL (new session when gap ≥ 30 min)."""
+    from distributed_computing_spark.streaming.runner import run_to_batch, stream_table
+    from distributed_computing_spark.streaming.windows import session_windows
+
+    ev = load_table(spark, sf_dir, "events")
+    out = run_to_batch(session_windows(stream_table(spark, ev)), spark)
+    return out.select(
+        "session_start",
+        "session_end",
+        "user_id",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+def stream_kv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 streaming: the ops log replayed through foreachBatch in three
+    seq-ordered micro-batches against a persistent state store; final
+    state must equal the batch replay oracle exactly (exactly-once
+    across batch boundaries is what's under test)."""
+    import tempfile
+    import time
+
+    from distributed_computing_spark.streaming.kv_stream import (
+        KVTableStore,
+        foreach_batch_apply,
+    )
+
+    ops = _ops(spark, sf_dir)
+    max_seq = ops.agg(F.max("seq")).collect()[0][0]
+    src = tempfile.mkdtemp(prefix="dcs_ops_src_")
+    for lo, hi in [
+        (0, max_seq // 3),
+        (max_seq // 3 + 1, 2 * max_seq // 3),
+        (2 * max_seq // 3 + 1, max_seq),
+    ]:
+        ops.where(F.col("seq").between(lo, hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(0.05)  # distinct mtimes → file-source replays in log order
+    stream = (
+        spark.readStream.schema(ops.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store = KVTableStore(spark, tempfile.mkdtemp(prefix="dcs_store_"))
+    q = foreach_batch_apply(stream, store, tempfile.mkdtemp(prefix="dcs_ckpt_"))
+    q.awaitTermination(300)
+    return store.state()
+
+
+# ---------------------------------------------------------------------------
+# Multimodal queries ([EXT]) — blob table derived from `documents`
+# ---------------------------------------------------------------------------
+
+
+def _blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators import multimodal
+
+    return multimodal.blobs_from_documents(load_table(spark, sf_dir, "documents"))
+
+
+def multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators import multimodal
+
+    return multimodal.blob_stats(_blobs(spark, sf_dir))
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators import multimodal
+
+    return multimodal.sample_frames(_blobs(spark, sf_dir), k=4)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators import multimodal
+
+    return multimodal.extract_features(_blobs(spark, sf_dir))
+
+
+def multimodal_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compose: blobs → feature extraction → exact cosine top-k. The
+    full multimodal-to-ANN pipeline on one plan."""
+    from distributed_computing_spark.operators import multimodal
+
+    feats = multimodal.extract_features(_blobs(spark, sf_dir))
+    queries = feats.where(F.col("blob_id") % 25 == 0)
+    return similarity.cosine_topk(
+        feats, queries, k=3, id_col="blob_id", vec_col="embedding"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL building blocks
 # ---------------------------------------------------------------------------
@@ -241,7 +363,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # [EXT] similarity search
     "cosine_topk": cosine_topk_q,
     "lsh_topk": lsh_topk_q,
+    "ivf_topk": ivf_topk_q,
     "embedding_neardup": embedding_neardup_q,
+    # Structured Streaming path (K5 + event-time windows)
+    "stream_windowed": stream_windowed,
+    "stream_sessions": stream_sessions,
+    "stream_kv_state": stream_kv_state,
+    # [EXT] multimodal binary columns
+    "multimodal_stats": multimodal_stats,
+    "multimodal_frames": multimodal_frames,
+    "multimodal_features": multimodal_features,
+    "multimodal_ann": multimodal_ann,
 }
 
 
@@ -475,6 +607,51 @@ SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a
 JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45""",
-    # minhash_neardup / simhash_neardup / lsh_topk / approx_distinct_users:
+    "stream_windowed": """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2, 3""",
+    "stream_sessions": """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+m AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS new_s
+  FROM o),
+i AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM i GROUP BY user_id, sid""",
+    # streaming K5 must land on exactly the batch-replay state
+    "stream_kv_state": None,  # filled below (= kv_state oracle)
+    "multimodal_stats": """
+SELECT doc_id AS blob_id,
+       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       sha256(text) AS "sha256",
+       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS mime
+FROM documents""",
+    "multimodal_frames": """
+SELECT doc_id AS blob_id,
+       1000 * (doc_id % 30) AS duration_ms,
+       CAST(i * (1000 * (doc_id % 30)) / 4 AS BIGINT) AS frame_ts_ms
+FROM documents, range(0, 4) t(i)
+WHERE doc_id % 3 = 2""",
+    # minhash_neardup / simhash_neardup / lsh_topk / ivf_topk /
+    # approx_distinct_users / multimodal_features / multimodal_ann:
     # engine-specific hashing → rows-only check; semantics tested in tests/.
 }
+
+ORACLES["stream_kv_state"] = ORACLES["kv_state"]

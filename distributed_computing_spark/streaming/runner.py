@@ -1,0 +1,57 @@
+"""Run a Structured Streaming pipeline to completion as a batch query.
+
+This is the registry/correctness bridge: each streaming operator
+(windows.py, kv_stream.py) is executed with ``Trigger.AvailableNow``
+over a bounded file source and its final result returned as a batch
+DataFrame, so the DuckDB oracle gate covers the *streaming* execution
+path (stateful aggregation, micro-batch apply), not just the batch
+twin. On a real cluster the same pipelines run unbounded — only the
+trigger and sink differ.
+
+Memory-sink note: aggregation queries run in ``complete`` mode so every
+window is emitted at end-of-stream; ``append`` mode would hold back
+windows newer than the final watermark, which for a bounded replay
+means silently dropping the tail.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+_name_counter = itertools.count()
+
+
+def run_to_batch(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "complete",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Execute a (bounded) streaming DataFrame with AvailableNow into a
+    memory sink; return the sink's contents as a batch DataFrame."""
+    name = f"stream_out_{next(_name_counter)}"
+    ckpt = tempfile.mkdtemp(prefix="dcs_ckpt_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.table(name)
+
+
+def stream_table(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Re-expose a batch DataFrame as a bounded stream: materialize to a
+    temp parquet dir and ``readStream`` it with the same schema. The
+    registry uses this to drive streaming operators from the shared
+    parquet test tables (whose nanos timestamps need the catalog's
+    batch-side conversion first)."""
+    src = tempfile.mkdtemp(prefix="dcs_streamsrc_")
+    df.write.mode("overwrite").parquet(src)
+    return spark.readStream.schema(df.schema).parquet(src)

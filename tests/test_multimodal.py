@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from distributed_computing_spark.operators.multimodal import (
     FEATURE_DIM,
     blob_stats,
+    blobs_from_documents,
     decode_images,
     extract_features,
     make_blob_table,
@@ -56,6 +57,23 @@ def test_sample_frames_even_spacing(spark):
     )
     dur = blobs.where(F.col("blob_id") == 2).select("meta.duration_ms").collect()[0][0]
     assert one == [i * dur // 4 for i in range(4)]
+
+
+def test_blobs_from_documents_adapter(spark, sf_dir):
+    """The documents→blob adapter: payload bytes are the text's UTF-8
+    encoding, metadata is a pure function of doc_id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blobs = blobs_from_documents(docs)
+    assert blobs.count() == docs.count()
+    r = blobs.join(docs, blobs.blob_id == docs.doc_id).select(
+        "doc_id", "text", "modality", "data", "meta"
+    ).first()
+    assert bytes(r["data"]) == r["text"].encode("utf-8")
+    assert r["modality"] == ["image", "audio", "video"][r["doc_id"] % 3]
+    if r["modality"] == "audio":
+        assert r["meta"]["width"] is None
+    else:
+        assert r["meta"]["width"] == 64 + r["doc_id"] % 16
 
 
 def test_extract_features_compose_with_ann(spark):

@@ -9,6 +9,7 @@ from distributed_computing_spark.operators.similarity import (
     _pandas_cosine_topk,
     cosine_topk,
     embedding_neardup,
+    ivf_topk,
     lsh_topk,
 )
 
@@ -39,6 +40,35 @@ def test_lsh_recall_vs_exact(spark):
     # neighbors (cos≈0.3), ≈1.0 on planted near-dups; 0.45 is the
     # deterministic-seed floor with margin.
     assert recall >= 0.45, f"LSH recall too low: {recall}"
+
+
+def test_ivf_recall_vs_exact(spark):
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    exact = {(r["q_id"], r["nn_id"]) for r in cosine_topk(emb, q, k=5).collect()}
+    approx_rows = ivf_topk(emb, q, k=5, n_lists=16, n_probe=4).collect()
+    approx = {(r["q_id"], r["nn_id"]) for r in approx_rows}
+    # every query must still get a full k result set (probed lists
+    # always contain ≥ k candidates at this corpus/list ratio)
+    assert len(approx_rows) == len(exact)
+    recall = len(exact & approx) / len(exact)
+    # probing 4/16 lists of a 1-iteration k-means codebook: planted
+    # near-dups land in the query's own list (≈1.0), random-tail
+    # neighbors follow the ≈n_probe/n_lists floor; 0.4 holds with margin
+    # for the deterministic seed.
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+
+def test_ivf_full_probe_is_exact(spark):
+    """n_probe == n_lists degenerates to brute force — exact parity."""
+    emb = _emb(spark).where(F.col("vec_id") < 200)
+    q = emb.where(F.col("vec_id") < 3)
+    exact = {(r["q_id"], r["nn_id"], r["rank"]) for r in cosine_topk(emb, q, k=5).collect()}
+    full = {
+        (r["q_id"], r["nn_id"], r["rank"])
+        for r in ivf_topk(emb, q, k=5, n_lists=4, n_probe=4).collect()
+    }
+    assert exact == full
 
 
 def test_pandas_path_matches_jvm_path(spark):
