@@ -50,8 +50,17 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: JVM + codegen + parquet footer reads.
+    # Warmup: JVM + codegen + parquet footer reads, plus Python/Arrow
+    # worker daemons (first pandas_udf pays ~4-5 s of numpy/pandas
+    # imports across local[32] workers — startup, not throughput).
     QUERIES["pricing_summary"](spark, sf_dir).collect()
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def _warm(v):
+        return v * 1.0
+
+    spark.range(10000).repartition(64).select(_warm(F.col("id").cast("double"))).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

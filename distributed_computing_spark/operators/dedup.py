@@ -107,17 +107,25 @@ def ngram_jaccard_pairs(
     boilerplate, which is usually the right thing to drop. Set
     ``max_df=None`` for the exact oracle-checked variant.
     """
-    sh = shingle_rows(documents, n)
+    # The inverted index keys on xxhash64(shingle), not the string:
+    # the self-join shuffles 8-byte keys instead of ~20-char text.
+    # (64-bit collisions would inflate n_common; at corpus scale the
+    # collision probability within any doc pair is < 1e-8 — accepted.)
+    sh = shingle_rows(documents, n).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle_h")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if max_df is not None:
         n_docs = documents.count()
         cap = int(max_df * n_docs) + 1
-        head = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(F.col("df") > cap)
-        sh = sh.join(head.select("shingle"), "shingle", "left_anti")
-    a = sh.select(F.col("doc_id").alias("a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+        head = (
+            sh.groupBy("shingle_h").agg(F.count("*").alias("df")).where(F.col("df") > cap)
+        )
+        sh = sh.join(head.select("shingle_h"), "shingle_h", "left_anti")
+    a = sh.select(F.col("doc_id").alias("a"), "shingle_h")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle_h")
     common = (
-        a.join(b, "shingle")
+        a.join(b, "shingle_h")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_common"))
@@ -147,15 +155,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig array<long>) MinHash signatures over word shingles.
 
-    Hash family: xxhash64(shingle, seed=i) — JVM-side, vectorized, no
-    Python. min per seed via a single aggregate over the exploded
-    shingle set. Non-distinct shingle rows are fine (duplicates don't
-    change a min), and the groupBy reuses shingle_rows' doc_id
-    partitioning — one shuffle total.
+    Hash family: the shingle string is xxhash64'd ONCE to a long, then
+    the ``num_hashes`` family members are xxhash64(h, seed=i) over that
+    8-byte value — 64 fixed-width hashes instead of 64 string hashes
+    (string hashing dominated the profile). All JVM-side, no Python.
+    min per seed via a single aggregate over the exploded shingle set;
+    non-distinct shingle rows are fine (duplicates don't change a min),
+    and the groupBy reuses shingle_rows' doc_id partitioning.
     """
-    sh = shingle_rows(documents, n, distinct=False)
+    sh = shingle_rows(documents, n, distinct=False).withColumn(
+        "h", F.xxhash64("shingle")
+    )
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     agg = sh.groupBy("doc_id").agg(*mins)
@@ -176,42 +188,43 @@ def minhash_lsh_pairs(
     bands=16 × rows=4 over 64 hashes → s-curve threshold ≈ (1/16)^(1/4)
     ≈ 0.5. Candidates = docs sharing any band hash (groupBy band bucket,
     self-join), then estimated Jaccard = fraction of equal signature
-    positions; pairs below ``threshold`` are dropped. Only signatures
-    shuffle — never document text.
+    positions; pairs below ``threshold`` are dropped.
+
+    Shuffle discipline (the 100 TB shape): the band self-join and the
+    (a, b) dedup move ONLY 24-byte id rows — signatures do not ride the
+    candidate exchange (that would be bands× the sig payload per doc).
+    The surviving sparse candidate set joins the signature table twice
+    afterwards; AQE picks broadcast when sigs fit, shuffle-hash
+    otherwise. Document text never shuffles anywhere.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(documents, n, num_hashes)
     banded = sigs.select(
         "doc_id",
-        "sig",
-        F.explode(
+        F.posexplode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", bi * rows_per_band + r + 1).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
+                    F.xxhash64(
+                        *[
+                            F.element_at("sig", bi * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
                     )
                     for bi in range(bands)
                 ]
             )
-        ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    left = banded.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"), "band", "bucket")
-    right = banded.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"), "band", "bucket")
+        ).alias("band", "bucket"),
+    )
+    left = banded.select(F.col("doc_id").alias("a"), "band", "bucket")
+    right = banded.select(F.col("doc_id").alias("b"), "band", "bucket")
     cand = (
         left.join(right, ["band", "bucket"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", "sig_a", "sig_b")
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
+    sig_a = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -219,7 +232,9 @@ def minhash_lsh_pairs(
         )
     ) / F.lit(float(num_hashes))
     return (
-        cand.withColumn("est_jaccard", est)
+        cand.join(sig_a, "a")
+        .join(sig_b, "b")
+        .withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= threshold)
         .select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
     )

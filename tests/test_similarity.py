@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from distributed_computing_spark.operators.similarity import (
-    _pandas_cosine_topk,
+    cosine_topk_gemm,
     cosine_topk,
     embedding_neardup,
     ivf_topk,
@@ -75,7 +75,7 @@ def test_pandas_path_matches_jvm_path(spark):
     emb = _emb(spark)
     q = emb.where(F.col("vec_id") < 5)
     jvm = {(r["q_id"], r["nn_id"], r["rank"]) for r in cosine_topk(emb, q, k=3).collect()}
-    pd_ = {(r["q_id"], r["nn_id"], r["rank"]) for r in _pandas_cosine_topk(emb, q, k=3).collect()}
+    pd_ = {(r["q_id"], r["nn_id"], r["rank"]) for r in cosine_topk_gemm(emb, q, k=3).collect()}
     assert jvm == pd_
 
 
