@@ -1,0 +1,128 @@
+"""Time-series joins Spark lacks as built-ins: as-of and bounded-range.
+
+The reference has no joins at all (SURVEY.md §2.8); these are [EXT]
+operators a complete analytics engine needs, built strictly from
+composition of DataFrame primitives — no non-equi joins, no UDFs —
+so Catalyst plans them as ordinary shuffles.
+
+Scale design:
+- as-of: the classic union + last(ignoreNulls) running-window. ONE
+  shuffle on the join key; never a range self-join (which explodes
+  quadratically on hot keys). Equivalent plans power point-in-time
+  joins in production feature stores.
+- range: bucketize both sides to equi-join keys (window span / bucket
+  size = bounded explode factor), then filter the exact bound inside
+  the bucket-local join. Shuffle volume = input × (span/bucket + 1),
+  chosen by the caller — never |L|×|R|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """For each left row, attach the LATEST right row with
+    ``right_ts <= left_ts`` sharing the key ``on`` (backward as-of,
+    DuckDB ``ASOF JOIN`` / pandas ``merge_asof`` semantics; inner —
+    left rows with no prior right row are dropped).
+
+    Right-side payload arrives as struct fields ``<col>`` for each of
+    ``right_cols`` plus ``_asof_ts`` (the matched right timestamp).
+    Ties on ``right_ts`` within a key are resolved by the LAST row in
+    (ts, *right_cols) sort order — pre-deduplicate the right side if
+    ties must be impossible.
+    """
+    payload = F.struct(
+        F.col(right_ts).alias("_asof_ts"), *[F.col(c) for c in right_cols]
+    )
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        payload.alias("_rpay"),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(dict(r.dtypes)["_rpay"]).alias("_rpay"),
+    )
+    both = r.unionByName(l, allowMissingColumns=True)
+    # right rows sort before left rows at equal ts => a quote AT the
+    # trade's timestamp matches (<=, not <)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ats", "_side", "_rpay")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = both.withColumn("_match", F.last("_rpay", ignorenulls=True).over(w))
+    return (
+        carried.where((F.col("_side") == 1) & F.col("_match").isNotNull())
+        .drop("_ats", "_side", "_rpay")
+        .select(
+            *left.columns,
+            F.col("_match._asof_ts").alias("_asof_ts"),
+            *[F.col(f"_match.{c}").alias(f"{c}_r") for c in right_cols],
+        )
+    )
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    span: Column,
+    bucket: str = "1 hour",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    left_id: str = "event_id",
+) -> DataFrame:
+    """Count right rows with ``right_ts ∈ (left_ts - span, left_ts]``
+    per left row (left join — zero counts kept).
+
+    Bucketed equi-join: both sides get epoch-aligned time buckets; a
+    left row explodes into the ⌈span/bucket⌉+1 buckets its window can
+    touch, the join runs on (key, bucket), and the exact bound filters
+    inside. ``span`` must not exceed the explode list (span == bucket
+    here: 2 buckets/row).
+    """
+    b = F.lit(3600) if bucket == "1 hour" else F.lit(int(bucket))
+    lsec = F.col(left_ts).cast("long")
+    rsec = F.col(right_ts).cast("long")
+    lb = left.select(
+        F.col(left_id).alias("_lid"),
+        F.col(on),
+        F.col(left_ts),
+        lsec.alias("_lsec"),
+        F.explode(
+            F.array((lsec / b).cast("long"), ((lsec - b) / b).cast("long"))
+        ).alias("_bucket"),
+    ).dropDuplicates(["_lid", "_bucket"])
+    rb = right.select(
+        F.col(on), rsec.alias("_rsec"), (rsec / b).cast("long").alias("_bucket")
+    )
+    span_s = span.cast("long")
+    hits = (
+        lb.join(rb, [on, "_bucket"])
+        .where((F.col("_rsec") <= F.col("_lsec")) & (F.col("_rsec") > F.col("_lsec") - span_s))
+        .groupBy("_lid")
+        .agg(F.count("*").alias("_n"))
+    )
+    return (
+        left.select(F.col(left_id).alias("_lid"), on)
+        .join(hits, "_lid", "left")
+        .select(
+            F.col("_lid").alias(left_id),
+            on,
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n_in_range"),
+        )
+    )

@@ -151,6 +151,49 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=5)
 
 
+def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] as-of join: each purchase matched to the user's latest
+    prior view (point-in-time attribution). Views are deduplicated to
+    one per (user, ts) so tie-resolution matches the SQL oracle."""
+    from pyspark.sql import Window
+
+    from distributed_computing_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "ts", "event_id")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join(purchases, views, on="user_id", right_cols=("event_id",))
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("event_id_r").alias("view_id"),
+        (F.col("ts").cast("long") - F.col("_asof_ts").cast("long")).alias("gap_s"),
+    )
+
+
+def range_join_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] bounded range join: views within the hour before each
+    purchase, zero-counts kept (bucketed equi-join, never |L|x|R|)."""
+    from distributed_computing_spark.operators.joins import range_join_count
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    views = ev.where(F.col("event_type") == "view")
+    out = range_join_count(purchases, views, on="user_id", span=F.lit(3600))
+    return out.select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("n_in_range").alias("n_views_1h"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming queries (Structured Streaming run to completion — runner.py)
 # ---------------------------------------------------------------------------
@@ -188,6 +231,17 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("sum_value", 4).alias("sum_value"),
     )
+
+
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (overlapping) event-time windows on the streaming path:
+    every event lands in window/slide = 2 buckets."""
+    from distributed_computing_spark.streaming.runner import run_to_batch, stream_table
+    from distributed_computing_spark.streaming.windows import sliding_rates
+
+    ev = load_table(spark, sf_dir, "events")
+    out = run_to_batch(sliding_rates(stream_table(spark, ev)), spark)
+    return out.select("window_start", "event_type", "n_events")
 
 
 def stream_kv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,6 +405,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions": user_sessions,
     "set_ops": analytics.set_ops_demo,
     "approx_distinct_users": analytics.approx_distinct_users,
+    "asof_attribution": asof_attribution,
+    "range_join_views": range_join_views,
     # [EXT] dedup
     "exact_dedup": exact_dedup_q,
     "ngram_jaccard_pairs": ngram_jaccard,
@@ -370,6 +426,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Structured Streaming path (K5 + event-time windows)
     "stream_windowed": stream_windowed,
     "stream_sessions": stream_sessions,
+    "stream_sliding": stream_sliding,
     "stream_kv_state": stream_kv_state,
     # [EXT] multimodal binary columns
     "multimodal_stats": multimodal_stats,
@@ -507,7 +564,7 @@ WITH o AS (
 m AS (
   SELECT user_id,
          CASE WHEN prev IS NULL
-                   OR (epoch(ts)::BIGINT - epoch(prev)::BIGINT) > 1800
+                   OR ((epoch_us(ts) // 1000000) - (epoch_us(prev) // 1000000)) > 1800
               THEN 1 ELSE 0 END AS new_s
   FROM o)
 SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
@@ -609,6 +666,33 @@ SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a
 JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45""",
+    "asof_attribution": """
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'view'),
+q AS (SELECT user_id, ts, event_id FROM v WHERE rn = 1),
+p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+SELECT p.event_id AS purchase_id, p.user_id,
+       q.event_id AS view_id,
+       (epoch_us(p.ts) // 1000000) - (epoch_us(q.ts) // 1000000) AS gap_s
+FROM p ASOF JOIN q ON p.user_id = q.user_id AND p.ts >= q.ts""",
+    "range_join_views": """
+SELECT p.event_id AS purchase_id, p.user_id,
+       CAST(count(v.event_id) AS BIGINT) AS n_views_1h
+FROM events p LEFT JOIN events v
+  ON v.user_id = p.user_id AND v.event_type = 'view'
+ AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2""",
+    "stream_sliding": """
+WITH w AS (
+  SELECT event_type,
+         unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+                 time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE]) AS window_start
+  FROM events)
+SELECT window_start, event_type, count(*) AS n_events
+FROM w GROUP BY 1, 2""",
     "stream_windowed": """
 SELECT date_trunc('hour', ts) AS window_start,
        date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,

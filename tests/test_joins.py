@@ -1,0 +1,72 @@
+"""As-of and range join semantics on hand-built data (ties, bounds,
+missing matches) — the oracle gate covers corpus-level parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_computing_spark.operators.joins import asof_join, range_join_count
+
+TRADES = "user_id long, ts timestamp, event_id long"
+QUOTES = "user_id long, ts timestamp, event_id long"
+
+
+def _ts(s: str):
+    from datetime import datetime
+
+    return datetime.fromisoformat(f"2024-01-01 {s}")
+
+
+def test_asof_backward_inner_semantics(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, _ts("10:00:00"), 100),  # quote at 09:59 matches
+            (1, _ts("10:05:00"), 101),  # later quote 10:05 exact-tie matches (<=)
+            (2, _ts("10:00:00"), 102),  # no quote for user 2 -> dropped (inner)
+            (3, _ts("09:00:00"), 103),  # quote only AFTER trade -> dropped
+        ],
+        TRADES,
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, _ts("09:59:00"), 7),
+            (1, _ts("10:05:00"), 8),
+            (3, _ts("09:30:00"), 9),
+        ],
+        QUOTES,
+    )
+    out = {
+        r["event_id"]: r["event_id_r"]
+        for r in asof_join(trades, quotes, on="user_id", right_cols=("event_id",)).collect()
+    }
+    assert out == {100: 7, 101: 8}
+
+
+def test_asof_picks_latest_not_any(spark):
+    trades = spark.createDataFrame([(1, _ts("12:00:00"), 1)], TRADES)
+    quotes = spark.createDataFrame(
+        [(1, _ts("09:00:00"), 10), (1, _ts("11:00:00"), 11), (1, _ts("11:30:00"), 12)],
+        QUOTES,
+    )
+    [r] = asof_join(trades, quotes, on="user_id", right_cols=("event_id",)).collect()
+    assert r["event_id_r"] == 12
+
+
+def test_range_join_count_bounds_and_zeros(spark):
+    purchases = spark.createDataFrame(
+        [(1, _ts("12:00:00"), 1), (2, _ts("12:00:00"), 2)], TRADES
+    )
+    views = spark.createDataFrame(
+        [
+            (1, _ts("11:00:00"), 20),  # exactly 1h before -> EXCLUDED (strict >)
+            (1, _ts("11:00:01"), 21),  # inside
+            (1, _ts("12:00:00"), 22),  # at the purchase -> included (<=)
+            (1, _ts("12:00:01"), 23),  # after -> excluded
+        ],
+        QUOTES,
+    )
+    out = {
+        r["event_id"]: r["n_in_range"]
+        for r in range_join_count(purchases, views, on="user_id", span=F.lit(3600)).collect()
+    }
+    assert out == {1: 2, 2: 0}
