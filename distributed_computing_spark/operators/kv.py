@@ -17,11 +17,12 @@ Operator map:
 
 Scale notes (100 TB posture): the dedup window shuffles once on
 client_id; the fold shuffles once on key. The per-key ``collect_list``
-is bounded by that key's op count — for a pathological hot key, salt the
-fold into (key, seq_bucket) sub-folds and concat the bucket results
-(associativity of string concat), which `replay` does automatically
-above ``hot_key_threshold``. Streaming equivalent lives in
-streaming/kv_stream.py (applyInPandasWithState).
+is bounded by that key's op count — for a pathological hot key, pass
+``salt_buckets`` to ``replay``: the fold splits into contiguous
+(key, seq-range) sub-folds across ``salt_buckets`` reducers and
+concatenates the bucket results in range order (string concat is
+associative), so no single task ever holds a whole hot key. Streaming
+equivalent lives in streaming/kv_stream.py (applyInPandasWithState).
 """
 
 from __future__ import annotations
@@ -77,38 +78,69 @@ def dedup_ops(ops: DataFrame) -> DataFrame:
     )
 
 
-def _fold_effective_writes(writes: DataFrame) -> DataFrame:
+def _fold_effective_writes(
+    writes: DataFrame, salt_buckets: int | None = None
+) -> DataFrame:
     """Per-key ordered fold: value = last Put's value + later Appends.
 
     Put resets the key, Append concatenates (missing key starts at "").
     Implemented as: keep only writes at-or-after the key's last Put,
-    then seq-ordered concat. No driver-side iteration — two narrow
-    window/agg stages on the same `key` partitioning (Catalyst reuses
-    the exchange).
+    then seq-ordered concat. No driver-side iteration.
+
+    ``salt_buckets``: the hot-key path. The fold runs in two phases —
+    sub-fold within (key, contiguous seq range) so a hot key spreads
+    over ``salt_buckets`` tasks, then concat the per-bucket partials in
+    range order (string concat is associative). The last-Put cutoff
+    switches from a window to a partial-aggregated groupBy + skew-aware
+    equi-join, so NO stage processes a whole hot key in one task.
     """
-    w_key = Window.partitionBy("key")
-    last_put = F.max(F.when(F.col("op") == "put", F.col("seq"))).over(w_key)
-    eff = writes.withColumn("_last_put", last_put).where(
-        F.col("seq") >= F.coalesce(F.col("_last_put"), F.lit(-1))
-    )
     ordered_vals = F.transform(
         F.array_sort(F.collect_list(F.struct("seq", "value"))), lambda s: s["value"]
     )
-    return eff.groupBy("key").agg(F.concat_ws("", ordered_vals).alias("value"))
+    if not salt_buckets:
+        w_key = Window.partitionBy("key")
+        last_put = F.max(F.when(F.col("op") == "put", F.col("seq"))).over(w_key)
+        eff = writes.withColumn("_last_put", last_put).where(
+            F.col("seq") >= F.coalesce(F.col("_last_put"), F.lit(-1))
+        )
+        return eff.groupBy("key").agg(F.concat_ws("", ordered_vals).alias("value"))
+
+    last_put = writes.groupBy("key").agg(
+        F.max(F.when(F.col("op") == "put", F.col("seq"))).alias("_last_put")
+    )
+    eff = writes.join(last_put, "key").where(
+        F.col("seq") >= F.coalesce(F.col("_last_put"), F.lit(-1))
+    )
+    max_seq = writes.agg(F.max("seq")).collect()[0][0] or 0
+    width = max_seq // salt_buckets + 1
+    parts = (
+        # integer `div`, not float division — seq is a long and doubles
+        # lose integer precision past 2^53
+        eff.withColumn("_b", F.expr(f"seq div {width}"))
+        .groupBy("key", "_b")
+        .agg(F.concat_ws("", ordered_vals).alias("_part"))
+    )
+    ordered_parts = F.transform(
+        F.array_sort(F.collect_list(F.struct("_b", "_part"))), lambda s: s["_part"]
+    )
+    return parts.groupBy("key").agg(F.concat_ws("", ordered_parts).alias("value"))
 
 
-def replay(ops: DataFrame, dedup: bool = True) -> DataFrame:
+def replay(
+    ops: DataFrame, dedup: bool = True, salt_buckets: int | None = None
+) -> DataFrame:
     """Replay the ops log → final state table ``(key, value)`` (K2+K3+K5).
 
     The reference applies committed entries one-by-one in a single
     goroutine (kvraft/server.go:166-199); the batch-equivalent semantics
     is this deduped, seq-ordered fold — same final state, but computed
-    as two distributed stages instead of a serial loop.
+    as two distributed stages instead of a serial loop. Pass
+    ``salt_buckets`` when the key distribution is skewed (hot keys).
     """
     if dedup:
         ops = dedup_ops(ops)
     writes = ops.where(F.col("op").isin("put", "append"))
-    return _fold_effective_writes(writes)
+    return _fold_effective_writes(writes, salt_buckets=salt_buckets)
 
 
 def kv_get(state: DataFrame, key: str) -> str:

@@ -110,3 +110,22 @@ def test_ops_from_events_deterministic(spark, sf_dir):
     b = ops_from_events(ev).orderBy("seq").collect()
     assert a == b
     assert ops_from_events(ev).count() == ev.count()
+
+
+@pytest.mark.parametrize("salt_buckets", [2, 7])
+def test_salted_replay_matches_unsalted(spark, salt_buckets):
+    """Hot-key salting: the two-phase (key, seq-range) fold reaches the
+    exact same state as the single-stage fold — including a pathological
+    key holding most of the log."""
+    ops = random_ops(3, n=400)
+    # make key "0" hot: 70% of ops hit it
+    ops = [
+        (seq, c, r, op, "0" if seq % 10 < 7 else k, v)
+        for seq, c, r, op, k, v in ops
+    ]
+    df = spark.createDataFrame(ops, OPS_SCHEMA)
+    plain = {r["key"]: r["value"] for r in replay(df).collect()}
+    salted = {r["key"]: r["value"] for r in replay(df, salt_buckets=salt_buckets).collect()}
+    assert salted == plain
+    want = {k: v for k, v in serial_replay(ops).items() if v != ""}
+    assert salted == want

@@ -74,3 +74,38 @@ def test_grouped_values_sorted(spark):
     )
     got = {r["key"]: r["values"] for r in grouped_values(df).collect()}
     assert got == {"a": ["x", "z"], "b": ["y"]}
+
+
+def test_text_corpus_source_and_merged_sink(spark, tmp_path):
+    """S1 (whole-file text scan with doc identity) and S6 (merged,
+    key-sorted "k: v" text sink) round-trip on real files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from distributed_computing_spark.functions.text import tokens
+    from distributed_computing_spark.sources.catalog import (
+        read_text_corpus,
+        write_merged_text,
+    )
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    (src / "a.txt").write_text("the quick brown fox\nthe lazy dog\n")
+    (src / "b.txt").write_text("the dog barks\n")
+    corpus = read_text_corpus(spark, str(src))
+    # doc identity survives the scan (input_file_name)
+    assert {os.path.basename(r["doc"]) for r in corpus.select("doc").distinct().collect()} == {
+        "a.txt", "b.txt",
+    }
+    counts = (
+        corpus.select(F.explode(tokens("line")).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("value"))
+    )
+    out = tmp_path / "merged"
+    write_merged_text(counts, str(out))
+    [part] = [p for p in os.listdir(out) if p.startswith("part-")]
+    lines = (out / part).read_text().splitlines()
+    assert lines == sorted(lines)  # globally key-sorted
+    assert "the: 3" in lines and "dog: 2" in lines and "fox: 1" in lines
