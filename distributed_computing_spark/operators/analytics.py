@@ -149,6 +149,40 @@ def priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (all grouping sets) over order status × priority — the
+    completion of the grouping-sets surface next to ROLLUP."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface (absent in the reference, §2.8): date
+    extraction/diff, math (sqrt/ln/abs), string (upper/substr) — all
+    whole-stage-codegen JVM expressions, aggregated per order year."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("yr", F.year("o_orderdate").cast("int"))
+        .groupBy("yr")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sqrt(F.avg("o_totalprice")), 6).alias("sqrt_avg_price"),
+            F.round(F.log(F.sum("o_totalprice") + F.lit(1.0)), 6).alias("log_revenue"),
+            F.round(F.avg(F.abs(F.col("o_totalprice") - F.lit(100000.0))), 4).alias(
+                "avg_abs_dev"
+            ),
+            F.max(F.upper(F.substring("o_orderpriority", 1, 4))).alias("max_pri_prefix"),
+            F.min(F.dayofweek("o_orderdate")).cast("int").alias("min_dow"),
+            F.max(F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")))
+            .cast("int")
+            .alias("max_days_to_2002"),
+        )
+    )
+
+
 def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows per event_type (batch form).
 

@@ -399,6 +399,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regional_revenue": analytics.regional_revenue,
     "order_running_totals": analytics.order_running_totals,
     "priority_rollup": analytics.priority_rollup,
+    "priority_cube": analytics.priority_cube,
+    "scalar_functions": analytics.scalar_functions,
     "events_windowed": analytics.events_windowed,
     "events_json_extract": analytics.events_json_extract,
     "user_event_profile": analytics.user_event_profile,
@@ -535,6 +537,23 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS total
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    "priority_cube": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "scalar_functions": """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       count(*) AS n,
+       round(sqrt(avg(o_totalprice)), 6) AS sqrt_avg_price,
+       round(ln(sum(o_totalprice) + 1.0), 6) AS log_revenue,
+       round(avg(abs(o_totalprice - 100000.0)), 4) AS avg_abs_dev,
+       max(upper(substr(o_orderpriority, 1, 4))) AS max_pri_prefix,
+       CAST(min(dayofweek(o_orderdate) + 1) AS INTEGER) AS min_dow,
+       CAST(max(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')) AS INTEGER)
+         AS max_days_to_2002
+FROM orders
+GROUP BY 1""",
     "events_windowed": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,

@@ -1,0 +1,76 @@
+"""Physical-plan assertions: the 100 TB claims, encoded as tests.
+
+Each test pins a property the engine's scale posture depends on:
+filters reach the parquet scan, scans prune columns, star joins
+broadcast (never sort-merge), aggregations partial-aggregate before the
+exchange, global top-k avoids a global sort. If a refactor regresses a
+plan, these fail before any benchmark does.
+"""
+
+from __future__ import annotations
+
+from distributed_computing_spark.registry import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    plan = _plan(QUERIES["pricing_summary"](spark, SF_DIR))
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_in_read_schema(spark):
+    plan = _plan(QUERIES["pricing_summary"](spark, SF_DIR))
+    # pricing summary touches 7 of lineitem's columns; join keys and
+    # partkeys must not be read
+    assert "l_partkey" not in plan
+    assert "l_suppkey" not in plan
+
+
+def test_star_joins_broadcast_never_sort_merge(spark):
+    plan = _plan(QUERIES["regional_revenue"](spark, SF_DIR))
+    # operator tree only (the formatted detail section repeats names)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_aggregation_is_partial_before_exchange(spark):
+    plan = _plan(QUERIES["word_count_top10"](spark, SF_DIR))
+    assert "partial_count" in plan  # map-side combine the reference lacked (A6)
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _plan(QUERIES["top_orders"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_exact_dedup_shuffles_hash_not_text(spark):
+    """The dedup exchange carries the 32-hex fingerprint, never the
+    document body (shuffle payload discipline at 100 TB)."""
+    plan = _plan(QUERIES["exact_dedup"](spark, SF_DIR))
+    exchange = plan[plan.index("Exchange") :]
+    assert "text_hash" in exchange
+
+
+def test_shard_routing_config_is_broadcast(spark):
+    plan = _plan(QUERIES["shard_routing"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kv_replay_exactly_two_data_shuffles(spark):
+    """Dedup shuffles on client_id, fold shuffles on key — no more.
+
+    (AQE nodes excluded: count hashpartitioning exchanges in the
+    initial plan.)"""
+    plan = _plan(QUERIES["kv_state"](spark, SF_DIR))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"kv replay grew to {n_exchanges} shuffles:\n{plan}"
