@@ -183,6 +183,42 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semi_anti_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join surface: customers WITH an urgent order but
+    WITHOUT any 'F'-status order (left_semi + left_anti — EXISTS /
+    NOT EXISTS in the oracle). Both probes stay broadcast."""
+    t = load_tables(spark, sf_dir)
+    urgent = t["orders"].where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    failed = t["orders"].where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        t["customer"]
+        .join(urgent, t["customer"].c_custkey == urgent.o_custkey, "left_semi")
+        .join(failed, t["customer"].c_custkey == failed.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth: quartile (ntile), percent_rank, and
+    lag-delta of order value within each customer's history."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(
+                F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+            ).alias("delta_prev"),
+        )
+        .where(F.col("o_custkey") % 100 == 0)
+    )
+
+
 def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows per event_type (batch form).
 

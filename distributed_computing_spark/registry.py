@@ -280,6 +280,35 @@ def stream_kv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.state()
 
 
+def stream_kv_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3/K4/K5 via the custom-stateful-operator shape: per-client
+    applyInPandasWithState dedup chained (through an intermediate sink)
+    into the per-key stateful fold. Same oracle as batch replay."""
+    import tempfile
+
+    from distributed_computing_spark.streaming.kv_stream import (
+        dedup_stream,
+        stateful_fold_stream,
+    )
+    from distributed_computing_spark.streaming.runner import run_to_batch, stream_table
+
+    ops = _ops(spark, sf_dir)
+    eff_dir = tempfile.mkdtemp(prefix="dcs_eff_")
+    q1 = (
+        dedup_stream(stream_table(spark, ops))
+        .writeStream.format("parquet")
+        .option("path", eff_dir)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dcs_ckpt_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(300)
+    eff = spark.readStream.schema(ops.schema).parquet(eff_dir)
+    out = run_to_batch(stateful_fold_stream(eff), spark, output_mode="update")
+    return out.where(F.col("value") != "")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal queries ([EXT]) — blob table derived from `documents`
 # ---------------------------------------------------------------------------
@@ -301,6 +330,14 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_computing_spark.operators import multimodal
 
     return multimodal.sample_frames(_blobs(spark, sf_dir), k=4)
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode+resize over image blobs (deterministic fake
+    kernel — rows-only check; plumbing semantics in tests)."""
+    from distributed_computing_spark.operators import multimodal
+
+    return multimodal.decode_images(_blobs(spark, sf_dir))
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,6 +446,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_users": analytics.approx_distinct_users,
     "asof_attribution": asof_attribution,
     "range_join_views": range_join_views,
+    "semi_anti_orders": analytics.semi_anti_orders,
+    "order_percentiles": analytics.order_percentiles,
     # [EXT] dedup
     "exact_dedup": exact_dedup_q,
     "ngram_jaccard_pairs": ngram_jaccard,
@@ -430,9 +469,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sessions": stream_sessions,
     "stream_sliding": stream_sliding,
     "stream_kv_state": stream_kv_state,
+    "stream_kv_stateful": stream_kv_stateful,
     # [EXT] multimodal binary columns
     "multimodal_stats": multimodal_stats,
     "multimodal_frames": multimodal_frames,
+    "multimodal_decode": multimodal_decode,
     "multimodal_features": multimodal_features,
     "multimodal_ann": multimodal_ann,
 }
@@ -537,6 +578,21 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS total
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    "semi_anti_orders": """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""",
+    "order_percentiles": """
+SELECT o_custkey, o_orderkey,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta_prev
+FROM orders
+WHERE o_custkey % 100 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
     "priority_cube": """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
        round(avg(o_totalprice), 4) AS avg_price
@@ -760,3 +816,4 @@ WHERE doc_id % 3 = 2""",
 }
 
 ORACLES["stream_kv_state"] = ORACLES["kv_state"]
+ORACLES["stream_kv_stateful"] = ORACLES["kv_state"]
