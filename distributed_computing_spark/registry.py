@@ -151,6 +151,32 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=5)
 
 
+def mapreduce_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+A2 under the gate: word count computed through the GENERIC
+    mapF/reduceF facade (user Python hooks, Arrow-batched) — the
+    reference's exact extension points (common_map.go:20,
+    common_reduce.go:18) — not the built-in DataFrame pipeline."""
+    import re
+
+    from distributed_computing_spark.operators.mapreduce import map_reduce
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("text").alias("value"),
+    )
+
+    def map_f(key: str, value: str):
+        for w in re.split(r"[^A-Za-z0-9]+", value):
+            if w:
+                yield (w, "1")
+
+    def reduce_f(key: str, values: list[str]) -> str:
+        return str(sum(int(v) for v in values))
+
+    out = map_reduce(docs, map_f, reduce_f)
+    return out.select(F.col("key").alias("word"), F.col("value").alias("cnt"))
+
+
 def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] as-of join: each purchase matched to the user's latest
     prior view (point-in-time attribution). Views are deduplicated to
@@ -421,6 +447,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # MapReduce analytics (S1,T1-T4,A1-A6,O1-O4)
     "word_count_top10": word_count,
     "inverted_index": inverted_index,
+    "mapreduce_wordcount": mapreduce_wordcount,
     # KV engine (K1-K6)
     "kv_state": kv_state,
     "kv_effective_ops": kv_effective_ops,
@@ -494,6 +521,10 @@ SELECT word, count(DISTINCT doc) AS n_docs,
        string_agg(DISTINCT doc, ',' ORDER BY doc) AS postings
 FROM tok GROUP BY word
 HAVING count(DISTINCT doc) >= 100""",
+    "mapreduce_wordcount": f"""
+WITH tok AS (SELECT unnest({_TOKENS}) AS word FROM documents)
+SELECT word, CAST(count(*) AS VARCHAR) AS cnt
+FROM tok GROUP BY word""",
     "kv_state": f"WITH {_OPS_CTE}, {_EFF_CTE}, {_REPLAY_SQL}",
     "kv_effective_ops": f"""
 WITH {_OPS_CTE}, {_EFF_CTE}

@@ -33,8 +33,14 @@ def get_spark(
     shuffle = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
     )
+    # local[N, R]: R task attempts, like a cluster's spark.task.maxFailures
+    # (default local mode gives tasks a single attempt — no retry). The
+    # reference re-issues failed tasks to the next worker
+    # (mapreduce/schedule.go:27-34); Spark's retry is the same capability
+    # and tests/test_fault_tolerance.py exercises it.
+    retries = int(os.environ.get("SPARK_GRAFT_TASK_RETRIES", "3"))
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(f"local[{cpus},{retries}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
