@@ -182,6 +182,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded LSH, verified by signature sim.
 
@@ -215,6 +216,20 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
+    if max_bucket is not None:
+        # THE worst-case guard at corpus scale: a degenerate band bucket
+        # (boilerplate-heavy corpora produce them) fans out |bucket|^2
+        # candidate pairs. Docs inside an over-full bucket still pair
+        # through their other bands — dropping the bucket costs recall
+        # only for pairs similar in exactly one band, which at
+        # |bucket| > max_bucket are overwhelmingly false positives.
+        big = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_bs"))
+            .where(F.col("_bs") > max_bucket)
+            .select("band", "bucket")
+        )
+        banded = banded.join(big, ["band", "bucket"], "left_anti")
     left = banded.select(F.col("doc_id").alias("a"), "band", "bucket")
     right = banded.select(F.col("doc_id").alias("b"), "band", "bucket")
     cand = (
@@ -270,12 +285,16 @@ def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return agg.select("doc_id", packed.alias("simhash"))
 
 
-def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    documents: DataFrame, max_hamming: int = 3, max_bucket: int | None = 10_000
+) -> DataFrame:
     """Near-dup pairs with simhash hamming distance ≤ ``max_hamming``.
 
     Block on 4 × 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at least one
     of 4 chunks equal), join within blocks, verify with bit_count — the
     classic Manku/Jain/Sarma web-dedup layout; no cross join.
+    ``max_bucket`` drops degenerate chunk buckets (same quadratic-fanout
+    guard as minhash_lsh_pairs; near-dups still meet via other chunks).
     """
     sh = simhash(documents)
     chunks = sh.select(
@@ -295,6 +314,14 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("cb"),
     ).select("doc_id", "simhash", F.col("cb.chunk").alias("chunk"), F.col("cb.ckey").alias("ckey"))
+    if max_bucket is not None:
+        big = (
+            chunks.groupBy("chunk", "ckey")
+            .agg(F.count("*").alias("_bs"))
+            .where(F.col("_bs") > max_bucket)
+            .select("chunk", "ckey")
+        )
+        chunks = chunks.join(big, ["chunk", "ckey"], "left_anti")
     l = chunks.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sh_a"), "chunk", "ckey")
     r = chunks.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sh_b"), "chunk", "ckey")
     return (
