@@ -67,6 +67,39 @@ def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, str] | None = None,
+    table_name: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Durable columnar sink (S3/S5 analog, parquet).
+
+    ``partition_by``: hive-style directory partitioning — downstream
+    filters on these columns prune at the SCAN (PartitionFilters), the
+    coarse-grained analog of the reference's per-reduce-task output
+    files (common.go:36-43), but query-addressable.
+    ``bucket_by=(n, col)``: pre-shuffled layout so later joins/aggs on
+    ``col`` skip their exchange entirely (requires ``table_name`` —
+    bucketing metadata lives in the catalog, saveAsTable).
+    """
+    if bucket_by is not None:
+        if table_name is None:
+            raise ValueError("bucketed writes need table_name (catalog metadata)")
+        n, col = bucket_by
+        w = df.write.mode(mode).option("path", path).bucketBy(n, col).sortBy(col)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.format("parquet").saveAsTable(table_name)
+        return
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
 def write_merged_text(df: DataFrame, path: str, key: str = "key", value: str = "value") -> None:
     """S6: merged, key-sorted ``"k: v"`` text sink.
 

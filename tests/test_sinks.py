@@ -1,0 +1,55 @@
+"""Durable sink layouts and the scan-side benefits they buy:
+partition pruning (PartitionFilters) and bucket-join shuffle removal."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_computing_spark.sources.catalog import load_table, write_table
+from tests.conftest import SF_DIR
+
+
+def _explain(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_partitioned_write_prunes_at_scan(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events")
+    out = str(tmp_path / "events_by_type")
+    write_table(ev, out, partition_by=["event_type"])
+    back = spark.read.parquet(out).where(F.col("event_type") == "click")
+    plan = _explain(back)
+    assert "PartitionFilters" in plan and "event_type" in plan
+    # pruning is real, not cosmetic: only the click partition is read
+    assert back.count() == ev.where(F.col("event_type") == "click").count()
+
+
+def test_bucketed_write_removes_join_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key co-locate: the join plans
+    with NO Exchange — the 100 TB answer to repeated fact-fact joins."""
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    write_table(
+        orders, str(tmp_path / "o"), bucket_by=(4, "o_orderkey"), table_name="o_b"
+    )
+    write_table(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        str(tmp_path / "l"),
+        bucket_by=(4, "o_orderkey"),
+        table_name="l_b",
+    )
+    try:
+        joined = (
+            spark.table("o_b")
+            .join(spark.table("l_b").hint("merge"), "o_orderkey")
+            .select("o_orderkey", "o_totalprice", "l_quantity")
+        )
+        plan = _explain(joined)
+        assert "Exchange" not in plan.split("\n\n")[0], plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS o_b")
+        spark.sql("DROP TABLE IF EXISTS l_b")
