@@ -41,6 +41,14 @@ HEADLINE = [
     "quality_scores",
     "lang_id",
     "corpus_summary",
+    # round-1 breadth additions (cheap relational/join/multimodal surface)
+    "asof_attribution",
+    "range_join_views",
+    "semi_anti_orders",
+    "order_percentiles",
+    "priority_cube",
+    "scalar_functions",
+    "multimodal_stats",
 ]
 
 

@@ -107,3 +107,37 @@ def test_key2shard_first_byte(spark):
     assert got["0"] == ord("0") % 10
     assert got["5"] == ord("5") % 10
     assert got["abc"] == ord("a") % 10
+
+
+def test_random_churn_invariants():
+    """Port of shardkv/shardmaster concurrency tests (SURVEY §5 layer
+    5): a random Join/Leave/Move sequence; after every reconfiguration
+    the balance (max-min <= 1 across live groups, shardmaster/
+    test_test.go:33-49) and no-orphan invariants hold, and the config
+    history stays monotonic copy-on-write."""
+    import random
+
+    rng = random.Random(42)
+    sm = ShardMaster()
+    live: set[int] = set()
+    for _ in range(200):
+        op = rng.choice(["join", "leave", "move", "move"])
+        if op == "join" or not live:
+            gid = rng.randrange(100, 115)
+            if gid not in live:
+                sm.join({gid: [f"server-{gid}"]})
+                live.add(gid)
+                assert sm.balance_spread() <= 1
+        elif op == "leave" and len(live) > 1:
+            gid = rng.choice(sorted(live))
+            sm.leave([gid])
+            live.discard(gid)
+            assert sm.balance_spread() <= 1
+        elif op == "move" and live:
+            # manual pin may break balance (reference semantics: Move
+            # does not rebalance) but must never orphan a shard
+            sm.move(rng.randrange(sm.nshards), rng.choice(sorted(live)))
+        cfg = sm.query(-1)
+        for g in cfg.shards:
+            assert g == 0 or g in cfg.groups
+    assert [c.num for c in sm.configs] == list(range(len(sm.configs)))
