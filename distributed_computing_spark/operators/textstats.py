@@ -18,6 +18,7 @@ from distributed_computing_spark.functions.text import (
     quality_score,
     stopword_ratio,
     token_count,
+    tokens,
 )
 from distributed_computing_spark.sources.catalog import load_table
 
@@ -98,4 +99,60 @@ def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
             F.sum(token_count("text")).alias("total_tokens"),
         )
+    )
+
+
+def build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary: (word, cnt, id), id dense from 1,
+    ties broken by word — the tokenizer-training step of a data
+    pipeline.
+
+    Scale note: the corpus-wide count is fully distributed; only the
+    final dense-id ranking is a global window (vocab << corpus — ~10^6
+    rows of (word, cnt) through one task is fine; for open-ended id
+    spaces use xxhash64 ids and skip the ranking entirely).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "word")
+    return counts.select(
+        "word", "cnt", F.row_number().over(w).cast("int").alias("id")
+    )
+
+
+def encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id encoding: each document as its ordered token-id
+    sequence under build_vocab's mapping (comma-joined for oracle
+    comparability). The vocab side broadcasts; positions ride the
+    existing doc_id partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(spark, sf_dir).select("word", "id")
+    tok = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "word"))
+    enc = tok.join(F.broadcast(vocab), "word")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "id"))), lambda s: s["id"]
+    )
+    return enc.groupBy("doc_id").agg(
+        F.array_join(ordered, ",").alias("token_ids"),
+        F.count("*").cast("int").alias("n_tokens"),
+    )
+
+
+def train_test_split(
+    df: DataFrame, id_col: str = "doc_id", test_frac: float = 0.1, seed: int = 42
+) -> DataFrame:
+    """Deterministic hash split: stable across runs, partitioning, and
+    cluster size (never rand() — resampling on retry corrupts a train/
+    test boundary). Rows where xxhash64(id, seed) lands in the lowest
+    ``test_frac`` of the hash space become 'test'."""
+    cut = int((2**64) * test_frac) - 2**63  # signed-long threshold
+    bucket = F.xxhash64(F.col(id_col), F.lit(seed))
+    return df.withColumn(
+        "split", F.when(bucket < F.lit(cut), F.lit("test")).otherwise(F.lit("train"))
     )

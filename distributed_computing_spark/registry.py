@@ -486,6 +486,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": textstats.lang_id,
     "fingerprints": textstats.fingerprints,
     "corpus_summary": textstats.corpus_summary,
+    "build_vocab": textstats.build_vocab,
+    "encode_docs": textstats.encode_docs,
     # [EXT] similarity search
     "cosine_topk": cosine_topk_q,
     "lsh_topk": lsh_topk_q,
@@ -750,6 +752,27 @@ FROM s""",
     "fingerprints": """
 SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
 FROM documents""",
+    "build_vocab": f"""
+WITH tok AS (SELECT unnest({_TOKENS}) AS word FROM documents),
+c AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word)
+SELECT word, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, word) AS INTEGER) AS id
+FROM c""",
+    "encode_docs": f"""
+WITH tok AS (SELECT unnest({_TOKENS}) AS word FROM documents),
+c AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+vocab AS (
+  SELECT word, CAST(row_number() OVER (ORDER BY cnt DESC, word) AS INTEGER) AS id
+  FROM c),
+t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+e AS (
+  SELECT doc_id, unnest(toks) AS word, generate_subscripts(toks, 1) AS pos
+  FROM t)
+SELECT e.doc_id,
+       string_agg(v.id, ',' ORDER BY e.pos) AS token_ids,
+       CAST(count(*) AS INTEGER) AS n_tokens
+FROM e JOIN vocab v USING (word)
+GROUP BY e.doc_id""",
     "corpus_summary": f"""
 SELECT lang, source, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,

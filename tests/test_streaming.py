@@ -154,3 +154,50 @@ def test_session_and_sliding_plans_build(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     assert session_windows(ev).count() > 0
     assert sliding_rates(ev).count() > 0
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics across RESTARTS: run 1 commits a watermark to
+    the checkpoint; a beyond-watermark event arriving in run 2 is
+    dropped — the closed window is never re-emitted or updated. This is
+    the state-eviction contract that bounds streaming state at scale
+    (K6 analog). (Within a single AvailableNow run the watermark only
+    advances at the end, so the drop is observable only across runs.)"""
+    import datetime as dt
+
+    from distributed_computing_spark.streaming.windows import tumbling_counts
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "ts timestamp, event_type string, value double"
+    src_dir = str(tmp_path / "late_src")
+    out_dir = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src_dir).schema
+        ).parquet(src_dir)
+        q = (
+            tumbling_counts(stream, window="1 hour", watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    batch1 = [(base + dt.timedelta(hours=h), "a", 1.0) for h in (0, 1, 2, 6)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src_dir)
+    run()  # commits watermark 6h - 2h = 4h; emits closed windows 0,1,2
+
+    late = [(base + dt.timedelta(hours=1, minutes=30), "a", 100.0)]
+    spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(src_dir)
+    run()  # resumes at watermark 4h -> the 1:30 event is beyond it
+
+    rows = spark.read.parquet(out_dir).collect()
+    hour1 = [r for r in rows if r["window_start"].hour == 1]
+    # exactly one emission for the hour-1 window, and the late 100.0
+    # never entered it
+    assert [(r["n_events"], r["sum_value"]) for r in hour1] == [(1, 1.0)]

@@ -57,3 +57,23 @@ def test_text_stats_consistency(spark, sf_dir):
         assert r["n_bpe_tokens"] >= r["n_tokens"]
         assert 0.0 <= r["punct_ratio"] <= 1.0
         assert 0.0 <= r["stopword_ratio"] <= 1.0
+
+
+def test_train_test_split_deterministic_and_proportional(spark, sf_dir):
+    from distributed_computing_spark.operators.textstats import train_test_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = train_test_split(docs, test_frac=0.2)
+    counts = {r["split"]: r["count"] for r in a.groupBy("split").count().collect()}
+    n = docs.count()
+    # hash split tracks the requested fraction (binomial tolerance)
+    assert abs(counts.get("test", 0) / n - 0.2) < 0.1
+    # deterministic across runs and partitioning
+    b = train_test_split(docs.repartition(7), test_frac=0.2)
+    ids_a = {r["doc_id"] for r in a.where(a.split == "test").select("doc_id").collect()}
+    ids_b = {r["doc_id"] for r in b.where(b.split == "test").select("doc_id").collect()}
+    assert ids_a == ids_b
+    # different seed -> different membership (not a constant function)
+    c = train_test_split(docs, test_frac=0.2, seed=7)
+    ids_c = {r["doc_id"] for r in c.where(c.split == "test").select("doc_id").collect()}
+    assert ids_c != ids_a
