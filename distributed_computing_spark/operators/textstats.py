@@ -144,6 +144,23 @@ def encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_docs_per_lang(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Per-group top-k (corpus curation: best-quality docs per
+    language): rank-within-partition, the distributed form of a
+    per-group limit — no global sort, one shuffle on the group key."""
+    from pyspark.sql import Window
+
+    q = quality_scores(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        q.join(docs, "doc_id")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+        .select("lang", "rnk", "doc_id", "quality")
+    )
+
+
 def train_test_split(
     df: DataFrame, id_col: str = "doc_id", test_frac: float = 0.1, seed: int = 42
 ) -> DataFrame:

@@ -488,6 +488,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_summary": textstats.corpus_summary,
     "build_vocab": textstats.build_vocab,
     "encode_docs": textstats.encode_docs,
+    "top_docs_per_lang": textstats.top_docs_per_lang,
     # [EXT] similarity search
     "cosine_topk": cosine_topk_q,
     "lsh_topk": lsh_topk_q,
@@ -773,6 +774,16 @@ SELECT e.doc_id,
        CAST(count(*) AS INTEGER) AS n_tokens
 FROM e JOIN vocab v USING (word)
 GROUP BY e.doc_id""",
+    "top_docs_per_lang": f"""
+WITH q AS (
+  SELECT d.doc_id, d.lang, {_QUALITY_EXPR} AS quality
+  FROM documents d),
+r AS (
+  SELECT lang, doc_id, quality,
+         CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY quality DESC, doc_id) AS INTEGER) AS rnk
+  FROM q)
+SELECT lang, rnk, doc_id, quality FROM r WHERE rnk <= 3""",
     "corpus_summary": f"""
 SELECT lang, source, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
