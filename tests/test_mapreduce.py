@@ -109,3 +109,38 @@ def test_text_corpus_source_and_merged_sink(spark, tmp_path):
     lines = (out / part).read_text().splitlines()
     assert lines == sorted(lines)  # globally key-sorted
     assert "the: 3" in lines and "dog: 2" in lines and "fox: 1" in lines
+
+
+def test_inverted_index_golden_line_format(spark, tmp_path):
+    """ii's committed-golden shape (main/mr-challenge.txt lines like
+    'word: 15 doc1,doc2,...'): format the DataFrame result to the exact
+    reference line layout through the merged text sink."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from distributed_computing_spark.operators.mapreduce import inverted_index
+    from distributed_computing_spark.sources.catalog import write_merged_text
+    from tests.conftest import SF_DIR
+
+    idx = inverted_index(spark, SF_DIR, min_docs=1)
+    formatted = idx.select(
+        F.col("word").alias("key"),
+        F.concat_ws(" ", F.col("n_docs").cast("string"), "postings").alias("value"),
+    )
+    out = tmp_path / "ii_golden"
+    write_merged_text(formatted, str(out))
+    [part] = [p for p in os.listdir(out) if p.startswith("part-")]
+    lines = (out / part).read_text().splitlines()
+    assert lines == sorted(lines)
+    # every line matches 'word: <n> <comma-joined sorted docs>'
+    import re
+
+    pat = re.compile(r"^\S+: \d+ doc\d+(,doc\d+)*$")
+    assert lines and all(pat.match(ln) for ln in lines)
+    # postings are sorted and dedup'd, count agrees with the list
+    for ln in lines[:50]:
+        n, docs = ln.split(": ")[1].split(" ", 1)
+        parts = docs.split(",")
+        assert len(parts) == int(n) == len(set(parts))
+        assert parts == sorted(parts)

@@ -74,3 +74,42 @@ def test_kv_replay_exactly_two_data_shuffles(spark):
     plan = _plan(QUERIES["kv_state"](spark, SF_DIR))
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, f"kv replay grew to {n_exchanges} shuffles:\n{plan}"
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The skew answer that needs no salting: AQE detects the hot
+    partition at runtime and splits it (skew=true in the final adaptive
+    plan). Thresholds are lowered to trigger at test scale; on a real
+    cluster defaults (256 MB) do the same for genuinely hot keys."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(3_000_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = big.join(right, "k")
+        # execute THIS DataFrame's own QueryExecution (count() would
+        # plan a separate query and AQE's final plan wouldn't be visible)
+        assert j.rdd.count() == 3_000_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
