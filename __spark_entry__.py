@@ -16,10 +16,31 @@ from distributed_computing_spark.registry import ORACLES, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: TPC-H Q1-style pricing summary on sf0.001."""
-    from distributed_computing_spark.operators.analytics import pricing_summary
+    """Flagship: the training-data curation pipeline end-to-end on
+    sf0.001 — exact dedup → quality scoring → deterministic train/test
+    split → per-(lang, split) corpus stats. One lazy plan; every stage
+    is an operator the registry also exposes individually."""
+    from pyspark.sql import functions as F
 
-    return pricing_summary(spark, "/root/testdata/sf0.001")
+    from distributed_computing_spark.functions.text import quality_score
+    from distributed_computing_spark.operators.dedup import exact_dedup_keep
+    from distributed_computing_spark.operators.textstats import train_test_split
+    from distributed_computing_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    curated = train_test_split(exact_dedup_keep(docs)).withColumn(
+        "quality", quality_score("text")
+    )
+    return (
+        curated.where(F.col("quality") >= 0.3)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang", "split")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

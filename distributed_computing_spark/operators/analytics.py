@@ -183,6 +183,24 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-statistic aggregates: exact interpolated percentiles of
+    order value per market segment. Exact ``percentile`` needs a
+    per-group sort — at 100 TB swap in ``approx_percentile``
+    (bounded-memory sketch, same call shape)."""
+    t = load_tables(spark, sf_dir)
+    joined = t["orders"].join(
+        F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+        t["orders"].o_custkey == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("o_totalprice", 0.25), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", 0.99), 4).alias("p99"),
+    )
+
+
 def semi_anti_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti join surface: customers WITH an urgent order but
     WITHOUT any 'F'-status order (left_semi + left_anti — EXISTS /

@@ -474,6 +474,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_attribution": asof_attribution,
     "range_join_views": range_join_views,
     "semi_anti_orders": analytics.semi_anti_orders,
+    "revenue_percentiles": analytics.revenue_percentiles,
     "order_percentiles": analytics.order_percentiles,
     # [EXT] dedup
     "exact_dedup": exact_dedup_q,
@@ -612,6 +613,14 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS total
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    "revenue_percentiles": """
+SELECT c_mktsegment,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment""",
     "semi_anti_orders": """
 SELECT c_custkey, c_mktsegment
 FROM customer c
