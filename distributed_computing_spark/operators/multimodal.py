@@ -164,6 +164,39 @@ def decode_images(blobs: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
     )
 
 
+def decode_audio(blobs: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """Decode audio blobs → waveform stats (n_samples, rms, peak).
+
+    DETERMINISTIC FAKE decode (container has no audio codec): the
+    blob's bytes expand into a synthetic int16 waveform of
+    duration_ms·sample_rate samples. Swap for soundfile/ffmpeg and the
+    schema, batching, and modality pruning are unchanged — same
+    contract as decode_images.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"blob_id": pdf["blob_id"], "n_samples": [], "rms": [], "peak": []}
+            for data, dur in zip(pdf["data"], pdf["duration_ms"]):
+                n = max(int(int(dur) * sample_rate // 1000), 1)
+                seed = hashlib.sha256(bytes(data)).digest()
+                reps = (2 * n + len(seed) - 1) // len(seed)
+                wave = np.frombuffer((seed * reps)[: 2 * n], dtype="<i2").astype(
+                    np.float64
+                )
+                out["n_samples"].append(n)
+                out["rms"].append(float(np.sqrt((wave**2).mean())))
+                out["peak"].append(float(np.abs(wave).max()))
+            yield pd.DataFrame(out)
+
+    auds = blobs.where(F.col("modality") == "audio").select(
+        "blob_id", "data", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return auds.mapInPandas(
+        decode, schema="blob_id long, n_samples long, rms double, peak double"
+    )
+
+
 def sample_frames(blobs: DataFrame, k: int = 4) -> DataFrame:
     """Deterministic frame sampling for video blobs: k evenly-spaced
     timestamps from meta.duration_ms — pure JVM (the decode of each

@@ -275,6 +275,8 @@ def stream_kv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq-ordered micro-batches against a persistent state store; final
     state must equal the batch replay oracle exactly (exactly-once
     across batch boundaries is what's under test)."""
+    import glob
+    import os
     import tempfile
     import time
 
@@ -286,15 +288,25 @@ def stream_kv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops = _ops(spark, sf_dir)
     max_seq = ops.agg(F.max("seq")).collect()[0][0]
     src = tempfile.mkdtemp(prefix="dcs_ops_src_")
-    for lo, hi in [
-        (0, max_seq // 3),
-        (max_seq // 3 + 1, 2 * max_seq // 3),
-        (2 * max_seq // 3 + 1, max_seq),
-    ]:
+    now = time.time()
+    stamped: set[str] = set()
+    for i, (lo, hi) in enumerate(
+        [
+            (0, max_seq // 3),
+            (max_seq // 3 + 1, 2 * max_seq // 3),
+            (2 * max_seq // 3 + 1, max_seq),
+        ]
+    ):
         ops.where(F.col("seq").between(lo, hi)).coalesce(1).write.mode(
             "append"
         ).parquet(src)
-        time.sleep(0.05)  # distinct mtimes → file-source replays in log order
+        # the file source orders new files by mtime: pin strictly
+        # increasing stamps so the log chunks replay in seq order
+        # deterministically (write-completion times could tie)
+        for f in glob.glob(f"{src}/part-*"):
+            if f not in stamped:
+                os.utime(f, (now + i, now + i))
+                stamped.add(f)
     stream = (
         spark.readStream.schema(ops.schema)
         .option("maxFilesPerTrigger", "1")
@@ -364,6 +376,14 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_computing_spark.operators import multimodal
 
     return multimodal.decode_images(_blobs(spark, sf_dir))
+
+
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform-stat decode over audio blobs (deterministic fake kernel
+    — rows-only; semantics in tests)."""
+    from distributed_computing_spark.operators import multimodal
+
+    return multimodal.decode_audio(_blobs(spark, sf_dir))
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -505,6 +525,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_stats": multimodal_stats,
     "multimodal_frames": multimodal_frames,
     "multimodal_decode": multimodal_decode,
+    "multimodal_audio": multimodal_audio,
     "multimodal_features": multimodal_features,
     "multimodal_ann": multimodal_ann,
 }

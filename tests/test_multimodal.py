@@ -86,3 +86,19 @@ def test_extract_features_compose_with_ann(spark):
     q = emb.where(F.col("blob_id") < 3)
     topk = cosine_topk(emb, q, k=3, id_col="blob_id", vec_col="embedding")
     assert topk.count() == 9
+
+
+def test_decode_audio_only_audio_and_deterministic(spark):
+    from distributed_computing_spark.operators.multimodal import decode_audio
+
+    blobs = make_blob_table(spark, 30)
+    stats = decode_audio(blobs)
+    rows = stats.collect()
+    assert len(rows) == blobs.where(F.col("modality") == "audio").count()
+    assert stats.schema.simpleString() == (
+        "struct<blob_id:bigint,n_samples:bigint,rms:double,peak:double>"
+    )
+    again = {r["blob_id"]: (r["n_samples"], r["rms"]) for r in decode_audio(blobs).collect()}
+    assert again == {r["blob_id"]: (r["n_samples"], r["rms"]) for r in rows}
+    for r in rows:
+        assert r["n_samples"] >= 1 and 0 <= r["rms"] <= r["peak"] <= 32768

@@ -201,3 +201,33 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # exactly one emission for the hour-1 window, and the late 100.0
     # never entered it
     assert [(r["n_events"], r["sum_value"]) for r in hour1] == [(1, 1.0)]
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exactly-once ingestion (K4's streaming twin for raw
+    event feeds): duplicate event_ids arriving within the watermark are
+    dropped by dropDuplicatesWithinWatermark."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, value double"
+    rows = [(i, base + dt.timedelta(minutes=i), float(i)) for i in range(100)]
+    dups = rows + rows[:40]  # 40 redelivered events
+    src = str(tmp_path / "dup_src")
+    spark.createDataFrame(dups, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedup_out").collect()
+    assert len(got) == 100
+    assert len({r["event_id"] for r in got}) == 100
