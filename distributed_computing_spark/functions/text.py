@@ -32,9 +32,22 @@ EN_STOPWORDS = LANG_LEXICONS["en"]
 
 
 def tokens(col: Column | str) -> Column:
-    """Split into alnum tokens, dropping empty strings (T2)."""
+    """Split into alnum tokens, dropping empty strings (T2).
+
+    ASCII class, matching the DuckDB oracles exactly. The reference's
+    tokenizer is Unicode-class based (Go unicode.IsLetter/IsNumber,
+    main/wc.go:18-22) — use ``tokens_unicode`` for that parity.
+    """
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(F.split(c, TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+
+
+def tokens_unicode(col: Column | str) -> Column:
+    """Unicode tokenizer: splits on any non-letter/non-digit code point
+    (Java regex ``\\p{L}\\p{N}`` == Go's IsLetter/IsNumber classes,
+    main/wc.go:18-22) — accented/CJK text tokenizes correctly."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"[^\p{L}\p{N}]+"), lambda t: t != F.lit(""))
 
 
 def token_count(col: Column | str) -> Column:

@@ -77,3 +77,18 @@ def test_train_test_split_deterministic_and_proportional(spark, sf_dir):
     c = train_test_split(docs, test_frac=0.2, seed=7)
     ids_c = {r["doc_id"] for r in c.where(c.split == "test").select("doc_id").collect()}
     assert ids_c != ids_a
+
+
+def test_tokens_unicode_vs_ascii(spark):
+    from distributed_computing_spark.functions.text import tokens, tokens_unicode
+
+    df = spark.createDataFrame(
+        [("café déjà-vu 北京 42!",)], "text string"
+    ).select(
+        tokens("text").alias("ascii_t"), tokens_unicode("text").alias("uni_t")
+    )
+    r = df.collect()[0]
+    # ASCII class splits INSIDE accented words (reference-divergent)
+    assert r["ascii_t"] == ["caf", "d", "j", "vu", "42"]
+    # Unicode class matches Go's IsLetter/IsNumber behavior
+    assert r["uni_t"] == ["café", "déjà", "vu", "北京", "42"]
