@@ -117,6 +117,25 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
+def rolling_fingerprint(col: Column | str, modulus: int = 2_147_483_647) -> Column:
+    """[EXT] polynomial rolling hash over the token stream
+    (Rabin-Karp-style): ``h = h·B + hash(token) mod M``, folded with
+    ``F.aggregate`` — pure JVM, order-sensitive (unlike a token-set
+    hash, reordered documents fingerprint differently), and incremental
+    by construction. Terms stay under 2^51, so ANSI mode never
+    overflows. B=1000003 (prime), M=2^31-1 (Mersenne prime).
+    """
+    B = 1_000_003
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        tokens(c),
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(
+            acc * B + F.pmod(F.xxhash64(t), F.lit(modulus)), F.lit(modulus)
+        ),
+    )
+
+
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the token stream, as one array.
 

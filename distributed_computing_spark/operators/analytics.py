@@ -201,6 +201,27 @@ def revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tiered_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style tiered rollup: the DAY aggregate is computed
+    FROM the HOUR aggregate, not from raw events — the algebraic
+    re-aggregation property (sum of sums, sum of counts) that makes
+    continuous aggregates incrementally maintainable at 100 TB (each
+    tier reads the tier below, never the raw table). The oracle
+    aggregates raw events directly, proving tier-composition is exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    return (
+        hourly.groupBy(F.date_trunc("day", "h").alias("day"), "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("sv"), 4).alias("sum_value"),
+        )
+    )
+
+
 def semi_anti_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti join surface: customers WITH an urgent order but
     WITHOUT any 'F'-status order (left_semi + left_anti — EXISTS /

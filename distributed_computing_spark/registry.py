@@ -495,6 +495,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_views": range_join_views,
     "semi_anti_orders": analytics.semi_anti_orders,
     "revenue_percentiles": analytics.revenue_percentiles,
+    "tiered_rollup": analytics.tiered_rollup,
     "order_percentiles": analytics.order_percentiles,
     # [EXT] dedup
     "exact_dedup": exact_dedup_q,
@@ -634,6 +635,12 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS total
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    "tiered_rollup": """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2""",
     "revenue_percentiles": """
 SELECT c_mktsegment,
        round(quantile_cont(o_totalprice, 0.25), 4) AS p25,

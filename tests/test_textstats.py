@@ -92,3 +92,16 @@ def test_tokens_unicode_vs_ascii(spark):
     assert r["ascii_t"] == ["caf", "d", "j", "vu", "42"]
     # Unicode class matches Go's IsLetter/IsNumber behavior
     assert r["uni_t"] == ["café", "déjà", "vu", "北京", "42"]
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from distributed_computing_spark.functions.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [("the quick brown fox",), ("fox brown quick the",), ("the quick brown fox",)],
+        "text string",
+    ).select(rolling_fingerprint("text").alias("fp"))
+    a, b, c = [r["fp"] for r in df.collect()]
+    assert a == c          # deterministic
+    assert a != b          # order-sensitive (not a bag-of-tokens hash)
+    assert 0 <= a < 2_147_483_647
