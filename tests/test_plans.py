@@ -9,20 +9,22 @@ plan, these fail before any benchmark does.
 
 from __future__ import annotations
 
+from distributed_computing_spark.plans import (
+    count_exchanges,
+    executed_plan,
+    has_pushed_filter,
+    operator_tree,
+    physical_plan,
+)
 from distributed_computing_spark.registry import QUERIES
 from tests.conftest import SF_DIR
 
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().explainString(
-        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+_plan = physical_plan
 
 
 def test_filter_pushdown_reaches_parquet_scan(spark):
-    plan = _plan(QUERIES["pricing_summary"](spark, SF_DIR))
-    assert "PushedFilters" in plan
-    assert "LessThanOrEqual(l_shipdate" in plan
+    df = QUERIES["pricing_summary"](spark, SF_DIR)
+    assert has_pushed_filter(df, "LessThanOrEqual(l_shipdate")
 
 
 def test_column_pruning_in_read_schema(spark):
@@ -34,11 +36,10 @@ def test_column_pruning_in_read_schema(spark):
 
 
 def test_star_joins_broadcast_never_sort_merge(spark):
-    plan = _plan(QUERIES["regional_revenue"](spark, SF_DIR))
-    # operator tree only (the formatted detail section repeats names)
-    tree = plan.split("\n\n")[0]
+    df = QUERIES["regional_revenue"](spark, SF_DIR)
+    tree = operator_tree(df)
     assert tree.count("BroadcastHashJoin") == 5
-    assert "SortMergeJoin" not in plan
+    assert "SortMergeJoin" not in tree
 
 
 def test_aggregation_is_partial_before_exchange(spark):
@@ -71,9 +72,9 @@ def test_kv_replay_exactly_two_data_shuffles(spark):
 
     (AQE nodes excluded: count hashpartitioning exchanges in the
     initial plan.)"""
-    plan = _plan(QUERIES["kv_state"](spark, SF_DIR))
-    n_exchanges = plan.count("Exchange hashpartitioning")
-    assert n_exchanges <= 2, f"kv replay grew to {n_exchanges} shuffles:\n{plan}"
+    df = QUERIES["kv_state"](spark, SF_DIR)
+    n_exchanges = count_exchanges(df)
+    assert n_exchanges <= 2, f"kv replay grew to {n_exchanges} shuffles"
 
 
 def test_aqe_splits_skewed_join_at_runtime(spark):
@@ -104,7 +105,7 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
         # execute THIS DataFrame's own QueryExecution (count() would
         # plan a separate query and AQE's final plan wouldn't be visible)
         assert j.rdd.count() == 3_000_000
-        plan = j._jdf.queryExecution().executedPlan().toString()
+        plan = executed_plan(j)
         assert "isFinalPlan=true" in plan
         assert "skew=true" in plan, plan
     finally:

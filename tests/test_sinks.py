@@ -5,14 +5,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from distributed_computing_spark.plans import operator_tree, physical_plan
 from distributed_computing_spark.sources.catalog import load_table, write_table
 from tests.conftest import SF_DIR
 
-
-def _explain(df) -> str:
-    return df._jdf.queryExecution().explainString(
-        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+_explain = physical_plan
 
 
 def test_partitioned_write_prunes_at_scan(spark, tmp_path):
@@ -47,8 +44,8 @@ def test_bucketed_write_removes_join_shuffle(spark, tmp_path):
             .join(spark.table("l_b").hint("merge"), "o_orderkey")
             .select("o_orderkey", "o_totalprice", "l_quantity")
         )
-        plan = _explain(joined)
-        assert "Exchange" not in plan.split("\n\n")[0], plan
+        tree = operator_tree(joined)
+        assert "Exchange" not in tree, tree
         assert joined.count() > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS o_b")
