@@ -46,3 +46,45 @@ def test_minhash_max_bucket_guard(spark):
     assert uncapped == 50 * 49 // 2
     capped = minhash_lsh_pairs(docs, threshold=0.3, max_bucket=10).count()
     assert capped == 0
+
+
+def test_replay_hypothesis_fold_equality(spark):
+    """Hypothesis port of GenericTest's invariant (kvraft/test_test.go:
+    131-236): for ANY ops log — tiny req-id spaces (heavy duplicate
+    injection), empty values, single-key hot spots — the distributed
+    replay equals the serial in-order fold."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tests.test_kv import serial_replay
+
+    op_st = st.tuples(
+        st.integers(0, 2),              # client
+        st.integers(0, 5),              # req (tiny space -> many dups)
+        st.sampled_from(["put", "append", "append", "get"]),
+        st.sampled_from(["k0", "k1"]),  # hot keyspace
+        st.sampled_from(["", "x", "yz", "p3"]),  # incl. empty values
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(op_st, min_size=0, max_size=40))
+    def check(raw):
+        ops = [(seq,) + t for seq, t in enumerate(raw)]
+        from distributed_computing_spark.operators.kv import replay
+
+        if not ops:
+            return
+        df = spark.createDataFrame(ops, OPS_SCHEMA)
+        got = {r["key"]: r["value"] for r in replay(df).collect()}
+        want_all = serial_replay(ops)
+        # replay only materializes keys with surviving writes; a key
+        # whose folded value is "" (empty-put/appends) is still a row
+        want = {k: v for k, v in want_all.items()}
+        for k in set(want) | set(got):
+            assert got.get(k, "") == want.get(k, "")
+
+    check()
