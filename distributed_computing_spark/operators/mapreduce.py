@@ -127,6 +127,38 @@ def map_reduce(
     return mapped.groupBy("key").applyInPandas(reduce_group, schema="key string, value string")
 
 
+def map_reduce_rdd(
+    df: DataFrame,
+    map_f: MapF,
+    reduce_f: ReduceF,
+    n_reduce: int | None = None,
+) -> DataFrame:
+    """RDD-native variant of ``map_reduce`` — the literal Spark
+    primitives the reference's dataflow maps onto: ``flatMap`` (doMap,
+    common_map.go:50-64) → ``groupByKey(nReduce)`` (the hash shuffle +
+    per-key grouping of common_map.go:82-88 / common_reduce.go:25-50)
+    → per-key ``reduce_f`` in key-sorted order (common_reduce.go:52-60).
+
+    Prefer ``map_reduce`` (Arrow-batched) in production — this form
+    pickles row-at-a-time and ``groupByKey`` materializes each key's
+    values; it exists for API/teaching parity with the reference and
+    for map/reduce hooks that aren't batch-friendly.
+    """
+    spark = df.sparkSession
+    pairs = df.select(
+        F.col("key").cast("string"), F.col("value").cast("string")
+    ).rdd.flatMap(lambda r: list(map_f(r["key"], r["value"])))
+    grouped = (
+        pairs.groupByKey(numPartitions=n_reduce)
+        if n_reduce
+        else pairs.groupByKey()
+    )
+    reduced = grouped.sortByKey().map(
+        lambda kv: (kv[0], reduce_f(kv[0], list(kv[1])))
+    )
+    return spark.createDataFrame(reduced, "key string, value string")
+
+
 def grouped_values(df: DataFrame, key: str = "key", value: str = "value") -> DataFrame:
     """A1: group-by-key accumulation, exposed as a sorted array column.
 

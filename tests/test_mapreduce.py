@@ -144,3 +144,31 @@ def test_inverted_index_golden_line_format(spark, tmp_path):
         parts = docs.split(",")
         assert len(parts) == int(n) == len(set(parts))
         assert parts == sorted(parts)
+
+
+def test_map_reduce_rdd_matches_pandas_facade(spark):
+    """The RDD-native facade and the Arrow-batched facade implement the
+    same hook contract — identical results on word count."""
+    import re
+
+    from distributed_computing_spark.operators.mapreduce import (
+        map_reduce,
+        map_reduce_rdd,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1", "the cat sat"), ("d2", "the cat ran the mile")],
+        "key string, value string",
+    )
+
+    def map_f(k, v):
+        for w in re.split(r"[^A-Za-z0-9]+", v):
+            if w:
+                yield (w, "1")
+
+    def reduce_f(k, values):
+        return str(sum(int(x) for x in values))
+
+    a = {(r["key"], r["value"]) for r in map_reduce(docs, map_f, reduce_f).collect()}
+    b = {(r["key"], r["value"]) for r in map_reduce_rdd(docs, map_f, reduce_f, 3).collect()}
+    assert a == b == {("the", "3"), ("cat", "2"), ("sat", "1"), ("ran", "1"), ("mile", "1")}
