@@ -63,12 +63,17 @@ def inverted_index(
     """
     docs = load_table(spark, sf_dir, "documents")
     posting_doc = F.concat(F.lit("doc"), F.col("doc_id").cast("string"))
+    # ONE distinct-set aggregate; count and joined postings both derive
+    # from it (countDistinct alongside collect_set would run a second
+    # object agg over the same shuffle for a value size() already has).
     return (
         docs.select(posting_doc.alias("doc"), F.explode(tokens("text")).alias("word"))
         .groupBy("word")
-        .agg(
-            F.countDistinct("doc").alias("n_docs"),
-            F.array_join(F.array_sort(F.collect_set("doc")), ",").alias("postings"),
+        .agg(F.array_sort(F.collect_set("doc")).alias("_docs"))
+        .select(
+            "word",
+            F.size("_docs").cast("long").alias("n_docs"),
+            F.array_join(F.col("_docs"), ",").alias("postings"),
         )
         .where(F.col("n_docs") >= min_docs)
     )
