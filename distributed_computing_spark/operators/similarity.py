@@ -295,6 +295,10 @@ def cosine_topk_gemm(
     stays as the all-JVM reference implementation.
     """
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return embeddings.sparkSession.createDataFrame(
+            [], "q_id long, nn_id long, rank int"
+        )
     q_ids = np.array([r[id_col] for r in q_rows])
     q_mat = np.array([r[vec_col] for r in q_rows], dtype="float64")
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True) + 1e-12

@@ -1,0 +1,61 @@
+"""Empty/degenerate-input behavior: every operator family must return
+an empty (correctly-schemed) result, never crash — partitions ARE empty
+routinely at scale (filters, pruning, skewed splits)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_computing_spark.functions.text import tokens
+from distributed_computing_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from distributed_computing_spark.operators.joins import asof_join, range_join_count
+from distributed_computing_spark.operators.kv import dedup_ops, replay
+from distributed_computing_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_gemm,
+)
+
+DOCS = "doc_id long, text string"
+OPS = "seq long, client_id long, req_id long, op string, key string, value string"
+EV = "user_id long, ts timestamp, event_id long"
+
+
+def test_empty_ops_log(spark):
+    empty = spark.createDataFrame([], OPS)
+    assert replay(empty).count() == 0
+    assert dedup_ops(empty).count() == 0
+
+
+def test_empty_and_single_doc_corpus(spark):
+    empty = spark.createDataFrame([], DOCS)
+    one = spark.createDataFrame([(1, "only one document here")], DOCS)
+    for docs in (empty, one):
+        assert exact_dedup(docs).count() == docs.count()
+        assert minhash_lsh_pairs(docs).count() == 0
+        assert ngram_jaccard_pairs(docs).count() == 0
+        assert simhash_pairs(docs).count() == 0
+
+
+def test_empty_queries_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    none = emb.where(F.lit(False))
+    assert cosine_topk(emb, none).count() == 0
+    assert cosine_topk_gemm(emb, none).count() == 0
+
+
+def test_empty_joins(spark):
+    empty = spark.createDataFrame([], EV)
+    assert asof_join(empty, empty, on="user_id", right_cols=("event_id",)).count() == 0
+    assert range_join_count(empty, empty, on="user_id", span=F.lit(60)).count() == 0
+
+
+def test_tokens_of_degenerate_text(spark):
+    df = spark.createDataFrame([("",), ("   ",), ("!!!",), (None,)], "text string")
+    rows = df.select(tokens("text").alias("t")).collect()
+    assert [r["t"] for r in rows[:3]] == [[], [], []]
+    assert rows[3]["t"] is None  # null text stays null, never throws
