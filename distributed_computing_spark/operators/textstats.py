@@ -173,3 +173,63 @@ def train_test_split(
     return df.withColumn(
         "split", F.when(bucket < F.lit(cut), F.lit("test")).otherwise(F.lit("train"))
     )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """TF-IDF characteristic terms per document (top-k by weight).
+
+    Classic retrieval/curation op: tf per (doc, term) and df per term
+    come out of ONE tokenize pass (df re-aggregates the tf result —
+    no second scan); idf = ln(N/df) with the corpus size as a literal.
+    Ranking runs on the ROUNDED weight so cross-engine float noise
+    can't flip rank order (ties break by term).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("dfreq"))
+    scored = tf.join(F.broadcast(dfreq), "word").select(
+        "doc_id",
+        "word",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("dfreq")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "word", "tfidf", "rnk")
+    )
+
+
+def bigram_counts(spark: SparkSession, sf_dir: str, min_count: int = 20) -> DataFrame:
+    """Corpus n-gram statistics (LM-style counts): bigram frequencies
+    via the same zipped-slice shingling the dedup tier uses (n=2)."""
+    from distributed_computing_spark.operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs, n=2, distinct=False)
+    return (
+        sh.groupBy(F.col("shingle").alias("bigram"))
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    fraction: float = 0.2,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``): equal sampling
+    rate within every stratum regardless of stratum size — the
+    class-balance-preserving downsample of a training pipeline.
+    Seed-deterministic; distributed (no driver-side materialization).
+    """
+    strata = [r[0] for r in df.select(strata_col).distinct().collect()]
+    return df.sampleBy(strata_col, {s: fraction for s in strata}, seed=seed)

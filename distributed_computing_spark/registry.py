@@ -511,6 +511,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "build_vocab": textstats.build_vocab,
     "encode_docs": textstats.encode_docs,
     "top_docs_per_lang": textstats.top_docs_per_lang,
+    "tfidf_top_terms": textstats.tfidf_top_terms,
+    "bigram_counts": textstats.bigram_counts,
+    "sample_by_lang": lambda spark, sf_dir: textstats.stratified_sample(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    ),
     # [EXT] similarity search
     "cosine_topk": cosine_topk_q,
     "lsh_topk": lsh_topk_q,
@@ -811,6 +816,31 @@ SELECT e.doc_id,
        CAST(count(*) AS INTEGER) AS n_tokens
 FROM e JOIN vocab v USING (word)
 GROUP BY e.doc_id""",
+    "tfidf_top_terms": f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKENS}) AS word FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfx AS (SELECT word, count(*) AS dfreq FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.word,
+         round(tf.tf * ln((SELECT n FROM n) / dfreq), 6) AS tfidf
+  FROM tf JOIN dfx USING (word)),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, word) AS INTEGER) AS rnk
+  FROM s)
+SELECT doc_id, word, tfidf, rnk FROM r WHERE rnk <= 3""",
+    "bigram_counts": f"""
+WITH t AS (SELECT {_TOKENS} AS toks FROM documents),
+g AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM t)
+SELECT bigram, count(*) AS cnt
+FROM g GROUP BY 1 HAVING count(*) >= 20""",
+    # sample_by_lang: seed-deterministic Bernoulli sampling is
+    # engine-specific (Spark's XORShiftRandom) → rows-only; per-stratum
+    # fraction bounds tested in tests/test_textstats.py.
     "top_docs_per_lang": f"""
 WITH q AS (
   SELECT d.doc_id, d.lang, {_QUALITY_EXPR} AS quality

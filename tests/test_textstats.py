@@ -105,3 +105,19 @@ def test_rolling_fingerprint_order_sensitive(spark):
     assert a == c          # deterministic
     assert a != b          # order-sensitive (not a bag-of-tokens hash)
     assert 0 <= a < 2_147_483_647
+
+
+def test_stratified_sample_balanced_and_deterministic(spark, sf_dir):
+    from distributed_computing_spark.operators.textstats import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s1 = stratified_sample(docs, "lang", fraction=0.3, seed=11)
+    s2 = stratified_sample(docs, "lang", fraction=0.3, seed=11)
+    ids1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2  # seed-deterministic
+    totals = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    sampled = {r["lang"]: r["count"] for r in s1.groupBy("lang").count().collect()}
+    for lang, n in totals.items():
+        frac = sampled.get(lang, 0) / n
+        assert 0.05 <= frac <= 0.6, (lang, frac)  # Bernoulli tolerance per stratum
