@@ -270,6 +270,30 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("window_start", "event_type", "n_events")
 
 
+def stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join: the event stream enriched against a static
+    dimension (user → tier) before a stateful windowed aggregation —
+    the standard streaming-enrichment topology (static side broadcasts
+    into every micro-batch; no state grows from the join itself)."""
+    from distributed_computing_spark.streaming.runner import run_to_batch, stream_table
+
+    ev = load_table(spark, sf_dir, "events")
+    tiers = (
+        ev.select("user_id")
+        .distinct()
+        .select("user_id", F.concat(F.lit("tier"), F.col("user_id") % 3).alias("tier"))
+    )
+    stream = stream_table(spark, ev)
+    enriched = stream.join(F.broadcast(tiers), "user_id")
+    agg = (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "6 hours").alias("win"), "tier")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("win.start").alias("window_start"), "tier", "n_events", "sum_value")
+    )
+    return run_to_batch(agg, spark)
+
+
 def stream_kv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K5 streaming: the ops log replayed through foreachBatch in three
     seq-ordered micro-batches against a persistent state store; final
@@ -525,6 +549,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_windowed": stream_windowed,
     "stream_sessions": stream_sessions,
     "stream_sliding": stream_sliding,
+    "stream_enriched": stream_enriched,
     "stream_kv_state": stream_kv_state,
     "stream_kv_stateful": stream_kv_stateful,
     # [EXT] multimodal binary columns
@@ -926,6 +951,13 @@ SELECT min(ts) AS session_start,
        round(sum(value), 4) AS sum_value
 FROM i GROUP BY user_id, sid""",
     # streaming K5 must land on exactly the batch-replay state
+    "stream_enriched": """
+SELECT to_timestamp(21600 * (epoch_us(ts) // 1000000 // 21600)) AS window_start,
+       'tier' || CAST(user_id % 3 AS VARCHAR) AS tier,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2""",
     "stream_kv_state": None,  # filled below (= kv_state oracle)
     "multimodal_stats": """
 SELECT doc_id AS blob_id,
