@@ -222,6 +222,20 @@ def tiered_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-source document counts with one column per language.
+    The value list is pinned (not inferred) so the plan is a single
+    pass — pivot with inferred values costs an extra distinct job and
+    yields nondeterministic column sets."""
+    langs = ["de", "en", "es", "fr", "zh"]
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.groupBy("source").pivot("lang", langs).count()
+    # count() yields nulls for absent combos; pin to 0 for oracle parity
+    return out.select(
+        "source", *[F.coalesce(F.col(la), F.lit(0)).alias(la) for la in langs]
+    )
+
+
 def semi_anti_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti join surface: customers WITH an urgent order but
     WITHOUT any 'F'-status order (left_semi + left_anti — EXISTS /

@@ -520,6 +520,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_anti_orders": analytics.semi_anti_orders,
     "revenue_percentiles": analytics.revenue_percentiles,
     "tiered_rollup": analytics.tiered_rollup,
+    "source_lang_pivot": analytics.source_lang_pivot,
     "order_percentiles": analytics.order_percentiles,
     # [EXT] dedup
     "exact_dedup": exact_dedup_q,
@@ -665,6 +666,15 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS total
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    "source_lang_pivot": """
+SELECT source,
+       CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+       CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+       CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+       CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+FROM documents
+GROUP BY source""",
     "tiered_rollup": """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
        count(*) AS n_events,
