@@ -331,3 +331,64 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def neardup_clusters(
+    documents: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id),
+    cluster_id = smallest doc_id in the component (the canonical doc).
+
+    Completes the dedup pipeline: pair-generators find EDGES; choosing
+    one survivor per duplicate GROUP needs the transitive closure.
+    Iterative min-label propagation: each round, every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds (near-dup components are shallow).
+
+    This is the engine's iterative-algorithm shape: a driver-side loop
+    of DataFrame joins with per-round persist + convergence check —
+    the loop control is tiny driver logic, all data movement stays
+    distributed (no component ever collects).
+    """
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = documents.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).persist()
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.src == labels.node)
+                .groupBy("dst")
+                .agg(F.min("label").alias("nl"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+        )
+    finally:
+        edges.unpersist()

@@ -124,6 +124,15 @@ def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def neardup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative connected components over the exact n-gram near-dup
+    pairs — pairs to canonical clusters. Oracle: transitive closure via
+    a recursive CTE over the same pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.35, max_df=None)
+    return dedup.neardup_clusters(docs, pairs)
+
+
 def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GEMM path: one Arrow batch per corpus split, BLAS inner loop —
     # measured ~3.5x over the JVM array fold at dim=64.
@@ -525,6 +534,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # [EXT] dedup
     "exact_dedup": exact_dedup_q,
     "ngram_jaccard_pairs": ngram_jaccard,
+    "neardup_clusters": neardup_clusters_q,
     "minhash_neardup": minhash_neardup,
     "simhash_neardup": simhash_neardup,
     # [EXT] text analysis
@@ -991,3 +1001,17 @@ WHERE doc_id % 3 = 2""",
 
 ORACLES["stream_kv_state"] = ORACLES["kv_state"]
 ORACLES["stream_kv_stateful"] = ORACLES["kv_state"]
+
+# connected components = transitive closure of the (symmetrized) exact
+# near-dup pair set; min reachable id per node == the propagation fixpoint
+ORACLES["neardup_clusters"] = (
+    "WITH RECURSIVE pairs AS ("
+    + ORACLES["ngram_jaccard_pairs"]
+    + """),
+e AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+reach(n, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.n)
+SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n"""
+)

@@ -81,3 +81,21 @@ def test_simhash_identical_docs_same_hash(spark):
     assert h[1] != h[3]
     pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(_docs(spark, rows), max_hamming=3).collect()}
     assert pairs.get((1, 2)) == 0
+
+
+def test_neardup_clusters_chain_and_singletons(spark):
+    """Connected components on a crafted graph: a 5-node CHAIN (label
+    must propagate across multiple iterations), a 2-node pair, and
+    singletons. cluster_id = min member everywhere."""
+    from distributed_computing_spark.operators.dedup import neardup_clusters
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(10)], "doc_id long, text string")
+    # chain 0-1-2-3-4 (edges given max-first so min must travel), pair 7-8
+    pairs = spark.createDataFrame(
+        [(3, 4), (2, 3), (1, 2), (0, 1), (7, 8)], "a long, b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in neardup_clusters(docs, pairs).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 7, 8: 7, 9: 9}
