@@ -222,6 +222,25 @@ def tiered_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of `orders` (the pre-ingest sanity pass a
+    pipeline runs on every new source): per-column nulls, distincts,
+    numeric min/max — one full-scan aggregate, no per-column jobs."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_custkey"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.stddev_pop("o_totalprice"), 4).alias("std_price"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+
+
 def source_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: per-source document counts with one column per language.
     The value list is pinned (not inferred) so the plan is a single

@@ -530,6 +530,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_percentiles": analytics.revenue_percentiles,
     "tiered_rollup": analytics.tiered_rollup,
     "source_lang_pivot": analytics.source_lang_pivot,
+    "table_profile": analytics.table_profile,
     "order_percentiles": analytics.order_percentiles,
     # [EXT] dedup
     "exact_dedup": exact_dedup_q,
@@ -676,6 +677,18 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS total
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    "table_profile": """
+SELECT count(*) AS n_rows,
+       count(DISTINCT o_custkey) AS n_customers,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+       count(DISTINCT o_orderstatus) AS n_statuses,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price,
+       round(avg(o_totalprice), 4) AS avg_price,
+       round(stddev_pop(o_totalprice), 4) AS std_price,
+       min(o_orderdate) AS min_date,
+       max(o_orderdate) AS max_date
+FROM orders""",
     "source_lang_pivot": """
 SELECT source,
        CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,

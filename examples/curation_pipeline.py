@@ -21,6 +21,7 @@ from distributed_computing_spark.functions.text import quality_score
 from distributed_computing_spark.operators.dedup import (
     exact_dedup_keep,
     minhash_lsh_pairs,
+    neardup_clusters,
 )
 from distributed_computing_spark.operators.similarity import cosine_topk_gemm
 from distributed_computing_spark.operators.textstats import train_test_split
@@ -40,10 +41,12 @@ def main() -> None:
     unique = exact_dedup_keep(docs)
     print(f"after exact dedup: {unique.count()}")
 
-    # 2. near-dup pairs to drop (MinHash-LSH tier)
+    # 2. near-dup tier: MinHash-LSH pairs → connected components →
+    # keep exactly one canonical doc (the min id) per duplicate cluster
     pairs = minhash_lsh_pairs(unique, threshold=0.5)
-    drop = pairs.select(F.greatest("a", "b").alias("doc_id")).distinct()
-    curated = unique.join(drop, "doc_id", "left_anti")
+    clusters = neardup_clusters(unique, pairs)
+    canonical = clusters.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    curated = unique.join(canonical, "doc_id", "left_semi")
     print(f"after near-dedup: {curated.count()}")
 
     # 3. quality + language gate
