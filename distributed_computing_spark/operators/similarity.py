@@ -255,6 +255,72 @@ def ivf_topk(
     )
 
 
+def ivf_write_index(
+    embeddings: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Materialize the IVF index: corpus assigned to lists and written
+    ``partitionBy("list")`` — the ingest-time half of IVF at scale.
+    Returns the codebook (the only driver-side artifact; persist it
+    alongside the index). Queries against the written index prune to
+    their probed lists AT THE SCAN (PartitionFilters) — the Spark-
+    native analog of reading only n_probe inverted lists.
+    """
+    cents = _ivf_centroids(embeddings, n_lists, id_col=id_col, vec_col=vec_col)
+    assign = _list_assign_udf(cents)
+    (
+        embeddings.select(
+            F.col(id_col).alias("nn_id"),
+            F.col(vec_col).alias("nn_vec"),
+            assign(F.col(vec_col)).alias("list"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("list")
+        .parquet(path)
+    )
+    return cents
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    cents: np.ndarray,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index: probe lists per query, scan ONLY
+    those partitions (filter on the partition column prunes the read),
+    exact cosine re-rank within candidates."""
+    probe = _list_probe_udf(cents, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe(F.col(vec_col))).alias("list"),
+    )
+    # the probed-list set must reach the scan as a LITERAL predicate —
+    # a join condition alone doesn't prune partitions. Bounded collect:
+    # ≤ n_lists values.
+    probed = sorted({r["list"] for r in q.select("list").distinct().collect()})
+    corpus = spark.read.parquet(path).where(F.col("list").isin(probed))
+    cand = (
+        corpus.join(F.broadcast(q), "list")
+        .where(F.col("q_id") != F.col("nn_id"))
+        .select("q_id", "nn_id", cosine(F.col("q_vec"), F.col("nn_vec")).alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "nn_id", "rank")
+    )
+
+
 def embedding_neardup(
     embeddings: DataFrame,
     threshold: float = 0.95,
