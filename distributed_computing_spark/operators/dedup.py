@@ -175,6 +175,27 @@ def minhash_signatures(
     )
 
 
+def _band_rows(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, band, bucket) rows: each signature split into ``bands``
+    row-groups, each hashed to one 8-byte bucket key — map-side only."""
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.element_at("sig", bi * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     n: int = 3,
@@ -199,22 +220,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(documents, n, num_hashes)
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[
-                            F.element_at("sig", bi * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ]
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
+    banded = _band_rows(sigs, bands, rows_per_band)
     if max_bucket is not None:
         # THE worst-case guard at corpus scale: a degenerate band bucket
         # (boilerplate-heavy corpora produce them) fans out |bucket|^2
@@ -392,3 +398,60 @@ def neardup_clusters(
         )
     finally:
         edges.unpersist()
+
+
+def minhash_write_signatures(
+    documents: DataFrame, path: str, n: int = 3, num_hashes: int = 64
+) -> None:
+    """Persist the corpus signature index (the ingest-time artifact the
+    incremental path joins against — signatures only, ~8·num_hashes
+    bytes/doc; band rows are recomputed map-side on read)."""
+    minhash_signatures(documents, n, num_hashes).write.mode("overwrite").parquet(path)
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    sig_path: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental dedup: a NEW batch against the persisted corpus
+    index — the production ingest flow (never re-shingle the corpus).
+
+    Returns (a=corpus doc_id, b=new doc_id, est_jaccard) for new docs
+    near-duplicating an indexed doc. Within-batch pairs come from the
+    ordinary ``minhash_lsh_pairs`` on the batch; after admission,
+    append the new signatures to the index.
+    """
+    spark = new_docs.sparkSession
+    rows_per_band = num_hashes // bands
+    corpus_sigs = spark.read.parquet(sig_path)
+    new_sigs = minhash_signatures(new_docs, n, num_hashes)
+    corpus_b = _band_rows(corpus_sigs, bands, rows_per_band).select(
+        F.col("doc_id").alias("a"), "band", "bucket"
+    )
+    new_b = _band_rows(new_sigs, bands, rows_per_band).select(
+        F.col("doc_id").alias("b"), "band", "bucket"
+    )
+    cand = (
+        corpus_b.join(new_b, ["band", "bucket"])
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    sig_a = corpus_sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
+    sig_b = new_sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.join(sig_a, "a")
+        .join(sig_b, "b")
+        .withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )

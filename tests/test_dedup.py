@@ -99,3 +99,32 @@ def test_neardup_clusters_chain_and_singletons(spark):
         for r in neardup_clusters(docs, pairs).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 7, 8: 7, 9: 9}
+
+
+def test_minhash_incremental_against_persisted_index(spark, tmp_path):
+    """New-batch-vs-index dedup: exact re-submissions of indexed docs
+    are caught with est_jaccard 1.0 against their corpus twin; novel
+    docs pass clean."""
+    from distributed_computing_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_write_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR_MID}/documents.parquet").limit(200)
+    sig_path = str(tmp_path / "sig_index")
+    minhash_write_signatures(docs, sig_path)
+    # new batch: 20 exact re-submissions (id-offset) + 5 novel docs
+    resub = docs.limit(20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    novel = spark.createDataFrame(
+        [(200000 + i, f"completely novel document number {i} " * 10, "en", "s", 100)
+         for i in range(5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pairs = minhash_incremental_pairs(resub.union(novel), sig_path, threshold=0.9)
+    got = {r["b"]: (r["a"], r["est_jaccard"]) for r in pairs.collect()}
+    for r in docs.limit(20).select("doc_id").collect():
+        twin = r["doc_id"] + 100000
+        assert got.get(twin, (None, 0))[1] == 1.0  # exact twin found
+    assert all(b < 200000 for b in got)  # novel docs matched nothing
