@@ -124,6 +124,20 @@ def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def minhash_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-flow dedup under the gate: even-id docs form the persisted
+    signature index, odd-id docs arrive as the new batch (engine-
+    specific hashing → rows-only; semantics in tests)."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    path = tempfile.mkdtemp(prefix="dcs_sig_idx_")
+    dedup.minhash_write_signatures(corpus, path)
+    return dedup.minhash_incremental_pairs(batch, path, threshold=0.35)
+
+
 def neardup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative connected components over the exact n-gram near-dup
     pairs — pairs to canonical clusters. Oracle: transitive closure via
@@ -536,6 +550,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": exact_dedup_q,
     "ngram_jaccard_pairs": ngram_jaccard,
     "neardup_clusters": neardup_clusters_q,
+    "minhash_incremental": minhash_incremental_q,
     "minhash_neardup": minhash_neardup,
     "simhash_neardup": simhash_neardup,
     # [EXT] text analysis
