@@ -172,3 +172,30 @@ def test_map_reduce_rdd_matches_pandas_facade(spark):
     a = {(r["key"], r["value"]) for r in map_reduce(docs, map_f, reduce_f).collect()}
     b = {(r["key"], r["value"]) for r in map_reduce_rdd(docs, map_f, reduce_f, 3).collect()}
     assert a == b == {("the", "3"), ("cat", "2"), ("sat", "1"), ("ran", "1"), ("mile", "1")}
+
+
+def test_synthetic_roundtrip_through_facade(spark):
+    """Port of the reference's harness test (mapreduce/test_test.go:
+    15-85): synthetic sequential ints through identity mapF/reduceF
+    across many reduce partitions; output must be exactly the input
+    (per-key), independent of partitioning."""
+    from distributed_computing_spark.operators.mapreduce import map_reduce_rdd
+
+    n = 10_000
+    from pyspark.sql import functions as F
+
+    df = spark.range(n).select(
+        F.col("id").cast("string").alias("key"), F.col("id").cast("string").alias("value")
+    )
+
+    def map_f(k, v):
+        yield (k, v)
+
+    def reduce_f(k, values):
+        assert len(values) == 1
+        return values[0]
+
+    out = map_reduce_rdd(df, map_f, reduce_f, n_reduce=50)
+    assert out.count() == n
+    mismatched = out.where(F.col("key") != F.col("value")).count()
+    assert mismatched == 0
