@@ -13,11 +13,23 @@ transform so Catalyst optimizes end-to-end, and nothing collects
 unbounded data to the driver.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
+from distributed_computing_spark.operators import (  # noqa: F401
+    analytics,
+    dedup,
+    joins,
+    kv,
+    mapreduce,
+    multimodal,
+    sharding,
+    similarity,
+    textstats,
+)
 from distributed_computing_spark.session import get_spark  # noqa: F401
 from distributed_computing_spark.sources.catalog import (  # noqa: F401
     TABLES,
+    load_table,
     load_tables,
     register_views,
 )

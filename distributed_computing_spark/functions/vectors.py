@@ -37,6 +37,25 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def quantize(vec: Column) -> Column:
+    """Symmetric int8 quantization: struct(q array<tinyint>, scale).
+
+    The 100 TB storage path for embedding columns — 4x smaller than
+    float32, and int8 GEMM-able on modern hardware. Per-vector scale =
+    max|x|/127; pure Column expressions (no UDF)."""
+    scale = F.array_max(F.transform(vec, lambda x: F.abs(x))) / F.lit(127.0)
+    safe = F.when(scale > 0, scale).otherwise(F.lit(1.0))
+    q = F.transform(vec, lambda x: F.round(x / safe).cast("tinyint"))
+    return F.struct(q.alias("q"), safe.cast("float").alias("scale"))
+
+
+def dequantize(qstruct: Column) -> Column:
+    """Inverse of ``quantize``: array<float> reconstruction."""
+    return F.transform(
+        qstruct["q"], lambda v: (v.cast("float") * qstruct["scale"]).cast("float")
+    )
+
+
 def l2_distance(a: Column, b: Column) -> Column:
     return F.sqrt(
         F.aggregate(

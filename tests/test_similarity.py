@@ -108,3 +108,34 @@ def test_ivf_persisted_index_prunes_and_matches(spark, tmp_path):
     # exactness within probed lists: every result is a real corpus id
     ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
     assert all(r["nn_id"] in ids and r["q_id"] != r["nn_id"] for r in rows)
+
+
+def test_int8_quantization_preserves_topk(spark):
+    """The storage path: int8-quantized embeddings (4x smaller)
+    reconstruct to near-identical neighbor rankings — recall@5 >= 0.9
+    against full precision, and round-trip error is bounded."""
+    from distributed_computing_spark.functions.vectors import dequantize, quantize
+
+    emb = _emb(spark)
+    deq = emb.select(
+        "vec_id", dequantize(quantize(F.col("embedding"))).alias("embedding")
+    )
+    # bounded reconstruction error: |x - x'| <= scale/2 <= max|x|/254
+    err = (
+        emb.alias("a")
+        .join(deq.alias("b"), "vec_id")
+        .select(
+            F.array_max(
+                F.zip_with("a.embedding", "b.embedding", lambda x, y: F.abs(x - y))
+            ).alias("e"),
+            F.array_max(F.transform("a.embedding", lambda x: F.abs(x))).alias("m"),
+        )
+        .where(F.col("e") > F.col("m") / 127.0)
+        .count()
+    )
+    assert err == 0
+    q = emb.where(F.col("vec_id") % 200 == 0)
+    qd = deq.where(F.col("vec_id") % 200 == 0)
+    exact = {(r["q_id"], r["nn_id"]) for r in cosine_topk_gemm(emb, q, k=5).collect()}
+    quant = {(r["q_id"], r["nn_id"]) for r in cosine_topk_gemm(deq, qd, k=5).collect()}
+    assert len(exact & quant) / len(exact) >= 0.9
