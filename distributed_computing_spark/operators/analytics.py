@@ -222,6 +222,33 @@ def tiered_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence funnel: per user, did view → click → purchase
+    occur IN ORDER (by first occurrence)? One conditional-agg pass —
+    ordering semantics without a self-join (the MATCH_RECOGNIZE-lite
+    shape; first-touch timestamps are min-aggregates, so the whole
+    funnel is one shuffle on user_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("t_view").isNotNull().cast("long")).alias("n_viewed"),
+        F.sum(
+            (F.col("t_click") > F.col("t_view")).cast("long")
+        ).alias("n_view_then_click"),
+        F.sum(
+            (
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_buy") > F.col("t_click"))
+            ).cast("long")
+        ).alias("n_full_funnel"),
+    )
+
+
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of `orders` (the pre-ingest sanity pass a
     pipeline runs on every new source): per-column nulls, distincts,
