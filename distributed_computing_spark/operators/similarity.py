@@ -374,13 +374,30 @@ def cosine_topk_gemm(
             mat = np.array(list(pdf[vec_col]), dtype="float64")
             mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
             sims = mat @ q_mat.T  # (batch, Q)
+            nn = pdf[id_col].to_numpy()
             n = sims.shape[0]
-            out = {
-                "q_id": np.repeat(q_ids, n),
-                "nn_id": np.tile(pdf[id_col].to_numpy(), len(q_ids)),
-                "sim": sims.T.reshape(-1),
-            }
-            yield pd.DataFrame(out)
+            # PARTIAL top-k inside the batch (map-side combine for
+            # rank): only Q·k candidate rows per batch reach the
+            # exchange, not Q·batch — the shuffle no longer scales with
+            # corpus size. argpartition then exact sort of k items,
+            # nn_id ascending on sim ties (matches the window order).
+            kk = min(k + 1, n)  # +1 headroom: a self-match drops later
+            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
+            out_q, out_nn, out_sim = [], [], []
+            for j in range(sims.shape[1]):
+                idx = part[:, j]
+                order = np.lexsort((nn[idx], -sims[idx, j]))
+                sel = idx[order]
+                out_q.append(np.full(len(sel), q_ids[j]))
+                out_nn.append(nn[sel])
+                out_sim.append(sims[sel, j])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "nn_id": np.concatenate(out_nn),
+                    "sim": np.concatenate(out_sim),
+                }
+            )
 
     sims = embeddings.select(id_col, vec_col).mapInPandas(
         score, schema="q_id long, nn_id long, sim double"
