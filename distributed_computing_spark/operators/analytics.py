@@ -222,6 +222,31 @@ def tiered_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile SKETCH (approx_percentile / Greenwald-Khanna): the
+    bounded-memory path for the ordered stats `revenue_percentiles`
+    computes exactly — at 100 TB the sketch mergeable-summary is the
+    only option. No oracle (sketch result is engine-defined); the test
+    bounds its error against the exact percentile."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_percentile("o_totalprice", 0.5, 10000).alias("p50_approx"),
+        F.approx_percentile("o_totalprice", 0.99, 10000).alias("p99_approx"),
+        F.count("*").alias("n"),
+    )
+
+
+def frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters sketch (freqItems / Karp-Shenker-Papadimitriou):
+    single-pass candidate set of items above the support threshold —
+    the streaming-friendly top-token sketch. Rows-only (candidate sets
+    are engine-defined supersets); containment tested against exact
+    counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word"))
+    return words.where(F.col("word") != "").stat.freqItems(["word"], support=0.02)
+
+
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-sequence funnel: per user, did view → click → purchase
     occur IN ORDER (by first occurrence)? One conditional-agg pass —

@@ -546,6 +546,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_lang_pivot": analytics.source_lang_pivot,
     "table_profile": analytics.table_profile,
     "funnel_conversion": analytics.funnel_conversion,
+    "approx_percentiles": analytics.approx_percentiles,
+    "frequent_items": analytics.frequent_items,
     "order_percentiles": analytics.order_percentiles,
     # [EXT] dedup
     "exact_dedup": exact_dedup_q,

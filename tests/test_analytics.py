@@ -86,3 +86,44 @@ def test_entry_contract(spark):
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 30
+
+
+def test_approx_percentile_error_bound(spark, sf_dir):
+    """The quantile sketch must land within rank-error of the exact
+    percentile (GK accuracy 10000 -> 0.01% rank error; assert loosely)."""
+    from pyspark.sql import functions as F
+
+    from distributed_computing_spark.operators.analytics import approx_percentiles
+    from distributed_computing_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    exact = {
+        r["o_orderstatus"]: r["p50"]
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.percentile("o_totalprice", 0.5).alias("p50"))
+        .collect()
+    }
+    approx = {
+        r["o_orderstatus"]: r["p50_approx"] for r in approx_percentiles(spark, sf_dir).collect()
+    }
+    for status, p in approx.items():
+        assert abs(p - exact[status]) / exact[status] < 0.02
+
+
+def test_frequent_items_contains_true_heavy_hitters(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from distributed_computing_spark.operators.analytics import frequent_items
+    from distributed_computing_spark.sources.catalog import load_table
+
+    [row] = frequent_items(spark, sf_dir).collect()
+    candidates = set(row["word_freqItems"])
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word"))
+    words = words.where(F.col("word") != "")
+    total = words.count()
+    true_heavy = {
+        r["word"]
+        for r in words.groupBy("word").count().where(F.col("count") > 0.02 * total).collect()
+    }
+    assert true_heavy <= candidates  # sketch guarantee: no false negatives
