@@ -1,0 +1,78 @@
+"""Streaming-ingest dedup: batches of documents (with exact dups,
+near-dups, and cross-batch re-deliveries) flow through the foreachBatch
+admit loop; the admitted corpus must contain exactly the unique
+content, first-arrival wins."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from distributed_computing_spark.streaming.ingest import CorpusIngestStore
+
+DOCS = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _doc(i: int, text: str):
+    return (i, text, "en", "s", len(text))
+
+
+def test_streaming_ingest_dedup_across_batches(spark, tmp_path):
+    def base(i: int) -> str:
+        return f"unique document number {i} with plenty of distinctive words " * 4
+
+    b1 = [
+        _doc(1, base(1)),
+        _doc(2, base(2)),
+        _doc(3, base(1)),   # exact dup of 1 (same batch)
+    ]
+    b2 = [
+        _doc(10, base(1)),  # exact dup of admitted 1 (cross batch)
+        _doc(11, base(2) + "tiny suffix"),  # near-dup of admitted 2
+        _doc(12, base(12)),  # genuinely new
+    ]
+    src = str(tmp_path / "docs_src")
+    for batch in (b1, b2):
+        spark.createDataFrame(batch, DOCS).coalesce(1).write.mode("append").parquet(src)
+    # pin file order (mtime) so batch 1 applies before batch 2
+    parts = sorted(
+        (os.path.getmtime(os.path.join(src, f)), f)
+        for f in os.listdir(src)
+        if f.startswith("part-")
+    )
+    for i, (_, f) in enumerate(parts):
+        os.utime(os.path.join(src, f), (1_000_000 + i, 1_000_000 + i))
+
+    store = CorpusIngestStore(spark, str(tmp_path / "store"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store.attach(stream, str(tmp_path / "ckpt")).awaitTermination(180)
+
+    admitted = {r["doc_id"] for r in store.corpus().select("doc_id").collect()}
+    assert admitted == {1, 2, 12}, admitted
+
+
+def test_redelivered_batch_admits_nothing(spark, tmp_path):
+    """Replaying identical content (retry/redelivery) admits zero new
+    docs — content-level exactly-once."""
+    rows = [
+        _doc(i, " ".join(f"tok{i}x{j}" for j in range(40)))  # disjoint vocab per doc
+        for i in range(5)
+    ]
+    src = str(tmp_path / "src2")
+    spark.createDataFrame(rows, DOCS).coalesce(1).write.parquet(src)
+    store = CorpusIngestStore(spark, str(tmp_path / "store2"))
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    store.attach(stream, str(tmp_path / "ckpt_a")).awaitTermination(120)
+    assert store.corpus().count() == 5
+    # redelivery: same content, new ids, fresh checkpoint
+    redel = [(100 + i, t, la, s, n) for i, t, la, s, n in rows]
+    src3 = str(tmp_path / "src3")
+    spark.createDataFrame(redel, DOCS).coalesce(1).write.parquet(src3)
+    stream2 = spark.readStream.schema(spark.read.parquet(src3).schema).parquet(src3)
+    store.attach(stream2, str(tmp_path / "ckpt_b")).awaitTermination(120)
+    assert store.corpus().count() == 5
