@@ -151,9 +151,13 @@ def _ivf_centroids(
     (n_lists × dim) codebook reaches the driver.
     """
     seeds = (
-        embeddings.select(F.col(vec_col).alias("v"), F.hash(F.col(id_col)).alias("h"))
-        .orderBy("h")
-        .limit(n_lists)
+        embeddings.select(
+            F.col(vec_col).alias("v"),
+            F.hash(F.col(id_col)).alias("h"),
+            F.col(id_col).alias("_id"),
+        )
+        .orderBy("h", "_id")  # id tiebreak: hash collisions must not
+        .limit(n_lists)       # make the codebook partition-dependent
         .collect()
     )
     cents = np.array([r["v"] for r in seeds], dtype="float64")
