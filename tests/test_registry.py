@@ -1,0 +1,53 @@
+"""Registry meta-contract: the driver-facing surface must stay
+well-formed — every oracle references a registered query, every oracle
+parses in DuckDB against the real table schemas, and the rows-only set
+is exactly the documented engine-specific ops (no silent oracle loss).
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from distributed_computing_spark.registry import ORACLES, QUERIES
+from distributed_computing_spark.sources.catalog import TABLES
+from tests.conftest import SF_DIR
+
+ROWS_ONLY = {
+    "approx_distinct_users",
+    "approx_percentiles",
+    "frequent_items",
+    "ivf_topk",
+    "lsh_topk",
+    "minhash_neardup",
+    "minhash_incremental",
+    "simhash_neardup",
+    "multimodal_ann",
+    "multimodal_audio",
+    "multimodal_decode",
+    "multimodal_features",
+    "sample_by_lang",
+}
+
+
+def test_every_oracle_has_a_query_and_vice_versa_documented():
+    assert set(ORACLES) <= set(QUERIES)
+    assert set(QUERIES) - set(ORACLES) == ROWS_ONLY
+    for name, fn in QUERIES.items():
+        assert callable(fn), name
+    for name, sql in ORACLES.items():
+        assert isinstance(sql, str) and sql.strip(), name
+
+
+def test_every_oracle_parses_in_duckdb():
+    """EXPLAIN each oracle against the real parquet schemas — catches
+    SQL drift without running the queries."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    for name, sql in ORACLES.items():
+        try:
+            con.sql(f"EXPLAIN {sql}")
+        except Exception as exc:  # pragma: no cover
+            raise AssertionError(f"oracle {name} fails to plan: {exc}") from exc
