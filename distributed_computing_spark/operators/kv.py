@@ -143,6 +143,52 @@ def replay(
     return _fold_effective_writes(writes, salt_buckets=salt_buckets)
 
 
+def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """MERGE INTO emulation on plain DataFrames (K2's table form —
+    SURVEY §1.4 maps Put to Delta MERGE; without Delta the same
+    semantics is anti-join + union): matched keys take the update row,
+    unmatched updates insert, untouched targets pass through.
+    One shuffle on the key; with both sides bucketed on the key the
+    exchange disappears entirely (see tests/test_sinks.py).
+    """
+    return target.join(updates.select(key), key, "left_anti").unionByName(updates)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    key: str,
+    version: int,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: changed keys close their
+    current row (valid_to = version) and append a new current version.
+
+    ``dim`` schema contract: attribute columns + (``valid_from`` long,
+    ``valid_to`` long nullable, ``is_current`` boolean); ``changes``
+    carries key + attribute columns only. History rows are immutable —
+    the classic append-mostly dimension pattern a KV store's Put
+    history (K2 + K6 time travel) generalizes to.
+    """
+    attr_cols = [c for c in changes.columns]
+    changed_keys = changes.select(key)
+    closed = (
+        dim.where(F.col("is_current"))
+        .join(changed_keys, key, "left_semi")
+        .withColumn("valid_to", F.lit(version).cast("long"))
+        .withColumn("is_current", F.lit(False))
+    )
+    untouched = dim.join(
+        changed_keys, key, "left_anti"
+    ).unionByName(dim.where(~F.col("is_current")).join(changed_keys, key, "left_semi"))
+    fresh = changes.select(
+        *attr_cols,
+        F.lit(version).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return untouched.unionByName(closed).unionByName(fresh)
+
+
 def kv_get(state: DataFrame, key: str) -> str:
     """K1: point read; returns "" for a missing key (ErrNoKey analog)."""
     row = state.where(F.col("key") == key).select("value").collect()

@@ -65,6 +65,45 @@ def kv_get_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.where(F.col("key").isin("0", "7", "13", "19"))
 
 
+def customer_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 table form: MERGE-emulated upsert of the customer dimension —
+    customers with orders get a recomputed balance, the rest pass
+    through. Oracle expresses the same result as one left join, which
+    cross-checks the anti-join+union merge semantics."""
+    from distributed_computing_spark.operators.kv import merge_upsert
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum("o_totalprice").alias("_rev"))
+    )
+    updates = (
+        cust.join(rev, "c_custkey")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            (F.col("c_acctbal") + F.col("_rev") / 1000).alias("c_acctbal"),
+        )
+    )
+    merged = merge_upsert(cust, updates, "c_custkey")
+    return merged.select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+
+
+def lang_long_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT: the source×lang pivot stacked back to long form (zeros
+    kept) — the pivot/stack round-trip."""
+    wide = analytics.source_lang_pivot(spark, sf_dir)
+    return wide.selectExpr(
+        "source",
+        "stack(5, 'de', de, 'en', en, 'es', es, 'fr', fr, 'zh', zh) AS (lang, n_docs)",
+    )
+
+
 def shard_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7+A7: first-byte shard routing census over the KV keyspace."""
     ops = _ops(spark, sf_dir)
@@ -518,6 +557,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # KV engine (K1-K6)
     "kv_state": kv_state,
     "kv_effective_ops": kv_effective_ops,
+    "customer_upsert": customer_upsert,
+    "lang_long_format": lang_long_format,
     "kv_snapshot": kv_snapshot,
     "kv_get": kv_get_demo,
     # Sharding (T5-T7, A7, P1-P5)
@@ -632,6 +673,17 @@ eff AS (SELECT * FROM hw WHERE prev_max IS NULL OR req_id > prev_max),
 WITH {_OPS_CTE}, {_EFF_CTE},
 state AS (WITH {_REPLAY_SQL})
 SELECT * FROM state WHERE "key" IN ('0', '7', '13', '19')""",
+    "customer_upsert": """
+WITH r AS (SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY 1)
+SELECT c_custkey, c_mktsegment,
+       round(c_acctbal + coalesce(rev / 1000, 0), 2) AS c_acctbal
+FROM customer LEFT JOIN r ON c_custkey = o_custkey""",
+    "lang_long_format": """
+WITH s AS (SELECT DISTINCT source FROM documents),
+l AS (SELECT unnest(['de','en','es','fr','zh']) AS lang),
+c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2)
+SELECT s.source, l.lang, CAST(coalesce(c.n, 0) AS BIGINT) AS n_docs
+FROM s CROSS JOIN l LEFT JOIN c ON c.source = s.source AND c.lang = l.lang""",
     "shard_census": f"""
 WITH {_OPS_CTE}
 SELECT ascii("key") % 10 AS shard, count(*) AS n_ops, count(DISTINCT "key") AS n_keys

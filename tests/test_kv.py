@@ -129,3 +129,33 @@ def test_salted_replay_matches_unsalted(spark, salt_buckets):
     assert salted == plain
     want = {k: v for k, v in serial_replay(ops).items() if v != ""}
     assert salted == want
+
+
+def test_scd2_apply_history_semantics(spark):
+    """SCD2: change batches close current rows and append versions;
+    history is complete and exactly one current row per live key."""
+    from distributed_computing_spark.operators.kv import scd2_apply
+
+    dim = spark.createDataFrame(
+        [("k1", "v1", 1, None, True), ("k2", "w1", 1, None, True)],
+        "key string, attr string, valid_from long, valid_to long, is_current boolean",
+    )
+    # version 2: k1 changes; version 3: k1 changes again, k3 appears
+    dim = scd2_apply(dim, spark.createDataFrame([("k1", "v2")], "key string, attr string"), "key", 2)
+    dim = scd2_apply(
+        dim,
+        spark.createDataFrame([("k1", "v3"), ("k3", "x1")], "key string, attr string"),
+        "key",
+        3,
+    )
+    rows = {(r["key"], r["attr"]): (r["valid_from"], r["valid_to"], r["is_current"]) for r in dim.collect()}
+    assert rows == {
+        ("k1", "v1"): (1, 2, False),
+        ("k1", "v2"): (2, 3, False),
+        ("k1", "v3"): (3, None, True),
+        ("k2", "w1"): (1, None, True),
+        ("k3", "x1"): (3, None, True),
+    }
+    # invariant: exactly one current row per key
+    cur = dim.where("is_current").groupBy("key").count().where("count > 1").count()
+    assert cur == 0
