@@ -204,6 +204,26 @@ def snapshot_at(ops: DataFrame, max_seq: int, dedup: bool = True) -> DataFrame:
     return replay(ops.where(F.col("seq") <= max_seq), dedup=dedup)
 
 
+def state_diff(ops: DataFrame, seq_from: int, seq_to: int) -> DataFrame:
+    """CDC between two log positions (Delta change-data-feed analog of
+    K6 time travel): per key, the state at ``seq_from`` vs ``seq_to``
+    with a change verdict. The ops log has no delete, so changes are
+    insert/update/same; both snapshots share one scan of the log."""
+    old = snapshot_at(ops, seq_from).select(
+        "key", F.col("value").alias("old_value")
+    )
+    new = snapshot_at(ops, seq_to).select("key", F.col("value").alias("new_value"))
+    return old.join(new, "key", "full").select(
+        "key",
+        "old_value",
+        "new_value",
+        F.when(F.col("old_value").isNull(), F.lit("insert"))
+        .when(F.col("old_value") != F.col("new_value"), F.lit("update"))
+        .otherwise(F.lit("same"))
+        .alias("change"),
+    )
+
+
 def client_fold_check(ops: DataFrame) -> DataFrame:
     """Port of the reference's linearizability invariant (§5 layer 3).
 

@@ -59,6 +59,16 @@ def kv_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_at(ops, int(half))
 
 
+def kv_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 CDC: per-key change verdict between log positions max_seq/2
+    and max_seq (time-travel diff)."""
+    from distributed_computing_spark.operators.kv import state_diff
+
+    ops = _ops(spark, sf_dir)
+    max_seq = ops.agg(F.max("seq")).collect()[0][0]
+    return state_diff(ops, max_seq // 2, max_seq)
+
+
 def kv_get_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1: point lookups for a fixed key set against the replayed state."""
     state = kv_state(spark, sf_dir)
@@ -560,6 +570,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_upsert": customer_upsert,
     "lang_long_format": lang_long_format,
     "kv_snapshot": kv_snapshot,
+    "kv_changes": kv_changes,
     "kv_get": kv_get_demo,
     # Sharding (T5-T7, A7, P1-P5)
     "shard_census": shard_census,
@@ -669,6 +680,40 @@ hw AS (
 ),
 eff AS (SELECT * FROM hw WHERE prev_max IS NULL OR req_id > prev_max),
 {_REPLAY_SQL}""",
+    "kv_changes": f"""
+WITH {_OPS_CTE},
+cut AS (SELECT max(seq) // 2 AS half FROM ops),
+ops2 AS (SELECT * FROM ops WHERE seq <= (SELECT half FROM cut)),
+hw2 AS (
+  SELECT *, max(req_id) OVER (
+      PARTITION BY client_id ORDER BY seq
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM ops2),
+eff2 AS (SELECT * FROM hw2 WHERE prev_max IS NULL OR req_id > prev_max),
+old_state AS (
+  WITH lp AS (
+    SELECT *, max(CASE WHEN op = 'put' THEN seq END)
+           OVER (PARTITION BY "key") AS last_put_seq
+    FROM eff2)
+  SELECT "key", string_agg("value", '' ORDER BY seq) AS old_value
+  FROM lp
+  WHERE op IN ('put', 'append') AND seq >= coalesce(last_put_seq, -1)
+  GROUP BY "key"),
+{_EFF_CTE},
+new_state AS (
+  WITH lp AS (
+    SELECT *, max(CASE WHEN op = 'put' THEN seq END)
+           OVER (PARTITION BY "key") AS last_put_seq
+    FROM eff)
+  SELECT "key", string_agg("value", '' ORDER BY seq) AS new_value
+  FROM lp
+  WHERE op IN ('put', 'append') AND seq >= coalesce(last_put_seq, -1)
+  GROUP BY "key")
+SELECT coalesce(n."key", o."key") AS "key", o.old_value, n.new_value,
+       CASE WHEN o.old_value IS NULL THEN 'insert'
+            WHEN o.old_value <> n.new_value THEN 'update'
+            ELSE 'same' END AS change
+FROM old_state o FULL JOIN new_state n ON o."key" = n."key\"""",
     "kv_get": f"""
 WITH {_OPS_CTE}, {_EFF_CTE},
 state AS (WITH {_REPLAY_SQL})
