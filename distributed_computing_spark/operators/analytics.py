@@ -222,6 +222,40 @@ def tiered_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per order status (the data-quality
+    screen before training on numeric features): two passes expressed
+    as one plan — stats aggregate broadcasts back over the fact scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.groupBy("o_orderstatus").agg(
+        F.avg("o_totalprice").alias("_mu"),
+        F.stddev_pop("o_totalprice").alias("_sd"),
+    )
+    z = (F.col("o_totalprice") - F.col("_mu")) / F.col("_sd")
+    return (
+        orders.join(F.broadcast(stats), "o_orderstatus")
+        .where(F.abs(z) > 1.6)
+        .select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round(z, 4).alias("z"),
+        )
+    )
+
+
+def corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance aggregates over lineitem numerics —
+    the feature-relationship scan (corr is a single-pass algebraic
+    aggregate; no second scan, no collect)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+        F.count("*").alias("n"),
+    )
+
+
 def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile SKETCH (approx_percentile / Greenwald-Khanna): the
     bounded-memory path for the ordered stats `revenue_percentiles`

@@ -598,6 +598,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_lang_pivot": analytics.source_lang_pivot,
     "table_profile": analytics.table_profile,
     "funnel_conversion": analytics.funnel_conversion,
+    "price_outliers": analytics.price_outliers,
+    "corr_stats": analytics.corr_stats,
     "approx_percentiles": analytics.approx_percentiles,
     "frequent_items": analytics.frequent_items,
     "order_percentiles": analytics.order_percentiles,
@@ -792,6 +794,22 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS total
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    "price_outliers": """
+WITH s AS (
+  SELECT o_orderstatus, avg(o_totalprice) AS mu, stddev_pop(o_totalprice) AS sd
+  FROM orders GROUP BY 1)
+SELECT o.o_orderstatus, o.o_orderkey,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       round((o.o_totalprice - s.mu) / s.sd, 4) AS z
+FROM orders o JOIN s USING (o_orderstatus)
+WHERE abs((o.o_totalprice - s.mu) / s.sd) > 1.6""",
+    "corr_stats": """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_pop(l_quantity, l_discount), 6) AS cov_qty_disc,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag""",
     "funnel_conversion": """
 WITH f AS (
   SELECT user_id,
