@@ -222,6 +222,41 @@ def tiered_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): per customer,
+    the 7-day trailing revenue at each order — orders on the same day
+    share the frame regardless of row order, which a ROWS frame gets
+    wrong. Day-granularity numeric range keys on both engines."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") % 100 == 0)
+    days = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days.cast("long"))
+        .rangeBetween(-6, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_7d_revenue"),
+    )
+
+
+def token_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over the token stream: slice, reverse,
+    distinct, containment — all JVM higher-order/array expressions."""
+    from distributed_computing_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.array_join(F.reverse(F.slice(toks, -3, 3)), " ").alias("last3_reversed"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.array_contains(toks, "the").cast("int").alias("has_the"),
+    )
+
+
 def price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-score outlier detection per order status (the data-quality
     screen before training on numeric features): two passes expressed

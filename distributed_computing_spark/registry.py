@@ -600,6 +600,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": analytics.funnel_conversion,
     "price_outliers": analytics.price_outliers,
     "corr_stats": analytics.corr_stats,
+    "rolling_weekly_revenue": analytics.rolling_weekly_revenue,
+    "token_array_ops": analytics.token_array_ops,
     "approx_percentiles": analytics.approx_percentiles,
     "frequent_items": analytics.frequent_items,
     "order_percentiles": analytics.order_percentiles,
@@ -794,6 +796,22 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS total
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    "rolling_weekly_revenue": """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS trailing_7d_revenue
+FROM orders
+WHERE o_custkey % 100 = 0""",
+    "token_array_ops": f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+SELECT doc_id,
+       array_to_string(toks[1:3], ' ') AS first3,
+       array_to_string(list_reverse(toks[-3:]), ' ') AS last3_reversed,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+       CAST(list_contains(toks, 'the') AS INTEGER) AS has_the
+FROM t""",
     "price_outliers": """
 WITH s AS (
   SELECT o_orderstatus, avg(o_totalprice) AS mu, stddev_pop(o_totalprice) AS sd
