@@ -222,6 +222,35 @@ def tiered_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def regex_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface: pull the numeric payload out of the JSON
+    props STRING with regexp_extract (no JSON parser — the pattern for
+    semi-structured text where from_json can't apply), plus a
+    regexp_count-style metric."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    return (
+        ev.withColumn("_k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("_k").alias("sum_k"),
+            F.sum((F.length(F.regexp_replace("props", r"[^0-9]", "")) > 2).cast("long"))
+            .alias("n_multi_digit"),
+        )
+    )
+
+
+def bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate surface: bool_and / bool_or /
+    count_if per order priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_failed"),
+    )
+
+
 def rolling_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window (value-based, not row-based): per customer,
     the 7-day trailing revenue at each order — orders on the same day

@@ -602,6 +602,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corr_stats": analytics.corr_stats,
     "rolling_weekly_revenue": analytics.rolling_weekly_revenue,
     "token_array_ops": analytics.token_array_ops,
+    "regex_extraction": analytics.regex_extraction,
+    "bool_aggregates": analytics.bool_aggregates,
     "approx_percentiles": analytics.approx_percentiles,
     "frequent_items": analytics.frequent_items,
     "order_percentiles": analytics.order_percentiles,
@@ -796,6 +798,21 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS total
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    "regex_extraction": """
+SELECT event_type,
+       CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(sum(CASE WHEN length(regexp_replace(props, '[^0-9]', '', 'g')) > 2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_digit
+FROM events
+GROUP BY event_type""",
+    "bool_aggregates": """
+SELECT o_orderpriority,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_totalprice > 400000) AS any_over_400k,
+       CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_failed
+FROM orders
+GROUP BY o_orderpriority""",
     "rolling_weekly_revenue": """
 SELECT o_custkey, o_orderkey,
        round(sum(o_totalprice) OVER (
