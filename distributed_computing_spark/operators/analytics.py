@@ -222,6 +222,23 @@ def tiered_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface: casing (upper), padding, translation, edit
+    distance — whole-stage-codegen JVM expressions per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 12)).alias("title_prefix"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("padded_id"),
+        F.translate(F.lower(F.substring("text", 1, 20)), "aeiou", "_____").alias(
+            "devoweled"
+        ),
+        F.levenshtein(F.substring("text", 1, 10), F.substring("text", 11, 10)).alias(
+            "prefix_edit_dist"
+        ),
+    )
+
+
 def regex_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex scalar surface: pull the numeric payload out of the JSON
     props STRING with regexp_extract (no JSON parser — the pattern for

@@ -603,6 +603,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_weekly_revenue": analytics.rolling_weekly_revenue,
     "token_array_ops": analytics.token_array_ops,
     "regex_extraction": analytics.regex_extraction,
+    "string_functions": analytics.string_functions,
     "bool_aggregates": analytics.bool_aggregates,
     "approx_percentiles": analytics.approx_percentiles,
     "frequent_items": analytics.frequent_items,
@@ -798,6 +799,14 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS total
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    "string_functions": """
+SELECT doc_id,
+       upper(substr(text, 1, 12)) AS title_prefix,
+       lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded_id,
+       translate(lower(substr(text, 1, 20)), 'aeiou', '_____') AS devoweled,
+       CAST(levenshtein(substr(text, 1, 10), substr(text, 11, 10)) AS INTEGER)
+         AS prefix_edit_dist
+FROM documents""",
     "regex_extraction": """
 SELECT event_type,
        CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT)
