@@ -291,17 +291,31 @@ def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_pairs(
-    documents: DataFrame, max_hamming: int = 3, max_bucket: int | None = 10_000
+    documents: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int | None = 10_000,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with simhash hamming distance ≤ ``max_hamming``.
 
-    Block on 4 × 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at least one
-    of 4 chunks equal), join within blocks, verify with bit_count — the
-    classic Manku/Jain/Sarma web-dedup layout; no cross join.
+    Block on ``max_hamming + 1`` bit-range chunks (pigeonhole: ≤ h bits
+    differ ⇒ at least one of h+1 chunks is untouched), join within
+    blocks, verify with bit_count — the classic Manku/Jain/Sarma
+    web-dedup layout generalized to any radius; no cross join. The
+    default radius 3 gives the canonical 4 × 16-bit split; radius 6
+    gives 7 chunks of 9–10 bits (coarser keys ⇒ more candidates —
+    the unavoidable recall/fanout tradeoff of a wider radius).
     ``max_bucket`` drops degenerate chunk buckets (same quadratic-fanout
     guard as minhash_lsh_pairs; near-dups still meet via other chunks).
     """
-    sh = simhash(documents)
+    if not 0 <= max_hamming < 64:
+        raise ValueError("max_hamming must be in [0, 64)")
+    n_chunks = max_hamming + 1
+    # Split the 64 bits into n_chunks contiguous ranges of near-equal width.
+    bounds = [c * 64 // n_chunks for c in range(n_chunks + 1)]
+    # ``signatures`` (doc_id, simhash) lets tests plant exact hamming
+    # distances and lets callers reuse a persisted signature table.
+    sh = signatures if signatures is not None else simhash(documents)
     chunks = sh.select(
         "doc_id",
         "simhash",
@@ -310,11 +324,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), bounds[c])
+                        .bitwiseAND(F.lit((1 << (bounds[c + 1] - bounds[c])) - 1))
                         .alias("ckey"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("cb"),

@@ -55,7 +55,10 @@ def kv_effective_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kv_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K6: state at log index max_seq/2 (snapshot/time-travel)."""
     ops = _ops(spark, sf_dir)
-    half = ops.agg((F.max("seq") / 2).cast("long")).collect()[0][0]
+    # Floor division on BOTH sides: `/2 cast long` truncates in Spark but
+    # the oracle's CAST(x/2 AS BIGINT) rounds in DuckDB — for odd max_seq
+    # the two cuts would differ by one op.
+    half = ops.agg(F.expr("max(seq) div 2")).collect()[0][0]
     return snapshot_at(ops, int(half))
 
 
@@ -677,7 +680,7 @@ SELECT client_id, count(*) AS n_effective, max(req_id) AS high_water
 FROM eff GROUP BY client_id""",
     "kv_snapshot": f"""
 WITH {_OPS_CTE},
-cut AS (SELECT CAST(max(seq) / 2 AS BIGINT) AS half FROM ops),
+cut AS (SELECT max(seq) // 2 AS half FROM ops),
 ops2 AS (SELECT * FROM ops WHERE seq <= (SELECT half FROM cut)),
 hw AS (
   SELECT *, max(req_id) OVER (

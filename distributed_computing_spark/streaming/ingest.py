@@ -8,14 +8,20 @@ signature index is the only state, it grows with the *unique* corpus,
 and every batch's work is proportional to the batch — the corpus is
 never re-shingled (dedup.minhash_incremental_pairs).
 
-Exactly-once: foreachBatch + checkpoint give atomic per-batch apply;
-an exact re-delivered batch dedups against the index like any other
-duplicate content.
+Exactly-once: foreachBatch + checkpoint give at-least-once batch
+delivery; the store makes the apply idempotent by staging each batch's
+three outputs (corpus rows, signatures, fingerprints) under one
+per-batch directory and committing with a single atomic ``os.rename``
+— a crash mid-batch leaves only an uncommitted staging dir that the
+retry wipes, and a retry of an already-committed batch_id is a no-op.
+An exact re-delivered batch (new batch_id, same content) dedups
+against the index like any other duplicate content.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -28,43 +34,77 @@ from distributed_computing_spark.operators.dedup import (
 
 
 class CorpusIngestStore:
-    """Admitted-corpus + signature-index state (parquet-backed, same
-    swap discipline as kv_stream.KVTableStore)."""
+    """Admitted-corpus + signature-index state, parquet-backed with
+    per-batch atomic commit (``batches/<id>/{corpus,sigs,fps}``; the
+    rename of the staging dir into place IS the commit record)."""
 
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
         self.root = root
-        self.corpus_dir = os.path.join(root, "corpus")
-        self.sig_dir = os.path.join(root, "sigs")
-        self.fp_dir = os.path.join(root, "fps")
+        self.batches_dir = os.path.join(root, "batches")
+        self.staging_dir = os.path.join(root, "_staging")
 
-    def _read(self, path: str, schema: str) -> DataFrame:
-        if os.path.exists(path):
-            return self.spark.read.parquet(path)
+    def _committed(self) -> list[str]:
+        if not os.path.isdir(self.batches_dir):
+            return []
+        return sorted(
+            os.path.join(self.batches_dir, d)
+            for d in os.listdir(self.batches_dir)
+            if not d.startswith("_")
+        )
+
+    def _read(self, sub: str, schema: str) -> DataFrame:
+        paths = [
+            p for b in self._committed() if os.path.isdir(p := os.path.join(b, sub))
+        ]
+        if paths:
+            return self.spark.read.parquet(*paths)
         return self.spark.createDataFrame([], schema)
 
     def corpus(self) -> DataFrame:
         return self._read(
-            self.corpus_dir,
+            "corpus",
             "doc_id long, text string, lang string, source string, n_chars long",
         )
 
     def admit_batch(
         self,
         batch: DataFrame,
+        batch_id: int | None = None,
+        namespace: str = "manual",
         n: int = 3,
         num_hashes: int = 64,
         bands: int = 16,
         threshold: float = 0.5,
     ) -> None:
-        """Dedup the batch against index + itself; append survivors."""
-        spark = self.spark
+        """Dedup the batch against index + itself; commit survivors
+        atomically under ``batches/<namespace>-<batch_id>``. Idempotent
+        per (namespace, batch_id): a retry of a committed batch is a
+        no-op; a retry after a mid-write crash wipes the stale staging
+        dir first. ``namespace`` scopes Spark's per-checkpoint batch
+        counter — two streams with fresh checkpoints both start at
+        batch 0 and must not collide."""
+        if batch_id is None:
+            prefix = f"{namespace}-"
+            taken = [
+                int(os.path.basename(b)[len(prefix):])
+                for b in self._committed()
+                if os.path.basename(b).startswith(prefix)
+            ]
+            batch_id = max(taken, default=-1) + 1
+        name = f"{namespace}-{batch_id:020d}"
+        final_dir = os.path.join(self.batches_dir, name)
+        if os.path.isdir(final_dir):
+            return  # committed by a previous attempt
+        stage = os.path.join(self.staging_dir, name)
+        if os.path.isdir(stage):
+            shutil.rmtree(stage)  # failed prior attempt
         rows_per_band = num_hashes // bands
         batch = batch.dropDuplicates(["doc_id"]).persist()
         try:
             # tier 1: exact — fingerprint against admitted fingerprints
             # and within-batch (min doc_id wins)
-            fps = self._read(self.fp_dir, "fp string")
+            fps = self._read("fps", "fp string")
             fresh = (
                 batch.withColumn("fp", fingerprint("text"))
                 .withColumn(
@@ -77,7 +117,7 @@ class CorpusIngestStore:
             )
             # tier 2: near-dup — new sigs vs index bands + within-batch
             new_sigs = minhash_signatures(fresh, n, num_hashes).persist()
-            idx_sigs = self._read(self.sig_dir, "doc_id long, sig array<bigint>")
+            idx_sigs = self._read("sigs", "doc_id long, sig array<bigint>")
             nb = _band_rows(new_sigs, bands, rows_per_band)
             ib = _band_rows(idx_sigs, bands, rows_per_band)
             est = F.size(
@@ -121,12 +161,14 @@ class CorpusIngestStore:
             )
             adm_fps = admitted.select("fp")
             admitted_rows = admitted.drop("fp")
-            for df, path in (
-                (admitted_rows, self.corpus_dir),
-                (adm_sigs, self.sig_dir),
-                (adm_fps, self.fp_dir),
+            for df, sub in (
+                (admitted_rows, "corpus"),
+                (adm_sigs, "sigs"),
+                (adm_fps, "fps"),
             ):
-                df.write.mode("append").parquet(path)
+                df.write.mode("overwrite").parquet(os.path.join(stage, sub))
+            os.makedirs(self.batches_dir, exist_ok=True)
+            os.rename(stage, final_dir)  # the atomic commit point
             admitted.unpersist()
         finally:
             new_sigs.unpersist()
@@ -135,9 +177,12 @@ class CorpusIngestStore:
     def attach(self, doc_stream: DataFrame, checkpoint: str):
         """Run the ingest loop over a document stream (AvailableNow or
         continuous — the apply is per-micro-batch either way)."""
+        import hashlib
+
+        ns = hashlib.sha256(checkpoint.encode()).hexdigest()[:12]
 
         def apply(batch: DataFrame, batch_id: int) -> None:
-            self.admit_batch(batch)
+            self.admit_batch(batch, batch_id=batch_id, namespace=ns)
 
         return (
             doc_stream.writeStream.foreachBatch(apply)

@@ -83,6 +83,38 @@ def test_simhash_identical_docs_same_hash(spark):
     assert pairs.get((1, 2)) == 0
 
 
+def test_simhash_pigeonhole_recall_at_radius_6(spark):
+    """Planted signatures at every hamming distance 0..6 MUST all be
+    found at max_hamming=6 (pigeonhole needs h+1 = 7 blocks — with the
+    old fixed 4×16-bit split, distances 4-6 spread across all 4 chunks
+    were silently missed). Distance-7 pair must be excluded by verify."""
+    import random
+
+    rng = random.Random(42)
+    base = rng.getrandbits(63)
+    sigs, expect = [(0, base)], set()
+    next_id = 1
+    for d in range(1, 8):
+        # flip d bits spread maximally across the 7 chunk ranges so every
+        # chunk differs whenever d >= 7 (worst case for blocking)
+        positions = [((i * 64) // 7 + 3) % 64 for i in range(d)]
+        sig = base
+        for p in positions:
+            sig ^= 1 << p
+        sigs.append((next_id, sig))
+        if d <= 6:
+            expect.add((0, next_id))
+        next_id += 1
+    sig_df = spark.createDataFrame(sigs, "doc_id long, simhash long")
+    docs = spark.createDataFrame([(i, "x") for i, _ in sigs], "doc_id long, text string")
+    got = {
+        (r["a"], r["b"])
+        for r in simhash_pairs(docs, max_hamming=6, signatures=sig_df).collect()
+    }
+    assert expect <= got, f"missed planted pairs: {expect - got}"
+    assert (0, 7) not in got  # distance 7 verified out
+
+
 def test_neardup_clusters_chain_and_singletons(spark):
     """Connected components on a crafted graph: a 5-node CHAIN (label
     must propagate across multiple iterations), a 2-node pair, and

@@ -56,6 +56,30 @@ def test_streaming_ingest_dedup_across_batches(spark, tmp_path):
     assert admitted == {1, 2, 12}, admitted
 
 
+def test_retried_batch_is_idempotent(spark, tmp_path):
+    """At-least-once delivery: a retried (namespace, batch_id) — whether
+    after a successful commit or after a mid-write crash that left a
+    stale staging dir — must not duplicate corpus rows."""
+    import os as _os
+
+    rows = [_doc(i, " ".join(f"w{i}n{j}" for j in range(40))) for i in range(4)]
+    store = CorpusIngestStore(spark, str(tmp_path / "store_r"))
+    batch = spark.createDataFrame(rows, DOCS)
+    # crash simulation: a prior attempt died mid-write, leaving staging
+    stale = _os.path.join(store.staging_dir, "t-" + "0" * 20)
+    _os.makedirs(stale)
+    open(_os.path.join(stale, "junk"), "w").close()
+    store.admit_batch(batch, batch_id=0, namespace="t")
+    assert store.corpus().count() == 4
+    # retry of the committed batch: no-op
+    store.admit_batch(batch, batch_id=0, namespace="t")
+    assert store.corpus().count() == 4
+    # same batch id under a DIFFERENT namespace (fresh checkpoint) is a
+    # new logical batch — content-level dedup still admits nothing new
+    store.admit_batch(batch, batch_id=0, namespace="t2")
+    assert store.corpus().count() == 4
+
+
 def test_redelivered_batch_admits_nothing(spark, tmp_path):
     """Replaying identical content (retry/redelivery) admits zero new
     docs — content-level exactly-once."""
