@@ -354,22 +354,69 @@ def embedding_neardup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """[EXT] embedding-cosine near-duplicate pairs (a < b, sim ≥ t).
+    """[EXT] embedding-cosine near-duplicate pairs (a < b, sim ≥ t) —
+    EXACT, via blocked all-pairs GEMM.
 
-    Brute-force form for correctness; production path is
-    ``lsh_topk``-style bucketing first. Output keeps ids only — sims
-    are recomputed cheaply when needed, and float payloads don't ride
-    the shuffle.
+    Vectors hash into ``n_blocks`` blocks; every unordered block pair
+    (i ≤ j) is one ``applyInPandas`` group that runs a single BLAS GEMM
+    between its two blocks and emits only the qualifying id pairs. Each
+    unordered vector pair lives in exactly one group (same-block groups
+    take the strict upper triangle), so no dedup pass is needed. The
+    plan is replicate(×n_blocks) → one hash exchange → grouped GEMM:
+    no nested-loop join, and the only rows ever materialized are the
+    qualifying pairs themselves.
+
+    Scale: exact threshold joins are inherently O(N²) *flops*; this
+    shape keeps them inside BLAS (≈free up to ~10⁷ vectors per corpus
+    shard — size ``n_blocks`` so a block pair, 2N/B vectors, fits an
+    executor) while the shuffle stays O(N·B) skinny rows. Past that,
+    drop the exactness contract and use ``lsh_topk``-style banding;
+    on THIS data LSH cannot hold an exact oracle (qualifying sims
+    start at 0.4501 with bulk pairs at 0.40 — no gap to tune into).
+    Output keeps ids only; sims are recomputed cheaply when needed.
     """
-    a = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("a") < F.col("b"))
-        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("sim"))
-        .where(F.col("sim") >= threshold)
-        .select("a", "b")
+    t = float(threshold)
+    id_out = "a long, b long"
+
+    def block_pairs(key, pdf):
+        bi, bj = int(key[0]), int(key[1])
+        ids = pdf["_id"].to_numpy()
+        mat = np.array(list(pdf["_vec"]), dtype="float64")
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
+        if bi == bj:
+            sims = mat @ mat.T
+            ii, jj = np.nonzero(np.triu(sims >= t, k=1))
+            a, b = ids[ii], ids[jj]
+        else:
+            left = pdf["_blk"].to_numpy() == bi
+            la, lb = mat[left], mat[~left]
+            if not len(la) or not len(lb):
+                return pd.DataFrame({"a": [], "b": []}, dtype="int64")
+            sims = la @ lb.T
+            ii, jj = np.nonzero(sims >= t)
+            a, b = ids[left][ii], ids[~left][jj]
+        return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    rep = (
+        embeddings.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), blk.alias("_blk")
+        )
+        .select(
+            "*",
+            F.explode(F.array(*[F.lit(p) for p in range(n_blocks)])).alias("_p"),
+        )
+        .select(
+            "_id",
+            "_vec",
+            "_blk",
+            F.least("_blk", "_p").alias("bi"),
+            F.greatest("_blk", "_p").alias("bj"),
+        )
     )
+    return rep.groupBy("bi", "bj").applyInPandas(block_pairs, id_out)
 
 
 def cosine_topk_gemm(

@@ -77,6 +77,48 @@ def test_kv_replay_exactly_two_data_shuffles(spark):
     assert n_exchanges <= 2, f"kv replay grew to {n_exchanges} shuffles"
 
 
+def test_embedding_neardup_has_no_nested_loop_join(spark):
+    """The exact cosine-threshold pair plan must be the blocked GEMM
+    (replicate → one hash exchange → grouped applyInPandas), never a
+    BroadcastNestedLoopJoin materializing O(N²) row pairs."""
+    plan = _plan(QUERIES["embedding_neardup"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_embedding_neardup_exact_vs_numpy(spark):
+    """Blocked-GEMM pairs == the plain numpy all-pairs oracle on a
+    random corpus (exactness contract of the blocking layout: every
+    unordered pair in exactly one block-pair group)."""
+    import numpy as np
+    from distributed_computing_spark.operators.similarity import embedding_neardup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    # plant near-dups: 5 jittered copies
+    rows = [(i, v.tolist()) for i, v in enumerate(base)] + [
+        (100 + i, (base[i] + rng.normal(scale=0.05, size=16)).tolist())
+        for i in range(5)
+    ]
+    M = np.array([v for _, v in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    ids = [i for i, _ in rows]
+    expect = {
+        (min(ids[x], ids[y]), max(ids[x], ids[y]))
+        for x in range(len(ids))
+        for y in range(x + 1, len(ids))
+        if S[x, y] >= 0.8
+    }
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["a"], r["b"])
+        for r in embedding_neardup(df, threshold=0.8, n_blocks=4).collect()
+    }
+    assert got == expect
+
+
 def test_aqe_splits_skewed_join_at_runtime(spark):
     """The skew answer that needs no salting: AQE detects the hot
     partition at runtime and splits it (skew=true in the final adaptive
