@@ -100,10 +100,13 @@ def ngram_jaccard_pairs(
       common shingles per pair → Jaccard from |A|,|B|,|A∩B|.
 
     ``max_df`` is the scale guard: a shingle shared by millions of docs
-    creates a quadratic bucket. Dropping head shingles can only *miss*
-    pairs whose overlap is entirely head shingles — for dedup those are
-    boilerplate, which is usually the right thing to drop. Set
-    ``max_df=None`` for the exact oracle-checked variant.
+    creates a quadratic bucket. With the guard on, Jaccard is computed
+    entirely over the df-capped shingle space (sizes too, not just the
+    intersection) — a well-defined, SQL-expressible quantity, so the
+    guarded form is still exactly oracle-checkable. Dropping head
+    shingles can only *miss* pairs whose overlap is mostly head
+    shingles — for dedup that's boilerplate, the right thing to drop.
+    ``max_df=None`` recovers plain Jaccard over all shingles.
     """
     # The inverted index keys on xxhash64(shingle), not the string:
     # the self-join shuffles 8-byte keys instead of ~20-char text.
@@ -112,7 +115,6 @@ def ngram_jaccard_pairs(
     sh = shingle_rows(documents, n).select(
         "doc_id", F.xxhash64("shingle").alias("shingle_h")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if max_df is not None:
         n_docs = documents.count()
         cap = int(max_df * n_docs) + 1
@@ -120,6 +122,7 @@ def ngram_jaccard_pairs(
             sh.groupBy("shingle_h").agg(F.count("*").alias("df")).where(F.col("df") > cap)
         )
         sh = sh.join(head.select("shingle_h"), "shingle_h", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle_h")
     b = sh.select(F.col("doc_id").alias("b"), "shingle_h")
     common = (

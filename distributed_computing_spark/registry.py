@@ -168,8 +168,12 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact guarded near-dup pairs: the df cap (the quadratic-fanout
+    guard that makes this plan survive boilerplate-heavy corpora) runs
+    UNDER the gate, and the DuckDB oracle applies the identical cap —
+    guarded and exact are the same plan."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.35, max_df=None)
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.35, max_df=0.2)
 
 
 def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,7 +199,7 @@ def neardup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs — pairs to canonical clusters. Oracle: transitive closure via
     a recursive CTE over the same pair set."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.35, max_df=None)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.35, max_df=0.2)
     return dedup.neardup_clusters(docs, pairs)
 
 
@@ -987,11 +991,17 @@ FROM documents
 GROUP BY 1""",
     "ngram_jaccard_pairs": f"""
 WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
-g AS (
+g0 AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
   FROM t),
+-- identical df cap to the Spark plan: drop shingles appearing in more
+-- than floor(0.2 * n_docs) + 1 documents
+head AS (
+  SELECT shingle FROM g0 GROUP BY shingle
+  HAVING count(*) > CAST(floor(0.2 * (SELECT count(*) FROM documents)) AS BIGINT) + 1),
+g AS (SELECT * FROM g0 WHERE shingle NOT IN (SELECT shingle FROM head)),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY doc_id),
 common AS (
   SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS n_common

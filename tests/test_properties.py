@@ -48,6 +48,26 @@ def test_minhash_max_bucket_guard(spark):
     assert capped == 0
 
 
+def test_gate_ngram_query_guards_head_shingle_fanout(spark, tmp_path):
+    """The REGISTRY's ngram_jaccard_pairs entry (the plan the driver
+    gate and bench run) must carry the df cap: a corpus where every doc
+    shares one boilerplate phrase produces zero pairs instead of the
+    O(N²) head-shingle blowup. Guards only in library defaults don't
+    count — this pins the cap at the gate entry point."""
+    from distributed_computing_spark.registry import QUERIES
+
+    boiler = "subscribe to our newsletter for daily updates and offers"
+    rows = [
+        (i, f"{boiler} unique{i} tail{i} words{i} here{i}", "en", "s", 60)
+        for i in range(30)
+    ]
+    sf_dir = str(tmp_path / "sf_planted")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    assert QUERIES["ngram_jaccard_pairs"](spark, sf_dir).count() == 0
+
+
 def test_replay_hypothesis_fold_equality(spark):
     """Hypothesis port of GenericTest's invariant (kvraft/test_test.go:
     131-236): for ANY ops log — tiny req-id spaces (heavy duplicate
