@@ -76,41 +76,59 @@ def asof_join(
     )
 
 
+_BUCKET_UNITS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _bucket_seconds(bucket: str | int) -> int:
+    if isinstance(bucket, str):
+        qty, unit = bucket.split()
+        return int(qty) * _BUCKET_UNITS[unit.rstrip("s")]
+    return int(bucket)
+
+
 def range_join_count(
     left: DataFrame,
     right: DataFrame,
     on: str,
-    span: Column,
-    bucket: str = "1 hour",
+    span: int,
+    bucket: str | int = "1 hour",
     left_ts: str = "ts",
     right_ts: str = "ts",
     left_id: str = "event_id",
 ) -> DataFrame:
     """Count right rows with ``right_ts ∈ (left_ts - span, left_ts]``
-    per left row (left join — zero counts kept).
+    per left row (left join — zero counts kept). ``span`` is the window
+    length in seconds (a plan-time number, not a Column: the explode
+    factor is derived from it).
 
     Bucketed equi-join: both sides get epoch-aligned time buckets; a
-    left row explodes into the ⌈span/bucket⌉+1 buckets its window can
-    touch, the join runs on (key, bucket), and the exact bound filters
-    inside. ``span`` must not exceed the explode list (span == bucket
-    here: 2 buckets/row).
+    left row explodes into the ⌈span/bucket⌉+1 consecutive buckets its
+    window can touch, the join runs on (key, bucket), and the exact
+    bound filters inside. Shuffle volume = |L|·(⌈span/bucket⌉+1) + |R|,
+    never |L|×|R| — size ``bucket`` close to ``span`` to keep the
+    explode factor small.
     """
-    b = F.lit(3600) if bucket == "1 hour" else F.lit(int(bucket))
+    bucket_s = _bucket_seconds(bucket)
+    span_s = int(span)
+    if span_s <= 0:
+        raise ValueError(f"span must be a positive number of seconds, got {span}")
+    n_buckets = -(-span_s // bucket_s) + 1  # ceil + 1
+    b = F.lit(bucket_s)
     lsec = F.col(left_ts).cast("long")
     rsec = F.col(right_ts).cast("long")
+    base = F.floor(lsec / b).cast("long")
     lb = left.select(
         F.col(left_id).alias("_lid"),
         F.col(on),
         F.col(left_ts),
         lsec.alias("_lsec"),
-        F.explode(
-            F.array((lsec / b).cast("long"), ((lsec - b) / b).cast("long"))
-        ).alias("_bucket"),
-    ).dropDuplicates(["_lid", "_bucket"])
-    rb = right.select(
-        F.col(on), rsec.alias("_rsec"), (rsec / b).cast("long").alias("_bucket")
+        # consecutive buckets base-k are distinct by construction — no
+        # dedup pass (and no extra exchange) needed
+        F.explode(F.array(*[base - k for k in range(n_buckets)])).alias("_bucket"),
     )
-    span_s = span.cast("long")
+    rb = right.select(
+        F.col(on), rsec.alias("_rsec"), F.floor(rsec / b).cast("long").alias("_bucket")
+    )
     hits = (
         lb.join(rb, [on, "_bucket"])
         .where((F.col("_rsec") <= F.col("_lsec")) & (F.col("_rsec") > F.col("_lsec") - span_s))

@@ -292,7 +292,7 @@ def range_join_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.where(F.col("event_type") == "purchase")
     views = ev.where(F.col("event_type") == "view")
-    out = range_join_count(purchases, views, on="user_id", span=F.lit(3600))
+    out = range_join_count(purchases, views, on="user_id", span=3600)
     return out.select(
         F.col("event_id").alias("purchase_id"), "user_id",
         F.col("n_in_range").alias("n_views_1h"),

@@ -51,7 +51,7 @@ def test_empty_queries_topk(spark, sf_dir):
 def test_empty_joins(spark):
     empty = spark.createDataFrame([], EV)
     assert asof_join(empty, empty, on="user_id", right_cols=("event_id",)).count() == 0
-    assert range_join_count(empty, empty, on="user_id", span=F.lit(60)).count() == 0
+    assert range_join_count(empty, empty, on="user_id", span=60).count() == 0
 
 
 def test_tokens_of_degenerate_text(spark):

@@ -67,6 +67,42 @@ def test_range_join_count_bounds_and_zeros(spark):
     )
     out = {
         r["event_id"]: r["n_in_range"]
-        for r in range_join_count(purchases, views, on="user_id", span=F.lit(3600)).collect()
+        for r in range_join_count(purchases, views, on="user_id", span=3600).collect()
     }
     assert out == {1: 2, 2: 0}
+
+
+def test_range_join_count_span_exceeds_bucket(spark):
+    # span = 4h, bucket = 1h -> each left row must explode into 5 buckets;
+    # the pre-fix plan only looked 1 bucket back and undercounted.
+    purchases = spark.createDataFrame([(1, _ts("12:00:00"), 1)], TRADES)
+    views = spark.createDataFrame(
+        [
+            (1, _ts("08:00:00"), 30),  # exactly 4h before -> EXCLUDED (strict >)
+            (1, _ts("08:00:01"), 31),  # inside, 4 buckets back
+            (1, _ts("09:30:00"), 32),  # inside, 3 buckets back
+            (1, _ts("11:59:59"), 33),  # inside, same bucket
+            (1, _ts("12:00:01"), 34),  # after -> excluded
+        ],
+        QUOTES,
+    )
+    [r] = range_join_count(
+        purchases, views, on="user_id", span=4 * 3600, bucket="1 hour"
+    ).collect()
+    assert r["n_in_range"] == 3
+
+
+def test_range_join_count_bucket_exceeds_span(spark):
+    # bucket wider than span still needs 2 buckets (window can straddle).
+    purchases = spark.createDataFrame([(1, _ts("12:00:30"), 1)], TRADES)
+    views = spark.createDataFrame(
+        [
+            (1, _ts("11:59:45"), 40),  # inside, previous hour-bucket
+            (1, _ts("12:00:10"), 41),  # inside, same bucket
+        ],
+        QUOTES,
+    )
+    [r] = range_join_count(
+        purchases, views, on="user_id", span=60, bucket="1 hour"
+    ).collect()
+    assert r["n_in_range"] == 2
