@@ -42,10 +42,15 @@ def shingle_rows(
     form [adds an exchange + two sorts] measured worse.) Downstream
     per-doc aggregations introduce the only shuffle.
     """
-    toks = tokens(text_col)
+    # Materialize the token array as its own projection: the n slices all
+    # reference the SAME column attribute, so the regex tokenizer runs once
+    # per row (CollapseProject keeps a non-cheap alias with multiple refs
+    # as a separate project — inlining it would re-evaluate the split n+1x).
+    base = documents.select(id_col, tokens(text_col).alias("_toks"))
+    toks = F.col("_toks")
     span = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     zipped = F.arrays_zip(*[F.slice(toks, i + 1, span) for i in range(n)])
-    sh = documents.select(
+    sh = base.select(
         id_col,
         F.explode(
             F.transform(
@@ -109,28 +114,52 @@ def ngram_jaccard_pairs(
     ``max_df=None`` recovers plain Jaccard over all shingles.
     """
     # The inverted index keys on xxhash64(shingle), not the string:
-    # the self-join shuffles 8-byte keys instead of ~20-char text.
-    # (64-bit collisions would inflate n_common; at corpus scale the
-    # collision probability within any doc pair is < 1e-8 — accepted.)
-    sh = shingle_rows(documents, n).select(
-        "doc_id", F.xxhash64("shingle").alias("shingle_h")
+    # everything downstream of the first shuffle moves 8-byte keys
+    # instead of ~20-char text. (64-bit collisions would inflate
+    # n_common; at corpus scale the collision probability within any
+    # doc pair is < 1e-8 — accepted.)
+    #
+    # Postings-list plan (one heavy pass over the corpus, id-only after):
+    #   sh_dedup   scan+shingle+hash → dropDuplicates(doc, shingle_h)
+    #   df/head    groupBy(shingle_h).count > cap   — reuses sh_dedup's
+    #              exchange (identical subplan → ReusedExchange), so the
+    #              shingle pipeline executes ONCE
+    #   postings   guarded sh_dedup → groupBy(shingle_h) collect list
+    #              (bounded by cap — the guard runs BEFORE collection,
+    #              so no agg buffer ever holds a head shingle's docs)
+    #   pairs      nested explode of each posting list (map-side; an
+    #              equi-self-join on shingle_h would put the same
+    #              |df|^2 pair work on the same single reducer anyway)
+    #   sizes      guarded sh_dedup → groupBy(doc_id).count — third
+    #              reuse of the one heavy exchange
+    sh_dedup = (
+        shingle_rows(documents, n, distinct=False)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
+        .dropDuplicates(["doc_id", "shingle_h"])
     )
     if max_df is not None:
         n_docs = documents.count()
         cap = int(max_df * n_docs) + 1
         head = (
-            sh.groupBy("shingle_h").agg(F.count("*").alias("df")).where(F.col("df") > cap)
+            sh_dedup.groupBy("shingle_h")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > cap)
+            .select("shingle_h")
         )
-        sh = sh.join(head.select("shingle_h"), "shingle_h", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("a"), "shingle_h")
-    b = sh.select(F.col("doc_id").alias("b"), "shingle_h")
-    common = (
-        a.join(b, "shingle_h")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("n_common"))
+        sh_dedup = sh_dedup.join(head, "shingle_h", "left_anti")
+    postings = sh_dedup.groupBy("shingle_h").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("docs")
     )
+    pairs = (
+        postings.where(F.size("docs") > 1)
+        .select(F.posexplode("docs").alias("pos", "a"), "docs")
+        .select(
+            "a",
+            F.explode(F.expr("slice(docs, pos + 2, size(docs) - pos - 1)")).alias("b"),
+        )
+    )
+    common = pairs.groupBy("a", "b").agg(F.count("*").alias("n_common"))
+    sizes = sh_dedup.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sz_a = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a"))
     sz_b = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b"))
     return (
@@ -168,14 +197,12 @@ def minhash_signatures(
     sh = shingle_rows(documents, n, distinct=False).withColumn(
         "h", F.xxhash64("shingle")
     )
-    mins = [
-        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    agg = sh.groupBy("doc_id").agg(*mins)
-    return agg.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    # One expression string for the whole 64-wide agg: building 64
+    # separate Column objects costs ~0.8 s of py4j round-trips per call.
+    sig = F.expr(
+        "array(" + ", ".join(f"min(xxhash64(h, {i}))" for i in range(num_hashes)) + ")"
+    ).alias("sig")
+    return sh.groupBy("doc_id").agg(sig)
 
 
 def _band_rows(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
@@ -210,40 +237,48 @@ def minhash_lsh_pairs(
     """Near-dup candidate pairs via banded LSH, verified by signature sim.
 
     bands=16 × rows=4 over 64 hashes → s-curve threshold ≈ (1/16)^(1/4)
-    ≈ 0.5. Candidates = docs sharing any band hash (groupBy band bucket,
-    self-join), then estimated Jaccard = fraction of equal signature
-    positions; pairs below ``threshold`` are dropped.
+    ≈ 0.5. Candidates = docs sharing any band hash (bucket posting
+    lists, pairs expanded map-side), then estimated Jaccard = fraction
+    of equal signature positions; pairs below ``threshold`` are dropped.
 
-    Shuffle discipline (the 100 TB shape): the band self-join and the
-    (a, b) dedup move ONLY 24-byte id rows — signatures do not ride the
-    candidate exchange (that would be bands× the sig payload per doc).
-    The surviving sparse candidate set joins the signature table twice
-    afterwards; AQE picks broadcast when sigs fit, shuffle-hash
-    otherwise. Document text never shuffles anywhere.
+    Shuffle discipline (the 100 TB shape): the band-bucket exchange and
+    the (a, b) dedup move ONLY id/hash rows — signatures do not ride
+    the candidate exchange (that would be bands× the sig payload per
+    doc). The surviving sparse candidate set joins the persisted
+    signature table twice afterwards; AQE picks broadcast when sigs
+    fit, shuffle-hash otherwise. Document text never shuffles anywhere.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(documents, n, num_hashes)
+    # The signature table is the reusable index artifact (cf. the
+    # persisted parquet index in ``minhash_index``/``minhash_incremental``):
+    # tiny relative to the corpus (~0.5 KB/doc — the text never rides any
+    # exchange), consumed by banding AND both verify joins. Persist it so
+    # the scan+shingle+hash pipeline executes once, not once per consumer.
+    sigs = minhash_signatures(documents, n, num_hashes).persist()
     banded = _band_rows(sigs, bands, rows_per_band)
+    # Bucket postings: one groupBy replaces the guard's count+anti-join
+    # AND the candidate self-join's two exchanges. The |bucket|^2 pair
+    # fan-out guard is now a HAVING on posting size — THE worst-case
+    # guard at corpus scale (boilerplate-heavy corpora produce
+    # degenerate buckets). Docs inside an over-full bucket still pair
+    # through their other bands — dropping the bucket costs recall only
+    # for pairs similar in exactly one band, which at |bucket| >
+    # max_bucket are overwhelmingly false positives. Map-side nested
+    # explode does the pair expansion: an equi-self-join on
+    # (band, bucket) would land the same |bucket|^2 work on a single
+    # reducer anyway, so this trades two shuffles for none.
+    postings = banded.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("docs")
+    )
     if max_bucket is not None:
-        # THE worst-case guard at corpus scale: a degenerate band bucket
-        # (boilerplate-heavy corpora produce them) fans out |bucket|^2
-        # candidate pairs. Docs inside an over-full bucket still pair
-        # through their other bands — dropping the bucket costs recall
-        # only for pairs similar in exactly one band, which at
-        # |bucket| > max_bucket are overwhelmingly false positives.
-        big = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count("*").alias("_bs"))
-            .where(F.col("_bs") > max_bucket)
-            .select("band", "bucket")
-        )
-        banded = banded.join(big, ["band", "bucket"], "left_anti")
-    left = banded.select(F.col("doc_id").alias("a"), "band", "bucket")
-    right = banded.select(F.col("doc_id").alias("b"), "band", "bucket")
+        postings = postings.where(F.size("docs") <= max_bucket)
     cand = (
-        left.join(right, ["band", "bucket"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
+        postings.where(F.size("docs") > 1)
+        .select(F.posexplode("docs").alias("pos", "a"), "docs")
+        .select(
+            "a",
+            F.explode(F.expr("slice(docs, pos + 2, size(docs) - pos - 1)")).alias("b"),
+        )
         .dropDuplicates(["a", "b"])
     )
     sig_a = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
