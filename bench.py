@@ -80,17 +80,29 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # Crossover tier (BASELINE.md): at sf0.1 the DuckDB gap measures
+    # per-query fixed overhead, so ALSO measure both engines on the same
+    # R×-replicated data where data volume dominates. Runs the exact
+    # oracle SQL on the DuckDB side; scaled parquet is cached across
+    # runs. Disable with SPARK_GRAFT_CROSSOVER=0.
+    if os.environ.get("SPARK_GRAFT_CROSSOVER", "1") != "0":
+        try:
+            from tools.crossover import run_crossover
+
+            R = int(os.environ.get("SPARK_GRAFT_CROSSOVER_R", "20"))
+            payload["crossover"] = run_crossover(spark, sf_dir, R=R)
+        except Exception as e:  # never fail the bench over the extra tier
+            payload["crossover"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

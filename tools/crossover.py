@@ -1,0 +1,195 @@
+"""Crossover tier: Spark vs DuckDB on the SAME R×-scaled data.
+
+At sf0.1 the per-query gap to DuckDB measures fixed overhead (Catalyst
+planning, stage scheduling), not plan quality — BASELINE.md. This module
+makes the scale argument a measured number the driver records: replicate
+the sf tables R× (ids remapped so keys stay unique, text perturbed so
+dedup structures aren't degenerate), then time a mixed set of registry
+queries on BOTH engines over the same scaled parquet, using the exact
+oracle SQL on the DuckDB side. The set deliberately includes
+DuckDB-favored relational queries (regional_revenue) alongside the
+text-heavy ones where Spark's parallel per-row work dominates — the
+point is the slope, not a cherry-picked win.
+
+Scaled data is cached under .scalecache/ (gitignored) keyed by a
+manifest (R + source dir), so repeated bench runs pay generation once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+# Queries must have exact oracles (same SQL runs on DuckDB) and touch
+# only tables scaled/copied below.
+DEFAULT_QUERIES = [
+    "word_count_top10",   # shuffle-heavy agg over exploded tokens
+    "text_stats",         # per-row text expressions (Spark-favored)
+    "quality_scores",     # regex-heavy scoring (Spark-favored)
+    "exact_dedup",        # fingerprint groupBy
+    "events_windowed",    # event-time rollup
+    "user_sessions",      # per-user window/sessionization
+    "regional_revenue",   # 5-way dim join (DuckDB-favored at this size)
+]
+
+# Fact tables are replicated with remapped keys; everything else copied.
+_FACTS = ("documents", "events", "orders", "lineitem")
+_COPY = ("region", "nation", "customer", "supplier", "part", "embeddings")
+
+
+def _scaled_dir(sf_dir: str, R: int) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    root = os.environ.get(
+        "SPARK_GRAFT_CROSSOVER_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scalecache"),
+    )
+    return os.path.join(root, f"{base}_x{R}")
+
+
+def ensure_scaled(spark: SparkSession, sf_dir: str, R: int) -> str:
+    """Idempotently materialize the R× replica; returns its dir."""
+    from distributed_computing_spark.sources.catalog import load_table
+
+    dest = _scaled_dir(sf_dir, R)
+    manifest = os.path.join(dest, "manifest.json")
+    if os.path.exists(manifest):
+        try:
+            m = json.load(open(manifest))
+            if m.get("R") == R and m.get("source") == sf_dir:
+                return dest
+        except Exception:
+            pass
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest, exist_ok=True)
+
+    reps = F.broadcast(spark.range(R).select(F.col("id").alias("_r")))
+
+    docs = load_table(spark, sf_dir, "documents")
+    (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") * R + F.col("_r")).alias("doc_id"),
+            F.concat("text", F.lit(" rep"), F.col("_r").cast("string")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{dest}/documents.parquet")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.crossJoin(reps)
+        .select(
+            (F.col("event_id") * R + F.col("_r")).alias("event_id"),
+            "ts",
+            (F.col("user_id") * R + F.col("_r")).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{dest}/events.parquet")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    (
+        orders.crossJoin(reps)
+        .withColumn("o_orderkey", F.col("o_orderkey") * R + F.col("_r"))
+        .drop("_r")
+        .write.mode("overwrite")
+        .parquet(f"{dest}/orders.parquet")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    (
+        lineitem.crossJoin(reps)
+        # l_orderkey remap matches orders so join keys stay consistent
+        .withColumn("l_orderkey", F.col("l_orderkey") * R + F.col("_r"))
+        .drop("_r")
+        .write.mode("overwrite")
+        .parquet(f"{dest}/lineitem.parquet")
+    )
+    for t in _COPY:
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(src):
+            shutil.copy(src, f"{dest}/{t}.parquet")
+
+    with open(manifest, "w") as fh:
+        json.dump({"R": R, "source": sf_dir}, fh)
+    return dest
+
+
+def _duckdb_connect(scaled: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in _FACTS + _COPY:
+        p = f"{scaled}/{t}.parquet"
+        if os.path.isdir(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+            )
+        elif os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def run_crossover(
+    spark: SparkSession,
+    sf_dir: str,
+    R: int = 20,
+    queries: list[str] | None = None,
+) -> dict:
+    """Time each query on Spark and DuckDB over the same R× data."""
+    from distributed_computing_spark.registry import ORACLES, QUERIES
+
+    queries = queries or DEFAULT_QUERIES
+    scaled = ensure_scaled(spark, sf_dir, R)
+
+    # Warm page cache + parquet footers on the Spark side once; DuckDB
+    # then reads the same (now cached) files — neither side pays cold IO.
+    from distributed_computing_spark.sources.catalog import load_table
+
+    rows = {}
+    for t in ("documents", "events", "lineitem"):
+        rows[t] = load_table(spark, scaled, t).count()
+
+    con = _duckdb_connect(scaled)
+    out: dict[str, dict[str, float]] = {}
+    spark_total = duck_total = 0.0
+    for name in queries:
+        t0 = time.time()
+        QUERIES[name](spark, scaled).count()
+        s = round(time.time() - t0, 3)
+        t0 = time.time()
+        con.execute(ORACLES[name]).fetchall()
+        d = round(time.time() - t0, 3)
+        out[name] = {"spark_s": s, "duckdb_s": d}
+        spark_total += s
+        duck_total += d
+    con.close()
+    return {
+        "R": R,
+        "rows": rows,
+        "queries": out,
+        "spark_total_s": round(spark_total, 3),
+        "duckdb_total_s": round(duck_total, 3),
+        "spark_over_duckdb": round(spark_total / max(duck_total, 1e-9), 3),
+    }
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from distributed_computing_spark.session import get_spark
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    R = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    sp = get_spark(app_name="crossover")
+    sp.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(run_crossover(sp, sf, R), indent=2))
