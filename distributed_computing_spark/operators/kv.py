@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 OPS_COLUMNS = ("seq", "client_id", "req_id", "op", "key", "value")
 
 
-def ops_from_events(events: DataFrame) -> DataFrame:
+def ops_from_events(events: DataFrame, keep_ts: bool = False) -> DataFrame:
     """Derive a deterministic ops log from the `events` table.
 
     This is the test-data adapter: event_id gives the total order (the
@@ -41,8 +41,13 @@ def ops_from_events(events: DataFrame) -> DataFrame:
     locality, and the event_type maps onto the op kind. The modulus on
     req_id deliberately makes clients re-send old req_ids so the K4
     high-water dedup path is exercised.
+
+    ``keep_ts`` retains the event-time column for streaming consumers
+    that need a watermark (dedup_within_watermark).
     """
+    extra = [F.col("ts")] if keep_ts else []
     return events.select(
+        *extra,
         F.col("event_id").alias("seq"),
         (F.col("user_id") % 50).alias("client_id"),
         (F.col("event_id") % 97).alias("req_id"),

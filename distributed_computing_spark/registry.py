@@ -459,6 +459,27 @@ def stream_kv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.state()
 
 
+def stream_dedup_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 streaming-NATIVE: duplicate-request suppression of the ops
+    feed via the built-in ``dropDuplicatesWithinWatermark`` state store
+    (no custom stateful operator). The whole bounded feed replays within
+    one watermark horizon, so the surviving rows are exactly the
+    DISTINCT (client_id, req_id) pairs — which is the SQL oracle."""
+    from distributed_computing_spark.streaming.kv_stream import dedup_within_watermark
+    from distributed_computing_spark.streaming.runner import run_to_batch, stream_table
+
+    ops = ops_from_events(load_table(spark, sf_dir, "events"), keep_ts=True)
+    out = run_to_batch(
+        dedup_within_watermark(stream_table(spark, ops)),
+        spark,
+        output_mode="append",
+    )
+    return out.groupBy("client_id").agg(
+        F.count("*").alias("n_unique_reqs"),
+        F.max("req_id").alias("max_req"),
+    )
+
+
 def stream_kv_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3/K4/K5 via the custom-stateful-operator shape: per-client
     applyInPandasWithState dedup chained (through an intermediate sink)
@@ -645,6 +666,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_enriched": stream_enriched,
     "stream_kv_state": stream_kv_state,
     "stream_kv_stateful": stream_kv_stateful,
+    "stream_dedup_ops": stream_dedup_ops,
     # [EXT] multimodal binary columns
     "multimodal_stats": multimodal_stats,
     "multimodal_frames": multimodal_frames,
@@ -1241,6 +1263,18 @@ SELECT to_timestamp(21600 * (epoch_us(ts) // 1000000 // 21600)) AS window_start,
 FROM events
 GROUP BY 1, 2""",
     "stream_kv_state": None,  # filled below (= kv_state oracle)
+    # streaming-native K4: survivors of dropDuplicatesWithinWatermark over
+    # a bounded replay == DISTINCT (client, req) pairs
+    "stream_dedup_ops": """
+WITH ops AS (
+  SELECT user_id % 50 AS client_id,
+         event_id % 97 AS req_id
+  FROM events
+)
+SELECT client_id,
+       count(DISTINCT req_id) AS n_unique_reqs,
+       max(req_id) AS max_req
+FROM ops GROUP BY client_id""",
     "multimodal_stats": """
 SELECT doc_id AS blob_id,
        CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

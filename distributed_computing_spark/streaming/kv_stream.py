@@ -169,6 +169,26 @@ def foreach_batch_apply(
     )
 
 
+def dedup_within_watermark(
+    ops_stream: DataFrame, time_col: str = "ts", delay: str = "365 days"
+) -> DataFrame:
+    """K4, streaming-NATIVE form: duplicate-request suppression via the
+    built-in ``dropDuplicatesWithinWatermark`` state store — no custom
+    stateful operator, bounded state (entries evict once older than the
+    watermark delay).
+
+    Semantics vs the reference's dedup table (kvraft/server.go:72-80):
+    this drops exact (client_id, req_id) redeliveries — the at-least-
+    once transport retry case — whereas the high-water variant
+    (``dedup_stream``) also drops STALE req_ids. Both are K4 shapes; a
+    redelivery storm is the common case the built-in covers with zero
+    Python in the hot path.
+    """
+    return ops_stream.withWatermark(time_col, delay).dropDuplicatesWithinWatermark(
+        ["client_id", "req_id"]
+    )
+
+
 def dedup_stream(ops_stream: DataFrame) -> DataFrame:
     """Shape 2a: per-CLIENT stateful high-water dedup (streaming K4).
 
