@@ -53,13 +53,14 @@ HW_SCHEMA = "client_id long, high_water long"
 
 
 class KVTableStore:
-    """Parquet-backed KV state + per-client high-water tables.
+    """KV state + per-client high-water tables behind the MERGE sink.
 
     The durable-state half of shape 1. ``apply_batch`` is the
     distributed merge: read state, apply the (deduped) batch delta,
-    atomically swap. With Delta/Iceberg this is literally MERGE INTO;
-    on plain parquet we write-new-then-swap, which keeps the same
-    all-or-nothing batch semantics.
+    commit. The physical form is decided by ``sinks``: real
+    ``MERGE INTO`` when the session has Delta (ACID under concurrent
+    writers, matched-file-only rewrites), staged parquet swap otherwise
+    (same all-or-nothing batch semantics, single writer).
     """
 
     def __init__(self, spark: SparkSession, root: str) -> None:
@@ -69,14 +70,14 @@ class KVTableStore:
         self.hw_dir = os.path.join(root, "high_water")
 
     def state(self) -> DataFrame:
-        if os.path.exists(self.state_dir):
-            return self.spark.read.parquet(self.state_dir)
-        return self.spark.createDataFrame([], STATE_SCHEMA)
+        from distributed_computing_spark import sinks
+
+        return sinks.read_state(self.spark, self.state_dir, STATE_SCHEMA)
 
     def high_water(self) -> DataFrame:
-        if os.path.exists(self.hw_dir):
-            return self.spark.read.parquet(self.hw_dir)
-        return self.spark.createDataFrame([], HW_SCHEMA)
+        from distributed_computing_spark import sinks
+
+        return sinks.read_state(self.spark, self.hw_dir, HW_SCHEMA)
 
     def apply_batch(self, batch: DataFrame) -> None:
         """Dedup the batch against persistent high-water, fold writes
@@ -94,9 +95,8 @@ class KVTableStore:
         eff = dedup_ops(fresh)
         eff.persist()
         try:
-            # fold the batch's writes on top of current state: existing
-            # value acts as a seq=-inf append base unless a put resets.
-            cur = self.state().select("key", F.col("value").alias("_base"))
+            # fold the batch's writes; the MERGE treats the existing
+            # value as a seq=-inf append base unless a put (_lp) resets.
             writes = eff.where(F.col("op").isin("put", "append"))
             last_put = writes.groupBy("key").agg(
                 F.max(F.when(F.col("op") == "put", F.col("seq"))).alias("_lp")
@@ -116,41 +116,16 @@ class KVTableStore:
                     F.max("_lp").alias("_lp"),
                 )
             )
-            new_state = (
-                cur.join(folded, "key", "full")
-                .select(
-                    "key",
-                    F.when(
-                        F.col("_delta").isNull(), F.col("_base")
-                    )
-                    .when(F.col("_lp").isNotNull(), F.col("_delta"))
-                    .otherwise(F.concat(F.coalesce(F.col("_base"), F.lit("")), F.col("_delta")))
-                    .alias("value"),
-                )
+            from distributed_computing_spark import sinks
+
+            sinks.merge_kv_state(spark, self.state_dir, folded)
+            sinks.merge_high_water(
+                spark,
+                self.hw_dir,
+                eff.groupBy("client_id").agg(F.max("req_id").alias("high_water")),
             )
-            new_hw = (
-                hw.unionByName(
-                    eff.groupBy("client_id").agg(F.max("req_id").alias("high_water"))
-                )
-                .groupBy("client_id")
-                .agg(F.max("high_water").alias("high_water"))
-            )
-            self._swap(new_state, self.state_dir)
-            self._swap(new_hw, self.hw_dir)
         finally:
             eff.unpersist()
-
-    def _swap(self, df: DataFrame, path: str) -> None:
-        tmp = path + ".tmp"
-        df.write.mode("overwrite").parquet(tmp)
-        old = path + ".old"
-        if os.path.exists(path):
-            os.replace(path, old)
-        os.replace(tmp, path)
-        if os.path.exists(old):
-            import shutil
-
-            shutil.rmtree(old, ignore_errors=True)
 
 
 def foreach_batch_apply(

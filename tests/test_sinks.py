@@ -52,6 +52,65 @@ def test_bucketed_write_removes_join_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS l_b")
 
 
+def test_merge_sink_upsert_parquet_backend(spark, tmp_path):
+    """MERGE sink (sinks.py): K2 table form against a stored table.
+    In-container the Delta extension is absent, so the staged-swap
+    parquet backend must produce MERGE INTO semantics: matched keys
+    take the update row, unmatched insert (kvraft server.go:113-121)."""
+    from distributed_computing_spark import sinks
+
+    assert not sinks.delta_available(spark)  # container default
+    path = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    )
+    sinks.merge_upsert_path(spark, path, base, "id")
+    upd = spark.createDataFrame(
+        [(2, "B"), (3, "c")], "id long, v string"
+    )
+    sinks.merge_upsert_path(spark, path, upd, "id")
+    got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    # staged swap leaves no temp residue a reader could observe
+    import os
+
+    assert not os.path.exists(path + ".tmp") and not os.path.exists(path + ".old")
+
+
+def test_merge_sink_kv_state_and_high_water(spark, tmp_path):
+    """merge_kv_state: _lp (last put) resets the value, else the delta
+    concat-appends onto the stored base; merge_high_water keeps the max
+    per client — the two MERGEs KVTableStore.apply_batch commits."""
+    from distributed_computing_spark import sinks
+    from distributed_computing_spark.streaming.kv_stream import HW_SCHEMA
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [("k1", "v1", 1), ("k2", "x", None)],
+        "key string, _delta string, _lp long",
+    )
+    sinks.merge_kv_state(spark, state, b1)
+    # batch 2: k1 appends onto stored base, k2's put resets, k3 inserts
+    b2 = spark.createDataFrame(
+        [("k1", "+more", None), ("k2", "RESET", 5), ("k3", "new", None)],
+        "key string, _delta string, _lp long",
+    )
+    sinks.merge_kv_state(spark, state, b2)
+    got = {r["key"]: r["value"] for r in spark.read.parquet(state).collect()}
+    assert got == {"k1": "v1+more", "k2": "RESET", "k3": "new"}
+
+    hw = str(tmp_path / "hw")
+    sinks.merge_high_water(
+        spark, hw, spark.createDataFrame([(1, 10), (2, 20)], HW_SCHEMA)
+    )
+    # client 1 regresses (stale replay) -> keeps 10; client 3 inserts
+    sinks.merge_high_water(
+        spark, hw, spark.createDataFrame([(1, 7), (3, 30)], HW_SCHEMA)
+    )
+    got = {r["client_id"]: r["high_water"] for r in spark.read.parquet(hw).collect()}
+    assert got == {1: 10, 2: 20, 3: 30}
+
+
 def test_json_sink_source_roundtrip(spark, tmp_path):
     """S3/S4/S5 durable analog: the reference's shuffle/output files
     were newline-JSON KeyValue (common_map.go:65-88); the engine's JSON
