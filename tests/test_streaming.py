@@ -231,3 +231,65 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = spark.sql("SELECT event_id FROM dedup_out").collect()
     assert len(got) == 100
     assert len({r["event_id"] for r in got}) == 100
+
+
+def test_kafka_source_gate_and_decode(spark, tmp_path):
+    """Kafka ops source (kafka_source.py): connector absent in this
+    container -> gate False and a clear error; the value-decode
+    transform itself is connector-independent, so verify it on a
+    batch DataFrame shaped like Kafka's wire format — well-formed ops
+    round-trip, malformed values land in _corrupt instead of crashing."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from distributed_computing_spark.streaming.kafka_source import (
+        kafka_available,
+        parse_kafka_ops,
+        read_ops_stream,
+    )
+
+    assert not kafka_available(spark)
+    with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        read_ops_stream(spark, kafka_bootstrap="broker:9092")
+
+    ops = random_ops(7, n=50)
+    wire = [
+        (
+            _json.dumps(
+                dict(
+                    zip(
+                        ("seq", "client_id", "req_id", "op", "key", "value"), o
+                    )
+                )
+            ).encode(),
+            0,
+            i,
+        )
+        for i, o in enumerate(ops)
+    ] + [(b"not json", 0, len(ops)), (b'{"op": "get"}', 0, len(ops) + 1)]
+    kafka_shaped = spark.createDataFrame(
+        wire, "value binary, partition int, offset long"
+    )
+    decoded = parse_kafka_ops(kafka_shaped)
+    good = decoded.where(F.col("_corrupt").isNull()).drop("_corrupt")
+    got = sorted(tuple(r) for r in good.collect())
+    assert got == sorted(ops)
+    bad = decoded.where(F.col("_corrupt").isNotNull()).collect()
+    assert {r["_corrupt"] for r in bad} == {"not json", '{"op": "get"}'}
+
+
+def test_kafka_file_fallback_feeds_apply_loop(spark, tmp_path):
+    """read_ops_stream's file fallback is the same OPS_SCHEMA stream:
+    wiring it into KVTableStore reaches serial-replay state (the
+    source-agnostic contract the Kafka path shares)."""
+    from distributed_computing_spark.streaming.kafka_source import read_ops_stream
+
+    ops = random_ops(31, n=200)
+    src = _write_ops_batches(spark, str(tmp_path), ops, n_batches=2)
+    stream = read_ops_stream(spark, files_path=src)
+    store = KVTableStore(spark, str(tmp_path / "store"))
+    foreach_batch_apply(stream, store, str(tmp_path / "ckpt")).awaitTermination(120)
+    got = {r["key"]: r["value"] for r in store.state().collect() if r["value"] != ""}
+    want = {k: v for k, v in serial_replay(ops).items() if v != ""}
+    assert got == want
