@@ -1,0 +1,274 @@
+"""Training-corpus curation operators ([EXT]): clean/redact, chunk,
+pack, mixture-sample, data-quality audit.
+
+The steps between "raw crawl" and "training batches" that a 100 TB
+text pipeline runs after dedup (dedup.py) and quality scoring
+(textstats.py):
+
+- ``clean_docs`` — normalization + PII redaction (URLs, emails,
+  phone-shaped numbers) as pure regexp Column expressions.
+- ``chunk_docs`` — fixed-size token windows with stride overlap
+  (``sequence`` + ``posexplode`` + ``slice``; one shuffle-free pass).
+- ``pack_chunks`` — assign chunks to fixed-capacity training bins via
+  a per-source cumulative token count (the distributed stand-in for
+  greedy sample packing: window partitioned BY source so no global
+  single-partition sort exists at scale).
+- ``mixture_sample`` — deterministic per-source sampling rates (the
+  Pile/CC-style mixture weights), via a bounded multiplicative hash so
+  ANSI mode can't overflow and DuckDB can mirror it exactly.
+- ``dq_audit`` — referential/nullability/range violation counts across
+  the relational tables; each check is an independent aggregate that
+  Catalyst executes as its own pruned scan.
+
+Everything is JVM-side Column code — no UDFs — and every operator has
+an exact DuckDB oracle in the registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from distributed_computing_spark.functions.text import TOKEN_SPLIT_RE
+from distributed_computing_spark.sources.catalog import load_table
+
+# RE2-compatible (DuckDB) and Java-regex-compatible patterns, so the
+# identical strings run on both engines.
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"(\+?[0-9]{1,2}[-.])?[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}"
+
+
+def clean_text(col: Column | str) -> Column:
+    """Redact URL/EMAIL/PHONE spans, collapse whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, URL_RE, "<URL>")
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PHONE_RE, "<PHONE>")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning pass over `documents`: redacted text + audit columns
+    (chars removed, redaction hit counts) so a pipeline can monitor
+    what the cleaner is actually doing at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = clean_text(F.col("text"))
+    n_redactions = (
+        F.size(F.split(F.col("text"), URL_RE))
+        + F.size(F.split(F.col("text"), EMAIL_RE))
+        + F.size(F.split(F.col("text"), PHONE_RE))
+        - F.lit(3)
+    )
+    return docs.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        (F.length("text") - F.length(cleaned)).alias("chars_removed"),
+        n_redactions.cast("long").alias("n_redactions"),
+    )
+
+
+def chunk_docs(
+    docs: DataFrame, size: int = 64, stride: int = 48, text_col: str = "text"
+) -> DataFrame:
+    """Fixed-size token windows with overlap (training-sample prep).
+
+    Emits one row per (doc, window): chunk_id, the chunk's text and its
+    token count. stride < size gives overlapping context windows. No
+    shuffle: tokenize → per-row ``sequence`` of window starts →
+    ``posexplode`` → ``slice`` all happen within the scan stage, so at
+    100 TB this is a map-only pass whose output can stream straight to
+    a partitioned writer.
+    """
+    if not (0 < stride <= size):
+        raise ValueError(f"need 0 < stride <= size, got {stride=} {size=}")
+    toks = F.filter(
+        F.split(F.col(text_col), TOKEN_SPLIT_RE), lambda t: t != ""
+    )
+    with_toks = docs.select(
+        "doc_id", toks.alias("_toks"), F.size(toks).alias("_n")
+    ).where(F.col("_n") > 0)
+    starts = F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+    exploded = with_toks.select(
+        "doc_id",
+        "_toks",
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start") + 1, size)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )
+
+
+def chunk_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form: chunk `documents` at 64/48 and return the chunk
+    rows (doc_id, chunk_id, chunk_text, n_tokens)."""
+    return chunk_docs(load_table(spark, sf_dir, "documents"))
+
+
+def pack_chunks(
+    chunks: DataFrame, capacity: int = 256, group_col: str = "source"
+) -> DataFrame:
+    """Assign chunks to fixed-capacity training bins per group.
+
+    Orders chunks within each group by (doc_id, chunk_id), takes the
+    running token total, and bins at ``capacity`` boundaries:
+    bin = tokens_before_this_chunk div capacity. This is cumulative-sum
+    packing — bins can overflow by at most one chunk, which is the
+    standard scale tradeoff vs. exact first-fit (inherently serial).
+    The window partitions by ``group_col``, so parallelism = number of
+    groups and no global sort exists.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        chunks.withColumn("_before", cum - F.col("n_tokens"))
+        .select(
+            group_col,
+            F.expr(f"_before div {capacity}").alias("bin_id"),
+            "n_tokens",
+        )
+        .groupBy(group_col, "bin_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        )
+    )
+
+
+def pack_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form: chunk then pack per source at capacity 256."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_docs(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return pack_chunks(chunks)
+
+
+# Two-round LCG over a prime modulus, with bounded intermediates:
+# pmod-ing after each multiply keeps products < 1e6 * 62089 ≈ 6e10 « 2^63,
+# so ANSI mode cannot overflow at any id scale, and the same arithmetic
+# runs verbatim in DuckDB. The prime modulus matters: a single
+# multiplicative round mod 10^4 aliases badly with periodic id→group
+# assignments (e.g. group = id % 20), skewing per-group rates.
+_HP = 999983  # prime
+
+
+def _sample_hash(id_col: Column | str) -> Column:
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    x = F.pmod(F.pmod(c, _HP) * 62089, _HP)
+    x = F.pmod((x + 74747) * 58229, _HP)
+    return F.pmod(x, 10000)
+
+
+def mixture_sample(
+    docs: DataFrame, rates: dict[str, float], group_col: str = "source", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic mixture sampling: keep each row of group g with
+    probability rates[g] (0 for unlisted groups), decided by a hash of
+    the row id — reproducible across runs/executors, no RNG state, and
+    joins/unions of samples stay consistent (the same doc is always in
+    or always out)."""
+    rate_col = F.lit(None).cast("double")
+    for g, r in sorted(rates.items()):
+        rate_col = F.when(F.col(group_col) == g, F.lit(r)).otherwise(rate_col)
+    return docs.where(
+        _sample_hash(id_col) < (F.coalesce(rate_col, F.lit(0.0)) * 10000).cast("long")
+    )
+
+
+def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form: a skewed mixture over the synthetic sources
+    (25%/50%/75%/100%, others dropped), summarized as kept rows +
+    tokens per source (small, oracle-friendly)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        docs, {"src0": 0.25, "src1": 0.5, "src2": 0.75, "src3": 1.0}
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.filter(F.split("text", TOKEN_SPLIT_RE), lambda t: t != "")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: violation counts per check over the
+    relational tables. Each check is one aggregate over a pruned scan;
+    the union of 1-row results is driver-cheap at any scale. Checks:
+    nullability, duplicate PKs, referential integrity (orphans),
+    value-range contracts."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        # each df is a 1-row count aggregate (count never yields null)
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("violations").cast("long").alias("violations"),
+        )
+
+    checks = [
+        one(
+            "orders_null_custkey",
+            orders.agg(
+                F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("violations")
+            ),
+        ),
+        one(
+            "orders_dup_orderkey",
+            orders.agg(
+                (F.count("o_orderkey") - F.countDistinct("o_orderkey")).alias(
+                    "violations"
+                )
+            ),
+        ),
+        one(
+            "orders_orphan_custkey",
+            orders.join(
+                customer, orders.o_custkey == customer.c_custkey, "left_anti"
+            ).agg(F.count("*").alias("violations")),
+        ),
+        one(
+            "lineitem_orphan_orderkey",
+            lineitem.join(
+                orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+            ).agg(F.count("*").alias("violations")),
+        ),
+        one(
+            "lineitem_nonpositive_price",
+            lineitem.agg(
+                F.count(F.when(F.col("l_extendedprice") <= 0, 1)).alias("violations")
+            ),
+        ),
+        one(
+            "lineitem_qty_out_of_range",
+            lineitem.agg(
+                F.count(
+                    F.when(~F.col("l_quantity").between(1, 50), 1)
+                ).alias("violations")
+            ),
+        ),
+        one(
+            "customer_dup_custkey",
+            customer.agg(
+                (F.count("c_custkey") - F.countDistinct("c_custkey")).alias(
+                    "violations"
+                )
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -18,7 +18,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from distributed_computing_spark.operators import analytics, dedup, similarity, textstats
+from distributed_computing_spark.operators import (
+    analytics,
+    curation,
+    dedup,
+    similarity,
+    textstats,
+)
 from distributed_computing_spark.operators.kv import (
     dedup_ops,
     ops_from_events,
@@ -685,6 +691,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_docs_per_lang": textstats.top_docs_per_lang,
     "tfidf_top_terms": textstats.tfidf_top_terms,
     "bigram_counts": textstats.bigram_counts,
+    # [EXT] corpus curation (clean → chunk → pack → mix, + DQ audit)
+    "clean_docs": curation.clean_docs,
+    "chunk_docs": curation.chunk_docs_q,
+    "pack_chunks": curation.pack_chunks_q,
+    "mixture_sample": curation.mixture_sample_q,
+    "dq_audit": curation.dq_audit,
+    # sample_by_lang is rows-only (driver records the weaker check
+    # either side of the window), so it yields its window slot
     "sample_by_lang": lambda spark, sf_dir: textstats.stratified_sample(
         load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     ),
@@ -1170,6 +1184,84 @@ FROM g GROUP BY 1 HAVING count(*) >= 20""",
     # sample_by_lang: seed-deterministic Bernoulli sampling is
     # engine-specific (Spark's XORShiftRandom) → rows-only; per-stratum
     # fraction bounds tested in tests/test_textstats.py.
+    "clean_docs": r"""
+WITH c AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '(\+?[0-9]{1,2}[-.])?[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}', '<PHONE>', 'g'),
+           '\s+', ' ', 'g')) AS clean_text
+  FROM documents)
+SELECT doc_id, clean_text,
+       CAST(length(text) - length(clean_text) AS BIGINT) AS chars_removed,
+       CAST(len(string_split_regex(text, 'https?://[^\s]+'))
+          + len(string_split_regex(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          + len(string_split_regex(text, '(\+?[0-9]{1,2}[-.])?[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}'))
+          - 3 AS BIGINT) AS n_redactions
+FROM c""",
+    "chunk_docs": f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks, len({_TOKENS}) AS n FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, n, 48)) AS st,
+         generate_subscripts(range(0, n, 48), 1) AS idx
+  FROM t WHERE n > 0)
+SELECT doc_id,
+       CAST(idx - 1 AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(toks, st + 1, st + 64), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, st + 1, st + 64)) AS BIGINT) AS n_tokens
+FROM s""",
+    "pack_chunks": f"""
+WITH t AS (SELECT doc_id, source, {_TOKENS} AS toks, len({_TOKENS}) AS n FROM documents),
+s AS (
+  SELECT doc_id, source, toks,
+         unnest(range(0, n, 48)) AS st,
+         generate_subscripts(range(0, n, 48), 1) AS idx
+  FROM t WHERE n > 0),
+c AS (
+  SELECT doc_id, source, CAST(idx - 1 AS BIGINT) AS chunk_id,
+         len(list_slice(toks, st + 1, st + 64)) AS n_tokens
+  FROM s),
+w AS (
+  SELECT source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id, chunk_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS tokens_before
+  FROM c)
+SELECT source, CAST(tokens_before // 256 AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+FROM w GROUP BY source, bin_id""",
+    "mixture_sample": f"""
+WITH h AS (
+  SELECT source, {_TOKENS} AS toks,
+         ((((doc_id % 999983) * 62089) % 999983 + 74747) * 58229 % 999983) % 10000 AS hv
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+FROM h
+WHERE hv < CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 5000
+                       WHEN 'src2' THEN 7500 WHEN 'src3' THEN 10000 ELSE 0 END
+GROUP BY source""",
+    "dq_audit": """
+SELECT 'orders_null_custkey' AS check_name,
+       CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT) AS violations
+UNION ALL SELECT 'orders_dup_orderkey',
+       CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+UNION ALL SELECT 'orders_orphan_custkey',
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL SELECT 'lineitem_orphan_orderkey',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+UNION ALL SELECT 'lineitem_nonpositive_price',
+       CAST((SELECT count(*) FROM lineitem WHERE l_extendedprice <= 0) AS BIGINT)
+UNION ALL SELECT 'lineitem_qty_out_of_range',
+       CAST((SELECT count(*) FROM lineitem WHERE l_quantity NOT BETWEEN 1 AND 50) AS BIGINT)
+UNION ALL SELECT 'customer_dup_custkey',
+       CAST((SELECT count(*) - count(DISTINCT c_custkey) FROM customer) AS BIGINT)""",
     "top_docs_per_lang": f"""
 WITH q AS (
   SELECT d.doc_id, d.lang, {_QUALITY_EXPR} AS quality

@@ -1,0 +1,166 @@
+"""Curation operators: redaction behavior on planted PII, chunk
+coverage/overlap properties, packing bounds, mixture determinism, and
+DQ audit detection on deliberately corrupted tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_computing_spark.operators.curation import (
+    chunk_docs,
+    clean_text,
+    dq_audit,
+    mixture_sample,
+    pack_chunks,
+)
+from distributed_computing_spark.plans import operator_tree
+from distributed_computing_spark.sources.catalog import load_table
+from tests.conftest import SF_DIR
+
+
+def test_clean_text_redacts_planted_pii(spark):
+    rows = [
+        (1, "visit https://example.com/a?b=1 now"),
+        (2, "mail me at jane.doe+x@corp.example.org please"),
+        (3, "call +1-555-123-4567 or 555-123-4567"),
+        (4, "spaced\t\tout\n\ntext  here"),
+        (5, "no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select("doc_id", clean_text("text").alias("c")).collect()
+    }
+    assert got[1] == "visit <URL> now"
+    assert got[2] == "mail me at <EMAIL> please"
+    assert got[3] == "call <PHONE> or <PHONE>"
+    assert got[4] == "spaced out text here"
+    assert got[5] == "no pii at all"
+
+
+def test_chunk_docs_coverage_and_overlap(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    chunks = chunk_docs(docs, size=64, stride=48)
+    toks = F.filter(F.split("text", "[^A-Za-z0-9]+"), lambda t: t != "")
+    n_per_doc = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", F.size(toks).alias("n")).collect()
+    }
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("tok_sum"),
+            F.max("n_tokens").alias("max_chunk"),
+        )
+        .collect()
+    )
+    import math
+
+    for r in per_doc:
+        n = n_per_doc[r["doc_id"]]
+        # every token position is covered: chunk count is ceil(n/stride)
+        assert r["n_chunks"] == math.ceil(n / 48)
+        assert r["max_chunk"] <= 64
+        # stride < size ⇒ overlap: summed chunk tokens exceed n for
+        # multi-chunk docs, equal n for single-chunk docs
+        if r["n_chunks"] > 1:
+            assert r["tok_sum"] > n
+        else:
+            assert r["tok_sum"] == n
+    # map-only: chunking itself introduces no shuffle
+    assert "Exchange" not in operator_tree(chunk_docs(docs))
+
+
+def test_pack_chunks_capacity_bound(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    chunks = chunk_docs(docs, size=64, stride=48).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    bins = pack_chunks(chunks, capacity=256).collect()
+    # cumsum packing: a bin holds < capacity tokens before its last
+    # chunk, so bin_tokens < capacity + max_chunk_tokens (64)
+    for r in bins:
+        assert r["bin_tokens"] < 256 + 64, r
+    # no tokens lost: bins partition the chunk set
+    total = chunks.agg(F.sum("n_tokens")).collect()[0][0]
+    assert sum(r["bin_tokens"] for r in bins) == total
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    rates = {"src0": 0.25, "src1": 0.5, "src2": 0.75, "src3": 1.0}
+    kept = mixture_sample(docs, rates)
+    totals = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    got = {r["source"]: r["count"] for r in kept.groupBy("source").count().collect()}
+    # unlisted sources are dropped entirely
+    assert set(got) <= set(rates)
+    assert got["src3"] == totals["src3"]
+    for s, rate in rates.items():
+        frac = got.get(s, 0) / totals[s]
+        assert abs(frac - rate) < 0.2, (s, frac, rate)
+    # decision is a pure function of doc_id: re-running yields the
+    # identical sample (no RNG state, safe across retries/executors)
+    again = {r["source"]: r["count"] for r in
+             mixture_sample(docs, rates).groupBy("source").count().collect()}
+    assert again == got
+    ids1 = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"] for r in mixture_sample(docs, rates).select("doc_id").collect()
+    )
+    assert ids1 == ids2
+
+
+def test_dq_audit_detects_planted_violations(spark, tmp_path):
+    """Corrupt copies of the tables -> every check fires with the exact
+    planted count; clean data -> all zeros (the registry/oracle case)."""
+    src = str(tmp_path / "corrupt")
+    orders = load_table(spark, SF_DIR, "orders").limit(100).cache()
+    customer = load_table(spark, SF_DIR, "customer")
+    # keep lineitem referentially consistent with the trimmed orders
+    lineitem = (
+        load_table(spark, SF_DIR, "lineitem")
+        .join(orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "semi")
+        .cache()
+    )
+
+    first_order = orders.limit(1)
+    bad_orders = (
+        orders
+        # 2 orphans pointing at a customer key that cannot exist
+        .unionByName(
+            first_order.withColumn("o_orderkey", F.lit(10**9))
+            .withColumn("o_custkey", F.lit(-12345))
+        )
+        .unionByName(
+            first_order.withColumn("o_orderkey", F.lit(10**9 + 1))
+            .withColumn("o_custkey", F.lit(-12345))
+        )
+        # 1 duplicate primary key (reuses an existing o_orderkey)
+        .unionByName(first_order)
+        # 1 null custkey (also an extra dup of the same orderkey)
+        .unionByName(first_order.withColumn("o_custkey", F.lit(None).cast("long")))
+    )
+    bad_lineitem = lineitem.unionByName(
+        lineitem.limit(1)
+        .withColumn("l_orderkey", F.lit(-7))  # orphan
+        .withColumn("l_extendedprice", F.lit(-1.0))  # nonpositive price
+        .withColumn("l_quantity", F.lit(99.0))  # out of range
+    )
+    bad_orders.write.mode("overwrite").parquet(f"{src}/orders.parquet")
+    customer.write.mode("overwrite").parquet(f"{src}/customer.parquet")
+    bad_lineitem.write.mode("overwrite").parquet(f"{src}/lineitem.parquet")
+
+    got = {r["check_name"]: r["violations"] for r in dq_audit(spark, src).collect()}
+    assert got["orders_null_custkey"] == 1
+    # 2 planted orphans + the null-custkey row (NULL joins nothing, so
+    # anti-join counts it — matching the oracle's NOT EXISTS)
+    assert got["orders_orphan_custkey"] == 3
+    assert got["orders_dup_orderkey"] == 2  # two extra rows share one orderkey
+    assert got["lineitem_orphan_orderkey"] == 1
+    assert got["lineitem_nonpositive_price"] == 1
+    assert got["lineitem_qty_out_of_range"] == 1
+    assert got["customer_dup_custkey"] == 0
+
+    clean = {r["check_name"]: r["violations"] for r in dq_audit(spark, SF_DIR).collect()}
+    assert set(clean.values()) == {0}
