@@ -39,6 +39,16 @@ DEFAULT_QUERIES = [
 
 # Fact tables are replicated with remapped keys; everything else copied.
 _FACTS = ("documents", "events", "orders", "lineitem")
+
+# Replicas are written in _NFILES splits: the source sf files are single
+# parquet files below maxPartitionBytes, so an un-repartitioned replica
+# would hand Spark ONE input partition per table — single-core scans
+# that misrepresent both engines' scaled throughput. 32 splits = the
+# driver's local[32]; at real scale the same knob is file-size targets.
+_NFILES = 32
+
+# bump to invalidate previously generated replicas on layout changes
+_LAYOUT_V = 2
 _COPY = ("region", "nation", "customer", "supplier", "part", "embeddings")
 
 
@@ -60,7 +70,11 @@ def ensure_scaled(spark: SparkSession, sf_dir: str, R: int) -> str:
     if os.path.exists(manifest):
         try:
             m = json.load(open(manifest))
-            if m.get("R") == R and m.get("source") == sf_dir:
+            if (
+                m.get("R") == R
+                and m.get("source") == sf_dir
+                and m.get("v") == _LAYOUT_V
+            ):
                 return dest
         except Exception:
             pass
@@ -79,6 +93,7 @@ def ensure_scaled(spark: SparkSession, sf_dir: str, R: int) -> str:
             "source",
             "n_chars",
         )
+        .repartition(_NFILES)
         .write.mode("overwrite")
         .parquet(f"{dest}/documents.parquet")
     )
@@ -93,6 +108,7 @@ def ensure_scaled(spark: SparkSession, sf_dir: str, R: int) -> str:
             "value",
             "props",
         )
+        .repartition(_NFILES)
         .write.mode("overwrite")
         .parquet(f"{dest}/events.parquet")
     )
@@ -101,6 +117,7 @@ def ensure_scaled(spark: SparkSession, sf_dir: str, R: int) -> str:
         orders.crossJoin(reps)
         .withColumn("o_orderkey", F.col("o_orderkey") * R + F.col("_r"))
         .drop("_r")
+        .repartition(_NFILES)
         .write.mode("overwrite")
         .parquet(f"{dest}/orders.parquet")
     )
@@ -110,6 +127,7 @@ def ensure_scaled(spark: SparkSession, sf_dir: str, R: int) -> str:
         # l_orderkey remap matches orders so join keys stay consistent
         .withColumn("l_orderkey", F.col("l_orderkey") * R + F.col("_r"))
         .drop("_r")
+        .repartition(_NFILES)
         .write.mode("overwrite")
         .parquet(f"{dest}/lineitem.parquet")
     )
@@ -119,7 +137,7 @@ def ensure_scaled(spark: SparkSession, sf_dir: str, R: int) -> str:
             shutil.copy(src, f"{dest}/{t}.parquet")
 
     with open(manifest, "w") as fh:
-        json.dump({"R": R, "source": sf_dir}, fh)
+        json.dump({"R": R, "source": sf_dir, "v": _LAYOUT_V}, fh)
     return dest
 
 
