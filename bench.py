@@ -74,9 +74,12 @@ def main() -> None:
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.time()
-        # count() forces full execution of every operator; results are
-        # small aggregates so this measures compute, not driver transfer.
-        fn(spark, sf_dir).count()
+        # noop write forces FULL materialization of every output column.
+        # count() would let Catalyst prune per-row computed columns
+        # (text_stats' scores, scalar expressions) and under-measure
+        # exactly the queries whose work is in the projection — measured
+        # 0.3 s (count) vs 14 s (noop) for text_stats at the 20× tier.
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)

@@ -193,11 +193,11 @@ def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = mixture_sample(
         docs, {"src0": 0.25, "src1": 0.5, "src2": 0.75, "src3": 1.0}
     )
+    from distributed_computing_spark.functions.text import token_count
+
     return kept.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.sum(F.size(F.filter(F.split("text", TOKEN_SPLIT_RE), lambda t: t != "")))
-        .cast("long")
-        .alias("n_tokens"),
+        F.sum(token_count("text")).cast("long").alias("n_tokens"),
     )
 
 

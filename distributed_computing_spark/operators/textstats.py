@@ -19,6 +19,7 @@ from distributed_computing_spark.functions.text import (
     stopword_ratio,
     token_count,
     tokens,
+    word_set_pattern,
 )
 from distributed_computing_spark.sources.catalog import load_table
 
@@ -57,12 +58,14 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     linguistic accuracy — the lexicons are swappable.)
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+    lowered = F.lower(F.col("text"))
 
     def lexicon_hits(lex: tuple[str, ...]):
-        # NB: the F.filter lambda must take exactly one parameter — a
-        # second parameter would be bound to the element *index*.
-        return F.size(F.filter(toks, lambda t: t.isin(*lex)))
+        # boundary-anchored alternation ≡ counting lexicon members of
+        # the token array, single codegen'd pass instead of an
+        # interpreted split+filter HOF per language (see
+        # functions/text.word_set_pattern)
+        return F.regexp_count(lowered, F.lit(word_set_pattern(lex)))
 
     scored = docs.select(
         "doc_id",

@@ -181,7 +181,10 @@ def run_crossover(
     spark_total = duck_total = 0.0
     for name in queries:
         t0 = time.time()
-        QUERIES[name](spark, scaled).count()
+        # noop write = full materialization of every output column;
+        # .count() would let Catalyst prune computed projections while
+        # DuckDB's fetchall pays for them — an unfair comparison.
+        QUERIES[name](spark, scaled).write.format("noop").mode("overwrite").save()
         s = round(time.time() - t0, 3)
         t0 = time.time()
         con.execute(ORACLES[name]).fetchall()

@@ -72,11 +72,17 @@ def main() -> None:
             d.select(F.explode(tokens("text")).alias("w")).groupBy("w").count().count()
         )
 
+    # noop write forces full column materialization; .count() would let
+    # Catalyst prune computed projections (minhash signatures!) and
+    # measure only the scan.
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
     workloads = {
         "word_count": lambda dd, ee: wc(dd),
-        "exact_dedup": lambda dd, ee: exact_dedup(dd).count(),
-        "minhash_signatures": lambda dd, ee: minhash_signatures(dd).count(),
-        "kv_replay": lambda dd, ee: replay(ops_from_events(ee)).count(),
+        "exact_dedup": lambda dd, ee: force(exact_dedup(dd)),
+        "minhash_signatures": lambda dd, ee: force(minhash_signatures(dd)),
+        "kv_replay": lambda dd, ee: force(replay(ops_from_events(ee))),
         "hourly_rollup": lambda dd, ee: ee.groupBy(
             F.date_trunc("hour", "ts"), "event_type"
         ).count().count(),
