@@ -72,6 +72,19 @@ def test_chunk_docs_coverage_and_overlap(spark):
     assert "Exchange" not in operator_tree(chunk_docs(docs))
 
 
+def test_chunk_counts_equals_chunk_docs_stats(spark):
+    """The array-free chunk_counts frame must emit exactly the
+    (doc_id, chunk_id, n_tokens) rows chunk_docs produces."""
+    from distributed_computing_spark.operators.curation import chunk_counts
+
+    docs = load_table(spark, SF_DIR, "documents")
+    a = sorted(
+        map(tuple, chunk_docs(docs).select("doc_id", "chunk_id", "n_tokens").collect())
+    )
+    b = sorted(map(tuple, chunk_counts(docs).collect()))
+    assert a == b
+
+
 def test_pack_chunks_capacity_bound(spark):
     docs = load_table(spark, SF_DIR, "documents")
     chunks = chunk_docs(docs, size=64, stride=48).join(

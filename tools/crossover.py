@@ -35,6 +35,9 @@ DEFAULT_QUERIES = [
     "events_windowed",    # event-time rollup
     "user_sessions",      # per-user window/sessionization
     "regional_revenue",   # 5-way dim join (DuckDB-favored at this size)
+    "clean_docs",         # redaction/normalization pass (full text out)
+    "chunk_docs",         # token-window explode (chunk text materialized)
+    "pack_chunks",        # array-free chunk stats + per-source window
 ]
 
 # Fact tables are replicated with remapped keys; everything else copied.
