@@ -529,3 +529,65 @@ def set_ops_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     high = t["customer"].where(F.col("c_acctbal") > 5000).select("c_custkey")
     low = t["customer"].where(F.col("c_acctbal") < 0).select("c_custkey")
     return with_orders.intersect(high).exceptAll(low).orderBy("c_custkey")
+
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: hourly event counts per type with missing
+    hours densified to zero rows between each type's first and last
+    active hour (the step before any rolling/EWMA computation, which
+    silently skews if absent buckets just vanish).
+
+    Scale shape: the raw stream aggregates FIRST (partial map-side
+    combine; post-agg cardinality = types x hours, tiny), and the hour
+    grid is generated from that aggregate via ``sequence`` + explode —
+    the dense grid never touches the raw events, so the fill cost is
+    independent of event volume.
+    """
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_v"))
+    rng = agg.groupBy("event_type").agg(
+        F.min("hour").alias("_mn"), F.max("hour").alias("_mx")
+    )
+    grid = rng.select(
+        "event_type",
+        F.explode(F.sequence("_mn", "_mx", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    return grid.join(agg, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce("_n", F.lit(0)).alias("n_events"),
+        F.round(F.coalesce("_v", F.lit(0.0)), 6).alias("total_value"),
+    )
+
+
+def decayed_user_activity(
+    spark: SparkSession, sf_dir: str, half_life_days: float = 7.0
+) -> DataFrame:
+    """Exponentially time-decayed activity counter per user (the
+    recency-weighted engagement score feature stores keep): each event
+    contributes 2^(-age/half_life) measured at the corpus max
+    timestamp, so a user's score halves every ``half_life_days`` of
+    silence.
+
+    Scale shape: the reference timestamp is a 1-row aggregate broadcast
+    into the scan (no second pass, no window); the decay term is a pure
+    codegen'd expression and the only exchange is the per-user partial
+    aggregate. The lambda constant is built from IEEE-exact pieces
+    (ln 2 / seconds) so the DuckDB oracle reproduces it bit-for-bit.
+    """
+    import math
+
+    events = load_table(spark, sf_dir, "events")
+    ref = events.agg(F.max(F.unix_micros("ts")).alias("_ref"))
+    lam = math.log(2.0) / (half_life_days * 86400.0)
+    age_s = (F.col("_ref") - F.unix_micros("ts")) / F.lit(1000000.0)
+    return (
+        events.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.exp(-F.lit(lam) * age_s)), 6).alias("decayed_count"),
+        )
+    )

@@ -318,3 +318,47 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/valid/test split
+# ---------------------------------------------------------------------------
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train: float = 0.9,
+    valid: float = 0.05,
+) -> DataFrame:
+    """[EXT] Deterministic, engine-portable train/valid/test assignment.
+
+    bucket = first 15 hex digits (60 bits) of md5(id) mod 10000 — a
+    pure function of the id, so the split is stable across engines,
+    restarts, repartitions, and appends (a doc added later never moves
+    existing docs between splits, unlike randomSplit or row_number
+    slicing). Map-only: no shuffle, no global sort, trivially correct
+    at any scale. 60 bits keeps the ANSI-mode long cast overflow-free;
+    DuckDB mirrors it exactly via ('0x' || substr(md5(...),1,15)).
+
+    ``textstats.train_test_split`` is the cheaper xxhash64 two-way
+    variant (JVM-only hash — rows-only under the gate); this md5 form
+    is the engine-portable one with an exact cross-engine oracle.
+    """
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+        F.lit(10000),
+    )
+    split = (
+        F.when(b < int(train * 10000), "train")
+        .when(b < int((train + valid) * 10000), "valid")
+        .otherwise("test")
+    )
+    return df.select(F.col(id_col), b.alias("bucket"), split.alias("split"))
+
+
+def train_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs.select("doc_id"), "doc_id")

@@ -507,3 +507,54 @@ def minhash_incremental_pairs(
         .where(F.col("est_jaccard") >= threshold)
         .select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """[EXT] Benchmark decontamination: per corpus doc, the fraction of
+    its n-gram shingles that also occur anywhere in a benchmark set,
+    flagging docs at or above ``threshold`` (the training-data hygiene
+    step that keeps eval benchmarks out of the training corpus).
+
+    Scale shape: a benchmark set is tiny next to a 100 TB corpus, so
+    its distinct shingle hashes are reduced and BROADCAST; the corpus
+    side stays map-local (shingle -> xxhash64 -> broadcast-hash left
+    join) and the only exchange is the per-doc groupBy carrying
+    (doc_id, two counters) — corpus text never shuffles. Output:
+    (doc_id, n_shingles, n_matched, contam_frac, contaminated), one
+    row per corpus doc with >= 1 shingle.
+    """
+    bench_sh = (
+        shingle_rows(benchmark, n)
+        .select(F.xxhash64("shingle").alias("shingle_h"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus_sh = shingle_rows(corpus, n).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle_h")
+    )
+    per_doc = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_matched"),
+        )
+    )
+    frac = F.col("n_matched") / F.col("n_shingles")  # groupBy => n_shingles >= 1
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_matched",
+        F.round(frac, 6).alias("contam_frac"),
+        (frac >= threshold).alias("contaminated"),
+    )

@@ -236,3 +236,41 @@ def stratified_sample(
     """
     strata = [r[0] for r in df.select(strata_col).distinct().collect()]
     return df.sampleBy(strata_col, {s: fraction for s in strata}, seed=seed)
+
+
+def repetition_scores(documents: DataFrame, n: int = 2) -> DataFrame:
+    """[EXT] Intra-document repetition metrics (Gopher-style quality
+    filter, Rae et al. 2021 "repetition" signals): per doc, the
+    fraction of n-gram occurrences that are duplicates and the mass of
+    the single most frequent n-gram. High dup_frac / top_frac marks
+    boilerplate and degenerate generations for removal before training.
+
+    Scale shape: shingles hash to 8-byte xxhash64 before the exchange
+    (strings never shuffle); the (doc_id, hash) count partially
+    aggregates map-side, and the second per-doc aggregate reuses the
+    doc_id prefix of the same key space. Docs with fewer than n tokens
+    yield no shingles and drop out (same contract as the dedup family).
+    """
+    from distributed_computing_spark.operators.dedup import shingle_rows
+
+    sh = shingle_rows(documents, n, distinct=False).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
+    per_sh = sh.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_sh.groupBy("doc_id").agg(
+        F.sum("c").alias("total_ngrams"),
+        F.count(F.lit(1)).alias("distinct_ngrams"),
+        F.max("c").alias("top_count"),
+    )
+    total = F.col("total_ngrams").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "total_ngrams",
+        "distinct_ngrams",
+        F.round(1.0 - F.col("distinct_ngrams") / total, 6).alias("dup_frac"),
+        F.round(F.col("top_count") / total, 6).alias("top_frac"),
+    )
+
+
+def repetition_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_scores(load_table(spark, sf_dir, "documents"), n=2)

@@ -247,6 +247,16 @@ def neardup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_clusters(docs, pairs)
 
 
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 19 == 0 stand in
+    for a held-out eval benchmark; the rest are the training corpus.
+    Oracle: same shingle overlap via a DuckDB left join."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 19 == 0)
+    corpus = docs.where(F.col("doc_id") % 19 != 0)
+    return dedup.decontaminate(corpus, bench, n=3, threshold=0.5)
+
+
 def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GEMM path: one Arrow batch per corpus split, BLAS inner loop —
     # measured ~3.5x over the JVM array fold at dim=64.
@@ -737,6 +747,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_percentiles": analytics.approx_percentiles,
     "frequent_items": analytics.frequent_items,
     "order_percentiles": analytics.order_percentiles,
+    # [EXT] round-2 pipeline breadth: benchmark decontamination,
+    # repetition filter, deterministic split, gap-fill, decayed counters
+    "decontaminate": decontaminate_q,
+    "repetition_scores": textstats.repetition_scores_q,
+    "train_test_split": curation.train_test_split_q,
+    "events_gapfill": analytics.events_gapfill,
+    "decayed_user_activity": analytics.decayed_user_activity,
 }
 
 
@@ -1385,6 +1402,65 @@ WHERE doc_id % 3 = 2""",
     # minhash_neardup / simhash_neardup / lsh_topk / ivf_topk /
     # approx_distinct_users / multimodal_features / multimodal_ann:
     # engine-specific hashing → rows-only check; semantics tested in tests/.
+    "decontaminate": f"""
+WITH bt AS (SELECT {_TOKENS} AS toks FROM documents WHERE doc_id % 19 = 0),
+bsh AS (
+  SELECT DISTINCT unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM bt),
+ct AS (SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE doc_id % 19 <> 0),
+csh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM ct),
+per AS (
+  SELECT c.doc_id, count(*) AS n_shingles, count(b.shingle) AS n_matched
+  FROM csh c LEFT JOIN bsh b ON c.shingle = b.shingle GROUP BY 1)
+SELECT doc_id, n_shingles, n_matched,
+       round(CAST(n_matched AS DOUBLE) / n_shingles, 6) AS contam_frac,
+       CAST(n_matched AS DOUBLE) / n_shingles >= 0.5 AS contaminated
+FROM per""",
+    "repetition_scores": f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks), 1)),
+         i -> toks[i] || ' ' || toks[i+1])) AS shingle
+  FROM t),
+c AS (SELECT doc_id, shingle, count(*) AS c FROM g GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS total_ngrams,
+       count(*) AS distinct_ngrams,
+       round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS dup_frac,
+       round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_frac
+FROM c GROUP BY doc_id""",
+    "train_test_split": """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'valid'
+            ELSE 'test' END AS split
+FROM b""",
+    "events_gapfill": """
+WITH agg AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+         count(*) AS n, sum(value) AS v
+  FROM events GROUP BY 1, 2),
+rng AS (SELECT event_type, min(hour) AS mn, max(hour) AS mx FROM agg GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+  FROM rng)
+SELECT g.event_type, g.hour,
+       coalesce(a.n, 0) AS n_events,
+       round(coalesce(a.v, 0.0), 6) AS total_value
+FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.hour = g.hour""",
+    "decayed_user_activity": """
+WITH ref AS (SELECT max(epoch_us(ts)) AS r FROM events)
+SELECT user_id, count(*) AS n_events,
+       round(sum(exp((-(ln(2) / 604800.0)) * (((SELECT r FROM ref) - epoch_us(ts)) / 1000000.0))), 6) AS decayed_count
+FROM events GROUP BY user_id""",
 }
 
 ORACLES["stream_kv_state"] = ORACLES["kv_state"]

@@ -127,3 +127,39 @@ def test_frequent_items_contains_true_heavy_hitters(spark, sf_dir):
         for r in words.groupBy("word").count().where(F.col("count") > 0.02 * total).collect()
     }
     assert true_heavy <= candidates  # sketch guarantee: no false negatives
+
+
+def test_events_gapfill_densifies_missing_hours(spark, tmp_path):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 30), 1, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 3, 10), 2, "click", 2.5, "{}"),  # 2h gap
+        (3, dt.datetime(2024, 1, 1, 0, 5), 3, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    path = str(tmp_path / "events.parquet")
+    df.write.parquet(path)
+    from distributed_computing_spark.operators.analytics import events_gapfill
+
+    out = events_gapfill(spark, str(tmp_path)).collect()
+    clicks = sorted(
+        [r for r in out if r["event_type"] == "click"], key=lambda r: r["hour"]
+    )
+    assert len(clicks) == 4  # hours 0..3 inclusive, gap filled
+    assert [r["n_events"] for r in clicks] == [1, 0, 0, 1]
+    assert [r["total_value"] for r in clicks] == [1.0, 0.0, 0.0, 2.5]
+    assert len([r for r in out if r["event_type"] == "view"]) == 1
+
+
+def test_decayed_user_activity_bounds(spark):
+    from distributed_computing_spark.operators.analytics import decayed_user_activity
+    from tests.conftest import SF_DIR
+
+    rows = decayed_user_activity(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # each event contributes (0, 1]: decayed total bounded by count
+        assert 0.0 < r["decayed_count"] <= r["n_events"]

@@ -177,3 +177,29 @@ def test_dq_audit_detects_planted_violations(spark, tmp_path):
 
     clean = {r["check_name"]: r["violations"] for r in dq_audit(spark, SF_DIR).collect()}
     assert set(clean.values()) == {0}
+
+
+def test_hash_split_deterministic_and_stratified(spark):
+    from distributed_computing_spark.operators.curation import hash_split
+
+    ids = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: (r["bucket"], r["split"]) for r in hash_split(ids).collect()}
+    # pure function of the id: survives repartition and re-computation
+    b = {
+        r["doc_id"]: (r["bucket"], r["split"])
+        for r in hash_split(ids.repartition(13)).collect()
+    }
+    assert a == b
+    assert all(0 <= v[0] < 10000 for v in a.values())
+    counts = {s: 0 for s in ("train", "valid", "test")}
+    for _, s in a.values():
+        counts[s] += 1
+    assert counts["train"] > 1600  # ~90% of 2000, loose bound
+    assert counts["valid"] > 0 and counts["test"] > 0
+
+
+def test_hash_split_is_map_only(spark):
+    from distributed_computing_spark.operators.curation import hash_split
+
+    df = hash_split(spark.range(100).withColumnRenamed("id", "doc_id"))
+    assert "Exchange" not in operator_tree(df)

@@ -160,3 +160,42 @@ def test_minhash_incremental_against_persisted_index(spark, tmp_path):
         twin = r["doc_id"] + 100000
         assert got.get(twin, (None, 0))[1] == 1.0  # exact twin found
     assert all(b < 200000 for b in got)  # novel docs matched nothing
+
+
+def test_decontaminate_flags_copied_docs(spark):
+    from distributed_computing_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # exact copy
+            (2, "a completely different sentence about spark engines"),
+            (3, "quick brown fox jumps high today"),  # partial overlap
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in decontaminate(corpus, bench, n=3).collect()}
+    assert rows[1]["contam_frac"] == 1.0 and rows[1]["contaminated"]
+    assert rows[2]["n_matched"] == 0 and not rows[2]["contaminated"]
+    # doc 3 shares "quick brown fox" + "brown fox jumps" of 4 shingles:
+    # 0.5 overlap sits exactly on the (inclusive) threshold
+    assert rows[3]["n_matched"] == 2 and rows[3]["n_shingles"] == 4
+    assert rows[3]["contam_frac"] == 0.5 and rows[3]["contaminated"]
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    from distributed_computing_spark.operators.dedup import decontaminate
+    from distributed_computing_spark.plans import operator_tree
+    from distributed_computing_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = decontaminate(
+        docs.where(F.col("doc_id") % 19 != 0), docs.where(F.col("doc_id") % 19 == 0)
+    )
+    tree = operator_tree(df)
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree and "NestedLoop" not in tree

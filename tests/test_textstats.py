@@ -121,3 +121,21 @@ def test_stratified_sample_balanced_and_deterministic(spark, sf_dir):
     for lang, n in totals.items():
         frac = sampled.get(lang, 0) / n
         assert 0.05 <= frac <= 0.6, (lang, frac)  # Bernoulli tolerance per stratum
+
+
+def test_repetition_scores_degenerate_doc(spark):
+    from distributed_computing_spark.operators.textstats import repetition_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),  # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+            (2, "all words here are unique tokens"),
+            (3, "x"),  # < n tokens: no shingles, drops out
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_scores(df, n=2).collect()}
+    assert rows[1]["total_ngrams"] == 5 and rows[1]["distinct_ngrams"] == 2
+    assert rows[1]["dup_frac"] == 0.6 and rows[1]["top_frac"] == 0.6
+    assert rows[2]["dup_frac"] == 0.0
+    assert 3 not in rows

@@ -38,6 +38,8 @@ DEFAULT_QUERIES = [
     "clean_docs",         # redaction/normalization pass (full text out)
     "chunk_docs",         # token-window explode (chunk text materialized)
     "pack_chunks",        # array-free chunk stats + per-source window
+    "repetition_scores",  # bigram explode + two-level agg (dup-ngram filter)
+    "decontaminate",      # broadcast benchmark-shingle join + per-doc agg
 ]
 
 # Fact tables are replicated with remapped keys; everything else copied.
