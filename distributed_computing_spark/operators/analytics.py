@@ -591,3 +591,30 @@ def decayed_user_activity(
             F.round(F.sum(F.exp(-F.lit(lam) * age_s)), 6).alias("decayed_count"),
         )
     )
+
+
+def value_histogram(spark: SparkSession, sf_dir: str, nbins: int = 20) -> DataFrame:
+    """Equi-width histogram of event values: the min/max come from one
+    tiny aggregate broadcast back into the scan (two passes over the
+    data, zero wide shuffles — the bin agg partially combines
+    map-side). Bin edges are pure IEEE expressions evaluated in the
+    identical order on both engines, so bin assignment is bit-exact
+    and the DuckDB oracle matches without tolerance.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mm = ev.agg(F.min("value").alias("_mn"), F.max("value").alias("_mx"))
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(float(nbins))
+    bin_ = F.when(
+        F.col("_mx") > F.col("_mn"),
+        F.least(
+            F.floor((F.col("value") - F.col("_mn")) / width), F.lit(nbins - 1)
+        ),
+    ).otherwise(0).cast("int")
+    return (
+        ev.crossJoin(F.broadcast(mm))
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )

@@ -144,3 +144,33 @@ def range_join_count(
             F.coalesce(F.col("_n"), F.lit(0)).alias("n_in_range"),
         )
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_by: list[str],
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the result is EXACTLY ``left.join(
+    right, key, how)`` — salting only changes how the work partitions.
+
+    A hot join key at 100 TB puts its entire payload in ONE reducer
+    task (the classic straggler). Here each left row gets a
+    deterministic salt in [0, n_salt) — xxhash64 of caller-named
+    columns, never rand(), so task retries recompute the identical
+    salt — and the right side replicates n_salt ways, so the hot key's
+    rows spread across n_salt tasks. Use when BOTH sides are too big to
+    broadcast and a key is hot; AQE's skew-join split handles the
+    sort-merge case, but salting also works for shuffled hash joins
+    and for aggregations downstream of the join.
+    """
+    l = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*salt_by), F.lit(n_salt)).cast("int")
+    )
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return l.join(r, [key, "_salt"], how).drop("_salt")

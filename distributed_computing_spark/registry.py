@@ -247,6 +247,35 @@ def neardup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_clusters(docs, pairs)
 
 
+def salted_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-guarded fact-fact join: lineitem x orders through an 8-way
+    salt (deterministic xxhash64 salt on the left, right replicated),
+    then revenue per priority. Both sides hinted shuffle_hash so the
+    plan actually exercises the salted exchange — at toy SF Catalyst
+    would otherwise broadcast orders and hide the technique the
+    operator exists to demonstrate. Oracle: the plain unsalted join."""
+    from distributed_computing_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        "l_linenumber",
+        "l_extendedprice",
+        "l_discount",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    j = salted_join(
+        li.hint("shuffle_hash"), orders, "okey", ["okey", "l_linenumber"], n_salt=8
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+    )
+
+
 def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs with doc_id % 19 == 0 stand in
     for a held-out eval benchmark; the rest are the training corpus.
@@ -754,6 +783,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_test_split": curation.train_test_split_q,
     "events_gapfill": analytics.events_gapfill,
     "decayed_user_activity": analytics.decayed_user_activity,
+    "salted_revenue_join": salted_revenue_join,
+    "value_histogram": analytics.value_histogram,
 }
 
 
@@ -1461,6 +1492,20 @@ WITH ref AS (SELECT max(epoch_us(ts)) AS r FROM events)
 SELECT user_id, count(*) AS n_events,
        round(sum(exp((-(ln(2) / 604800.0)) * (((SELECT r FROM ref) - epoch_us(ts)) / 1000000.0))), 6) AS decayed_count
 FROM events GROUP BY user_id""",
+    "salted_revenue_join": """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority""",
+    "value_histogram": """
+WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+SELECT CAST(CASE WHEN mx > mn
+                 THEN least(floor((value - mn) / ((mx - mn) / 20.0)), 19)
+                 ELSE 0 END AS INT) AS bin,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events, mm
+GROUP BY 1""",
 }
 
 ORACLES["stream_kv_state"] = ORACLES["kv_state"]

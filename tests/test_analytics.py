@@ -163,3 +163,15 @@ def test_decayed_user_activity_bounds(spark):
     for r in rows:
         # each event contributes (0, 1]: decayed total bounded by count
         assert 0.0 < r["decayed_count"] <= r["n_events"]
+
+
+def test_value_histogram_partitions_all_events(spark):
+    from distributed_computing_spark.operators.analytics import value_histogram
+    from distributed_computing_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    rows = value_histogram(spark, SF_DIR, nbins=20).collect()
+    n_total = load_table(spark, SF_DIR, "events").count()
+    assert sum(r["n_events"] for r in rows) == n_total  # every event binned once
+    assert all(0 <= r["bin"] < 20 for r in rows)
+    assert len({r["bin"] for r in rows}) == len(rows)  # bins unique

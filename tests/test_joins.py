@@ -106,3 +106,40 @@ def test_range_join_count_bucket_exceeds_span(spark):
         purchases, views, on="user_id", span=60, bucket="1 hour"
     ).collect()
     assert r["n_in_range"] == 2
+
+
+def test_salted_join_matches_plain_join_and_spreads_hot_key(spark):
+    from distributed_computing_spark.operators.joins import salted_join
+
+    # one pathologically hot key (900 of 1000 rows) + a cold tail
+    left = spark.range(1000).select(
+        F.when(F.col("id") < 900, 7).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("rowid"),
+    )
+    right = spark.createDataFrame(
+        [(7, "hot"), (950, "cold")], "k long, tag string"
+    )
+    got = salted_join(left, right, "k", ["k", "rowid"], n_salt=8).collect()
+    want = left.join(right, "k").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    # the hot key's rows really carry > 1 distinct salt value
+    salted = left.withColumn(
+        "_salt", F.pmod(F.xxhash64("k", "rowid"), F.lit(8)).cast("int")
+    )
+    n_salts = (
+        salted.where(F.col("k") == 7).select("_salt").distinct().count()
+    )
+    assert n_salts == 8
+
+
+def test_salted_join_exchange_partitions_on_salt(spark):
+    from distributed_computing_spark.plans import physical_plan
+    from distributed_computing_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    plan = physical_plan(QUERIES["salted_revenue_join"](spark, SF_DIR))
+    # the join exchange must hash on (key, salt), not key alone
+    assert "ShuffledHashJoin" in plan
+    assert "hashpartitioning(okey" in plan and "_salt" in plan
+    assert "BroadcastHashJoin" not in plan
