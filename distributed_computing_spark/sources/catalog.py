@@ -31,21 +31,25 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects. Read nanos as long, then truncate to micros
-        # (integer `div`, not float division — ns epochs overflow double
-        # precision) — same truncation DuckDB applies, so oracles agree.
-        # The conf only affects scan *planning*, so flipping it for the
-        # duration of the read and restoring it keeps the session clean:
-        # a later nanos read elsewhere errors loudly instead of silently
-        # coming back as bigint.
+        # events.parquet has shipped with ts as TIMESTAMP(NANOS) (which
+        # Spark's reader rejects outright) and as TIMESTAMP(MICROS,
+        # isAdjustedToUTC=false) (which Spark reads as TIMESTAMP_NTZ —
+        # un-castable to long under ANSI). Normalize both to the
+        # session-UTC instant type TIMESTAMP so every downstream
+        # epoch-seconds expression (`cast(ts as long)`) works and
+        # matches the DuckDB oracles' `epoch_us(ts) // 1000000`.
         key = "spark.sql.legacy.parquet.nanosAsLong"
         prev = spark.conf.get(key, None)
         spark.conf.set(key, "true")
         try:
             df = spark.read.parquet(path)
-            if dict(df.dtypes).get("ts") == "bigint":
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":  # nanos read as long → truncate
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif ts_type == "timestamp_ntz":
+                # NTZ → instant, interpreted in the session tz (UTC):
+                # identical wall-clock values, castable to epoch seconds.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         finally:
             if prev is None:
                 spark.conf.unset(key)
