@@ -461,47 +461,59 @@ def stream_kv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq-ordered micro-batches against a persistent state store; final
     state must equal the batch replay oracle exactly (exactly-once
     across batch boundaries is what's under test)."""
-    import glob
-    import os
     import tempfile
-    import time
 
     from distributed_computing_spark.streaming.kv_stream import (
         KVTableStore,
         foreach_batch_apply,
     )
+    from distributed_computing_spark.streaming.runner import stream_in_seq_batches
 
-    ops = _ops(spark, sf_dir)
-    max_seq = ops.agg(F.max("seq")).collect()[0][0]
-    src = tempfile.mkdtemp(prefix="dcs_ops_src_")
-    now = time.time()
-    stamped: set[str] = set()
-    for i, (lo, hi) in enumerate(
-        [
-            (0, max_seq // 3),
-            (max_seq // 3 + 1, 2 * max_seq // 3),
-            (2 * max_seq // 3 + 1, max_seq),
-        ]
-    ):
-        ops.where(F.col("seq").between(lo, hi)).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        # the file source orders new files by mtime: pin strictly
-        # increasing stamps so the log chunks replay in seq order
-        # deterministically (write-completion times could tie)
-        for f in glob.glob(f"{src}/part-*"):
-            if f not in stamped:
-                os.utime(f, (now + i, now + i))
-                stamped.add(f)
-    stream = (
-        spark.readStream.schema(ops.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
+    stream = stream_in_seq_batches(spark, _ops(spark, sf_dir), n=3)
     store = KVTableStore(spark, tempfile.mkdtemp(prefix="dcs_store_"))
     q = foreach_batch_apply(stream, store, tempfile.mkdtemp(prefix="dcs_ckpt_"))
     q.awaitTermination(300)
     return store.state()
+
+
+def stream_config_poll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 executable: the config-poll loop (shardkv/server.go:368-385).
+
+    The ops log replays in three seq-ordered micro-batches; before each
+    batch the master installs its next config version (v1 -> one group,
+    v2 -> two, v3 -> three — deterministic arithmetic evolution); the
+    loop POLLS (re-reads) the config dir, takes the latest installed
+    version, and routes the batch's ops key -> shard -> gid. Output:
+    per (config_num, gid) routed-op census. The oracle reproduces the
+    batch tertiles and the arithmetic gid assignment in SQL.
+    """
+    import tempfile
+
+    from distributed_computing_spark.streaming.config_poll import (
+        ConfigMaster,
+        route_stream_by_latest_config,
+    )
+    from distributed_computing_spark.streaming.runner import stream_in_seq_batches
+
+    stream = stream_in_seq_batches(spark, _ops(spark, sf_dir), n=3)
+    cfg_dir = tempfile.mkdtemp(prefix="dcs_cfg_")
+    out_dir = tempfile.mkdtemp(prefix="dcs_routed_")
+    master = ConfigMaster(spark, cfg_dir, max_version=3)
+    q = route_stream_by_latest_config(
+        stream,
+        cfg_dir,
+        out_dir,
+        tempfile.mkdtemp(prefix="dcs_ckpt_"),
+        master=master,
+    )
+    q.awaitTermination(300)
+    routed = spark.read.schema("config_num int, gid int, key string").parquet(
+        out_dir
+    )
+    return routed.groupBy("config_num", "gid").agg(
+        F.count("*").alias("n_ops"),
+        F.countDistinct("key").alias("n_keys"),
+    )
 
 
 def stream_dedup_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -712,6 +724,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_kv_state": stream_kv_state,
     "stream_kv_stateful": stream_kv_stateful,
     "stream_dedup_ops": stream_dedup_ops,
+    "stream_config_poll": stream_config_poll,
     # [EXT] multimodal binary columns
     "multimodal_stats": multimodal_stats,
     "multimodal_frames": multimodal_frames,
@@ -1415,6 +1428,28 @@ SELECT client_id,
        count(DISTINCT req_id) AS n_unique_reqs,
        max(req_id) AS max_req
 FROM ops GROUP BY client_id""",
+    # P8 config-poll loop: batch i routes by config version i+1; batches
+    # are seq-tertiles (stream_in_seq_batches), gid evolution arithmetic
+    # (config_poll.ConfigMaster default: 100 + shard % min(num, 3))
+    "stream_config_poll": f"""
+WITH {_OPS_CTE},
+m AS (SELECT max(seq) AS ms FROM ops),
+routed AS (
+  SELECT ascii("key") % 10 AS shard,
+         CASE WHEN seq <= ms // 3 THEN 1
+              WHEN seq <= (2 * ms) // 3 THEN 2
+              ELSE 3 END AS config_num,
+         "key"
+  FROM ops, m
+)
+SELECT config_num,
+       CASE config_num WHEN 1 THEN 100
+            WHEN 2 THEN 100 + shard % 2
+            ELSE 100 + shard % 3 END AS gid,
+       count(*) AS n_ops,
+       count(DISTINCT "key") AS n_keys
+FROM routed
+GROUP BY 1, 2""",
     "multimodal_stats": """
 SELECT doc_id AS blob_id,
        CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -55,3 +55,50 @@ def stream_table(spark: SparkSession, df: DataFrame) -> DataFrame:
     src = tempfile.mkdtemp(prefix="dcs_streamsrc_")
     df.write.mode("overwrite").parquet(src)
     return spark.readStream.schema(df.schema).parquet(src)
+
+
+def stream_in_seq_batches(
+    spark: SparkSession,
+    df: DataFrame,
+    n: int = 3,
+    order_col: str = "seq",
+) -> DataFrame:
+    """Replay ``df`` as a file-source stream of exactly ``n``
+    micro-batches split by ``order_col`` range (batch i covers the i-th
+    n-tile of [0, max]).
+
+    The file source orders new files by modification time, so each
+    chunk's mtime is pinned strictly increasing — write-completion
+    times could tie, which would scramble replay order (CLAUDE.md
+    file-source-ordering invariant). With ``maxFilesPerTrigger=1`` the
+    chunks arrive one per micro-batch, in ``order_col`` order.
+    """
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    max_val = df.agg(F.max(order_col)).collect()[0][0]
+    src = tempfile.mkdtemp(prefix="dcs_seqsrc_")
+    now = time.time()
+    stamped: set[str] = set()
+    bounds = [
+        (i * max_val // n + (1 if i else 0), (i + 1) * max_val // n)
+        for i in range(n)
+    ]
+    bounds[-1] = (bounds[-1][0], max_val)
+    for i, (lo, hi) in enumerate(bounds):
+        df.where(F.col(order_col).between(lo, hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        for f in glob.glob(f"{src}/part-*"):
+            if f not in stamped:
+                os.utime(f, (now + i, now + i))
+                stamped.add(f)
+    return (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )

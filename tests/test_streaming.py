@@ -293,3 +293,57 @@ def test_kafka_file_fallback_feeds_apply_loop(spark, tmp_path):
     got = {r["key"]: r["value"] for r in store.state().collect() if r["value"] != ""}
     want = {k: v for k, v in serial_replay(ops).items() if v != ""}
     assert got == want
+
+
+def test_config_poll_applies_versions_in_order(spark, tmp_path):
+    """P8: each micro-batch routes by the latest config installed at
+    poll time — versions are observed one-by-one, in install order
+    (shardkv/server.go:368-385 parity), and gid follows the
+    arithmetic evolution 100 + shard % min(num, 3)."""
+    import glob
+    import os
+    import time
+
+    from distributed_computing_spark.streaming.config_poll import (
+        ConfigMaster,
+        poll_latest,
+        route_stream_by_latest_config,
+    )
+
+    # 3 single-file batches of keyed ops, mtimes pinned for replay order
+    rows = [(i, f"k{i % 7}") for i in range(30)]
+    src = str(tmp_path / "src")
+    now = time.time()
+    for b in range(3):
+        chunk = rows[b * 10 : (b + 1) * 10]
+        spark.createDataFrame(chunk, "seq long, key string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        for f in glob.glob(f"{src}/part-*"):
+            os.utime(f, (now + b, now + b))
+    stream = (
+        spark.readStream.schema("seq long, key string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    cfg_dir, out_dir = str(tmp_path / "cfg"), str(tmp_path / "out")
+    master = ConfigMaster(spark, cfg_dir, max_version=3)
+    q = route_stream_by_latest_config(
+        stream, cfg_dir, out_dir, str(tmp_path / "ckpt"), master=master
+    )
+    q.awaitTermination(120)
+
+    routed = spark.read.parquet(out_dir).collect()
+    assert len(routed) == 30
+    for r in routed:
+        shard = ord(r["key"][0]) % 10
+        assert r["gid"] == 100 + shard % min(r["config_num"], 3)
+    # all three versions governed some batch: configs observed in order,
+    # one per micro-batch (the oracle pins the exact tertile mapping)
+    assert {r["config_num"] for r in routed} == {1, 2, 3}
+
+    # poll_latest returns only the max installed version
+    latest = poll_latest(spark, cfg_dir)
+    nums = {r["num"] for r in latest.collect()}
+    assert nums == {3}
+    assert latest.count() == 10  # one row per shard
