@@ -558,3 +558,40 @@ def decontaminate(
         F.round(frac, 6).alias("contam_frac"),
         (frac >= threshold).alias("contaminated"),
     )
+
+
+def neardup_canonical(
+    documents: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collapse each near-dup cluster to one survivor: keep the LONGEST
+    member (near-dups are usually truncations/boilerplate variants of a
+    superset doc), ties broken by smallest id for determinism.
+
+    One shuffle on cluster_id: the survivor is picked with a max-of-
+    struct aggregate (n_chars, -id) — no window, no second exchange —
+    and the same aggregate row carries the cluster's member count and
+    the chars dropped by deduplication. Integer keep-rule on purpose:
+    a float quality argmax can disagree between engines in the last
+    ulp; length+id comparisons are exact everywhere.
+    """
+    members = clusters.join(
+        documents.select(
+            F.col(id_col), F.length("text").cast("long").alias("n_chars")
+        ),
+        id_col,
+    )
+    agg = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(
+            F.struct(F.col("n_chars"), (-F.col(id_col)).alias("neg_id"))
+        ).alias("best"),
+        F.sum("n_chars").alias("tot_chars"),
+    )
+    return agg.select(
+        "cluster_id",
+        (-F.col("best.neg_id")).alias("kept_doc"),
+        "n_members",
+        (F.col("tot_chars") - F.col("best.n_chars")).alias("dropped_chars"),
+    )

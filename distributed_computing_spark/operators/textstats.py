@@ -274,3 +274,35 @@ def repetition_scores(documents: DataFrame, n: int = 2) -> DataFrame:
 
 def repetition_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_scores(load_table(spark, sf_dir, "documents"), n=2)
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: each document's mean natural-
+    log probability under the corpus's OWN unigram LM — the classic
+    cheap LM-quality filter in training-data pipelines (very negative
+    mean = rare-token noise; near zero = boilerplate repetition).
+
+    Two distributed passes over the token stream, nothing on the
+    driver: pass 1 builds corpus token counts (partial-agg shuffle on
+    word); pass 2 re-joins each doc's tokens to the counts and
+    re-aggregates per doc. The vocabulary is open-ended, so the
+    counts side joins by shuffle hash (no broadcast assumption); the
+    corpus-total scalar rides in via a broadcast cross join. Docs
+    with zero tokens have no LM score and drop out (inner join), same
+    contract as the dedup family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    counts = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        tok.join(counts, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )

@@ -247,6 +247,16 @@ def neardup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_clusters(docs, pairs)
 
 
+def neardup_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster collapse: one survivor per near-dup cluster (longest
+    member, id tie-break) + member/dropped-chars census. Oracle: the
+    recursive-CTE clusters re-ranked in SQL with the same keep rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.35, max_df=0.2)
+    clusters = dedup.neardup_clusters(docs, pairs)
+    return dedup.neardup_canonical(docs, clusters)
+
+
 def salted_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-guarded fact-fact join: lineitem x orders through an 8-way
     salt (deterministic xxhash64 salt on the left, right replicated),
@@ -708,6 +718,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": exact_dedup_q,
     "ngram_jaccard_pairs": ngram_jaccard,
     "neardup_clusters": neardup_clusters_q,
+    "neardup_canonical": neardup_canonical_q,
     "minhash_incremental": minhash_incremental_q,
     "minhash_neardup": minhash_neardup,
     "simhash_neardup": simhash_neardup,
@@ -743,6 +754,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_docs_per_lang": textstats.top_docs_per_lang,
     "tfidf_top_terms": textstats.tfidf_top_terms,
     "bigram_counts": textstats.bigram_counts,
+    "unigram_logprob": textstats.unigram_logprob,
     # [EXT] corpus curation (clean → chunk → pack → mix, + DQ audit)
     "clean_docs": curation.clean_docs,
     "chunk_docs": curation.chunk_docs_q,
@@ -1242,6 +1254,17 @@ g AS (
   FROM t)
 SELECT bigram, count(*) AS cnt
 FROM g GROUP BY 1 HAVING count(*) >= 20""",
+    # corpus-self unigram LM scoring: docs with zero tokens drop out
+    # (inner join), matching the Spark operator's contract
+    "unigram_logprob": f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKENS}) AS word FROM documents),
+counts AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       round(avg(ln(c.cnt / tt.total)), 6) AS avg_logprob
+FROM tok t JOIN counts c USING (word) CROSS JOIN total tt
+GROUP BY t.doc_id""",
     # sample_by_lang: seed-deterministic Bernoulli sampling is
     # engine-specific (Spark's XORShiftRandom) → rows-only; per-stratum
     # fraction bounds tested in tests/test_textstats.py.
@@ -1558,4 +1581,31 @@ reach(n, r) AS (
   UNION
   SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.n)
 SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n"""
+)
+
+# cluster collapse: same recursive closure, then the longest-member
+# (id tie-break) keep rule re-expressed as a window rank
+ORACLES["neardup_canonical"] = (
+    "WITH RECURSIVE pairs AS ("
+    + ORACLES["ngram_jaccard_pairs"]
+    + """),
+e AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+reach(n, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.n),
+clus AS (SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n),
+mem AS (
+  SELECT c.cluster_id, c.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+  FROM clus c JOIN documents d USING (doc_id)),
+best AS (
+  SELECT cluster_id, doc_id AS kept_doc, n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM mem)
+SELECT m.cluster_id, b.kept_doc,
+       count(*) AS n_members,
+       CAST(sum(m.n_chars) - min(b.n_chars) AS BIGINT) AS dropped_chars
+FROM mem m JOIN best b ON m.cluster_id = b.cluster_id AND b.rn = 1
+GROUP BY m.cluster_id, b.kept_doc"""
 )

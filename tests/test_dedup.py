@@ -199,3 +199,28 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     tree = operator_tree(df)
     assert "BroadcastHashJoin" in tree
     assert "SortMergeJoin" not in tree and "NestedLoop" not in tree
+
+
+def test_neardup_canonical_keep_rule(spark):
+    """Survivor = longest member; equal lengths -> smallest doc_id;
+    singleton clusters keep themselves with nothing dropped."""
+    from distributed_computing_spark.operators.dedup import neardup_canonical
+
+    docs = _docs(
+        spark,
+        [
+            (1, "aaaa", "en", "s", 4),      # cluster 1: len 4
+            (2, "bbbbbbbb", "en", "s", 8),  # cluster 1: len 8 -> kept
+            (3, "cccc", "en", "s", 4),      # cluster 3: tie len 4
+            (4, "dddd", "en", "s", 4),      # cluster 3: tie -> keep 3
+            (5, "eeee", "en", "s", 4),      # singleton
+        ],
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5)], "doc_id long, cluster_id long"
+    )
+    got = {
+        r["cluster_id"]: (r["kept_doc"], r["n_members"], r["dropped_chars"])
+        for r in neardup_canonical(docs, clusters).collect()
+    }
+    assert got == {1: (2, 2, 4), 3: (3, 2, 4), 5: (5, 1, 0)}

@@ -139,3 +139,24 @@ def test_repetition_scores_degenerate_doc(spark):
     assert rows[1]["dup_frac"] == 0.6 and rows[1]["top_frac"] == 0.6
     assert rows[2]["dup_frac"] == 0.0
     assert 3 not in rows
+
+
+def test_unigram_logprob_hand_computed(spark, tmp_path):
+    """Mean log-prob under the corpus's own unigram LM, hand-checked:
+    corpus = 'a a b' / 'b' -> p(a)=2/4, p(b)=2/4; empty doc drops."""
+    import math
+
+    from distributed_computing_spark.operators.textstats import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b", "en", "s", 5), (2, "b", "en", "s", 1), (3, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "sf")
+    docs.write.parquet(d + "/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in unigram_logprob(spark, d).collect()
+    }
+    lp = round(math.log(0.5), 6)
+    assert got == {1: (3, lp), 2: (1, lp)}
