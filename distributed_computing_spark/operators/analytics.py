@@ -618,3 +618,82 @@ def value_histogram(spark: SparkSession, sf_dir: str, nbins: int = 20) -> DataFr
             F.round(F.sum("value"), 6).alias("total_value"),
         )
     )
+
+
+def event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly screen over the hourly event stream:
+    flag (hour, event_type) cells whose count deviates >= 2 sigma from
+    the trailing 24-hour mean (ops-monitoring staple).
+
+    One shuffle (hourly partial agg), then one window exchange on
+    event_type — the rolling stats ride a ROWS frame over the trailing
+    24 cells, never a self-join. Early hours (< 12 trailing cells) and
+    flat windows (sd = 0, the ANSI division guard) are excluded on
+    BOTH engines; the filter compares the ROUNDED z so an ulp of
+    engine difference cannot flip a boundary row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    stats = hourly.select(
+        "hour",
+        "event_type",
+        "n_events",
+        F.avg("n_events").over(w).alias("_mu"),
+        F.stddev_samp("n_events").over(w).alias("_sd"),
+        F.count(F.lit(1)).over(w).alias("_n_win"),
+    )
+    z = F.round((F.col("n_events") - F.col("_mu")) / F.col("_sd"), 4)
+    return (
+        stats.where((F.col("_n_win") >= 12) & (F.col("_sd") > 0))
+        .withColumn("z", z)
+        .where(F.abs(F.col("z")) >= 2)
+        .select("hour", "event_type", "n_events", "z")
+    )
+
+
+def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, the
+    classic (cohort_week, week_offset) retention matrix with per-cell
+    active counts and retention fraction.
+
+    Two aggregations shuffle on user_id (first-seen + distinct
+    activity weeks — the second piggybacks the same hash partitioning
+    under AQE), then the matrix itself is a tiny weeks x weeks
+    aggregate; the cohort-size side is broadcast. Week arithmetic is
+    integer (both engines truncate weeks to Mondays, so the day diff
+    is exactly divisible by 7) — no float in any group key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    joined = firsts.join(activity, "user_id").select(
+        "cohort_week",
+        F.expr("div(datediff(wk, cohort_week), 7)").cast("int").alias("week_offset"),
+        "user_id",
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+    )

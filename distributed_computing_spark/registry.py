@@ -776,6 +776,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle-checked locally every round via tools/check_correctness.py ----
     "events_windowed": analytics.events_windowed,
     "user_sessions": user_sessions,
+    "event_anomalies": analytics.event_anomalies,
+    "user_retention": analytics.user_retention,
     "asof_attribution": asof_attribution,
     "range_join_views": range_join_views,
     "priority_rollup": analytics.priority_rollup,
@@ -1130,6 +1132,46 @@ m AS (
   FROM o)
 SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
 FROM m GROUP BY user_id""",
+    # rolling z-score screen: trailing-24h ROWS frame; both engines
+    # filter on the ROUNDED z so an ulp cannot flip a boundary row
+    "event_anomalies": """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT hour, event_type, n_events,
+         avg(n_events) OVER win AS mu,
+         stddev_samp(n_events) OVER win AS sd,
+         count(*) OVER win AS n_win
+  FROM hourly
+  WINDOW win AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+SELECT hour, event_type, n_events,
+       round((n_events - mu) / sd, 4) AS z
+FROM w
+WHERE n_win >= 12 AND sd > 0
+  AND abs(round((n_events - mu) / sd, 4)) >= 2""",
+    # weekly cohort retention matrix; week arithmetic stays integer
+    # (both engines truncate weeks to Mondays)
+    "user_retention": """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY 1),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+  FROM events),
+joined AS (
+  SELECT f.cohort_week,
+         CAST(datediff('day', f.cohort_week, a.wk) // 7 AS INTEGER) AS week_offset,
+         a.user_id
+  FROM firsts f JOIN activity a USING (user_id)),
+sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM firsts GROUP BY 1)
+SELECT j.cohort_week, j.week_offset,
+       count(DISTINCT j.user_id) AS n_active,
+       CAST(min(s.cohort_size) AS BIGINT) AS cohort_size,
+       round(count(DISTINCT j.user_id) * 1.0 / min(s.cohort_size), 6) AS retention
+FROM joined j JOIN sizes s USING (cohort_week)
+GROUP BY 1, 2""",
     "set_ops": """
 SELECT c_custkey FROM (
   (SELECT DISTINCT o_custkey AS c_custkey FROM orders

@@ -175,3 +175,61 @@ def test_value_histogram_partitions_all_events(spark):
     assert sum(r["n_events"] for r in rows) == n_total  # every event binned once
     assert all(0 <= r["bin"] < 20 for r in rows)
     assert len({r["bin"] for r in rows}) == len(rows)  # bins unique
+
+
+def test_event_anomalies_planted_spike(spark, tmp_path):
+    """A 10x spike after 24 steady hours is flagged; steady hours are
+    not; hours with < 12 trailing cells are excluded by design."""
+    from datetime import datetime, timedelta
+
+    from distributed_computing_spark.operators.analytics import event_anomalies
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(30):
+        n = 200 if h == 27 else (20 + h % 3)  # mild jitter, one spike
+        for i in range(n):
+            rows.append((eid, base + timedelta(hours=h, seconds=i), 1, "click", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "sf")
+    ev.write.parquet(d + "/events.parquet")
+    got = {(r["hour"].hour + 24 * (r["hour"].day - 1)): r for r in event_anomalies(spark, d).collect()}
+    assert 27 in got and got[27]["n_events"] == 200
+    assert all(r["z"] >= 2 or r["z"] <= -2 for r in got.values())
+    assert all(h >= 12 for h in got)  # warm-up hours never flagged
+
+
+def test_user_retention_hand_matrix(spark, tmp_path):
+    """Two cohorts, hand-checked offsets and retention fractions."""
+    from datetime import datetime
+
+    from distributed_computing_spark.operators.analytics import user_retention
+
+    # cohort A (week of Jan 1): users 1,2 — user 1 returns in week 2
+    # cohort B (week of Jan 8): user 3
+    t = lambda d: datetime(2024, 1, d, 12, 0, 0)
+    rows = [
+        (0, t(1), 1, "v", 1.0, "{}"),
+        (1, t(2), 2, "v", 1.0, "{}"),
+        (2, t(9), 1, "v", 1.0, "{}"),   # user 1 active week offset 1
+        (3, t(8), 3, "v", 1.0, "{}"),
+        (4, t(10), 3, "v", 1.0, "{}"),  # same week, still offset 0
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "sf")
+    ev.write.parquet(d + "/events.parquet")
+    got = {
+        (r["cohort_week"].day, r["week_offset"]): (r["n_active"], r["cohort_size"], r["retention"])
+        for r in user_retention(spark, d).collect()
+    }
+    assert got == {
+        (1, 0): (2, 2, 1.0),
+        (1, 1): (1, 2, 0.5),
+        (8, 0): (1, 1, 1.0),
+    }
