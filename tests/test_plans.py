@@ -156,3 +156,53 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_neardup_canonical_single_exchange_no_window(spark):
+    """Cluster collapse is one hash exchange on cluster_id (max-of-
+    struct aggregate) — no window operator, no second exchange."""
+    from distributed_computing_spark.operators.dedup import neardup_canonical
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (i + 1), "en", "s", i + 1) for i in range(20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    clusters = spark.createDataFrame(
+        [(i, i % 5) for i in range(20)], "doc_id long, cluster_id long"
+    )
+    df = neardup_canonical(docs, clusters)
+    tree = operator_tree(df)
+    assert "Window" not in tree
+    plan = _plan(df)
+    assert "partial_count" in plan or "partial_max" in plan  # map-side combine
+
+
+def test_unigram_logprob_no_broadcast_of_open_vocab(spark):
+    """The token->count join must tolerate an open vocabulary: the
+    corpus-total scalar is broadcast, but nothing forces the counts
+    side to be (AQE may still choose it at toy SF); per-doc re-agg is
+    partial before its exchange."""
+    df = QUERIES["unigram_logprob"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "partial_count" in plan
+    tree = operator_tree(df)
+    # the scalar total rides a broadcast nested-loop (1-row cross join)
+    assert "BroadcastNestedLoopJoin" in tree
+
+
+def test_event_anomalies_no_self_join(spark):
+    """Rolling stats ride a window frame, never a self-join: exactly
+    one Window operator, no Join of any kind."""
+    df = QUERIES["event_anomalies"](spark, SF_DIR)
+    tree = operator_tree(df)
+    assert "Join" not in tree
+    assert tree.count("Window") == 1
+
+
+def test_user_retention_broadcasts_cohort_sizes(spark):
+    """The retention matrix join against per-cohort sizes is broadcast
+    (weeks x weeks is tiny); the user-level joins never sort-merge."""
+    df = QUERIES["user_retention"](spark, SF_DIR)
+    tree = operator_tree(df)
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
