@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from distributed_computing_spark.operators.sharding import NSHARDS, key2shard
 
+# logical config row; `num` is physically a partition directory (num=N)
 CONFIG_SCHEMA = "num int, shard int, gid int"
 
 
@@ -58,7 +59,6 @@ class ConfigMaster:
         self.cfg_dir = cfg_dir
         self.nshards = nshards
         self.max_version = max_version
-        self.installed = 0
         self._assign = assign or (
             # 100 + shard % min(num, 3): one group, then two, then three
             lambda num: (F.lit(100) + F.col("shard") % F.lit(min(num, 3))).cast(
@@ -66,32 +66,49 @@ class ConfigMaster:
             )
         )
 
+    @property
+    def installed(self) -> int:
+        """Highest version on disk — derived, never cached, so a master
+        restarted mid-history (or re-entered after a foreachBatch task
+        retry) resumes from durable state instead of re-counting."""
+        if not os.path.isdir(self.cfg_dir):
+            return 0
+        nums = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.cfg_dir)
+            if d.startswith("num=")
+        ]
+        return max(nums, default=0)
+
     def install_next(self) -> None:
-        """Publish the next config version, if any remain. Idempotent
-        past ``max_version`` (a re-polled master with no new config)."""
-        if self.installed >= self.max_version:
-            return
+        """Publish the next config version, if any remain. Each version
+        lives in its own ``num=N`` partition directory written with
+        overwrite, so a re-install of the same version (batch retry) is
+        idempotent — no duplicate config rows for the poll to join."""
         num = self.installed + 1
+        if num > self.max_version:
+            return
         cfg = self.spark.range(self.nshards).select(
-            F.lit(num).cast("int").alias("num"),
-            F.col("id").cast("int").alias("shard"),
+            F.col("id").cast("int").alias("shard")
         )
         cfg = cfg.withColumn("gid", self._assign(num))
-        cfg.coalesce(1).write.mode("append").parquet(self.cfg_dir)
-        self.installed = num
+        cfg.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.cfg_dir, f"num={num}")
+        )
 
 
 def poll_latest(spark: SparkSession, cfg_dir: str) -> DataFrame:
     """One poll: re-read the config history fresh and keep only the
     highest installed version (Query(-1), shardmaster/server.go).
 
-    The history is tiny metadata (versions × nshards rows); the
-    max-version filter is a scalar subquery over it, and the result is
-    always broadcast into the routing join.
+    The history is tiny metadata (versions × nshards rows) laid out as
+    ``num=N`` partition dirs — the version filter is partition pruning,
+    not a data read — and the result is always broadcast into the
+    routing join.
     """
-    hist = spark.read.schema(CONFIG_SCHEMA).parquet(cfg_dir)
+    hist = spark.read.parquet(cfg_dir)  # partition column: num (int)
     latest = hist.agg(F.max("num").alias("num"))
-    return hist.join(F.broadcast(latest), "num")
+    return hist.join(F.broadcast(latest), "num").select("num", "shard", "gid")
 
 
 def route_stream_by_latest_config(
