@@ -313,3 +313,65 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def lang_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition diagnostics: per source, the Shannon entropy
+    (nats) of its language distribution — the dataset-card number that
+    flags a source collapsing to one language after filtering.
+
+    Two cheap aggregations: per-(source, lang) counts (partial-agg
+    shuffle), then per-source entropy over the tiny distribution rows.
+    The inner count never leaves the executors un-reduced.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    by_lang = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    totals = by_lang.groupBy("source").agg(
+        F.sum("n").alias("n_docs"), F.count(F.lit(1)).alias("n_langs")
+    )
+    p = F.col("n") / F.col("n_docs")
+    return (
+        by_lang.join(totals, "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("n_langs").alias("n_langs"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"),
+        )
+    )
+
+
+def shingle_novelty(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """First-occurrence novelty per document: the fraction of a doc's
+    distinct n-gram shingles whose FIRST corpus appearance (smallest
+    doc_id) is this doc — near 0 marks documents that only repeat
+    earlier material (the streaming-ingest admission signal, computed
+    corpus-wide in batch).
+
+    Scale shape: both exchanges carry only 8-byte xxhash64 values and
+    ids — (hash -> min doc_id) reduction, then an equi-join back on
+    hash and a per-doc count. Text never shuffles; a doc with no
+    shingles (< n tokens) drops out, as in the dedup family.
+    """
+    from distributed_computing_spark.operators.dedup import shingle_rows
+
+    sh = shingle_rows(documents=load_table(spark, sf_dir, "documents"), n=n).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
+    first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty_frac"),
+    )

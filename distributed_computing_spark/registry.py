@@ -755,6 +755,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": textstats.tfidf_top_terms,
     "bigram_counts": textstats.bigram_counts,
     "unigram_logprob": textstats.unigram_logprob,
+    "lang_entropy_by_source": textstats.lang_entropy_by_source,
+    "shingle_novelty": textstats.shingle_novelty,
     # [EXT] corpus curation (clean → chunk → pack → mix, + DQ audit)
     "clean_docs": curation.clean_docs,
     "chunk_docs": curation.chunk_docs_q,
@@ -1307,6 +1309,35 @@ SELECT t.doc_id,
        round(avg(ln(c.cnt / tt.total)), 6) AS avg_logprob
 FROM tok t JOIN counts c USING (word) CROSS JOIN total tt
 GROUP BY t.doc_id""",
+    "lang_entropy_by_source": """
+WITH bl AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+t AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_langs
+      FROM bl GROUP BY 1)
+SELECT bl.source,
+       max(t.n_docs) AS n_docs,
+       max(t.n_langs) AS n_langs,
+       round(-sum((bl.n / t.n_docs) * ln(bl.n / t.n_docs)), 6) AS lang_entropy
+FROM bl JOIN t USING (source)
+GROUP BY bl.source""",
+    # first-occurrence novelty: Spark joins on xxhash64(shingle), the
+    # oracle on the shingle string — same documented 64-bit collision
+    # acceptance as the ngram/minhash family
+    "shingle_novelty": f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM t),
+firsts AS (SELECT shingle, min(doc_id) AS first_doc FROM g GROUP BY 1)
+SELECT g.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS novelty_frac
+FROM g JOIN firsts f USING (shingle)
+GROUP BY g.doc_id""",
     # sample_by_lang: seed-deterministic Bernoulli sampling is
     # engine-specific (Spark's XORShiftRandom) → rows-only; per-stratum
     # fraction bounds tested in tests/test_textstats.py.

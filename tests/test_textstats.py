@@ -160,3 +160,50 @@ def test_unigram_logprob_hand_computed(spark, tmp_path):
     }
     lp = round(math.log(0.5), 6)
     assert got == {1: (3, lp), 2: (1, lp)}
+
+
+def test_lang_entropy_hand_computed(spark, tmp_path):
+    """Uniform 2-lang source -> ln(2); single-lang source -> 0."""
+    import math
+
+    from distributed_computing_spark.operators.textstats import (
+        lang_entropy_by_source,
+    )
+
+    rows = [
+        (1, "x", "en", "a", 1), (2, "x", "fr", "a", 1),
+        (3, "x", "en", "b", 1), (4, "x", "en", "b", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sf")
+    docs.write.parquet(d + "/documents.parquet")
+    got = {
+        r["source"]: (r["n_docs"], r["n_langs"], r["lang_entropy"])
+        for r in lang_entropy_by_source(spark, d).collect()
+    }
+    assert got == {"a": (2, 2, round(math.log(2), 6)), "b": (2, 1, -0.0)}
+
+
+def test_shingle_novelty_first_occurrence(spark, tmp_path):
+    """Doc 1 introduces everything; an exact copy at doc 2 is 0-novel;
+    a doc with a fresh tail is partially novel."""
+    from distributed_computing_spark.operators.textstats import shingle_novelty
+
+    text = "a b c d e"  # 3 distinct 3-gram shingles
+    rows = [
+        (1, text, "en", "s", 9),
+        (2, text, "en", "s", 9),
+        (3, "a b c x y", "en", "s", 9),  # "a b c" seen, 2 novel
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sf")
+    docs.write.parquet(d + "/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"])
+        for r in shingle_novelty(spark, d).collect()
+    }
+    assert got == {1: (3, 3), 2: (3, 0), 3: (3, 2)}
