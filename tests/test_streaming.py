@@ -347,3 +347,58 @@ def test_config_poll_applies_versions_in_order(spark, tmp_path):
     nums = {r["num"] for r in latest.collect()}
     assert nums == {3}
     assert latest.count() == 10  # one row per shard
+
+
+def test_config_poll_restart_resumes_from_checkpoint(spark, tmp_path):
+    """P8 across a restart: a second AvailableNow run sharing the
+    checkpoint replays only NEW ops batches (exactly-once routing), and
+    a fresh ConfigMaster resumes version numbering from durable state
+    (installed derives from the num=N dirs, not driver memory)."""
+    import glob
+    import os
+    import time
+
+    from distributed_computing_spark.streaming.config_poll import (
+        ConfigMaster,
+        route_stream_by_latest_config,
+    )
+
+    src = str(tmp_path / "src")
+    cfg_dir, out_dir, ckpt = (
+        str(tmp_path / "cfg"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    now = time.time()
+
+    def write_batch(b):
+        rows = [(b * 10 + i, f"k{i % 7}") for i in range(10)]
+        spark.createDataFrame(rows, "seq long, key string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        for f in glob.glob(f"{src}/part-*"):
+            os.utime(f, (now + b, now + b))
+
+    def run():
+        stream = (
+            spark.readStream.schema("seq long, key string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        master = ConfigMaster(spark, cfg_dir, max_version=3)
+        q = route_stream_by_latest_config(stream, cfg_dir, out_dir, ckpt, master=master)
+        q.awaitTermination(120)
+
+    write_batch(0)
+    run()  # first run: only v1 installed, batch 0 routed by it
+    first = spark.read.parquet(out_dir).collect()
+    assert len(first) == 10 and {r["config_num"] for r in first} == {1}
+
+    write_batch(1)
+    write_batch(2)
+    run()  # restart: resumes at v2/v3, does NOT re-route batch 0
+    routed = spark.read.parquet(out_dir).collect()
+    assert len(routed) == 30
+    from collections import Counter
+
+    assert Counter(r["config_num"] for r in routed) == {1: 10, 2: 10, 3: 10}
