@@ -702,18 +702,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # MapReduce analytics (S1,T1-T4,A1-A6,O1-O4)
     "word_count_top10": word_count,
     "inverted_index": inverted_index,
-    "mapreduce_wordcount": mapreduce_wordcount,
     # KV engine (K1-K6)
     "kv_state": kv_state,
     "kv_effective_ops": kv_effective_ops,
-    "customer_upsert": customer_upsert,
-    "lang_long_format": lang_long_format,
-    "kv_snapshot": kv_snapshot,
-    "kv_changes": kv_changes,
-    "kv_get": kv_get_demo,
     # Sharding (T5-T7, A7, P1-P5)
-    "shard_census": shard_census,
     "shard_routing": shard_routing,
+    # round-2 event analytics (never driver-gated yet)
+    "event_anomalies": analytics.event_anomalies,
+    "user_retention": analytics.user_retention,
     # [EXT] dedup
     "exact_dedup": exact_dedup_q,
     "ngram_jaccard_pairs": ngram_jaccard,
@@ -776,10 +772,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_running_totals": analytics.order_running_totals,
     # ---- driver-gate window boundary (~50) — long tail below is
     # oracle-checked locally every round via tools/check_correctness.py ----
+    # (r1-driver-proven singles moved below the boundary in round 2 to
+    # make room above for the never-driver-gated curation entries)
+    "mapreduce_wordcount": mapreduce_wordcount,
+    "customer_upsert": customer_upsert,
+    "lang_long_format": lang_long_format,
+    "kv_snapshot": kv_snapshot,
+    "kv_changes": kv_changes,
+    "kv_get": kv_get_demo,
+    "shard_census": shard_census,
     "events_windowed": analytics.events_windowed,
     "user_sessions": user_sessions,
-    "event_anomalies": analytics.event_anomalies,
-    "user_retention": analytics.user_retention,
     "asof_attribution": asof_attribution,
     "range_join_views": range_join_views,
     "priority_rollup": analytics.priority_rollup,
