@@ -486,6 +486,28 @@ def stream_kv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.state()
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join: purchases attributed to a same-user
+    click within 30 minutes, both sides unbounded streams (the join
+    state is bounded by the two watermarks + the interval — the Spark
+    capability the reference's poll/apply loops never had). Bounded
+    replay emits every match within one AvailableNow run, so the batch
+    form of the same predicate is an exact oracle."""
+    from distributed_computing_spark.streaming.runner import run_to_batch, stream_table
+    from distributed_computing_spark.streaming.windows import interval_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    clicks = stream_table(spark, ev.where(F.col("event_type") == "click"))
+    purchases = stream_table(spark, ev.where(F.col("event_type") == "purchase"))
+    out = run_to_batch(interval_join(clicks, purchases), spark, output_mode="append")
+    return out.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("purch_value"), 4).alias("total_purch_value"),
+    )
+
+
 def stream_config_poll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 executable: the config-poll loop (shardkv/server.go:368-385).
 
@@ -711,7 +733,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_anomalies": analytics.event_anomalies,
     "user_retention": analytics.user_retention,
     # [EXT] dedup
-    "exact_dedup": exact_dedup_q,
     "ngram_jaccard_pairs": ngram_jaccard,
     "neardup_clusters": neardup_clusters_q,
     "neardup_canonical": neardup_canonical_q,
@@ -732,6 +753,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_kv_stateful": stream_kv_stateful,
     "stream_dedup_ops": stream_dedup_ops,
     "stream_config_poll": stream_config_poll,
+    "stream_stream_join": stream_stream_join,
     # [EXT] multimodal binary columns
     "multimodal_stats": multimodal_stats,
     "multimodal_frames": multimodal_frames,
@@ -775,6 +797,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (r1-driver-proven singles moved below the boundary in round 2 to
     # make room above for the never-driver-gated curation entries)
     "mapreduce_wordcount": mapreduce_wordcount,
+    "exact_dedup": exact_dedup_q,
     "customer_upsert": customer_upsert,
     "lang_long_format": lang_long_format,
     "kv_snapshot": kv_snapshot,
@@ -1549,6 +1572,16 @@ SELECT config_num,
        count(DISTINCT "key") AS n_keys
 FROM routed
 GROUP BY 1, 2""",
+    # stream-stream interval join: bounded replay emits every match, so
+    # the batch form of the identical predicate is exact
+    "stream_stream_join": """
+WITH c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS pts, value FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, count(*) AS n_pairs,
+       round(sum(p.value), 4) AS total_purch_value
+FROM c JOIN p ON c.user_id = p.user_id
+ AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 30 MINUTE
+GROUP BY 1""",
     "multimodal_stats": """
 SELECT doc_id AS blob_id,
        CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -84,3 +84,37 @@ def session_windows(
             "sum_value",
         )
     )
+
+
+def interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM inner join: purchases attributed to a preceding
+    click by the same user within ``within`` (the conversion-attribution
+    join, both sides unbounded).
+
+    The event-time range condition plus per-side watermarks is what
+    bounds join state at scale: each side buffers only rows younger
+    than watermark + interval — without the time bound the state store
+    grows forever. Batch-equivalent by construction: the same predicate
+    over two batch DataFrames is the oracle.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purch_ts"),
+        F.col("value").alias("purch_value"),
+    ).withWatermark("purch_ts", watermark)
+    return c.join(
+        p,
+        F.expr(
+            f"c_user = p_user AND purch_ts >= click_ts "
+            f"AND purch_ts <= click_ts + interval {within}"
+        ),
+        "inner",
+    )

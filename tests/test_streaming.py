@@ -402,3 +402,36 @@ def test_config_poll_restart_resumes_from_checkpoint(spark, tmp_path):
     from collections import Counter
 
     assert Counter(r["config_num"] for r in routed) == {1: 10, 2: 10, 3: 10}
+
+
+def test_interval_join_stream_stream_bounds(spark, tmp_path):
+    """Only purchases in [click_ts, click_ts + 30 min] by the same user
+    match; earlier/later/other-user purchases do not."""
+    import datetime as dt
+
+    from distributed_computing_spark.streaming.runner import run_to_batch
+    from distributed_computing_spark.streaming.windows import interval_join
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "user_id long, ts timestamp, value double"
+    clicks = [(1, base, 0.0)]
+    purchases = [
+        (1, base + dt.timedelta(minutes=10), 5.0),   # match
+        (1, base + dt.timedelta(minutes=30), 7.0),   # boundary: match
+        (1, base + dt.timedelta(minutes=31), 9.0),   # too late
+        (1, base - dt.timedelta(minutes=5), 11.0),   # before click
+        (2, base + dt.timedelta(minutes=10), 13.0),  # other user
+    ]
+
+    def as_stream(rows, sub):
+        d = str(tmp_path / sub)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        return spark.readStream.schema(schema).parquet(d)
+
+    out = run_to_batch(
+        interval_join(as_stream(clicks, "c"), as_stream(purchases, "p")),
+        spark,
+        output_mode="append",
+    )
+    got = sorted(r["purch_value"] for r in out.collect())
+    assert got == [5.0, 7.0]
