@@ -375,3 +375,64 @@ def shingle_novelty(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
         "n_novel",
         F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty_frac"),
     )
+
+
+def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score calibration table: corpus deciles of the quality
+    score with per-decile document counts, mean score, and share of
+    total characters — the threshold-picking artifact behind every
+    "keep top X%" filtering decision.
+
+    ntile(10) is a single global window over (rounded score, doc_id) —
+    deterministic across engines because the ordering key is the
+    ROUNDED score (bit-identical both sides) with an id tie-break, and
+    cheap because only (doc_id, score, n_chars) rows pass through one
+    task — never the text.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.round(quality_score("text"), 6).alias("q"),
+        "n_chars",
+    )
+    w = Window.orderBy("q", "doc_id")
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def stopword_discovery(
+    spark: SparkSession, sf_dir: str, min_df_frac: float = 0.4
+) -> DataFrame:
+    """Corpus-driven stopword mining: tokens appearing in at least
+    ``min_df_frac`` of documents (document frequency, not raw count —
+    a term spammed by one doc is not a stopword). The discovered list
+    feeds stopword-ratio quality signals without a hand-curated
+    lexicon.
+
+    One tokenize pass: distinct (doc, word) pairs aggregate to df per
+    word (partial-agg shuffle on word), the n_docs scalar broadcasts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("word")
+    )
+    df_ = pairs.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        df_.crossJoin(F.broadcast(total))
+        .where(F.col("df") >= F.lit(min_df_frac) * F.col("n_docs"))
+        .select(
+            "word",
+            "df",
+            F.round(F.col("df") / F.col("n_docs"), 6).alias("df_frac"),
+        )
+    )

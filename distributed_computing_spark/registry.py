@@ -723,10 +723,8 @@ round(
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # MapReduce analytics (S1,T1-T4,A1-A6,O1-O4)
     "word_count_top10": word_count,
-    "inverted_index": inverted_index,
     # KV engine (K1-K6)
     "kv_state": kv_state,
-    "kv_effective_ops": kv_effective_ops,
     # Sharding (T5-T7, A7, P1-P5)
     "shard_routing": shard_routing,
     # round-2 event analytics (never driver-gated yet)
@@ -775,6 +773,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logprob": textstats.unigram_logprob,
     "lang_entropy_by_source": textstats.lang_entropy_by_source,
     "shingle_novelty": textstats.shingle_novelty,
+    "quality_calibration": textstats.quality_calibration,
+    "stopword_discovery": textstats.stopword_discovery,
     # [EXT] corpus curation (clean → chunk → pack → mix, + DQ audit)
     "clean_docs": curation.clean_docs,
     "chunk_docs": curation.chunk_docs_q,
@@ -797,6 +797,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (r1-driver-proven singles moved below the boundary in round 2 to
     # make room above for the never-driver-gated curation entries)
     "mapreduce_wordcount": mapreduce_wordcount,
+    "inverted_index": inverted_index,
+    "kv_effective_ops": kv_effective_ops,
     "exact_dedup": exact_dedup_q,
     "customer_upsert": customer_upsert,
     "lang_long_format": lang_long_format,
@@ -1364,6 +1366,26 @@ SELECT g.doc_id,
              / count(*), 6) AS novelty_frac
 FROM g JOIN firsts f USING (shingle)
 GROUP BY g.doc_id""",
+    # decile calibration: ntile over the ROUNDED score + id tie-break
+    # so ordering (and thus bucket edges) is engine-independent
+    "quality_calibration": f"""
+WITH s AS (
+  SELECT doc_id, round({_QUALITY_EXPR}, 6) AS q, n_chars FROM documents),
+d AS (
+  SELECT *, CAST(ntile(10) OVER (ORDER BY q, doc_id) AS INTEGER) AS decile
+  FROM s)
+SELECT decile, count(*) AS n_docs,
+       round(avg(q), 6) AS avg_quality,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM d GROUP BY 1""",
+    "stopword_discovery": f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct({_TOKENS})) AS word FROM documents),
+dfq AS (SELECT word, count(*) AS df FROM t GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT word, df, round(df * 1.0 / n_docs, 6) AS df_frac
+FROM dfq, n
+WHERE df >= 0.4 * n_docs""",
     # sample_by_lang: seed-deterministic Bernoulli sampling is
     # engine-specific (Spark's XORShiftRandom) → rows-only; per-stratum
     # fraction bounds tested in tests/test_textstats.py.

@@ -207,3 +207,39 @@ def test_shingle_novelty_first_occurrence(spark, tmp_path):
         for r in shingle_novelty(spark, d).collect()
     }
     assert got == {1: (3, 3), 2: (3, 0), 3: (3, 2)}
+
+
+def test_quality_calibration_deciles_partition_corpus(spark, sf_dir):
+    from distributed_computing_spark.operators.textstats import quality_calibration
+    from distributed_computing_spark.sources.catalog import load_table
+
+    rows = quality_calibration(spark, sf_dir).collect()
+    assert {r["decile"] for r in rows} == set(range(1, 11))
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # deciles are balanced (ntile: sizes differ by at most 1)
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # monotone calibration: mean quality non-decreasing across deciles
+    means = [r["avg_quality"] for r in sorted(rows, key=lambda r: r["decile"])]
+    assert means == sorted(means)
+
+
+def test_stopword_discovery_df_not_tf(spark, tmp_path):
+    """A word spammed inside ONE doc is not a stopword; a word present
+    in most docs is — document frequency, not raw count."""
+    from distributed_computing_spark.operators.textstats import stopword_discovery
+
+    rows = [
+        (1, "spam " * 100 + "common", "en", "s", 1),
+        (2, "common stuff", "en", "s", 1),
+        (3, "common words here", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sf")
+    docs.write.parquet(d + "/documents.parquet")
+    got = {r["word"]: r["df"] for r in stopword_discovery(spark, d).collect()}
+    assert got.get("common") == 3
+    assert "spam" not in got
