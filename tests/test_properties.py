@@ -108,3 +108,39 @@ def test_replay_hypothesis_fold_equality(spark):
             assert got.get(k, "") == want.get(k, "")
 
     check()
+
+
+def test_neardup_canonical_invariants_random(spark):
+    """For arbitrary cluster assignments: exactly one survivor per
+    cluster; the survivor belongs to its cluster and is a longest
+    member; n_members and dropped_chars reconcile with the input."""
+    import random
+
+    from distributed_computing_spark.operators.dedup import neardup_canonical
+
+    rng = random.Random(7)
+    docs_rows = [
+        (i, "x" * rng.randint(1, 40), "en", "s", 0) for i in range(200)
+    ]
+    clusters_rows = [(i, rng.randint(0, 30)) for i in range(200)]
+    docs = spark.createDataFrame(
+        docs_rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    clusters = spark.createDataFrame(clusters_rows, "doc_id long, cluster_id long")
+    got = neardup_canonical(docs, clusters).collect()
+
+    lens = {i: len(t) for i, t, *_ in docs_rows}
+    members: dict[int, list[int]] = {}
+    for i, c in clusters_rows:
+        members.setdefault(c, []).append(i)
+    assert {r["cluster_id"] for r in got} == set(members)
+    assert sum(r["n_members"] for r in got) == 200
+    for r in got:
+        mem = members[r["cluster_id"]]
+        assert r["kept_doc"] in mem
+        assert lens[r["kept_doc"]] == max(lens[m] for m in mem)
+        # tie-break: smallest id among the longest members
+        assert r["kept_doc"] == min(
+            m for m in mem if lens[m] == lens[r["kept_doc"]]
+        )
+        assert r["dropped_chars"] == sum(lens[m] for m in mem) - lens[r["kept_doc"]]
