@@ -486,6 +486,39 @@ def stream_kv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.state()
 
 
+def bpe_merges(spark: SparkSession, sf_dir: str, n_merges: int = 24) -> DataFrame:
+    """BPE tokenizer training (word-frequency formulation) on the
+    corpus: the learned merge sequence as (rank, left, right,
+    pair_count). Iterative argmax-and-rewrite — not SQL-expressible, so
+    rows-only under the gate; the merge order is pinned by the
+    hand-computed classic example in tests/test_bpe.py."""
+    from distributed_computing_spark.operators.bpe import train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules, _pieces = train_bpe(spark, docs, n_merges=n_merges)
+    return spark.createDataFrame(
+        [(i + 1, a, b, int(n)) for i, (a, b, n) in enumerate(rules)],
+        "rank int, left string, right string, pair_count long",
+    )
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train BPE then self-encode the corpus via the trained pieces
+    table (broadcast join, no iteration at encode time): per-doc word/
+    piece/OOV counts — the fertility statistics a tokenizer report
+    shows. Self-encoding has zero OOV by construction (asserted in
+    tests)."""
+    from distributed_computing_spark.operators.bpe import (
+        encode_with_pieces,
+        train_bpe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, pieces = train_bpe(spark, docs, n_merges=24)
+    out = encode_with_pieces(docs, pieces)
+    return out
+
+
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STREAM interval join: purchases attributed to a same-user
     click within 30 minutes, both sides unbounded streams (the join
@@ -796,6 +829,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle-checked locally every round via tools/check_correctness.py ----
     # (r1-driver-proven singles moved below the boundary in round 2 to
     # make room above for the never-driver-gated curation entries)
+    "bpe_merges": bpe_merges,
+    "bpe_encode_stats": bpe_encode_stats,
     "mapreduce_wordcount": mapreduce_wordcount,
     "inverted_index": inverted_index,
     "kv_effective_ops": kv_effective_ops,

@@ -26,6 +26,10 @@ ROWS_ONLY = {
     "multimodal_decode",
     "multimodal_features",
     "sample_by_lang",
+    # iterative argmax-and-rewrite (not SQL-expressible); merge order
+    # pinned by the classic-example tests in tests/test_bpe.py
+    "bpe_merges",
+    "bpe_encode_stats",
 }
 
 
