@@ -697,3 +697,52 @@ def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
         )
     )
+
+
+def copurchase_pairs(spark: SparkSession, sf_dir: str, min_count: int = 3) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order, counted across orders (the candidate-generation half of
+    frequent-itemset mining).
+
+    The self-join is keyed on l_orderkey, so the pair fan-out is
+    per-order (~items² within one basket), never cross-order — the
+    same bounded-blocking discipline as the LSH bucket joins. One
+    shuffle co-locates each order's lines; the a < b guard halves the
+    pairs and canonicalizes them.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_partkey").alias("a")
+    )
+    rb = li.select("l_orderkey", F.col("a").alias("b"))
+    return (
+        li.join(rb, "l_orderkey")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= min_count)
+    )
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (behavioral bigrams): for
+    each consecutive (ts, event_id)-ordered pair of a user's events,
+    count (from_type -> to_type) corpus-wide — the input to funnel
+    discovery and Markov-chain session models.
+
+    One shuffle on user_id serves the ordering window (lead);
+    transition aggregation partial-aggregates map-side. The event_id
+    tie-break makes ordering exact on both engines.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    return steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

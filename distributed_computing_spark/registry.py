@@ -831,6 +831,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # make room above for the never-driver-gated curation entries)
     "bpe_merges": bpe_merges,
     "bpe_encode_stats": bpe_encode_stats,
+    "copurchase_pairs": analytics.copurchase_pairs,
+    "event_transitions": analytics.event_transitions,
     "mapreduce_wordcount": mapreduce_wordcount,
     "inverted_index": inverted_index,
     "kv_effective_ops": kv_effective_ops,
@@ -1421,6 +1423,23 @@ n AS (SELECT count(*) AS n_docs FROM documents)
 SELECT word, df, round(df * 1.0 / n_docs, 6) AS df_frac
 FROM dfq, n
 WHERE df >= 0.4 * n_docs""",
+    "copurchase_pairs": """
+SELECT la.l_partkey AS a, lb.l_partkey AS b, count(*) AS n_orders
+FROM lineitem la JOIN lineitem lb
+  ON la.l_orderkey = lb.l_orderkey AND la.l_partkey < lb.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= 3""",
+    "event_transitions": """
+WITH s AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events)
+SELECT from_type, to_type,
+       count(*) AS n_transitions,
+       count(DISTINCT user_id) AS n_users
+FROM s WHERE to_type IS NOT NULL
+GROUP BY 1, 2""",
     # sample_by_lang: seed-deterministic Bernoulli sampling is
     # engine-specific (Spark's XORShiftRandom) → rows-only; per-stratum
     # fraction bounds tested in tests/test_textstats.py.

@@ -233,3 +233,44 @@ def test_user_retention_hand_matrix(spark, tmp_path):
         (1, 1): (1, 2, 0.5),
         (8, 0): (1, 1, 1.0),
     }
+
+
+def test_copurchase_pairs_basket_bounded(spark, tmp_path):
+    """Pairs form only within an order (basket), canonicalized a < b."""
+    from distributed_computing_spark.operators.analytics import copurchase_pairs
+
+    rows = [
+        (1, 10), (1, 20), (1, 30),   # order 1: 3 pairs
+        (2, 10), (2, 20),            # order 2: 1 pair
+        (3, 99),                     # singleton: no pairs
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    d = str(tmp_path / "sf")
+    li.write.parquet(d + "/lineitem.parquet")
+    got = {(r["a"], r["b"]): r["n_orders"]
+           for r in copurchase_pairs(spark, d, min_count=1).collect()}
+    assert got == {(10, 20): 2, (10, 30): 1, (20, 30): 1}
+
+
+def test_event_transitions_ordering(spark, tmp_path):
+    """Transitions follow (ts, event_id) order per user; no cross-user
+    transitions."""
+    from datetime import datetime, timedelta
+
+    from distributed_computing_spark.operators.analytics import event_transitions
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (0, base, 1, "view", 0.0, "{}"),
+        (1, base + timedelta(minutes=1), 1, "click", 0.0, "{}"),
+        (2, base + timedelta(minutes=2), 1, "purchase", 0.0, "{}"),
+        (3, base, 2, "view", 0.0, "{}"),  # user 2: single event, no transition
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "sf")
+    ev.write.parquet(d + "/events.parquet")
+    got = {(r["from_type"], r["to_type"]): (r["n_transitions"], r["n_users"])
+           for r in event_transitions(spark, d).collect()}
+    assert got == {("view", "click"): (1, 1), ("click", "purchase"): (1, 1)}
