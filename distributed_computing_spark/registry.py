@@ -671,9 +671,27 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-facing scalar projection of extract_features: the driver's
+    pandas canonicalizer cannot sort list-valued cells, so the registry
+    entry emits only canonicalizable scalars (dim, squared norm, first
+    components). The array<float> API is unchanged — multimodal_ann
+    consumes it directly."""
     from distributed_computing_spark.operators import multimodal
 
-    return multimodal.extract_features(_blobs(spark, sf_dir))
+    feats = multimodal.extract_features(_blobs(spark, sf_dir))
+    sq_norm = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return feats.select(
+        "blob_id",
+        F.size("embedding").alias("dim"),
+        F.round(sq_norm, 4).alias("sq_norm"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("c0"),
+        F.round(F.element_at("embedding", 2).cast("double"), 6).alias("c1"),
+        F.round(F.element_at("embedding", 3).cast("double"), 6).alias("c2"),
+    )
 
 
 def multimodal_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -754,22 +772,17 @@ round(
 # tools/check_correctness.py — fill the back. Keep new operators inside the
 # first 50.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # MapReduce analytics (S1,T1-T4,A1-A6,O1-O4)
-    "word_count_top10": word_count,
-    # KV engine (K1-K6)
-    "kv_state": kv_state,
-    # Sharding (T5-T7, A7, P1-P5)
-    "shard_routing": shard_routing,
-    # round-2 event analytics (never driver-gated yet)
+    # ---- driver-gate window (first ~50): every entry here either has
+    # never had a driver CORRECTNESS row (the 12 round-2 additions,
+    # rotated in for round 3 per VERDICT r2 item 2) or was changed this
+    # round (stream_enriched / multimodal_features red-row fixes,
+    # pack_chunks regrouping, stream_config_poll idempotency).
+    # Twice-driver-proven stable entries moved below the boundary. ----
+    # round-2 event analytics
     "event_anomalies": analytics.event_anomalies,
     "user_retention": analytics.user_retention,
-    # [EXT] dedup
-    "ngram_jaccard_pairs": ngram_jaccard,
-    "neardup_clusters": neardup_clusters_q,
+    # [EXT] dedup / clustering
     "neardup_canonical": neardup_canonical_q,
-    "minhash_incremental": minhash_incremental_q,
-    "minhash_neardup": minhash_neardup,
-    "simhash_neardup": simhash_neardup,
     # [EXT] similarity search
     "cosine_topk": cosine_topk_q,
     "lsh_topk": lsh_topk_q,
@@ -793,10 +806,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": multimodal_features,
     "multimodal_ann": multimodal_ann,
     # [EXT] text analysis
-    "text_stats": textstats.text_stats,
-    "quality_scores": textstats.quality_scores,
-    "lang_id": textstats.lang_id,
-    "fingerprints": textstats.fingerprints,
     "corpus_summary": textstats.corpus_summary,
     "build_vocab": textstats.build_vocab,
     "encode_docs": textstats.encode_docs,
@@ -808,31 +817,53 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shingle_novelty": textstats.shingle_novelty,
     "quality_calibration": textstats.quality_calibration,
     "stopword_discovery": textstats.stopword_discovery,
-    # [EXT] corpus curation (clean → chunk → pack → mix, + DQ audit)
+    # [EXT] corpus curation (clean -> chunk -> pack -> mix, + DQ audit)
     "clean_docs": curation.clean_docs,
     "chunk_docs": curation.chunk_docs_q,
     "pack_chunks": curation.pack_chunks_q,
     "mixture_sample": curation.mixture_sample_q,
     "dq_audit": curation.dq_audit,
-    # sample_by_lang is rows-only (driver records the weaker check
-    # either side of the window), so it yields its window slot
     "sample_by_lang": lambda spark, sf_dir: textstats.stratified_sample(
         load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     ),
+    # round-2 additions never driver-gated before round 3
+    "bpe_merges": bpe_merges,
+    "bpe_encode_stats": bpe_encode_stats,
+    "copurchase_pairs": analytics.copurchase_pairs,
+    "event_transitions": analytics.event_transitions,
+    "decontaminate": decontaminate_q,
+    "repetition_scores": textstats.repetition_scores_q,
+    "train_test_split": curation.train_test_split_q,
+    "events_gapfill": analytics.events_gapfill,
+    "decayed_user_activity": analytics.decayed_user_activity,
+    "salted_revenue_join": salted_revenue_join,
+    "value_histogram": analytics.value_histogram,
+    # ---- driver-gate window boundary (~50) — long tail below is
+    # oracle-checked locally every round via tools/check_correctness.py;
+    # every entry below has at least one green driver row (r1 or r2) ----
+    # MapReduce analytics (S1,T1-T4,A1-A6,O1-O4)
+    "word_count_top10": word_count,
+    # KV engine (K1-K6)
+    "kv_state": kv_state,
+    # Sharding (T5-T7, A7, P1-P5)
+    "shard_routing": shard_routing,
+    # [EXT] dedup (twice driver-proven r1+r2)
+    "ngram_jaccard_pairs": ngram_jaccard,
+    "neardup_clusters": neardup_clusters_q,
+    "minhash_incremental": minhash_incremental_q,
+    "minhash_neardup": minhash_neardup,
+    "simhash_neardup": simhash_neardup,
+    # [EXT] text analysis (driver-proven r2)
+    "text_stats": textstats.text_stats,
+    "quality_scores": textstats.quality_scores,
+    "lang_id": textstats.lang_id,
+    "fingerprints": textstats.fingerprints,
     # Relational analytics (headline)
     "pricing_summary": analytics.pricing_summary,
     "top_orders": analytics.top_orders,
     "revenue_by_segment": analytics.revenue_by_segment,
     "regional_revenue": analytics.regional_revenue,
     "order_running_totals": analytics.order_running_totals,
-    # ---- driver-gate window boundary (~50) — long tail below is
-    # oracle-checked locally every round via tools/check_correctness.py ----
-    # (r1-driver-proven singles moved below the boundary in round 2 to
-    # make room above for the never-driver-gated curation entries)
-    "bpe_merges": bpe_merges,
-    "bpe_encode_stats": bpe_encode_stats,
-    "copurchase_pairs": analytics.copurchase_pairs,
-    "event_transitions": analytics.event_transitions,
     "mapreduce_wordcount": mapreduce_wordcount,
     "inverted_index": inverted_index,
     "kv_effective_ops": kv_effective_ops,
@@ -870,15 +901,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_percentiles": analytics.approx_percentiles,
     "frequent_items": analytics.frequent_items,
     "order_percentiles": analytics.order_percentiles,
-    # [EXT] round-2 pipeline breadth: benchmark decontamination,
-    # repetition filter, deterministic split, gap-fill, decayed counters
-    "decontaminate": decontaminate_q,
-    "repetition_scores": textstats.repetition_scores_q,
-    "train_test_split": curation.train_test_split_q,
-    "events_gapfill": analytics.events_gapfill,
-    "decayed_user_activity": analytics.decayed_user_activity,
-    "salted_revenue_join": salted_revenue_join,
-    "value_histogram": analytics.value_histogram,
 }
 
 
@@ -1607,7 +1629,7 @@ SELECT min(ts) AS session_start,
 FROM i GROUP BY user_id, sid""",
     # streaming K5 must land on exactly the batch-replay state
     "stream_enriched": """
-SELECT to_timestamp(21600 * (epoch_us(ts) // 1000000 // 21600)) AS window_start,
+SELECT CAST(to_timestamp(21600 * (epoch_us(ts) // 1000000 // 21600)) AS TIMESTAMP) AS window_start,
        'tier' || CAST(user_id % 3 AS VARCHAR) AS tier,
        count(*) AS n_events,
        round(sum(value), 4) AS sum_value
