@@ -708,7 +708,9 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str, min_count: int = 3) -> Da
     per-order (~items² within one basket), never cross-order — the
     same bounded-blocking discipline as the LSH bucket joins. One
     shuffle co-locates each order's lines; the a < b guard halves the
-    pairs and canonicalizes them.
+    pairs and canonicalizes them. ``n_orders`` counts DISTINCT orders
+    (a part listed on several lines of one order contributes one),
+    which is what basket-support means.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", F.col("l_partkey").alias("a")
@@ -718,7 +720,7 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str, min_count: int = 3) -> Da
         li.join(rb, "l_orderkey")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
         .where(F.col("n_orders") >= min_count)
     )
 

@@ -572,9 +572,7 @@ def stream_config_poll(spark: SparkSession, sf_dir: str) -> DataFrame:
         master=master,
     )
     q.awaitTermination(300)
-    routed = spark.read.schema("config_num int, gid int, key string").parquet(
-        out_dir
-    )
+    routed = spark.read.parquet(out_dir).select("config_num", "gid", "key")
     return routed.groupBy("config_num", "gid").agg(
         F.count("*").alias("n_ops"),
         F.countDistinct("key").alias("n_keys"),
@@ -1446,11 +1444,12 @@ SELECT word, df, round(df * 1.0 / n_docs, 6) AS df_frac
 FROM dfq, n
 WHERE df >= 0.4 * n_docs""",
     "copurchase_pairs": """
-SELECT la.l_partkey AS a, lb.l_partkey AS b, count(*) AS n_orders
+SELECT la.l_partkey AS a, lb.l_partkey AS b,
+       count(DISTINCT la.l_orderkey) AS n_orders
 FROM lineitem la JOIN lineitem lb
   ON la.l_orderkey = lb.l_orderkey AND la.l_partkey < lb.l_partkey
 GROUP BY 1, 2
-HAVING count(*) >= 3""",
+HAVING count(DISTINCT la.l_orderkey) >= 3""",
     "event_transitions": """
 WITH s AS (
   SELECT user_id, event_type AS from_type,

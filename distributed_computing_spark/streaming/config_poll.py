@@ -111,6 +111,47 @@ def poll_latest(spark: SparkSession, cfg_dir: str) -> DataFrame:
     return hist.join(F.broadcast(latest), "num").select("num", "shard", "gid")
 
 
+def route_batch(
+    batch: DataFrame,
+    batch_id: int,
+    cfg_dir: str,
+    out_dir: str,
+    master: ConfigMaster | None = None,
+    key: str = "key",
+) -> None:
+    """One P8 micro-batch, idempotent under foreachBatch retry.
+
+    (a) Version to install derives from ``batch_id`` (install up to
+    batch_id+1), NOT from installed+1 — a retried batch finds its
+    version already on disk and re-installs nothing, so retries can't
+    skew the batch→version mapping. (b) The sink is a batch_id-
+    partitioned DYNAMIC overwrite: a retry rewrites only its own
+    batch_id partition instead of append-duplicating rows.
+    """
+    if master is not None:
+        target = min(batch_id + 1, master.max_version)
+        while master.installed < target:
+            master.install_next()
+    spark = batch.sparkSession
+    cfg = poll_latest(spark, cfg_dir)
+    routed = (
+        batch.withColumn("shard", key2shard(key))
+        .join(F.broadcast(cfg), "shard")
+        .select(
+            F.col("num").alias("config_num"),
+            "gid",
+            F.col(key).alias("key"),
+        )
+    )
+    (
+        routed.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+
+
 def route_stream_by_latest_config(
     stream: DataFrame,
     cfg_dir: str,
@@ -121,8 +162,8 @@ def route_stream_by_latest_config(
 ):
     """Run the P8 loop: per micro-batch, (optionally) let the master
     install its next config, poll the latest version, and route the
-    batch's ops ``key -> shard -> gid``, appending
-    ``(config_num, gid, key)`` rows to ``out_dir``.
+    batch's ops ``key -> shard -> gid``, writing ``(config_num, gid,
+    key)`` rows to ``out_dir`` (exactly-once; see ``route_batch``).
 
     ``master`` is the test/replay hook — in production nothing installs
     from inside the loop; the poll simply observes whatever the real
@@ -130,20 +171,7 @@ def route_stream_by_latest_config(
     """
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        if master is not None:
-            master.install_next()
-        spark = batch.sparkSession
-        cfg = poll_latest(spark, cfg_dir)
-        routed = (
-            batch.withColumn("shard", key2shard(key))
-            .join(F.broadcast(cfg), "shard")
-            .select(
-                F.col("num").alias("config_num"),
-                "gid",
-                F.col(key).alias("key"),
-            )
-        )
-        routed.write.mode("append").parquet(out_dir)
+        route_batch(batch, batch_id, cfg_dir, out_dir, master=master, key=key)
 
     os.makedirs(out_dir, exist_ok=True)
     return (

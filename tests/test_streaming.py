@@ -314,13 +314,19 @@ def test_config_poll_applies_versions_in_order(spark, tmp_path):
     rows = [(i, f"k{i % 7}") for i in range(30)]
     src = str(tmp_path / "src")
     now = time.time()
+    stamped: set[str] = set()
     for b in range(3):
         chunk = rows[b * 10 : (b + 1) * 10]
         spark.createDataFrame(chunk, "seq long, key string").coalesce(1).write.mode(
             "append"
         ).parquet(src)
+        # stamp only files NEW this iteration — re-stamping everything
+        # would give all files the same final mtime and leave replay
+        # order unpinned (micro-batch order = file mtime)
         for f in glob.glob(f"{src}/part-*"):
-            os.utime(f, (now + b, now + b))
+            if f not in stamped:
+                os.utime(f, (now + b, now + b))
+                stamped.add(f)
     stream = (
         spark.readStream.schema("seq long, key string")
         .option("maxFilesPerTrigger", "1")
@@ -338,9 +344,12 @@ def test_config_poll_applies_versions_in_order(spark, tmp_path):
     for r in routed:
         shard = ord(r["key"][0]) % 10
         assert r["gid"] == 100 + shard % min(r["config_num"], 3)
-    # all three versions governed some batch: configs observed in order,
-    # one per micro-batch (the oracle pins the exact tertile mapping)
-    assert {r["config_num"] for r in routed} == {1, 2, 3}
+    # exact batch→version mapping: batch b (10 rows) routed by config
+    # b+1 — the oracle's seq-tertile contract, now actually pinned by
+    # the per-file mtimes above
+    from collections import Counter
+
+    assert Counter(r["config_num"] for r in routed) == {1: 10, 2: 10, 3: 10}
 
     # poll_latest returns only the max installed version
     latest = poll_latest(spark, cfg_dir)
@@ -370,14 +379,18 @@ def test_config_poll_restart_resumes_from_checkpoint(spark, tmp_path):
         str(tmp_path / "ckpt"),
     )
     now = time.time()
+    stamped: set[str] = set()
 
     def write_batch(b):
         rows = [(b * 10 + i, f"k{i % 7}") for i in range(10)]
         spark.createDataFrame(rows, "seq long, key string").coalesce(1).write.mode(
             "append"
         ).parquet(src)
+        # stamp only NEW files so earlier batches keep earlier mtimes
         for f in glob.glob(f"{src}/part-*"):
-            os.utime(f, (now + b, now + b))
+            if f not in stamped:
+                os.utime(f, (now + b, now + b))
+                stamped.add(f)
 
     def run():
         stream = (
@@ -402,6 +415,52 @@ def test_config_poll_restart_resumes_from_checkpoint(spark, tmp_path):
     from collections import Counter
 
     assert Counter(r["config_num"] for r in routed) == {1: 10, 2: 10, 3: 10}
+
+
+def test_config_poll_batch_retry_is_idempotent(spark, tmp_path):
+    """A retried foreachBatch invocation (same batch_id) must neither
+    duplicate routed rows nor advance the config version: the install
+    target derives from batch_id and the sink dynamically overwrites
+    only its own batch_id partition."""
+    from distributed_computing_spark.streaming.config_poll import (
+        ConfigMaster,
+        route_batch,
+    )
+
+    cfg_dir, out_dir = str(tmp_path / "cfg"), str(tmp_path / "out")
+    master = ConfigMaster(spark, cfg_dir, max_version=3)
+    batch = spark.createDataFrame(
+        [(i, f"k{i % 7}") for i in range(10)], "seq long, key string"
+    )
+
+    route_batch(batch, 0, cfg_dir, out_dir, master=master)
+    assert master.installed == 1
+    first = sorted(
+        (r["config_num"], r["gid"], r["key"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert len(first) == 10 and {c for c, _, _ in first} == {1}
+
+    # simulate the task retry: same batch, same batch_id, twice more
+    route_batch(batch, 0, cfg_dir, out_dir, master=master)
+    route_batch(batch, 0, cfg_dir, out_dir, master=master)
+    assert master.installed == 1  # version NOT advanced by retries
+    again = sorted(
+        (r["config_num"], r["gid"], r["key"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert again == first  # no duplicate rows, identical routing
+
+    # the next REAL batch still advances normally and keeps batch 0 rows
+    batch1 = spark.createDataFrame(
+        [(10 + i, f"k{i % 7}") for i in range(10)], "seq long, key string"
+    )
+    route_batch(batch1, 1, cfg_dir, out_dir, master=master)
+    assert master.installed == 2
+    rows = spark.read.parquet(out_dir).collect()
+    from collections import Counter
+
+    assert Counter(r["config_num"] for r in rows) == {1: 10, 2: 10}
 
 
 def test_interval_join_stream_stream_bounds(spark, tmp_path):
