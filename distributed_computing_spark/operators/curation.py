@@ -11,8 +11,10 @@ text pipeline runs after dedup (dedup.py) and quality scoring
   (``sequence`` + ``posexplode`` + ``slice``; one shuffle-free pass).
 - ``pack_chunks`` — assign chunks to fixed-capacity training bins via
   a per-source cumulative token count (the distributed stand-in for
-  greedy sample packing: window partitioned BY source so no global
-  single-partition sort exists at scale).
+  greedy sample packing), computed as a hierarchical two-level prefix
+  sum: order-contiguous doc_id bands cumsum locally, tiny band totals
+  window-scan into broadcast offsets — parallelism is sources × bands,
+  no per-source single-task sort at scale.
 - ``mixture_sample`` — deterministic per-source sampling rates (the
   Pile/CC-style mixture weights), via a bounded multiplicative hash so
   ANSI mode can't overflow and DuckDB can mirror it exactly.
@@ -119,7 +121,10 @@ def chunk_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pack_chunks(
-    chunks: DataFrame, capacity: int = 256, group_col: str = "source"
+    chunks: DataFrame,
+    capacity: int = 256,
+    group_col: str = "source",
+    sub_bands: int = 32,
 ) -> DataFrame:
     """Assign chunks to fixed-capacity training bins per group.
 
@@ -128,17 +133,58 @@ def pack_chunks(
     bin = tokens_before_this_chunk div capacity. This is cumulative-sum
     packing — bins can overflow by at most one chunk, which is the
     standard scale tradeoff vs. exact first-fit (inherently serial).
-    The window partitions by ``group_col``, so parallelism = number of
-    groups and no global sort exists.
+
+    The running total is a HIERARCHICAL (two-level) prefix sum, the
+    distributed-scan classic: doc_id is banded into ``sub_bands``
+    order-contiguous ranges per group, each (group, band) computes its
+    local cumulative sum independently, and the tiny per-band totals
+    (groups × bands rows) are window-scanned into exclusive band
+    offsets that broadcast back onto the chunk rows. Bin ids are
+    IDENTICAL to a single per-group window (offset + local cum ==
+    global cum), but the big-data sort parallelism is groups × bands
+    instead of groups — at 100 TB a handful of mega-sources no longer
+    serialize into one task each. Banding is value-range over doc_id
+    (equi-width); swap in equi-depth range boundaries if doc ids are
+    heavily skewed.
     """
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy("doc_id", "chunk_id")
+    order_cols = ["doc_id", "chunk_id"]
+    # per-group doc_id bounds → order-contiguous equi-width bands
+    bounds = chunks.groupBy(group_col).agg(
+        F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi")
+    )
+    band = F.least(
+        F.lit(sub_bands - 1),
+        F.expr(f"((doc_id - _lo) * {sub_bands}) div (_hi - _lo + 1)"),
+    ).cast("int")
+    banded = chunks.join(F.broadcast(bounds), group_col).withColumn("_band", band)
+
+    # level 1: local running total within each (group, band)
+    w_local = (
+        Window.partitionBy(group_col, "_band")
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum("n_tokens").over(w)
+    local_cum = F.sum("n_tokens").over(w_local)
+
+    # level 2: exclusive prefix of band totals — tiny (groups × bands)
+    band_tot = banded.groupBy(group_col, "_band").agg(
+        F.sum("n_tokens").alias("_btot")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = band_tot.select(
+        group_col,
+        "_band",
+        F.coalesce(F.sum("_btot").over(w_off), F.lit(0)).alias("_off"),
+    )
+
     return (
-        chunks.withColumn("_before", cum - F.col("n_tokens"))
+        banded.withColumn("_cum", local_cum)
+        .join(F.broadcast(offsets), [group_col, "_band"])
+        .withColumn("_before", F.col("_off") + F.col("_cum") - F.col("n_tokens"))
         .select(
             group_col,
             F.expr(f"_before div {capacity}").alias("bin_id"),

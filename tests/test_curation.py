@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from distributed_computing_spark.operators.curation import (
+    chunk_counts,
     chunk_docs,
     clean_text,
     dq_audit,
@@ -100,7 +101,47 @@ def test_pack_chunks_capacity_bound(spark):
     assert sum(r["bin_tokens"] for r in bins) == total
 
 
-def test_mixture_sample_rates_and_determinism(spark):
+def test_pack_chunks_hierarchical_matches_single_window(spark):
+    """The two-level prefix sum must produce bin assignments IDENTICAL
+    to a single per-group cumulative window (offset + local cum ==
+    global cum), at several band counts including bands > docs."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, SF_DIR, "documents")
+    chunks = chunk_counts(docs, keep_cols=("source",))
+
+    # reference: the naive single-window form, inline
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = (
+        chunks.withColumn("_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .select("source", F.expr("_before div 256").alias("bin_id"), "n_tokens")
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        )
+    )
+    want = sorted(map(tuple, ref.collect()))
+    for bands in (1, 7, 32, 10_000):
+        got = sorted(map(tuple, pack_chunks(chunks, capacity=256, sub_bands=bands).collect()))
+        assert got == want, f"sub_bands={bands}"
+
+
+def test_pack_chunks_sort_is_banded(spark):
+    """The heavy window sort must partition on (group, band), not group
+    alone — per-source parallelism is the point of the hierarchy."""
+    from distributed_computing_spark.plans import physical_plan
+
+    docs = load_table(spark, SF_DIR, "documents")
+    chunks = chunk_counts(docs, keep_cols=("source",))
+    plan = physical_plan(pack_chunks(chunks, capacity=256, sub_bands=32))
+    assert "_band" in plan  # banded hash partitioning reaches the plan
+    # the window sort keys include the band column
+    assert "hashpartitioning(source" in plan.replace(" ", "").lower()
     docs = load_table(spark, SF_DIR, "documents")
     rates = {"src0": 0.25, "src1": 0.5, "src2": 0.75, "src3": 1.0}
     kept = mixture_sample(docs, rates)
