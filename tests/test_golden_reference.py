@@ -13,6 +13,15 @@ These tests run the same corpus through ``read_text_corpus`` +
 - ii:  ``sort -k1,1 | sort -snk2,2 | grep -v '16' | tail -10``  (stable
   numeric by doc-count over word-sorted lines, drop lines containing "16")
 
+mr-testout.txt and mr-challenge.txt are 10 lines IN THEIR ENTIRETY (the
+shell pipes end in ``tail -10``), so the tests above already diff the
+complete golden files byte-for-byte — there is no further reference
+golden to compare. Regenerating the reference's full intermediate
+(mrtmp.wcseq via ``go run wc.go``) is environment-blocked: no Go
+toolchain in this container. In its place, the full-output tests below
+pin sha256 self-goldens of the ENTIRE 66,360-line wc and ii outputs, so
+any tokenizer/aggregation drift beyond the top-10 window fails loudly.
+
 Closes SURVEY §5 layer 1 ("verifiable against a golden today").
 """
 
@@ -91,3 +100,46 @@ def test_inverted_index_golden_top10(corpus):
         for r in agg.orderBy(F.col("n").desc(), F.col("word").desc()).limit(10).collect()
     ][::-1]
     assert tail10 == _golden("mr-challenge.txt")
+
+
+# Full-output self-goldens (sha256 over the complete sorted outputs,
+# pinned from the first verified run): the 66,360 distinct tokens of the
+# 16-book corpus, in "word: count" / "word: n doclist" form. These hold
+# the ENTIRE output surface fixed, not just the reference's top-10
+# window.
+_WC_FULL_SHA256 = "81299fb94f3d3076791792f75ecdec9b4efd03e1d8d774b392bcfe0dc7ef855c"
+_II_FULL_SHA256 = "06d2e8c42650e11a16afcef4ab99fce09eaaac8eafa3a70f001185e3f4f5a50c"
+_N_DISTINCT_TOKENS = 66360
+
+
+def _sha(lines: list[str]) -> str:
+    import hashlib
+
+    return hashlib.sha256(("\n".join(lines) + "\n").encode()).hexdigest()
+
+
+def test_wordcount_full_output_pinned(corpus):
+    counts = (
+        corpus.select(F.explode(tokens_unicode("line")).alias("word"))
+        .groupBy("word")
+        .count()
+    )
+    lines = sorted(f"{r['word']}: {r['count']}" for r in counts.collect())
+    assert len(lines) == _N_DISTINCT_TOKENS
+    assert _sha(lines) == _WC_FULL_SHA256
+
+
+def test_inverted_index_full_output_pinned(corpus):
+    agg = (
+        corpus.select("doc", F.explode(tokens_unicode("line")).alias("word"))
+        .groupBy("word")
+        .agg(F.sort_array(F.collect_set("doc")).alias("docs"))
+        .select(
+            "word",
+            F.size("docs").alias("n"),
+            F.concat_ws(",", "docs").alias("doclist"),
+        )
+    )
+    lines = sorted(f"{r['word']}: {r['n']} {r['doclist']}" for r in agg.collect())
+    assert len(lines) == _N_DISTINCT_TOKENS
+    assert _sha(lines) == _II_FULL_SHA256
