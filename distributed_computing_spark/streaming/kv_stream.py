@@ -129,9 +129,18 @@ class KVTableStore:
 
 
 def foreach_batch_apply(
-    ops_stream: DataFrame, store: KVTableStore, checkpoint: str
+    ops_stream: DataFrame,
+    store: KVTableStore,
+    checkpoint: str,
+    trigger: dict[str, Any] | None = None,
 ):
-    """Shape 1: attach the micro-batch apply loop to an ops stream."""
+    """Shape 1: attach the micro-batch apply loop to an ops stream.
+
+    ``trigger`` defaults to bounded replay (``availableNow``) — the
+    gate/test shape. Pass e.g. ``{"processingTime": "100 milliseconds"}``
+    for the reference's live poll loop (shardkv/server.go:368-385): an
+    unbounded query that keeps applying batches as new ops arrive.
+    """
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         store.apply_batch(batch)
@@ -139,7 +148,7 @@ def foreach_batch_apply(
     return (
         ops_stream.writeStream.foreachBatch(apply)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
 

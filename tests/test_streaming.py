@@ -53,6 +53,62 @@ def test_foreach_batch_apply_matches_batch_replay(spark, tmp_path):
     assert got == want
 
 
+def test_foreach_batch_continuous_trigger_live_arrivals(spark, tmp_path):
+    """The live (processingTime-trigger, unbounded) mode of the apply
+    loop: ops files arrive WHILE the query runs — the reference's
+    100 ms shardkv poll loop (shardkv/server.go:368-385) — and the
+    final state equals serial batch replay. Closes the one streaming
+    mode AvailableNow bounded replay never exercises."""
+    import time
+
+    ops = random_ops(47, n=120)
+    per = 40
+    src = str(tmp_path / "ops_src")
+    # first slice exists before the query starts
+    spark.createDataFrame(ops[:per], OPS_DDL).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(OPS_SCHEMA).parquet(src)
+    store = KVTableStore(spark, str(tmp_path / "store"))
+    q = foreach_batch_apply(
+        stream,
+        store,
+        str(tmp_path / "ckpt"),
+        trigger={"processingTime": "200 milliseconds"},
+    )
+    try:
+        assert q.isActive
+        # remaining slices land mid-flight
+        for b in (1, 2):
+            time.sleep(0.5)
+            spark.createDataFrame(
+                ops[b * per : (b + 1) * per], OPS_DDL
+            ).coalesce(1).write.mode("append").parquet(src)
+        want = {k: v for k, v in serial_replay(ops).items() if v != ""}
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            # concurrent polls may transiently fail mid parquet-swap
+            # (single-writer backend has no reader isolation — the gap
+            # the Delta MERGE backend closes); retry until stable.
+            try:
+                got = {
+                    r["key"]: r["value"]
+                    for r in store.state().collect()
+                    if r["value"] != ""
+                }
+            except Exception:
+                time.sleep(0.2)
+                continue
+            if got == want:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    # authoritative read after stop — no writer racing the scan
+    got = {r["key"]: r["value"] for r in store.state().collect() if r["value"] != ""}
+    assert got == want
+
+
 def test_foreach_batch_is_incremental(spark, tmp_path):
     """New files after the first run are picked up from the checkpoint
     and applied exactly once (restart = reference's snapshot restore)."""
