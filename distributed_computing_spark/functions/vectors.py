@@ -78,6 +78,56 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def int_hyperplanes(
+    dim: int, n_planes: int, seed: int = 7, bound: int = 8
+) -> list[list[int]]:
+    """INTEGER-coordinate hyperplanes for the oracle-exact LSH variant.
+
+    Same deterministic-constant role as ``random_hyperplanes``, but the
+    coordinates are small integers in [-bound, bound] so that the
+    bucket bit ``sign(dot(floor(v*S), plane))`` is exact INTEGER
+    arithmetic — bit-reproducible across engines (Spark and DuckDB both
+    floor the identical IEEE double v*S), which is what lets a DuckDB
+    oracle rebuild the buckets exactly. Plain LCG, no numpy, so the
+    registry's SQL generator can call it too.
+    """
+    x = seed & 0x7FFFFFFF
+    out = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            row.append((x % (2 * bound + 1)) - bound)
+        out.append(row)
+    return out
+
+
+def int_lsh_bucket(
+    vec: Column, planes: list[list[int]], scale: int = 1000
+) -> Column:
+    """Oracle-exact sign-LSH bucket: quantize v -> floor(v*scale) as
+    BIGINT, then bit i = [dot_int(qv, plane_i) > 0]. All integer math
+    after the single double multiply, so every engine agrees on every
+    bit. Plane literals are n_planes×dim nodes — constant-folded, fine
+    at these sizes; the approximate ``lsh_topk`` keeps the GEMM path.
+    """
+    qv = F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long")
+    )
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(int(c)).cast("long") for c in plane])
+        d = F.aggregate(
+            F.zip_with(qv, plane_col, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: bit i = sign(vec . plane_i), packed to a long."""
     bucket = F.lit(0).cast("long")

@@ -48,6 +48,66 @@ def word_count(spark: SparkSession, sf_dir: str, top_k: int = 10) -> DataFrame:
     )
 
 
+def fused_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Arrow-fused tokenize+count: the explode-free word-count plan.
+
+    The explode+agg plan (``word_count``) pays per-token JVM overhead in
+    the Generate → partial-HashAggregate pair — measured ~20-50× behind
+    a fused single-process engine per query at data-dominated tiers
+    (BASELINE.md, explode-bound family). This variant fuses tokenize and
+    map-side combine into ONE vectorized pass per Arrow batch: join the
+    batch's text on an out-of-alphabet separator, one C-regex ``findall``
+    over the joined string, one ``Counter`` update (C dict counting) —
+    emitting per-batch partial (word, cnt) rows. The shuffle then
+    carries ~distinct-words-per-partition rows, identical to the JVM
+    partial agg, and the final groupBy sum is tiny. Token semantics are
+    exactly ``tokens`` (ASCII [A-Za-z0-9]+), so results are
+    bit-identical to the explode plan and the same DuckDB oracle holds.
+    """
+    import re
+
+    import pandas as pd
+
+    pat = re.compile("[A-Za-z0-9]+")
+
+    def count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        def flush(c: Counter) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"word": list(c.keys()), "cnt": list(c.values())}
+            ).astype({"cnt": "int64"})
+
+        c: Counter = Counter()
+        for pdf in batches:
+            # \x00 can't match [A-Za-z0-9], so joining is split-safe
+            c.update(pat.findall("\x00".join(pdf[text_col].astype(str))))
+            # bound worker memory on huge-vocabulary partitions: emit
+            # and reset; the downstream sum re-merges duplicates
+            if len(c) > 2_000_000:
+                yield flush(c)
+                c = Counter()
+        if c:
+            yield flush(c)
+
+    partial = docs.select(text_col).mapInPandas(
+        count_batches, schema="word string, cnt long"
+    )
+    return partial.groupBy("word").agg(F.sum("cnt").alias("cnt"))
+
+
+def fused_word_count(
+    spark: SparkSession, sf_dir: str, top_k: int = 10
+) -> DataFrame:
+    """``word_count`` semantics on the fused Arrow pass (same oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        fused_token_counts(docs)
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(top_k)
+    )
+
+
 def inverted_index(
     spark: SparkSession, sf_dir: str, min_docs: int = 100
 ) -> DataFrame:

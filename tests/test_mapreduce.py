@@ -30,6 +30,36 @@ def test_word_count_matches_oracle(spark):
     assert got == [tuple(r) for r in want]
 
 
+def test_fused_word_count_identical_to_explode_plan(spark):
+    """The adopted fused Arrow pass must be bit-identical to the pure
+    JVM explode+agg plan — full distribution, not just top-k."""
+    from pyspark.sql import functions as F
+
+    from distributed_computing_spark.functions.text import tokens
+    from distributed_computing_spark.operators.mapreduce import (
+        fused_token_counts,
+        fused_word_count,
+    )
+    from distributed_computing_spark.sources.catalog import load_table
+
+    got = [(r["word"], r["cnt"]) for r in fused_word_count(spark, SF_DIR_MID).collect()]
+    want = _oracle(SF_DIR_MID, ORACLES["word_count_top10"])
+    assert got == [tuple(r) for r in want]
+
+    docs = load_table(spark, SF_DIR_MID, "documents")
+    full_explode = sorted(
+        map(
+            tuple,
+            docs.select(F.explode(tokens("text")).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("cnt"))
+            .collect(),
+        )
+    )
+    full_fused = sorted(map(tuple, fused_token_counts(docs).collect()))
+    assert full_fused == full_explode
+
+
 def test_inverted_index_matches_oracle(spark):
     got = {
         r["word"]: (r["n_docs"], r["postings"])

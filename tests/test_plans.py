@@ -43,7 +43,16 @@ def test_star_joins_broadcast_never_sort_merge(spark):
 
 
 def test_aggregation_is_partial_before_exchange(spark):
+    # registry word_count is the fused Arrow pass: one MapInPandas
+    # stage emits per-partition partial (word, cnt) rows, and the final
+    # sum STILL partial-aggregates before its exchange (A6)
     plan = _plan(QUERIES["word_count_top10"](spark, SF_DIR))
+    assert "MapInPandas" in plan
+    assert "partial_sum" in plan
+    # the pure-JVM explode reference keeps the classic map-side combine
+    from distributed_computing_spark.operators.mapreduce import word_count
+
+    plan = _plan(word_count(spark, SF_DIR))
     assert "partial_count" in plan  # map-side combine the reference lacked (A6)
 
 
