@@ -560,6 +560,73 @@ def decontaminate(
     )
 
 
+def fused_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """``decontaminate`` on the fused-Arrow plan (round 3): the corpus
+    side's shingle → probe → per-doc count pipeline collapses into ONE
+    map-only mapInPandas pass (no exchange at all — the hash plan's
+    per-doc groupBy shuffles (doc_id, counters) rows). The benchmark's
+    distinct shingles — tiny by contract next to the corpus — are
+    collected once and task-broadcast as a Python frozenset, the same
+    broadcast the JVM plan ships; corpus text never leaves its scan
+    task. Counts come back exact integers; ratios/rounding stay in the
+    SAME JVM expressions, so results are bit-identical and the oracle
+    is unchanged. Measured at the 50× tier: see BASELINE.md.
+    """
+    import re
+
+    import pandas as pd
+
+    pat = re.compile("[A-Za-z0-9]+")
+    spark = corpus.sparkSession
+    bench_set = frozenset(
+        r["shingle"]
+        for r in shingle_rows(benchmark, n).select("shingle").distinct().collect()
+    )
+    bench_bc = spark.sparkContext.broadcast(bench_set)
+
+    def probe(batches):
+        bench = bench_bc.value
+        for pdf in batches:
+            ids, tot, hit = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = pat.findall(text if isinstance(text, str) else "")
+                if len(toks) < n:
+                    continue
+                # per-doc DISTINCT shingles — shingle_rows(distinct=True)
+                # is the hash plan's contract
+                shingles = {
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                }
+                ids.append(did)
+                tot.append(len(shingles))
+                hit.append(sum(1 for s in shingles if s in bench))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.array(ids, dtype="int64"),
+                        "n_shingles": pd.array(tot, dtype="int64"),
+                        "n_matched": pd.array(hit, dtype="int64"),
+                    }
+                )
+
+    per_doc = corpus.select("doc_id", "text").mapInPandas(
+        probe, schema="doc_id long, n_shingles long, n_matched long"
+    )
+    frac = F.col("n_matched") / F.col("n_shingles")
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_matched",
+        F.round(frac, 6).alias("contam_frac"),
+        (frac >= threshold).alias("contaminated"),
+    )
+
+
 def neardup_canonical(
     documents: DataFrame,
     clusters: DataFrame,

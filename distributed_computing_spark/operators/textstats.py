@@ -279,8 +279,63 @@ def repetition_scores(documents: DataFrame, n: int = 2) -> DataFrame:
     )
 
 
+def fused_repetition_scores(documents: DataFrame, n: int = 2) -> DataFrame:
+    """``repetition_scores`` on the fused-Arrow plan (round 3): the
+    whole per-doc n-gram profile — tokenize, n-gram Counter, (total,
+    distinct, top) — collapses into ONE map-only mapInPandas pass; no
+    exchange at all (the hash plan shuffles (doc_id, h, c) rows twice).
+    Counts come back exact integers; the ratios and rounding stay in
+    the SAME JVM expressions as the hash plan, so results are
+    bit-identical and the oracle is unchanged. Measured at the 50×
+    tier: 22.7 s (hash plan) → see BASELINE.md. Same fusion lesson as
+    ``fused_token_counts``: C-regex + C-dict batch passes win where
+    interpreted per-element HOFs lost (the round-2 dead end).
+    """
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    pat = re.compile("[A-Za-z0-9]+")
+
+    def profile(batches):
+        for pdf in batches:
+            ids, tot, dis, top = [], [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = pat.findall(text if isinstance(text, str) else "")
+                if len(toks) < n:
+                    continue  # no shingles — drops out, same contract
+                c = Counter(zip(*[toks[i:] for i in range(n)]))
+                ids.append(did)
+                tot.append(len(toks) - n + 1)
+                dis.append(len(c))
+                top.append(max(c.values()))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.array(ids, dtype="int64"),
+                        "total_ngrams": pd.array(tot, dtype="int64"),
+                        "distinct_ngrams": pd.array(dis, dtype="int64"),
+                        "top_count": pd.array(top, dtype="int64"),
+                    }
+                )
+
+    per_doc = documents.select("doc_id", "text").mapInPandas(
+        profile,
+        schema="doc_id long, total_ngrams long, distinct_ngrams long, top_count long",
+    )
+    total = F.col("total_ngrams").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "total_ngrams",
+        "distinct_ngrams",
+        F.round(1.0 - F.col("distinct_ngrams") / total, 6).alias("dup_frac"),
+        F.round(F.col("top_count") / total, 6).alias("top_frac"),
+    )
+
+
 def repetition_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return repetition_scores(load_table(spark, sf_dir, "documents"), n=2)
+    return fused_repetition_scores(load_table(spark, sf_dir, "documents"), n=2)
 
 
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -297,7 +297,7 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 19 == 0)
     corpus = docs.where(F.col("doc_id") % 19 != 0)
-    return dedup.decontaminate(corpus, bench, n=3, threshold=0.5)
+    return dedup.fused_decontaminate(corpus, bench, n=3, threshold=0.5)
 
 
 def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:

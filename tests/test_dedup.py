@@ -201,6 +201,35 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     assert "SortMergeJoin" not in tree and "NestedLoop" not in tree
 
 
+def test_fused_decontaminate_identical_to_hash_plan(spark):
+    """The adopted map-only Arrow pass (bench set as task broadcast)
+    must match the broadcast-join plan row-for-row, including the
+    distinct-shingle contract and the inclusive threshold."""
+    from distributed_computing_spark.operators.dedup import (
+        decontaminate,
+        fused_decontaminate,
+    )
+    from distributed_computing_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR_MID
+
+    docs = load_table(spark, SF_DIR_MID, "documents")
+    bench = docs.where(F.col("doc_id") % 19 == 0)
+    corpus = docs.where(F.col("doc_id") % 19 != 0)
+    a = sorted(map(tuple, decontaminate(corpus, bench, n=3).collect()))
+    b = sorted(map(tuple, fused_decontaminate(corpus, bench, n=3).collect()))
+    assert a == b
+    # repeated-shingle doc: distinct counting, not occurrence counting
+    rep_bench = spark.createDataFrame(
+        [(100, "p q r")], "doc_id long, text string"
+    )
+    rep_corpus = spark.createDataFrame(
+        [(1, "p q r p q r p q r")], "doc_id long, text string"
+    )
+    row = fused_decontaminate(rep_corpus, rep_bench, n=3).collect()[0]
+    hash_row = decontaminate(rep_corpus, rep_bench, n=3).collect()[0]
+    assert tuple(row) == tuple(hash_row)
+
+
 def test_neardup_canonical_keep_rule(spark):
     """Survivor = longest member; equal lengths -> smallest doc_id;
     singleton clusters keep themselves with nothing dropped."""

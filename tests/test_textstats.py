@@ -141,6 +141,28 @@ def test_repetition_scores_degenerate_doc(spark):
     assert 3 not in rows
 
 
+def test_fused_repetition_scores_identical_to_hash_plan(spark):
+    """The adopted map-only Arrow pass must match the hash-shuffle plan
+    row-for-row (including the degenerate docs above)."""
+    from distributed_computing_spark.operators.textstats import (
+        fused_repetition_scores,
+        repetition_scores,
+    )
+    from distributed_computing_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR_MID
+
+    docs = load_table(spark, SF_DIR_MID, "documents")
+    a = sorted(map(tuple, repetition_scores(docs, n=2).collect()))
+    b = sorted(map(tuple, fused_repetition_scores(docs, n=2).collect()))
+    assert a == b
+    # degenerate-doc contract carries over
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (3, "x")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in fused_repetition_scores(df, n=2).collect()}
+    assert rows[1]["dup_frac"] == 0.6 and 3 not in rows
+
+
 def test_unigram_logprob_hand_computed(spark, tmp_path):
     """Mean log-prob under the corpus's own unigram LM, hand-checked:
     corpus = 'a a b' / 'b' -> p(a)=2/4, p(b)=2/4; empty doc drops."""
