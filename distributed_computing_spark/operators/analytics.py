@@ -90,12 +90,19 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Only lineitem⋈orders shuffles; region/nation/customer/supplier ride
     as broadcast hash joins, so the plan has exactly one wide exchange
-    — the shape that survives 1000 executors.
+    — the shape that survives 1000 executors. That one join is hinted
+    shuffle-HASH, not sort-merge: joining on a key needs no sort, and
+    skipping the two big sorts measured 5.5 s → 3.2 s at the 50× tier
+    (BASELINE.md); AQE still splits skewed keys, and partition sizing
+    keeps the per-partition orders build in memory. (Pre-aggregating
+    lineitem revenue per l_orderkey below the join measured WORSE —
+    5.9 s — ~4 lines/order gives little map-side collapse, so the
+    extra exchange outweighs the skinnier join input.)
     """
     t = load_tables(spark, sf_dir)
     return (
         t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["orders"].hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
@@ -465,16 +472,20 @@ def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/windows.py) — date_trunc keeps it oracle-mirrorable.
     """
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("window_start"),
-            "event_type",
-        )
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-            F.countDistinct("user_id").alias("n_users"),
-        )
+    # Manual two-stage distinct: countDistinct alongside plain aggs
+    # makes Catalyst plan an Expand (every input row duplicated per
+    # aggregate group — 2× the partial-agg input). Pre-aggregating on
+    # (window, type, user) first gets the same numbers with no Expand
+    # and a far smaller second exchange.
+    pre = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+        "user_id",
+    ).agg(F.count("*").alias("_c"), F.sum("value").alias("_s"))
+    return pre.groupBy("window_start", "event_type").agg(
+        F.sum("_c").alias("n_events"),
+        F.round(F.sum("_s"), 4).alias("sum_value"),
+        F.count("*").alias("n_users"),
     )
 
 

@@ -125,6 +125,7 @@ def pack_chunks(
     capacity: int = 256,
     group_col: str = "source",
     sub_bands: int = 32,
+    bounds: DataFrame | None = None,
 ) -> DataFrame:
     """Assign chunks to fixed-capacity training bins per group.
 
@@ -148,10 +149,16 @@ def pack_chunks(
     heavily skewed.
     """
     order_cols = ["doc_id", "chunk_id"]
-    # per-group doc_id bounds → order-contiguous equi-width bands
-    bounds = chunks.groupBy(group_col).agg(
-        F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi")
-    )
+    # per-group doc_id bounds → order-contiguous equi-width bands.
+    # Band boundaries only need to be a monotone cover of the group's
+    # doc_ids, not tight — so callers can pass ``bounds`` computed from
+    # a CHEAPER frame (e.g. the raw docs table) to avoid re-running the
+    # chunk pipeline's tokenizer a second time for this aggregate; bin
+    # assignment is band-invariant (offset + local cum == global cum).
+    if bounds is None:
+        bounds = chunks.groupBy(group_col).agg(
+            F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi")
+        )
     band = F.least(
         F.lit(sub_bands - 1),
         F.expr(f"((doc_id - _lo) * {sub_bands}) div (_hi - _lo + 1)"),
@@ -164,11 +171,15 @@ def pack_chunks(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local_cum = F.sum("n_tokens").over(w_local)
+    banded_cum = banded.withColumn("_cum", F.sum("n_tokens").over(w_local))
 
-    # level 2: exclusive prefix of band totals — tiny (groups × bands)
-    band_tot = banded.groupBy(group_col, "_band").agg(
-        F.sum("n_tokens").alias("_btot")
+    # level 2: exclusive prefix of band totals — tiny (groups × bands).
+    # Derived from the WINDOW output (a band's total == its max running
+    # sum), not from a fresh aggregate over ``chunks``: both consumers
+    # then share the (group, band) shuffle via ReusedExchange instead
+    # of recomputing the whole chunk pipeline twice.
+    band_tot = banded_cum.groupBy(group_col, "_band").agg(
+        F.max("_cum").alias("_btot")
     )
     w_off = (
         Window.partitionBy(group_col)
@@ -182,8 +193,7 @@ def pack_chunks(
     )
 
     return (
-        banded.withColumn("_cum", local_cum)
-        .join(F.broadcast(offsets), [group_col, "_band"])
+        banded_cum.join(F.broadcast(offsets), [group_col, "_band"])
         .withColumn("_before", F.col("_off") + F.col("_cum") - F.col("n_tokens"))
         .select(
             group_col,
@@ -240,9 +250,14 @@ def chunk_counts(
 def pack_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry form: chunk then pack per source at capacity 256.
     Packing needs only chunk token counts, so it runs on the array-free
-    ``chunk_counts`` frame; ``source`` rides along via keep_cols."""
+    ``chunk_counts`` frame; ``source`` rides along via keep_cols. Band
+    bounds come from the raw docs table (a plain min/max over a pruned
+    two-column scan) so the tokenizer runs once, not twice."""
     docs = load_table(spark, sf_dir, "documents")
-    return pack_chunks(chunk_counts(docs, keep_cols=("source",)))
+    bounds = docs.groupBy("source").agg(
+        F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi")
+    )
+    return pack_chunks(chunk_counts(docs, keep_cols=("source",)), bounds=bounds)
 
 
 # Two-round LCG over a prime modulus, with bounded intermediates:
