@@ -134,6 +134,61 @@ def lsh_topk(
     )
 
 
+def lsh_topk_exact(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    scale: int = 1000,
+    seed: int = 7,
+    bound: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ORACLE-EXACT LSH top-k: cross-engine-reproducible buckets.
+
+    Same topology as ``lsh_topk`` (bucket → candidate join → exact
+    cosine re-rank) but the bucketing is exact INTEGER arithmetic:
+    quantize each vector to ``floor(v*scale)`` BIGINTs, dot against
+    integer hyperplanes (``int_hyperplanes`` — plain LCG both the
+    query builder AND the registry's SQL generator call), bit =
+    [dot > 0]. Every engine computes identical buckets, so a DuckDB
+    oracle can rebuild the candidate sets and the result is a strict
+    hash-gated query — the bridge between the rows-only approximate
+    family and the exact family. One table (union-of-tables recall is
+    ``lsh_topk``'s job); output is (q_id, nn_id, rank), rank-only like
+    ``cosine_topk`` so float sims never reach the gate hash.
+    """
+    from distributed_computing_spark.functions.vectors import (
+        int_hyperplanes,
+        int_lsh_bucket,
+    )
+
+    planes = int_hyperplanes(dim, n_planes, seed=seed, bound=bound)
+    c = embeddings.select(
+        F.col(id_col).alias("nn_id"),
+        F.col(vec_col).alias("nn_vec"),
+        int_lsh_bucket(F.col(vec_col), planes, scale).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        int_lsh_bucket(F.col(vec_col), planes, scale).alias("bucket"),
+    )
+    sims = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("q_id") != F.col("nn_id"))
+        .select("q_id", "nn_id", cosine(F.col("q_vec"), F.col("nn_vec")).alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "nn_id", "rank")
+    )
+
+
 def _ivf_centroids(
     embeddings: DataFrame,
     n_lists: int,

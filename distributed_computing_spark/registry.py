@@ -300,6 +300,51 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fused_decontaminate(corpus, bench, n=3, threshold=0.5)
 
 
+def lsh_topk_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-exact LSH: integer sign-LSH buckets (cross-engine
+    reproducible) + exact cosine re-rank within the shared bucket —
+    the strict-gated bridge into the approximate ANN family."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return similarity.lsh_topk_exact(emb, queries, k=5, n_planes=4)
+
+
+def _lsh_exact_oracle_sql(k: int = 5, n_planes: int = 4, scale: int = 1000) -> str:
+    """DuckDB oracle for lsh_topk_exact, generated from the SAME
+    ``int_hyperplanes`` constants the Spark query uses — the buckets
+    are exact integer arithmetic on both engines."""
+    from distributed_computing_spark.functions.vectors import int_hyperplanes
+
+    planes = int_hyperplanes(64, n_planes, seed=7, bound=8)
+
+    def dot(plane: list[int]) -> str:
+        lit = "[" + ", ".join(str(c) for c in plane) + "]"
+        return f"list_dot_product(CAST(v AS DOUBLE[]), CAST({lit} AS DOUBLE[]))"
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot(p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH iv AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS v
+  FROM embeddings),
+b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM iv),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM b WHERE vec_id % 100 = 0),
+s AS (
+  SELECT q.q_id, e.vec_id AS nn_id,
+         list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q JOIN b e USING (bucket) WHERE e.vec_id <> q.q_id),
+r AS (
+  SELECT q_id, nn_id,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS INTEGER) AS rank
+  FROM s)
+SELECT q_id, nn_id, rank FROM r WHERE rank <= {k}"""
+
+
 def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GEMM path: one Arrow batch per corpus split, BLAS inner loop —
     # measured ~3.5x over the JVM array fold at dim=64.
@@ -788,6 +833,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # [EXT] similarity search
     "cosine_topk": cosine_topk_q,
     "lsh_topk": lsh_topk_q,
+    # round-3 addition: oracle-exact LSH (integer buckets both engines)
+    "lsh_topk_exact": lsh_topk_exact_q,
     "ivf_topk": ivf_topk_q,
     "embedding_neardup": embedding_neardup_q,
     # Structured Streaming path (K5 + event-time windows)
@@ -814,7 +861,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "build_vocab": textstats.build_vocab,
     "encode_docs": textstats.encode_docs,
     "top_docs_per_lang": textstats.top_docs_per_lang,
-    "tfidf_top_terms": textstats.tfidf_top_terms,
     "bigram_counts": textstats.bigram_counts,
     "unigram_logprob": textstats.unigram_logprob,
     "lang_entropy_by_source": textstats.lang_entropy_by_source,
@@ -858,6 +904,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_neardup": minhash_neardup,
     "simhash_neardup": simhash_neardup,
     # [EXT] text analysis (driver-proven r2)
+    "tfidf_top_terms": textstats.tfidf_top_terms,
     "text_stats": textstats.text_stats,
     "quality_scores": textstats.quality_scores,
     "lang_id": textstats.lang_id,
@@ -1575,6 +1622,7 @@ r AS (
          CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS INTEGER) AS rank
   FROM s)
 SELECT q_id, nn_id, rank FROM r WHERE rank <= 5""",
+    "lsh_topk_exact": _lsh_exact_oracle_sql(k=5, n_planes=4),
     "embedding_neardup": """
 SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a

@@ -42,6 +42,43 @@ def test_lsh_recall_vs_exact(spark):
     assert recall >= 0.45, f"LSH recall too low: {recall}"
 
 
+def test_lsh_topk_exact_is_bucket_restricted_rerank(spark):
+    """lsh_topk_exact == exact cosine rank computed WITHIN identical
+    integer buckets: rebuild the buckets independently (numpy integer
+    arithmetic) and verify every reported neighbor shares its query's
+    bucket and ranks correctly among bucket-mates."""
+    import numpy as np
+
+    from distributed_computing_spark.functions.vectors import int_hyperplanes
+    from distributed_computing_spark.operators.similarity import lsh_topk_exact
+
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    got = lsh_topk_exact(emb, q, k=5, n_planes=4).collect()
+
+    rows = emb.collect()
+    planes = np.array(int_hyperplanes(64, 4, seed=7, bound=8), dtype=np.int64)
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    buckets = {}
+    for vid, v in vecs.items():
+        iv = np.floor(v * 1000).astype(np.int64)
+        bits = (planes @ iv) > 0
+        buckets[vid] = int((bits * (1 << np.arange(4))).sum())
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na > 0 and nb > 0 else 0.0
+
+    by_q = {}
+    for r in got:
+        assert buckets[r["nn_id"]] == buckets[r["q_id"]]
+        by_q.setdefault(r["q_id"], []).append((r["rank"], r["nn_id"]))
+    for qid, pairs in by_q.items():
+        mates = [v for v in vecs if v != qid and buckets[v] == buckets[qid]]
+        want = sorted(mates, key=lambda v: (-cos(vecs[qid], vecs[v]), v))[:5]
+        assert [n for _, n in sorted(pairs)] == want, qid
+
+
 def test_ivf_recall_vs_exact(spark):
     emb = _emb(spark)
     q = emb.where(F.col("vec_id") % 100 == 0)
