@@ -16,7 +16,7 @@ which is THE failure mode of naive LSH at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from distributed_computing_spark.functions.text import (
@@ -506,6 +506,178 @@ def minhash_incremental_pairs(
         .withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= threshold)
         .select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-exact MinHash / SimHash (cross-engine-reproducible hash family)
+# ---------------------------------------------------------------------------
+
+
+def md5_hash60(col: Column | str, seed: int) -> Column:
+    """Cross-engine 60-bit hash: first 15 hex chars of md5(s || '#seed').
+
+    MD5 is bit-identical in Spark and DuckDB, and 15 hex digits fit a
+    signed BIGINT without overflow (< 2^60, ANSI-safe) — so every
+    derived quantity (minima, sign bits, bucket keys) is EXACTLY
+    reproducible in oracle SQL:
+    ``('0x' || substr(md5(s || '#i'), 1, 15))::BIGINT``. The xxhash64
+    family (minhash_signatures/simhash) stays the production path —
+    fixed-width hashing is ~4x cheaper than string md5 — this family
+    exists to put the LSH *machinery* under the strict hash gate.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("#", c, F.lit(str(seed)))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_lsh_exact(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    min_match: int = 6,
+) -> DataFrame:
+    """Oracle-exact MinHash-LSH near-dup pairs: (a, b, n_equal).
+
+    Identical plan shape to ``minhash_lsh_pairs`` (signature agg →
+    banded bucket postings → map-side pair expansion → signature
+    verify) but over the ``md5_hash60`` family, so signatures, band
+    buckets, candidate sets, and the match count are all reproducible
+    in DuckDB SQL — this is the strict-gated bridge into the MinHash
+    family (cf. ``lsh_topk_exact`` for the ANN family). ``n_equal`` is
+    the raw matching-position count (an integer, so the gate hash is
+    exact — no float rounding): n_equal/num_hashes estimates Jaccard;
+    the default 6/16 gates at est ≥ 0.375 with an 8×2 band s-curve
+    (threshold ≈ (1/8)^(1/2) ≈ 0.35).
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingle_rows(documents, n, distinct=False)
+    sig = sh.groupBy("doc_id").agg(
+        F.array(
+            *[F.min(md5_hash60("shingle", i)) for i in range(num_hashes)]
+        ).alias("sig")
+    ).persist()
+    # Band bucket = the comma-joined minhash values themselves (exact
+    # strings both engines — no second-level hash to reproduce).
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1).cast(
+                                "string"
+                            )
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    postings = banded.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("docs")
+    )
+    cand = (
+        postings.where(F.size("docs") > 1)
+        .select(F.posexplode("docs").alias("pos", "a"), "docs")
+        .select(
+            "a",
+            F.explode(F.expr("slice(docs, pos + 2, size(docs) - pos - 1)")).alias("b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    sig_a = sig.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    n_equal = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        cand.join(sig_a, "a")
+        .join(sig_b, "b")
+        .withColumn("n_equal", n_equal)
+        .where(F.col("n_equal") >= min_match)
+        .select("a", "b", F.col("n_equal").cast("int").alias("n_equal"))
+    )
+
+
+def simhash_exact(
+    documents: DataFrame, max_hamming: int = 3, n_bits: int = 32
+) -> DataFrame:
+    """Oracle-exact SimHash near-dup pairs: (a, b, hamming).
+
+    ``simhash``/``simhash_pairs`` over the ``md5_hash60`` token-hash
+    family at 32 bits — narrow enough that the bit-vote / bit-pack /
+    pigeonhole-chunk SQL stays readable while every intermediate
+    (votes, fingerprint, chunk keys, hamming distance) is exact integer
+    arithmetic on both engines. Same Manku/Jain/Sarma layout as the
+    production 64-bit path: ``max_hamming + 1`` chunks, join within a
+    chunk, verify with bit_count(xor).
+    """
+    n_chunks = max_hamming + 1
+    bounds = [c * n_bits // n_chunks for c in range(n_chunks + 1)]
+    tok = documents.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    ).withColumn("h", md5_hash60("tok", 0))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{j}")
+        for j in range(n_bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    packed = None
+    for j in range(n_bits):
+        bit = (
+            F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        term = F.shiftleft(bit, j)
+        packed = term if packed is None else packed + term
+    fp = agg.select("doc_id", packed.alias("fp")).persist()
+    chunks = fp.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("fp"), bounds[c]).bitwiseAND(
+                        F.lit((1 << (bounds[c + 1] - bounds[c])) - 1)
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("chunk", "cv"),
+    )
+    cand = (
+        chunks.alias("ca")
+        .join(
+            chunks.alias("cb"),
+            (F.col("ca.chunk") == F.col("cb.chunk"))
+            & (F.col("ca.cv") == F.col("cb.cv"))
+            & (F.col("ca.doc_id") < F.col("cb.doc_id")),
+        )
+        .select(F.col("ca.doc_id").alias("a"), F.col("cb.doc_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    fa = fp.select(F.col("doc_id").alias("a"), F.col("fp").alias("fp_a"))
+    fb = fp.select(F.col("doc_id").alias("b"), F.col("fp").alias("fp_b"))
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.join(fa, "a")
+        .join(fb, "b")
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
     )
 
 

@@ -345,6 +345,153 @@ r AS (
 SELECT q_id, nn_id, rank FROM r WHERE rank <= {k}"""
 
 
+def corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The END-TO-END curation pipeline as ONE lazy plan — the
+    composition a real pretraining-data run executes, each stage the
+    already-gated operator:
+
+      clean (redact+collapse) → exact-dedup on cleaned text →
+      decontaminate vs the held-out benchmark (doc_id % 19 == 0, ≥0.5
+      shingle overlap dropped) → quality gate (score ≥ 0.5) →
+      chunk 64/48 → per-(source, lang) census.
+
+    Catalyst fuses the whole prefix into a handful of stages: clean +
+    quality are map-only over the scan, dedup is one fingerprint-keyed
+    exchange, decontamination is the broadcast probe (fused Arrow
+    pass), chunking is map-only again — document text never shuffles
+    except the 16-byte-fingerprint dedup exchange. The census output
+    keeps the gate row-set compact while forcing every stage to be
+    value-exact.
+    """
+    from distributed_computing_spark.functions.text import fingerprint, quality_score
+    from distributed_computing_spark.operators.curation import chunk_docs, clean_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = docs.select(
+        "doc_id", "lang", "source", clean_text(F.col("text")).alias("text")
+    )
+    keep = (
+        cleaned.select(fingerprint("text").alias("th"), "doc_id")
+        .groupBy("th")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    deduped = cleaned.join(keep.select("doc_id"), "doc_id", "left_semi")
+    bench = cleaned.where(F.col("doc_id") % 19 == 0)
+    corpus = deduped.where(F.col("doc_id") % 19 != 0)
+    contam = (
+        dedup.fused_decontaminate(corpus, bench, n=3, threshold=0.5)
+        .where("contaminated")
+        .select("doc_id")
+    )
+    decon = corpus.join(contam, "doc_id", "left_anti")
+    kept = decon.where(quality_score("text") >= 0.5)
+    chunks = chunk_docs(kept, size=64, stride=48, keep_cols=("lang", "source"))
+    return chunks.groupBy("source", "lang").agg(
+        F.countDistinct("doc_id").alias("docs_kept"),
+        F.count("*").alias("n_chunks"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+def minhash_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-exact MinHash-LSH: md5-prefix hash family reproducible in
+    DuckDB SQL — puts signatures, band buckets, candidate generation,
+    and the match-count verify all under the strict hash gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_exact(docs, n=3, num_hashes=16, bands=8, min_match=6)
+
+
+def _minhash_exact_oracle_sql(
+    num_hashes: int = 16, bands: int = 8, min_match: int = 6
+) -> str:
+    """DuckDB oracle for minhash_lsh_exact, generated from the SAME
+    (num_hashes, bands, min_match) parameters — minima, band buckets,
+    candidates, and n_equal are exact integer/string arithmetic on both
+    engines (see ``dedup.md5_hash60``)."""
+    rpb = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min(('0x' || substr(md5(shingle || '#{i}'), 1, 15))::BIGINT) AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(f"m{b * rpb + r}::VARCHAR" for r in range(rpb))
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    eq = " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(num_hashes))
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM t),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM g GROUP BY doc_id),
+bands AS (
+    {band_selects}),
+cand AS (
+  SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
+  FROM bands ba JOIN bands bb
+    ON ba.band = bb.band AND ba.bucket = bb.bucket AND ba.doc_id < bb.doc_id),
+est AS (
+  SELECT c.a, c.b, ({eq}) AS n_equal
+  FROM cand c
+  JOIN sig sa ON c.a = sa.doc_id
+  JOIN sig sb ON c.b = sb.doc_id)
+SELECT a, b, CAST(n_equal AS INTEGER) AS n_equal
+FROM est WHERE n_equal >= {min_match}"""
+
+
+def simhash_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-exact SimHash at 32 bits / radius 3 over the md5-prefix
+    token-hash family (bit votes, fingerprint, pigeonhole chunks, and
+    hamming verify all reproduced in DuckDB SQL)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_exact(docs, max_hamming=3, n_bits=32)
+
+
+def _simhash_exact_oracle_sql(max_hamming: int = 3, n_bits: int = 32) -> str:
+    """DuckDB oracle for simhash_exact, generated from the SAME
+    (max_hamming, n_bits) parameters the Spark query uses."""
+    n_chunks = max_hamming + 1
+    bounds = [c * n_bits // n_chunks for c in range(n_chunks + 1)]
+    votes = ",\n        ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(n_bits)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(n_bits)
+    )
+    chunk_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {c} AS chunk, (fp >> {bounds[c]}) & "
+        f"{(1 << (bounds[c + 1] - bounds[c])) - 1} AS cv FROM f"
+        for c in range(n_chunks)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+tk AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
+hh AS (SELECT doc_id, ('0x' || substr(md5(tok || '#0'), 1, 15))::BIGINT AS h FROM tk),
+v AS (SELECT doc_id,
+        {votes}
+      FROM hh GROUP BY doc_id),
+f AS (SELECT doc_id, CAST({pack} AS BIGINT) AS fp FROM v),
+c AS (
+  {chunk_selects}),
+cand AS (
+  SELECT DISTINCT ca.doc_id AS a, cb.doc_id AS b
+  FROM c ca JOIN c cb
+    ON ca.chunk = cb.chunk AND ca.cv = cb.cv AND ca.doc_id < cb.doc_id)
+SELECT cand.a, cand.b, CAST(bit_count(xor(fa.fp, fb.fp)) AS INTEGER) AS hamming
+FROM cand
+JOIN f fa ON cand.a = fa.doc_id
+JOIN f fb ON cand.b = fb.doc_id
+WHERE bit_count(xor(fa.fp, fb.fp)) <= {max_hamming}"""
+
+
 def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GEMM path: one Arrow batch per corpus split, BLAS inner loop —
     # measured ~3.5x over the JVM array fold at dim=64.
@@ -807,6 +954,17 @@ round(
             ELSE 0.0 END) * 4.0, 1.0)),
   6)""".format(toks=_TOKENS)
 
+# The clean_docs redaction cascade as a reusable SQL fragment (applies to
+# a column named ``text``) — shared by the clean_docs oracle and the
+# corpus_pipeline composition.
+_CLEAN_SQL = r"""trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '(\+?[0-9]{1,2}[-.])?[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}', '<PHONE>', 'g'),
+           '\s+', ' ', 'g'))"""
+
 
 # ---------------------------------------------------------------------------
 # Registry
@@ -833,8 +991,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # [EXT] similarity search
     "cosine_topk": cosine_topk_q,
     "lsh_topk": lsh_topk_q,
-    # round-3 addition: oracle-exact LSH (integer buckets both engines)
+    # round-3 additions: oracle-exact LSH / MinHash / SimHash (cross-
+    # engine-reproducible hash families put the LSH machinery itself
+    # under the strict hash gate; the xxhash64 forms stay production)
     "lsh_topk_exact": lsh_topk_exact_q,
+    "minhash_lsh_exact": minhash_exact_q,
+    "simhash_exact": simhash_exact_q,
     "ivf_topk": ivf_topk_q,
     "embedding_neardup": embedding_neardup_q,
     # Structured Streaming path (K5 + event-time windows)
@@ -857,10 +1019,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # MapReduce flagship — back in the window for round 3: the fused
     # Arrow tokenize+count pass replaced the explode plan this round
     "word_count_top10": fused_word_count,
-    # [EXT] text analysis
-    "build_vocab": textstats.build_vocab,
-    "encode_docs": textstats.encode_docs,
-    "top_docs_per_lang": textstats.top_docs_per_lang,
     "bigram_counts": textstats.bigram_counts,
     "unigram_logprob": textstats.unigram_logprob,
     "lang_entropy_by_source": textstats.lang_entropy_by_source,
@@ -868,6 +1026,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_calibration": textstats.quality_calibration,
     "stopword_discovery": textstats.stopword_discovery,
     # [EXT] corpus curation (clean -> chunk -> pack -> mix, + DQ audit)
+    # round-3 addition: the end-to-end composition as one gated plan
+    "corpus_pipeline": corpus_pipeline_q,
     "clean_docs": curation.clean_docs,
     "chunk_docs": curation.chunk_docs_q,
     "pack_chunks": curation.pack_chunks_q,
@@ -893,6 +1053,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # every entry below has at least one green driver row (r1 or r2) ----
     # [EXT] text analysis (driver-proven r2, unchanged)
     "corpus_summary": textstats.corpus_summary,
+    "build_vocab": textstats.build_vocab,
+    "encode_docs": textstats.encode_docs,
+    "top_docs_per_lang": textstats.top_docs_per_lang,
     # KV engine (K1-K6)
     "kv_state": kv_state,
     # Sharding (T5-T7, A7, P1-P5)
@@ -1623,6 +1786,45 @@ r AS (
   FROM s)
 SELECT q_id, nn_id, rank FROM r WHERE rank <= 5""",
     "lsh_topk_exact": _lsh_exact_oracle_sql(k=5, n_planes=4),
+    "minhash_lsh_exact": _minhash_exact_oracle_sql(num_hashes=16, bands=8, min_match=6),
+    "simhash_exact": _simhash_exact_oracle_sql(max_hamming=3, n_bits=32),
+    "corpus_pipeline": f"""
+WITH cleaned AS (
+  SELECT doc_id, lang, source, {_CLEAN_SQL} AS text
+  FROM documents),
+keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM cleaned
+  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+deduped AS (SELECT c.* FROM cleaned c JOIN keep USING (doc_id)),
+bt AS (SELECT {_TOKENS} AS toks FROM cleaned WHERE doc_id % 19 = 0),
+bsh AS (
+  SELECT DISTINCT unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM bt),
+ct AS (SELECT doc_id, {_TOKENS} AS toks FROM deduped WHERE doc_id % 19 <> 0),
+csh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM ct),
+contam AS (
+  SELECT c.doc_id
+  FROM csh c LEFT JOIN bsh b ON c.shingle = b.shingle
+  GROUP BY 1
+  HAVING CAST(count(b.shingle) AS DOUBLE) / count(*) >= 0.5),
+kept AS (
+  SELECT doc_id, lang, source, len({_TOKENS}) AS n
+  FROM deduped
+  WHERE doc_id % 19 <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contam)
+    AND {_QUALITY_EXPR} >= 0.5
+    AND len({_TOKENS}) > 0),
+ch AS (SELECT source, lang, doc_id, n, unnest(range(0, n, 48)) AS s FROM kept)
+SELECT source, lang,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_kept,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(least(64, n - s)) AS BIGINT) AS total_tokens
+FROM ch GROUP BY source, lang""",
     "embedding_neardup": """
 SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a

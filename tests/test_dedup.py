@@ -253,3 +253,70 @@ def test_neardup_canonical_keep_rule(spark):
         for r in neardup_canonical(docs, clusters).collect()
     }
     assert got == {1: (2, 2, 4), 3: (3, 2, 4), 5: (5, 1, 0)}
+
+
+# ---------------------------------------------------------------------------
+# Oracle-exact md5-family MinHash / SimHash
+# ---------------------------------------------------------------------------
+
+
+def test_md5_hash60_matches_duckdb(spark):
+    """The cross-engine hash contract: Spark md5_hash60 == DuckDB
+    ('0x' || substr(md5(s || '#i'), 1, 15))::BIGINT, bit for bit."""
+    import duckdb
+
+    from distributed_computing_spark.operators.dedup import md5_hash60
+
+    words = ["hello", "world", "Straße", "a b", ""]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    got = [
+        r["h"]
+        for r in df.select(md5_hash60("s", 7).alias("h")).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT ('0x' || substr(md5(? || '#7'), 1, 15))::BIGINT", [w]
+        ).fetchone()[0]
+        for w in words
+    ]
+    assert got == want
+
+
+def test_minhash_lsh_exact_planted(spark):
+    from distributed_computing_spark.operators.dedup import minhash_lsh_exact
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base, "en", "s", 10),
+        (2, base + " ok", "en", "s", 10),  # near-identical → most minima equal
+        (3, "completely different words about ships and maps and stars", "en", "s", 10),
+    ]
+    pairs = {
+        (r["a"], r["b"]): r["n_equal"]
+        for r in minhash_lsh_exact(_docs(spark, rows), min_match=6).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] >= 6
+
+
+def test_simhash_exact_radius(spark):
+    """Identical docs pair at hamming 0; a one-token edit stays within
+    the radius; unrelated docs don't pair."""
+    from distributed_computing_spark.operators.dedup import simhash_exact
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (1, base, "en", "s", 10),
+        (2, base, "en", "s", 10),  # identical → hamming 0
+        (3, "totally unrelated text about oceans tides currents reefs corals", "en", "s", 10),
+    ]
+    res = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_exact(_docs(spark, rows), max_hamming=3).collect()
+    }
+    assert res.get((1, 2)) == 0
+    assert (1, 3) not in res and (2, 3) not in res

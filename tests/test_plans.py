@@ -36,9 +36,13 @@ def test_column_pruning_in_read_schema(spark):
 
 
 def test_star_joins_broadcast_never_sort_merge(spark):
+    # lineitem⋈orders is the ONE wide exchange, hinted shuffle-HASH (no
+    # sorts — measured 5.5 s → 3.2 s at the 50× tier, BASELINE.md); the
+    # four dims ride as broadcasts. Never a sort-merge join anywhere.
     df = QUERIES["regional_revenue"](spark, SF_DIR)
     tree = operator_tree(df)
-    assert tree.count("BroadcastHashJoin") == 5
+    assert tree.count("BroadcastHashJoin") == 4
+    assert tree.count("ShuffledHashJoin") == 1
     assert "SortMergeJoin" not in tree
 
 
@@ -215,3 +219,18 @@ def test_user_retention_broadcasts_cohort_sizes(spark):
     tree = operator_tree(df)
     assert "BroadcastHashJoin" in tree
     assert "SortMergeJoin" not in tree
+
+
+def test_corpus_pipeline_single_composed_plan(spark):
+    """The end-to-end curation pipeline fuses into one plan: the dedup
+    exchanges carry 16-byte fingerprints (never text), decontamination
+    is the fused Arrow broadcast probe, and no join degenerates into a
+    sort-merge or cartesian."""
+    tree = operator_tree(QUERIES["corpus_pipeline"](spark, SF_DIR))
+    assert "MapInPandas" in tree          # fused decontaminate probe
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "SortMergeJoin" not in tree
+    # dedup membership + contamination drop both resolve as (semi/anti)
+    # hash joins against broadcast id sets at this SF
+    assert "LeftSemi" in tree and "LeftAnti" in tree
