@@ -42,6 +42,8 @@ HEADLINE = [
     "lang_id",
     "corpus_summary",
     # round-1 breadth additions (cheap relational/join/multimodal surface)
+    # round-3: the end-to-end curation composition as one plan
+    "corpus_pipeline",
     "asof_attribution",
     "range_join_views",
     "semi_anti_orders",

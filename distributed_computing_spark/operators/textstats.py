@@ -238,6 +238,27 @@ def stratified_sample(
     return df.sampleBy(strata_col, {s: fraction for s in strata}, seed=seed)
 
 
+def hash_stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    fraction: float = 0.2,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep a row iff its md5-derived
+    bucket falls under ``fraction`` — the hash-based sampling a
+    production pipeline prefers over RNG ``sampleBy``: membership is a
+    pure function of (stratum, id, seed), so it is stable across
+    retries, repartitioning, AND engines (``dedup.md5_hash60`` is
+    bit-identical in DuckDB SQL, making this the oracle-exact
+    counterpart of ``stratified_sample``). Map-only — no shuffle, no
+    stratum collect."""
+    from distributed_computing_spark.operators.dedup import md5_hash60
+
+    h = md5_hash60(F.concat_ws("#", F.col(strata_col), F.col(id_col)), seed)
+    return df.where(F.pmod(h, F.lit(1000)) < int(fraction * 1000))
+
+
 def repetition_scores(documents: DataFrame, n: int = 2) -> DataFrame:
     """[EXT] Intra-document repetition metrics (Gopher-style quality
     filter, Rae et al. 2021 "repetition" signals): per doc, the

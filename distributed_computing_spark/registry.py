@@ -1019,7 +1019,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # MapReduce flagship — back in the window for round 3: the fused
     # Arrow tokenize+count pass replaced the explode plan this round
     "word_count_top10": fused_word_count,
-    "bigram_counts": textstats.bigram_counts,
     "unigram_logprob": textstats.unigram_logprob,
     "lang_entropy_by_source": textstats.lang_entropy_by_source,
     "shingle_novelty": textstats.shingle_novelty,
@@ -1034,6 +1033,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": curation.mixture_sample_q,
     "dq_audit": curation.dq_audit,
     "sample_by_lang": lambda spark, sf_dir: textstats.stratified_sample(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    ),
+    # round-3 addition: hash-based (oracle-exact) stratified sampling
+    "sample_by_lang_exact": lambda spark, sf_dir: textstats.hash_stratified_sample(
         load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     ),
     # round-2 additions never driver-gated before round 3
@@ -1056,6 +1059,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "build_vocab": textstats.build_vocab,
     "encode_docs": textstats.encode_docs,
     "top_docs_per_lang": textstats.top_docs_per_lang,
+    "bigram_counts": textstats.bigram_counts,
     # KV engine (K1-K6)
     "kv_state": kv_state,
     # Sharding (T5-T7, A7, P1-P5)
@@ -1788,6 +1792,10 @@ SELECT q_id, nn_id, rank FROM r WHERE rank <= 5""",
     "lsh_topk_exact": _lsh_exact_oracle_sql(k=5, n_planes=4),
     "minhash_lsh_exact": _minhash_exact_oracle_sql(num_hashes=16, bands=8, min_match=6),
     "simhash_exact": _simhash_exact_oracle_sql(max_hamming=3, n_bits=32),
+    "sample_by_lang_exact": """
+SELECT doc_id, lang
+FROM documents
+WHERE ('0x' || substr(md5(lang || '#' || doc_id || '#42'), 1, 15))::BIGINT % 1000 < 200""",
     "corpus_pipeline": f"""
 WITH cleaned AS (
   SELECT doc_id, lang, source, {_CLEAN_SQL} AS text

@@ -265,3 +265,28 @@ def test_stopword_discovery_df_not_tf(spark, tmp_path):
     got = {r["word"]: r["df"] for r in stopword_discovery(spark, d).collect()}
     assert got.get("common") == 3
     assert "spam" not in got
+
+
+def test_hash_stratified_sample_deterministic_and_balanced(spark, sf_dir):
+    """Hash-based sampling: membership is a pure function of
+    (stratum, id, seed) — identical across runs and partitionings —
+    and the per-stratum rate concentrates around the target fraction."""
+    from distributed_computing_spark.operators.textstats import (
+        hash_stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    s1 = {r["doc_id"] for r in hash_stratified_sample(docs, fraction=0.2).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in hash_stratified_sample(docs.repartition(7), fraction=0.2).collect()
+    }
+    assert s1 == s2  # stable under repartitioning (rand sampling is not)
+    n = docs.count()
+    assert 0.1 * n <= len(s1) <= 0.3 * n
+    # different seed -> different (mostly disjoint-ish) sample
+    s3 = {
+        r["doc_id"]
+        for r in hash_stratified_sample(docs, fraction=0.2, seed=7).collect()
+    }
+    assert s3 != s1
