@@ -423,3 +423,76 @@ def hash_split(
 def train_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return hash_split(docs.select("doc_id"), "doc_id")
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    pairs: DataFrame,
+    test_pct: int = 10,
+    seed: int = 13,
+) -> DataFrame:
+    """[EXT] Near-dup-aware train/test split: the whole near-dup
+    CLUSTER gets one assignment, so no near-duplicate of a training doc
+    ever lands in the held-out set (the eval-leakage failure mode a
+    plain per-doc hash split cannot prevent).
+
+    clusters = connected components over ``pairs`` (cluster_id =
+    smallest member); membership = md5 bucket of the cluster_id —
+    deterministic, append-stable, and reproducible in DuckDB SQL (the
+    recursive-CTE closure + the same md5 bucket), so the full
+    clustering + assignment is oracle-exact under the gate.
+    """
+    from distributed_computing_spark.operators.dedup import (
+        md5_hash60,
+        neardup_clusters,
+    )
+
+    clusters = neardup_clusters(documents, pairs)
+    bucket = F.pmod(md5_hash60(F.col("cluster_id"), seed), F.lit(100))
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < test_pct, "test").otherwise("train").alias("split"),
+    )
+
+
+def epoch_shuffle_index(
+    df: DataFrame, id_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """[EXT] Global deterministic training-shuffle order WITHOUT a
+    global sort: each row's position in the seeded pseudorandom
+    permutation ordered by (md5_hash60(id, seed), id).
+
+    Two-level rank (the hierarchical prefix-sum ``pack_chunks`` uses):
+    range-bucket on the hash's top 6 bits — bucket order IS hash order,
+    so per-bucket ranks + broadcast cumulative bucket offsets compose
+    to the exact global rank. The only data-scale exchange is the
+    64-way hash partition for the per-bucket window; the offsets table
+    is 64 rows (its window is bounded, not data-scale). A naive
+    ``row_number() OVER (ORDER BY hash)`` would funnel the corpus
+    through ONE range-sort task at 100 TB; this never does.
+
+    Re-seeding gives a fresh epoch permutation; appends don't disturb
+    existing relative order beyond their own insertion points.
+    """
+    from distributed_computing_spark.operators.dedup import md5_hash60
+
+    from pyspark.sql import Window
+
+    t = df.select(F.col(id_col), md5_hash60(F.col(id_col), seed).alias("_h"))
+    t = t.withColumn("_b", F.shiftright("_h", 54))  # top 6 of 60 bits
+    counts = t.groupBy("_b").agg(F.count("*").alias("_c"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_rank = Window.partitionBy("_b").orderBy("_h", id_col)
+    return (
+        t.join(F.broadcast(offsets), "_b")
+        .select(
+            F.col(id_col),
+            (F.col("_off") + F.row_number().over(w_rank) - 1)
+            .cast("long")
+            .alias("sample_idx"),
+        )
+    )

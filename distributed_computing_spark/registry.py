@@ -345,6 +345,21 @@ r AS (
 SELECT q_id, nn_id, rank FROM r WHERE rank <= {k}"""
 
 
+def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware split: exact Jaccard pairs → connected components
+    → one md5-bucket split assignment per CLUSTER (no near-dup of a
+    training doc in the held-out set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.35, max_df=0.2)
+    return curation.leakage_safe_split(docs, pairs, test_pct=10, seed=13)
+
+
+def epoch_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global shuffle order via two-level rank (no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.epoch_shuffle_index(docs.select("doc_id"), seed=0)
+
+
 def corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] The END-TO-END curation pipeline as ONE lazy plan — the
     composition a real pretraining-data run executes, each stage the
@@ -1019,8 +1034,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # MapReduce flagship — back in the window for round 3: the fused
     # Arrow tokenize+count pass replaced the explode plan this round
     "word_count_top10": fused_word_count,
-    "unigram_logprob": textstats.unigram_logprob,
-    "lang_entropy_by_source": textstats.lang_entropy_by_source,
     "shingle_novelty": textstats.shingle_novelty,
     "quality_calibration": textstats.quality_calibration,
     "stopword_discovery": textstats.stopword_discovery,
@@ -1047,6 +1060,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": decontaminate_q,
     "repetition_scores": textstats.repetition_scores_q,
     "train_test_split": curation.train_test_split_q,
+    # round-3 additions: cluster-aware split + global-shuffle order
+    "leakage_safe_split": leakage_safe_split_q,
+    "epoch_shuffle": epoch_shuffle_q,
     "events_gapfill": analytics.events_gapfill,
     "decayed_user_activity": analytics.decayed_user_activity,
     "salted_revenue_join": salted_revenue_join,
@@ -1060,6 +1076,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "encode_docs": textstats.encode_docs,
     "top_docs_per_lang": textstats.top_docs_per_lang,
     "bigram_counts": textstats.bigram_counts,
+    "unigram_logprob": textstats.unigram_logprob,
+    "lang_entropy_by_source": textstats.lang_entropy_by_source,
     # KV engine (K1-K6)
     "kv_state": kv_state,
     # Sharding (T5-T7, A7, P1-P5)
@@ -1796,6 +1814,12 @@ SELECT q_id, nn_id, rank FROM r WHERE rank <= 5""",
 SELECT doc_id, lang
 FROM documents
 WHERE ('0x' || substr(md5(lang || '#' || doc_id || '#42'), 1, 15))::BIGINT % 1000 < 200""",
+    "epoch_shuffle": """
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY ('0x' || substr(md5(doc_id || '#0'), 1, 15))::BIGINT, doc_id)
+         - 1 AS BIGINT) AS sample_idx
+FROM documents""",
     "corpus_pipeline": f"""
 WITH cleaned AS (
   SELECT doc_id, lang, source, {_CLEAN_SQL} AS text
@@ -2051,6 +2075,25 @@ reach(n, r) AS (
   UNION
   SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.n)
 SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n"""
+)
+
+# near-dup-aware split: the same recursive closure, then ONE md5-bucket
+# assignment per cluster (seed 13, 10% test) — mirrors
+# curation.leakage_safe_split exactly
+ORACLES["leakage_safe_split"] = (
+    "WITH RECURSIVE pairs AS ("
+    + ORACLES["ngram_jaccard_pairs"]
+    + """),
+e AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+reach(n, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.n),
+cl AS (SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n)
+SELECT doc_id, cluster_id,
+       CASE WHEN ('0x' || substr(md5(cluster_id || '#13'), 1, 15))::BIGINT % 100 < 10
+            THEN 'test' ELSE 'train' END AS split
+FROM cl"""
 )
 
 # cluster collapse: same recursive closure, then the longest-member

@@ -244,3 +244,46 @@ def test_hash_split_is_map_only(spark):
 
     df = hash_split(spark.range(100).withColumnRenamed("id", "doc_id"))
     assert "Exchange" not in operator_tree(df)
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark, sf_dir):
+    """The whole point: no near-dup pair may straddle train/test."""
+    from distributed_computing_spark.operators.curation import leakage_safe_split
+    from distributed_computing_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.35, max_df=0.2)
+    split = leakage_safe_split(docs, pairs)
+    by_doc = {r["doc_id"]: r["split"] for r in split.collect()}
+    straddles = [
+        (r["a"], r["b"])
+        for r in pairs.collect()
+        if by_doc[r["a"]] != by_doc[r["b"]]
+    ]
+    assert straddles == []
+    assert set(by_doc.values()) == {"train", "test"}  # both sides populated
+
+
+def test_epoch_shuffle_is_exact_permutation_no_global_sort(spark, sf_dir):
+    from distributed_computing_spark.operators.curation import epoch_shuffle_index
+    from distributed_computing_spark.plans import physical_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    out = epoch_shuffle_index(docs, seed=0)
+    idx = sorted(r["sample_idx"] for r in out.collect())
+    assert idx == list(range(n))  # exact permutation, no gaps/dups
+    # stable under input partitioning
+    again = {
+        (r["doc_id"], r["sample_idx"])
+        for r in epoch_shuffle_index(docs.repartition(7), seed=0).collect()
+    }
+    assert again == {(r["doc_id"], r["sample_idx"]) for r in out.collect()}
+    # a different seed is a different permutation
+    other = {
+        (r["doc_id"], r["sample_idx"])
+        for r in epoch_shuffle_index(docs, seed=1).collect()
+    }
+    assert other != again
+    # scale posture: never a single-task range sort of the data
+    assert "rangepartitioning" not in physical_plan(out)
