@@ -377,14 +377,28 @@ def corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     except the 16-byte-fingerprint dedup exchange. The census output
     keeps the gate row-set compact while forcing every stage to be
     value-exact.
+
+    Two measured plan choices (20× tier, BASELINE.md): (a) the cleaned
+    corpus is PERSISTED — four consumers (fingerprint agg, dedup
+    membership, benchmark side, probe input) would each re-run the
+    regex cascade; at production scale this persist is the stage-
+    artifact parquet write every curation pipeline does anyway. (b) the
+    quality filter runs BEFORE the contamination probe: per-doc
+    contamination depends only on the broadcast benchmark shingles,
+    never on other corpus docs, so filtering first shrinks the probe
+    input without changing the surviving set (the kept predicate is
+    the same conjunction — oracle unchanged). Dedup must stay FIRST:
+    its min-id keep rule does depend on the candidate set.
     """
+    from pyspark.storagelevel import StorageLevel
+
     from distributed_computing_spark.functions.text import fingerprint, quality_score
     from distributed_computing_spark.operators.curation import chunk_docs, clean_text
 
     docs = load_table(spark, sf_dir, "documents")
     cleaned = docs.select(
         "doc_id", "lang", "source", clean_text(F.col("text")).alias("text")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     keep = (
         cleaned.select(fingerprint("text").alias("th"), "doc_id")
         .groupBy("th")
@@ -392,14 +406,15 @@ def corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = cleaned.join(keep.select("doc_id"), "doc_id", "left_semi")
     bench = cleaned.where(F.col("doc_id") % 19 == 0)
-    corpus = deduped.where(F.col("doc_id") % 19 != 0)
+    corpus = deduped.where(F.col("doc_id") % 19 != 0).where(
+        quality_score("text") >= 0.5
+    )
     contam = (
         dedup.fused_decontaminate(corpus, bench, n=3, threshold=0.5)
         .where("contaminated")
         .select("doc_id")
     )
-    decon = corpus.join(contam, "doc_id", "left_anti")
-    kept = decon.where(quality_score("text") >= 0.5)
+    kept = corpus.join(contam, "doc_id", "left_anti")
     chunks = chunk_docs(kept, size=64, stride=48, keep_cols=("lang", "source"))
     return chunks.groupBy("source", "lang").agg(
         F.countDistinct("doc_id").alias("docs_kept"),

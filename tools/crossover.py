@@ -40,6 +40,7 @@ DEFAULT_QUERIES = [
     "pack_chunks",        # array-free chunk stats + per-source window
     "repetition_scores",  # bigram explode + two-level agg (dup-ngram filter)
     "decontaminate",      # broadcast benchmark-shingle join + per-doc agg
+    "corpus_pipeline",    # the end-to-end curation composition (round 3)
 ]
 
 # Fact tables are replicated with remapped keys; everything else copied.
