@@ -345,6 +345,41 @@ r AS (
 SELECT q_id, nn_id, rank FROM r WHERE rank <= {k}"""
 
 
+_CURATED_WRITTEN: set[tuple[int, str]] = set()
+
+
+def curated_read_pruned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-layout round trip: the split corpus written
+    hive-partitioned by (lang, split) via ``sinks.write_curated_corpus``
+    (once per session+sf, like the KV state materialization), then ONE
+    training slice read back through partition pruning and censused.
+    The oracle recomputes the identical census straight from
+    ``documents`` (same md5 split), so the whole write→prune→read path
+    is value-gated."""
+    import os
+    import tempfile
+
+    from distributed_computing_spark import sinks
+    from distributed_computing_spark.operators.curation import hash_split
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_curated_{abs(hash((id(spark), sf_dir)))}",
+    )
+    key = (id(spark), sf_dir)
+    if key not in _CURATED_WRITTEN or not os.path.exists(path):
+        docs = load_table(spark, sf_dir, "documents")
+        cur = docs.join(
+            hash_split(docs.select("doc_id")).select("doc_id", "split"), "doc_id"
+        ).select("doc_id", "text", "source", "n_chars", "lang", "split")
+        sinks.write_curated_corpus(cur, path)
+        _CURATED_WRITTEN.add(key)
+    sl = sinks.read_corpus_slice(spark, path, lang="en", split="train")
+    return sl.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
 def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup-aware split: exact Jaccard pairs → connected components
     → one md5-bucket split assignment per CLUSTER (no near-dup of a
@@ -1049,7 +1084,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # MapReduce flagship — back in the window for round 3: the fused
     # Arrow tokenize+count pass replaced the explode plan this round
     "word_count_top10": fused_word_count,
-    "shingle_novelty": textstats.shingle_novelty,
     "quality_calibration": textstats.quality_calibration,
     "stopword_discovery": textstats.stopword_discovery,
     # [EXT] corpus curation (clean -> chunk -> pack -> mix, + DQ audit)
@@ -1075,9 +1109,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": decontaminate_q,
     "repetition_scores": textstats.repetition_scores_q,
     "train_test_split": curation.train_test_split_q,
-    # round-3 additions: cluster-aware split + global-shuffle order
+    # round-3 additions: cluster-aware split + global-shuffle order +
+    # hive-partitioned corpus layout round trip
     "leakage_safe_split": leakage_safe_split_q,
     "epoch_shuffle": epoch_shuffle_q,
+    "curated_read_pruned": curated_read_pruned_q,
     "events_gapfill": analytics.events_gapfill,
     "decayed_user_activity": analytics.decayed_user_activity,
     "salted_revenue_join": salted_revenue_join,
@@ -1093,6 +1129,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_counts": textstats.bigram_counts,
     "unigram_logprob": textstats.unigram_logprob,
     "lang_entropy_by_source": textstats.lang_entropy_by_source,
+    "shingle_novelty": textstats.shingle_novelty,
     # KV engine (K1-K6)
     "kv_state": kv_state,
     # Sharding (T5-T7, A7, P1-P5)
@@ -1835,6 +1872,12 @@ SELECT doc_id,
          ORDER BY ('0x' || substr(md5(doc_id || '#0'), 1, 15))::BIGINT, doc_id)
          - 1 AS BIGINT) AS sample_idx
 FROM documents""",
+    "curated_read_pruned": """
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE lang = 'en'
+  AND ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < 9000
+GROUP BY source""",
     "corpus_pipeline": f"""
 WITH cleaned AS (
   SELECT doc_id, lang, source, {_CLEAN_SQL} AS text

@@ -175,3 +175,51 @@ def merge_high_water(spark: SparkSession, path: str, advances: DataFrame) -> Non
         .agg(F.max("high_water").alias("high_water"))
     )
     _swap_dir(merged, path)
+
+
+# ---------------------------------------------------------------------------
+# Partitioned curated-corpus sink (training-data layout)
+# ---------------------------------------------------------------------------
+
+
+def write_curated_corpus(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("lang", "split"),
+    order_col: str = "doc_id",
+) -> None:
+    """Hive-partitioned curated-corpus sink: ``lang=…/split=…`` layout.
+
+    The data layout IS the scale feature: a per-(lang, split) training
+    read lists only its own directories (partition pruning — see
+    ``read_corpus_slice``), so a 100 TB corpus serves a one-language
+    train job without touching the other partitions' files. One shuffle
+    on the partition key collapses each partition's rows into its own
+    writer tasks (no thousand tiny files per directory);
+    ``sortWithinPartitions(order_col)`` makes parquet row-group min/max
+    stats monotone in the id so id-range predicates skip row groups
+    too. At larger scale pass-through ``repartition(N, cols)`` tuning
+    replaces the default one-task-per-partition-value.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def read_corpus_slice(spark: SparkSession, path: str, **equals) -> DataFrame:
+    """One training slice of a partitioned corpus: equality predicates
+    on partition columns land as ``PartitionFilters`` in the parquet
+    scan (plan-asserted in tests) — only matching directories are
+    listed and read, never the rest of the corpus."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    for c, v in equals.items():
+        df = df.where(F.col(c) == v)
+    return df

@@ -123,3 +123,33 @@ def test_json_sink_source_roundtrip(spark, tmp_path):
     a = {r["event_id"]: (r["event_type"], r["value"]) for r in ev.collect()}
     b = {r["event_id"]: (r["event_type"], r["value"]) for r in back.collect()}
     assert a == b
+
+
+def test_partitioned_corpus_write_prunes_partitions(spark, tmp_path, sf_dir):
+    """write_curated_corpus lays out lang=/split= directories; an
+    equality read lands as PartitionFilters in the scan and lists only
+    the matching directories."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from distributed_computing_spark import sinks
+    from distributed_computing_spark.operators.curation import hash_split
+    from distributed_computing_spark.plans import physical_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cur = docs.join(
+        hash_split(docs.select("doc_id")).select("doc_id", "split"), "doc_id"
+    ).select("doc_id", "text", "source", "n_chars", "lang", "split")
+    path = str(tmp_path / "corpus")
+    sinks.write_curated_corpus(cur, path)
+    # hive layout on disk
+    langs = sorted(d for d in os.listdir(path) if d.startswith("lang="))
+    assert "lang=en" in langs and len(langs) >= 2
+    assert any(d.startswith("split=") for d in os.listdir(os.path.join(path, "lang=en")))
+    sl = sinks.read_corpus_slice(spark, path, lang="en", split="train")
+    plan = physical_plan(sl)
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:200]
+    # pruned read returns exactly the en/train rows
+    expect = cur.where((F.col("lang") == "en") & (F.col("split") == "train")).count()
+    assert sl.count() == expect and expect > 0
