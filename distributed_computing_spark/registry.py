@@ -840,6 +840,38 @@ def stream_config_poll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CURATION pipeline on the STREAMING ingest path, under the
+    exact-value gate: documents arrive as three id-ordered micro-batches
+    (mtime-pinned file source); each batch is cleaned, quality-filtered,
+    and exact-deduped against the already-admitted corpus inside the
+    foreachBatch apply (atomic per-batch commits, CorpusIngestStore);
+    the final admitted corpus is censused per lang.
+
+    Gate-able because with ``near_dup=False`` and id-ordered batch
+    arrival, admission is a pure function of the input — min doc_id per
+    cleaned fingerprint among quality-passing docs — which the oracle
+    states directly in SQL. The MinHash tier of the same store stays on
+    (rows-only) ingest tests: its xxhash64 family is engine-specific.
+    """
+    import tempfile
+
+    from distributed_computing_spark.streaming.ingest import CorpusIngestStore
+    from distributed_computing_spark.streaming.runner import stream_in_seq_batches
+
+    docs = load_table(spark, sf_dir, "documents")
+    stream = stream_in_seq_batches(spark, docs, n=3, order_col="doc_id")
+    store = CorpusIngestStore(spark, tempfile.mkdtemp(prefix="dcs_curated_"))
+    ckpt = tempfile.mkdtemp(prefix="dcs_ckpt_")
+    q = store.attach(stream, ckpt, curate=True, min_quality=0.5, near_dup=False)
+    q.awaitTermination(300)
+    return store.corpus().groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def stream_dedup_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4 streaming-NATIVE: duplicate-request suppression of the ops
     feed via the built-in ``dropDuplicatesWithinWatermark`` state store
@@ -1074,6 +1106,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup_ops": stream_dedup_ops,
     "stream_config_poll": stream_config_poll,
     "stream_stream_join": stream_stream_join,
+    # round-3 addition: the curation pipeline on the ingest path
+    "stream_curated_ingest": stream_curated_ingest,
     # [EXT] multimodal binary columns
     "multimodal_stats": multimodal_stats,
     "multimodal_frames": multimodal_frames,
@@ -1084,7 +1118,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # MapReduce flagship — back in the window for round 3: the fused
     # Arrow tokenize+count pass replaced the explode plan this round
     "word_count_top10": fused_word_count,
-    "quality_calibration": textstats.quality_calibration,
     "stopword_discovery": textstats.stopword_discovery,
     # [EXT] corpus curation (clean -> chunk -> pack -> mix, + DQ audit)
     # round-3 addition: the end-to-end composition as one gated plan
@@ -1130,6 +1163,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logprob": textstats.unigram_logprob,
     "lang_entropy_by_source": textstats.lang_entropy_by_source,
     "shingle_novelty": textstats.shingle_novelty,
+    "quality_calibration": textstats.quality_calibration,
     # KV engine (K1-K6)
     "kv_state": kv_state,
     # Sharding (T5-T7, A7, P1-P5)
@@ -1878,6 +1912,19 @@ FROM documents
 WHERE lang = 'en'
   AND ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < 9000
 GROUP BY source""",
+    "stream_curated_ingest": f"""
+WITH cleaned AS (
+  SELECT doc_id, lang, {_CLEAN_SQL} AS text FROM documents),
+q AS (
+  SELECT doc_id, lang, text, CAST(length(text) AS BIGINT) AS n_chars
+  FROM cleaned WHERE {_QUALITY_EXPR} >= 0.5),
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM q
+  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+k AS (SELECT q.* FROM q JOIN keep USING (doc_id))
+SELECT lang, count(*) AS n_docs, min(doc_id) AS min_doc_id,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM k GROUP BY lang""",
     "corpus_pipeline": f"""
 WITH cleaned AS (
   SELECT doc_id, lang, source, {_CLEAN_SQL} AS text

@@ -76,6 +76,9 @@ class CorpusIngestStore:
         num_hashes: int = 64,
         bands: int = 16,
         threshold: float = 0.5,
+        curate: bool = False,
+        min_quality: float = 0.5,
+        near_dup: bool = True,
     ) -> None:
         """Dedup the batch against index + itself; commit survivors
         atomically under ``batches/<namespace>-<batch_id>``. Idempotent
@@ -83,7 +86,16 @@ class CorpusIngestStore:
         no-op; a retry after a mid-write crash wipes the stale staging
         dir first. ``namespace`` scopes Spark's per-checkpoint batch
         counter — two streams with fresh checkpoints both start at
-        batch 0 and must not collide."""
+        batch 0 and must not collide.
+
+        ``curate=True`` runs the curation prefix on arrival (clean/
+        redact the text, recompute n_chars, drop docs under
+        ``min_quality``) — the full ingest-time pipeline, not just
+        dedup. ``near_dup=False`` skips the MinHash tier (exact
+        fingerprints only): with id-ordered batches that admission set
+        is a pure function of the input — min doc_id per cleaned
+        fingerprint — which is what lets ``stream_curated_ingest`` run
+        under the exact-value oracle gate."""
         if batch_id is None:
             prefix = f"{namespace}-"
             taken = [
@@ -100,7 +112,18 @@ class CorpusIngestStore:
         if os.path.isdir(stage):
             shutil.rmtree(stage)  # failed prior attempt
         rows_per_band = num_hashes // bands
-        batch = batch.dropDuplicates(["doc_id"]).persist()
+        batch = batch.dropDuplicates(["doc_id"])
+        if curate:
+            from distributed_computing_spark.functions.text import quality_score
+            from distributed_computing_spark.operators.curation import clean_text
+
+            batch = (
+                batch.withColumn("text", clean_text(F.col("text")))
+                .withColumn("n_chars", F.length("text").cast("long"))
+                .where(quality_score("text") >= min_quality)
+            )
+        batch = batch.persist()
+        new_sigs = None
         try:
             # tier 1: exact — fingerprint against admitted fingerprints
             # and within-batch (min doc_id wins)
@@ -115,6 +138,23 @@ class CorpusIngestStore:
                 .drop("_rk")
                 .join(fps, "fp", "left_anti")
             )
+            if not near_dup:
+                admitted = fresh.persist()
+                adm_sigs = self.spark.createDataFrame(
+                    [], "doc_id long, sig array<bigint>"
+                )
+                adm_fps = admitted.select("fp")
+                admitted_rows = admitted.drop("fp")
+                for df, sub in (
+                    (admitted_rows, "corpus"),
+                    (adm_sigs, "sigs"),
+                    (adm_fps, "fps"),
+                ):
+                    df.write.mode("overwrite").parquet(os.path.join(stage, sub))
+                os.makedirs(self.batches_dir, exist_ok=True)
+                os.rename(stage, final_dir)
+                admitted.unpersist()
+                return
             # tier 2: near-dup — new sigs vs index bands + within-batch
             new_sigs = minhash_signatures(fresh, n, num_hashes).persist()
             idx_sigs = self._read("sigs", "doc_id long, sig array<bigint>")
@@ -171,18 +211,21 @@ class CorpusIngestStore:
             os.rename(stage, final_dir)  # the atomic commit point
             admitted.unpersist()
         finally:
-            new_sigs.unpersist()
+            if new_sigs is not None:
+                new_sigs.unpersist()
             batch.unpersist()
 
-    def attach(self, doc_stream: DataFrame, checkpoint: str):
+    def attach(self, doc_stream: DataFrame, checkpoint: str, **admit_kwargs):
         """Run the ingest loop over a document stream (AvailableNow or
-        continuous — the apply is per-micro-batch either way)."""
+        continuous — the apply is per-micro-batch either way).
+        ``admit_kwargs`` pass through to ``admit_batch`` (curate /
+        min_quality / near_dup / LSH parameters)."""
         import hashlib
 
         ns = hashlib.sha256(checkpoint.encode()).hexdigest()[:12]
 
         def apply(batch: DataFrame, batch_id: int) -> None:
-            self.admit_batch(batch, batch_id=batch_id, namespace=ns)
+            self.admit_batch(batch, batch_id=batch_id, namespace=ns, **admit_kwargs)
 
         return (
             doc_stream.writeStream.foreachBatch(apply)

@@ -100,3 +100,30 @@ def test_redelivered_batch_admits_nothing(spark, tmp_path):
     stream2 = spark.readStream.schema(spark.read.parquet(src3).schema).parquet(src3)
     store.attach(stream2, str(tmp_path / "ckpt_b")).awaitTermination(120)
     assert store.corpus().count() == 5
+
+
+def test_curated_ingest_cleans_filters_and_dedups(spark, tmp_path):
+    """curate=True runs clean+quality before admission; near_dup=False
+    keeps exact-tier-only admission (the gated stream_curated_ingest
+    mode): dups collapse to the min id, junk quality is dropped, and
+    the stored text is the CLEANED form."""
+    good = (
+        "the quick brown fox and the lazy dog is that it for a good "
+        "document with plenty of the usual stopwords in it to pass " * 3
+    )
+    b1 = [
+        (1, good + "  extra   spaces", "en", "s", 0),
+        (2, "zzz qqq xxx", "en", "s", 0),  # too short / no stopwords → low quality
+    ]
+    b2 = [
+        (10, good + " extra spaces", "en", "s", 0),  # dup of 1 AFTER cleaning
+        (11, good + " genuinely different tail for the second admitted doc", "en", "s", 0),
+    ]
+    store = CorpusIngestStore(spark, str(tmp_path / "store"))
+    DOCS = "doc_id long, text string, lang string, source string, n_chars long"
+    store.admit_batch(spark.createDataFrame(b1, DOCS), curate=True, near_dup=False)
+    store.admit_batch(spark.createDataFrame(b2, DOCS), curate=True, near_dup=False)
+    corpus = {r["doc_id"]: r for r in store.corpus().collect()}
+    assert set(corpus) == {1, 11}  # 2 quality-dropped, 10 deduped vs 1
+    assert "  " not in corpus[1]["text"]  # whitespace collapsed by clean
+    assert corpus[1]["n_chars"] == len(corpus[1]["text"])

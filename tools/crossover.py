@@ -178,9 +178,26 @@ def run_crossover(
     # then reads the same (now cached) files — neither side pays cold IO.
     from distributed_computing_spark.sources.catalog import load_table
 
+    # Full-column noop scans: count() would read only footers/metadata,
+    # leaving data pages cold — the FIRST text-heavy query would then
+    # pay the corpus' cold IO while the other engine reads a warmed
+    # page cache. After this, neither side pays cold IO.
     rows = {}
     for t in ("documents", "events", "lineitem"):
-        rows[t] = load_table(spark, scaled, t).count()
+        df = load_table(spark, scaled, t)
+        rows[t] = df.count()
+        df.write.format("noop").mode("overwrite").save()
+
+    # Warm the Python/Arrow worker daemons (same rationale as bench.py:
+    # the first pandas_udf query otherwise pays ~4-5 s of numpy/pandas
+    # imports across local[32] — startup, not throughput).
+    @F.pandas_udf("double")
+    def _warm(v):
+        return v * 1.0
+
+    spark.range(10000).repartition(64).select(
+        _warm(F.col("id").cast("double"))
+    ).count()
 
     con = _duckdb_connect(scaled)
     out: dict[str, dict[str, float]] = {}
