@@ -189,6 +189,75 @@ def lsh_topk_exact(
     )
 
 
+def ivf_topk_exact(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ORACLE-EXACT IVF top-k: the full IVF machinery — coarse
+    quantize → inverted lists → probe-time list pruning → exact
+    re-rank — with a DETERMINISTIC codebook, so a DuckDB oracle
+    reproduces assignments, probe sets, and ranks exactly (the strict-
+    gated bridge for the IVF family, cf. ``lsh_topk_exact`` for LSH).
+
+    Codebook = the ``n_lists`` lowest-id vectors (sampled-centroid
+    init, no Lloyd iterations — k-means refinement is what makes
+    ``ivf_topk`` engine-specific). Assignment = argmax cosine against
+    the broadcast codebook, ties to the lowest centroid id, expressed
+    as a max-of-struct aggregate (partial-agg friendly: no per-vector
+    window sort rides the corpus). Each query probes its ``n_probe``
+    nearest lists; candidates re-rank by exact cosine. Sequential-fold
+    float parity with DuckDB's ``list_cosine_similarity`` is the same
+    contract ``cosine_topk`` already gates. Output (q_id, nn_id, rank),
+    rank-only so float sims never reach the gate hash.
+    """
+    cents = (
+        embeddings.orderBy(id_col)
+        .limit(n_lists)
+        .select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    )
+    asgn = (
+        embeddings.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "nn_id",
+            "c_id",
+            cosine(F.col("nn_vec"), F.col("c_vec")).alias("csim"),
+        )
+    )
+    lists = asgn.groupBy("nn_id").agg(
+        F.max(F.struct(F.col("csim"), (-F.col("c_id")).alias("nci"))).alias("m")
+    ).select("nn_id", (-F.col("m.nci")).alias("list_id"))
+    q_asgn = asgn.join(
+        queries.select(F.col(id_col).alias("nn_id")), "nn_id", "left_semi"
+    ).select(F.col("nn_id").alias("q_id"), "c_id", "csim")
+    wq = Window.partitionBy("q_id").orderBy(F.col("csim").desc(), F.col("c_id"))
+    probes = (
+        q_asgn.withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= n_probe)
+        .select("q_id", F.col("c_id").alias("list_id"))
+    )
+    # each corpus vector lives in exactly one list → no (q, nn) dups
+    cand = probes.join(lists, "list_id").where(F.col("q_id") != F.col("nn_id"))
+    qv = embeddings.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    nv = embeddings.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec"))
+    sims = (
+        cand.join(F.broadcast(qv.join(queries.select(F.col(id_col).alias("q_id")), "q_id", "left_semi")), "q_id")
+        .join(nv, "nn_id")
+        .select("q_id", "nn_id", cosine(F.col("q_vec"), F.col("nn_vec")).alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "nn_id", "rank")
+    )
+
+
 def _ivf_centroids(
     embeddings: DataFrame,
     n_lists: int,

@@ -584,6 +584,54 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=5)
 
 
+def ivf_topk_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-exact IVF: deterministic sampled codebook, argmax-cosine
+    assignment, n_probe list pruning, exact re-rank — the whole IVF
+    machinery under the strict hash gate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return similarity.ivf_topk_exact(emb, queries, k=5, n_lists=16, n_probe=4)
+
+
+def _ivf_exact_oracle_sql(k: int = 5, n_lists: int = 16, n_probe: int = 4) -> str:
+    """DuckDB oracle for ivf_topk_exact, generated from the SAME
+    (k, n_lists, n_probe) parameters."""
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS c_id, embedding AS c_vec
+  FROM embeddings ORDER BY vec_id LIMIT {n_lists}),
+asgn AS (
+  SELECT e.vec_id AS nn_id, c.c_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(c.c_vec AS DOUBLE[])) AS csim
+  FROM embeddings e, cents c),
+lists AS (
+  SELECT nn_id, c_id AS list_id FROM (
+    SELECT nn_id, c_id,
+           row_number() OVER (PARTITION BY nn_id ORDER BY csim DESC, c_id) AS r
+    FROM asgn) t WHERE r = 1),
+probes AS (
+  SELECT q_id, list_id FROM (
+    SELECT nn_id AS q_id, c_id AS list_id,
+           row_number() OVER (PARTITION BY nn_id ORDER BY csim DESC, c_id) AS r
+    FROM asgn WHERE nn_id % 100 = 0) t WHERE r <= {n_probe}),
+cand AS (
+  SELECT p.q_id, l.nn_id FROM probes p JOIN lists l USING (list_id)
+  WHERE l.nn_id <> p.q_id),
+s AS (
+  SELECT c.q_id, c.nn_id,
+         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                CAST(ne.embedding AS DOUBLE[])) AS sim
+  FROM cand c
+  JOIN embeddings qe ON c.q_id = qe.vec_id
+  JOIN embeddings ne ON c.nn_id = ne.vec_id),
+r AS (
+  SELECT q_id, nn_id,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS INTEGER) AS rank
+  FROM s)
+SELECT q_id, nn_id, rank FROM r WHERE rank <= {k}"""
+
+
 def mapreduce_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1+A2 under the gate: word count computed through the GENERIC
     mapF/reduceF facade (user Python hooks, Arrow-batched) — the
@@ -1095,6 +1143,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_exact": minhash_exact_q,
     "simhash_exact": simhash_exact_q,
     "ivf_topk": ivf_topk_q,
+    "ivf_topk_exact": ivf_topk_exact_q,
     "embedding_neardup": embedding_neardup_q,
     # Structured Streaming path (K5 + event-time windows)
     "stream_windowed": stream_windowed,
@@ -1118,7 +1167,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # MapReduce flagship — back in the window for round 3: the fused
     # Arrow tokenize+count pass replaced the explode plan this round
     "word_count_top10": fused_word_count,
-    "stopword_discovery": textstats.stopword_discovery,
     # [EXT] corpus curation (clean -> chunk -> pack -> mix, + DQ audit)
     # round-3 addition: the end-to-end composition as one gated plan
     "corpus_pipeline": corpus_pipeline_q,
@@ -1164,6 +1212,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_entropy_by_source": textstats.lang_entropy_by_source,
     "shingle_novelty": textstats.shingle_novelty,
     "quality_calibration": textstats.quality_calibration,
+    "stopword_discovery": textstats.stopword_discovery,
     # KV engine (K1-K6)
     "kv_state": kv_state,
     # Sharding (T5-T7, A7, P1-P5)
@@ -1894,6 +1943,7 @@ r AS (
   FROM s)
 SELECT q_id, nn_id, rank FROM r WHERE rank <= 5""",
     "lsh_topk_exact": _lsh_exact_oracle_sql(k=5, n_planes=4),
+    "ivf_topk_exact": _ivf_exact_oracle_sql(k=5, n_lists=16, n_probe=4),
     "minhash_lsh_exact": _minhash_exact_oracle_sql(num_hashes=16, bands=8, min_match=6),
     "simhash_exact": _simhash_exact_oracle_sql(max_hamming=3, n_bits=32),
     "sample_by_lang_exact": """
