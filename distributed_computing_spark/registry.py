@@ -444,8 +444,14 @@ def corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = deduped.where(F.col("doc_id") % 19 != 0).where(
         quality_score("text") >= 0.5
     )
+    # The Arrow probe is Python-compute-bound: AQE coalesces the semi-
+    # join output to target-size partitions, which under-parallelizes
+    # the per-row Python work behind it. Re-spreading the probe input
+    # to the full core count measured 15.6 s → 7.6 s at the 100× tier
+    # (BASELINE.md) — a semantic no-op, worth one skinny exchange.
+    probe_in = corpus.repartition(spark.sparkContext.defaultParallelism)
     contam = (
-        dedup.fused_decontaminate(corpus, bench, n=3, threshold=0.5)
+        dedup.fused_decontaminate(probe_in, bench, n=3, threshold=0.5)
         .where("contaminated")
         .select("doc_id")
     )
