@@ -80,6 +80,29 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+def prefix_dup_groups(
+    documents: DataFrame, k: int = 16, text_col: str = "text"
+) -> DataFrame:
+    """Truncation-duplicate groups: docs sharing their first ``k``
+    tokens (md5 of the joined prefix — exact in DuckDB, so gated).
+
+    The cheap catch between exact dedup and MinHash: crawler artifacts
+    that truncate, re-chunk, or append boilerplate to the SAME leading
+    content hash to one group here while differing as whole documents.
+    One 16-byte-key partial-agg shuffle, text never rides the exchange;
+    groups of 1 are dropped (output is the dup report, not the corpus).
+    """
+    toks = tokens(text_col)
+    pref = F.md5(F.concat_ws(" ", F.slice(toks, 1, k)))
+    return (
+        documents.where(F.size(toks) > 0)
+        .select(pref.alias("prefix_hash"), "doc_id")
+        .groupBy("prefix_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
 def exact_dedup_keep(documents: DataFrame) -> DataFrame:
     """The deduplicated corpus itself (all columns, first doc_id wins)."""
     keep = exact_dedup(documents).select(F.col("keep_doc_id").alias("doc_id"))

@@ -391,6 +391,76 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style quality scoring, one order up from
+    ``unigram_logprob``: each doc's mean natural-log probability under
+    the corpus's own ADD-1-SMOOTHED bigram LM — the cheap contextual
+    fluency filter (word-salad scores far below boilerplate even when
+    unigram frequencies match).
+
+    P(b|a) = (C(a,b) + 1) / (C(a) + V), with C(a) counted over
+    bigram-context positions and V the distinct-word vocabulary. Same
+    distributed shape as the unigram form: count passes are
+    partial-agg shuffles on the (a, b)/(a) keys, the per-doc re-join
+    shuffles 8-byte-ish token keys, the scalar V rides a broadcast
+    cross join. Docs with < 2 tokens have no bigram and drop out.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("_toks"))
+    span = F.greatest(F.size("_toks") - 1, F.lit(0))
+    z = F.arrays_zip(F.slice("_toks", 1, span), F.slice("_toks", 2, span))
+    pairs = base.select("doc_id", F.explode(z).alias("p")).select(
+        "doc_id", F.col("p.0").alias("a"), F.col("p.1").alias("b")
+    )
+    cab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    ca = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("ca"))
+    vocab = base.select(F.explode("_toks").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    return (
+        pairs.join(cab, ["a", "b"])
+        .join(ca, "a")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("cab") + 1.0) / (F.col("ca") + F.col("v")))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing diagnostic: per source, the KL divergence (nats) of
+    its unigram token distribution from the whole-corpus distribution —
+    the dataset-card number that ranks how lexically atypical each
+    source is (near 0 = interchangeable with the mix; large = its own
+    register). KL is exact here, not sampled: the inner (source, word)
+    counts reduce map-side, and the per-source sum runs over the tiny
+    distinct-vocabulary rows, never the token stream.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("word"))
+    sw = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("n_sw"))
+    s_tot = sw.groupBy("source").agg(F.sum("n_sw").alias("n_s"))
+    w_tot = sw.groupBy("word").agg(F.sum("n_sw").alias("n_w"))
+    g_tot = w_tot.agg(F.sum("n_w").alias("n"))
+    p_s = F.col("n_sw") / F.col("n_s")
+    p_g = F.col("n_w") / F.col("n")
+    return (
+        sw.join(s_tot, "source")
+        .join(w_tot, "word")
+        .crossJoin(F.broadcast(g_tot))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(F.sum(p_s * F.log(p_s / p_g)), 6).alias("kl_nats"),
+        )
+    )
+
+
 def lang_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-composition diagnostics: per source, the Shannon entropy
     (nats) of its language distribution — the dataset-card number that

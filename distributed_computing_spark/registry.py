@@ -1134,11 +1134,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round (stream_enriched / multimodal_features red-row fixes,
     # pack_chunks regrouping, stream_config_poll idempotency).
     # Twice-driver-proven stable entries moved below the boundary. ----
-    # round-2 event analytics
-    "event_anomalies": analytics.event_anomalies,
-    "user_retention": analytics.user_retention,
-    # [EXT] dedup / clustering
-    "neardup_canonical": neardup_canonical_q,
+    # round-3 text-analysis / dedup additions
+    "bigram_logprob": textstats.bigram_logprob,
+    "source_token_kl": textstats.source_token_kl,
+    "prefix_dups": lambda spark, sf_dir: dedup.prefix_dup_groups(
+        load_table(spark, sf_dir, "documents"), k=16
+    ),
     # [EXT] similarity search
     "cosine_topk": cosine_topk_q,
     "lsh_topk": lsh_topk_q,
@@ -1219,6 +1220,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shingle_novelty": textstats.shingle_novelty,
     "quality_calibration": textstats.quality_calibration,
     "stopword_discovery": textstats.stopword_discovery,
+    # round-2 event analytics (driver-proven r2, unchanged)
+    "event_anomalies": analytics.event_anomalies,
+    "user_retention": analytics.user_retention,
+    "neardup_canonical": neardup_canonical_q,
     # KV engine (K1-K6)
     "kv_state": kv_state,
     # Sharding (T5-T7, A7, P1-P5)
@@ -1773,6 +1778,37 @@ SELECT t.doc_id,
        round(avg(ln(c.cnt / tt.total)), 6) AS avg_logprob
 FROM tok t JOIN counts c USING (word) CROSS JOIN total tt
 GROUP BY t.doc_id""",
+    "bigram_logprob": f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+p AS (SELECT doc_id,
+             unnest(toks[1:greatest(len(toks) - 1, 0)]) AS a,
+             unnest(toks[2:len(toks)]) AS b
+      FROM t),
+cab AS (SELECT a, b, count(*) AS cab FROM p GROUP BY 1, 2),
+ca AS (SELECT a, count(*) AS ca FROM p GROUP BY 1),
+v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM t) u)
+SELECT p.doc_id, count(*) AS n_bigrams,
+       round(avg(ln((cab.cab + 1.0) / (ca.ca + v.v))), 6) AS avg_logprob
+FROM p JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v
+GROUP BY p.doc_id""",
+    "source_token_kl": f"""
+WITH tok AS (SELECT source, unnest({_TOKENS}) AS word FROM documents),
+sw AS (SELECT source, word, count(*) AS n_sw FROM tok GROUP BY 1, 2),
+st AS (SELECT source, CAST(sum(n_sw) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+wt AS (SELECT word, CAST(sum(n_sw) AS BIGINT) AS n_w FROM sw GROUP BY 1),
+g AS (SELECT CAST(sum(n_w) AS BIGINT) AS n FROM wt)
+SELECT sw.source,
+       max(st.n_s) AS n_tokens,
+       count(*) AS n_distinct,
+       round(sum((sw.n_sw / st.n_s) * ln((sw.n_sw / st.n_s) / (wt.n_w / g.n))), 6) AS kl_nats
+FROM sw JOIN st USING (source) JOIN wt USING (word) CROSS JOIN g
+GROUP BY sw.source""",
+    "prefix_dups": f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+p AS (SELECT doc_id, md5(array_to_string(toks[1:16], ' ')) AS prefix_hash
+      FROM t WHERE len(toks) > 0)
+SELECT prefix_hash, min(doc_id) AS keep_doc_id, count(*) AS n_docs
+FROM p GROUP BY prefix_hash HAVING count(*) > 1""",
     "lang_entropy_by_source": """
 WITH bl AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
 t AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_langs

