@@ -144,3 +144,99 @@ def test_neardup_canonical_invariants_random(spark):
             m for m in mem if lens[m] == lens[r["kept_doc"]]
         )
         assert r["dropped_chars"] == sum(lens[m] for m in mem) - lens[r["kept_doc"]]
+
+
+def test_minhash_exact_matches_bruteforce_hypothesis(spark):
+    """For ANY small corpus, minhash_lsh_exact must agree with a pure-
+    Python re-computation of the SAME md5-family pipeline (signatures →
+    band buckets → candidates → match count). Catches divergence
+    between the Spark expression graph and the declared algorithm."""
+    import hashlib
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from distributed_computing_spark.operators.dedup import minhash_lsh_exact
+
+    WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    doc_st = st.lists(st.sampled_from(WORDS), min_size=3, max_size=12)
+
+    def h60(s: str, i: int) -> int:
+        return int(hashlib.md5(f"{s}#{i}".encode()).hexdigest()[:15], 16)
+
+    def brute(texts, num_hashes=16, bands=8, min_match=6):
+        rpb = num_hashes // bands
+        sigs = {}
+        for did, toks in texts.items():
+            sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            if sh:
+                sigs[did] = [min(h60(s, i) for s in sh) for i in range(num_hashes)]
+        buckets: dict = {}
+        for did, sig in sigs.items():
+            for b in range(bands):
+                key = (b, ",".join(str(v) for v in sig[b * rpb : (b + 1) * rpb]))
+                buckets.setdefault(key, []).append(did)
+        cand = set()
+        for docs in buckets.values():
+            for i, a in enumerate(sorted(docs)):
+                for b in sorted(docs)[i + 1 :]:
+                    cand.add((a, b))
+        out = {}
+        for a, b in cand:
+            n_eq = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+            if n_eq >= min_match:
+                out[(a, b)] = n_eq
+        return out
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(doc_st, min_size=2, max_size=6))
+    def check(docs_raw):
+        texts = {i: toks for i, toks in enumerate(docs_raw)}
+        rows = [(i, " ".join(t), "en", "s", 1) for i, t in texts.items()]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        got = {
+            (r["a"], r["b"]): r["n_equal"]
+            for r in minhash_lsh_exact(df, min_match=6).collect()
+        }
+        assert got == brute(texts)
+
+    check()
+
+
+def test_epoch_shuffle_matches_sorted_hash_hypothesis(spark):
+    """For ANY id set, the two-level-rank shuffle index equals the
+    naive sort-by-(md5 hash, id) position."""
+    import hashlib
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from distributed_computing_spark.operators.curation import epoch_shuffle_index
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.sets(st.integers(0, 10_000), min_size=1, max_size=40))
+    def check(ids):
+        def h(i):
+            return int(hashlib.md5(f"{i}#0".encode()).hexdigest()[:15], 16)
+
+        want = {
+            did: pos for pos, did in enumerate(sorted(ids, key=lambda i: (h(i), i)))
+        }
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        got = {
+            r["doc_id"]: r["sample_idx"]
+            for r in epoch_shuffle_index(df, seed=0).collect()
+        }
+        assert got == want
+
+    check()
