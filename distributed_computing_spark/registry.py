@@ -1015,6 +1015,28 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_audio(_blobs(spark, sf_dir))
 
 
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec image path, VALUE-GATED: genuine 24-bit BMP payloads
+    (pure-numpy encoder, stock-viewer-openable) decoded by the pure-
+    numpy BMP parser, mean-pool resized, per-channel means — the
+    oracle states the expected means in closed form, so the whole
+    encode→parse→resize→featurize path is hash-checked."""
+    from distributed_computing_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_images_bmp(multimodal.bmp_wav_blobs(docs))
+
+
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec audio path, VALUE-GATED: genuine PCM-16 WAV payloads
+    decoded by the RIFF chunk walker; integer waveform stats
+    (sum/peak) make the gate hash float-free."""
+    from distributed_computing_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_audio_wav(multimodal.bmp_wav_blobs(docs))
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate-facing scalar projection of extract_features: the driver's
     pandas canonicalizer cannot sort list-valued cells, so the registry
@@ -1153,8 +1175,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk_exact": ivf_topk_exact_q,
     "embedding_neardup": embedding_neardup_q,
     # Structured Streaming path (K5 + event-time windows)
-    "stream_windowed": stream_windowed,
-    "stream_sessions": stream_sessions,
     "stream_sliding": stream_sliding,
     "stream_enriched": stream_enriched,
     "stream_kv_state": stream_kv_state,
@@ -1169,6 +1189,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": multimodal_frames,
     "multimodal_decode": multimodal_decode,
     "multimodal_audio": multimodal_audio,
+    # round-3: REAL uncompressed-format codecs (BMP/WAV), value-gated
+    "multimodal_bmp_decode": multimodal_bmp_decode,
+    "multimodal_wav_decode": multimodal_wav_decode,
     "multimodal_features": multimodal_features,
     "multimodal_ann": multimodal_ann,
     # MapReduce flagship — back in the window for round 3: the fused
@@ -1224,6 +1247,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_anomalies": analytics.event_anomalies,
     "user_retention": analytics.user_retention,
     "neardup_canonical": neardup_canonical_q,
+    # streaming windows (driver-proven r2, unchanged)
+    "stream_windowed": stream_windowed,
+    "stream_sessions": stream_sessions,
     # KV engine (K1-K6)
     "kv_state": kv_state,
     # Sharding (T5-T7, A7, P1-P5)
@@ -2004,6 +2030,23 @@ FROM documents
 WHERE lang = 'en'
   AND ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < 9000
 GROUP BY source""",
+    # REAL-codec round trips: payloads are genuine BMP/WAV built from a
+    # closed-form pixel/sample rule, so the oracle can state the decode
+    # output without parsing bytes — any decoder bug breaks the hash.
+    "multimodal_bmp_decode": """
+SELECT doc_id AS blob_id, 16 AS width, 16 AS height,
+       CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_r,
+       CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_g,
+       CAST((doc_id * 29) % 256 AS DOUBLE) AS mean_b
+FROM documents WHERE doc_id % 2 = 0""",
+    "multimodal_wav_decode": """
+SELECT d.doc_id AS blob_id,
+       256 AS n_samples, 8000 AS sample_rate,
+       CAST(max(abs(((d.doc_id * 31 + t.i * 17) % 65536) - 32768)) AS BIGINT) AS peak,
+       CAST(sum(((d.doc_id * 31 + t.i * 17) % 65536) - 32768) AS BIGINT) AS sum_samples
+FROM documents d CROSS JOIN range(0, 256) t(i)
+WHERE d.doc_id % 2 = 1
+GROUP BY d.doc_id""",
     "stream_curated_ingest": f"""
 WITH cleaned AS (
   SELECT doc_id, lang, {_CLEAN_SQL} AS text FROM documents),

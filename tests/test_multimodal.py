@@ -102,3 +102,93 @@ def test_decode_audio_only_audio_and_deterministic(spark):
     assert again == {r["blob_id"]: (r["n_samples"], r["rms"]) for r in rows}
     for r in rows:
         assert r["n_samples"] >= 1 and 0 <= r["rms"] <= r["peak"] <= 32768
+
+
+# ---------------------------------------------------------------------------
+# REAL pure-numpy codecs (BMP / WAV)
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_including_row_padding():
+    import numpy as np
+
+    from distributed_computing_spark.functions.codecs import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(3)
+    for h, w in [(16, 16), (5, 7), (1, 1), (3, 2)]:  # odd widths → padded rows
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        back = decode_bmp(encode_bmp(img))
+        assert back.shape == (h, w, 3)
+        assert (back == img).all()
+
+
+def test_bmp_decoder_handles_top_down_files():
+    import struct
+
+    import numpy as np
+
+    from distributed_computing_spark.functions.codecs import decode_bmp, encode_bmp
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    data = bytearray(encode_bmp(img))
+    # flip to top-down: negative height + rows in top-down order
+    struct.pack_into("<i", data, 22, -4)
+    row = (4 * 3 + 3) // 4 * 4
+    body = bytes(data[54:])
+    rows = [body[i * row : (i + 1) * row] for i in range(4)]
+    data[54:] = b"".join(reversed(rows))
+    assert (decode_bmp(bytes(data)) == img).all()
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    import struct
+
+    import numpy as np
+
+    from distributed_computing_spark.functions.codecs import decode_wav, encode_wav
+
+    s = np.array([-32768, -1, 0, 1, 32767, 123] * 10, dtype=np.int64)
+    data = encode_wav(s, sample_rate=16000)
+    back, rate = decode_wav(data)
+    assert rate == 16000 and (back.astype(np.int64) == s).all()
+    # insert a LIST chunk between fmt and data — real files have these;
+    # a fixed-offset parser would break
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = data[:fmt_end] + extra + data[fmt_end:]
+    back2, _ = decode_wav(patched)
+    assert (back2.astype(np.int64) == s).all()
+
+
+def test_mean_pool_gradient_exact():
+    import numpy as np
+
+    from distributed_computing_spark.functions.codecs import mean_pool
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[..., 0] = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = mean_pool(img, 2, 2)
+    # top-left 2x2 block of the ramp: (0+1+4+5)/4 = 2.5
+    assert out[0, 0, 0] == 2.5 and out.shape == (2, 2, 3)
+
+
+def test_real_codec_blob_pipeline(spark, sf_dir):
+    """End-to-end through Spark: genuine BMP/WAV payloads survive the
+    BinaryType column and decode to the closed-form expectations."""
+    from distributed_computing_spark.operators.multimodal import (
+        bmp_wav_blobs,
+        decode_audio_wav,
+        decode_images_bmp,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    blobs = bmp_wav_blobs(docs)
+    for r in decode_images_bmp(blobs).collect():
+        i = r["blob_id"]
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (
+            (i * 7) % 256,
+            (i * 13) % 256,
+            (i * 29) % 256,
+        )
+    for r in decode_audio_wav(blobs).collect():
+        assert r["n_samples"] == 256 and r["sample_rate"] == 8000
