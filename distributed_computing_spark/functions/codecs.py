@@ -114,3 +114,93 @@ def mean_pool(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
         .mean(axis=(1, 3))
         .astype(np.float64)
     )
+
+
+# ---------------------------------------------------------------------------
+# AVI (uncompressed DIB frames) — the video modality's real container
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_size) walking a RIFF chunk run."""
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", data, pos + 4)
+        yield cid, pos + 8, sz
+        pos += 8 + sz + (sz & 1)  # word-aligned
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Encode (N, H, W, 3) uint8 RGB frames as an uncompressed AVI
+    ('DIB ' video stream: raw BGR bottom-up rows padded to 4 bytes —
+    the same pixel layout as BMP, one '00db' chunk per frame). Stock
+    players (ffplay/VLC) open the output."""
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
+        raise ValueError("need (N, H, W, 3) uint8 RGB")
+    n, h, w, _ = frames.shape
+    row_size = (w * 3 + 3) // 4 * 4
+    frame_size = row_size * h
+    pad = b"\x00" * (row_size - w * 3)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def list_chunk(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, frame_size * fps, 0, 0x10, n, 0, 1, frame_size, w, h,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0, n,
+                                        frame_size, -1, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    hdrl = list_chunk(
+        b"hdrl", chunk(b"avih", avih) + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    )
+    movi_body = b"".join(
+        chunk(
+            b"00db",
+            b"".join(f[y, :, ::-1].tobytes() + pad for y in range(h - 1, -1, -1)),
+        )
+        for f in frames
+    )
+    movi = list_chunk(b"movi", movi_body)
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(data: bytes) -> np.ndarray:
+    """Decode an uncompressed-DIB AVI to (N, H, W, 3) uint8 RGB frames
+    (nested RIFF walk: hdrl→strl→strf for dimensions, movi for the
+    '00db'/'00dc' frame chunks)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    w = h = None
+    frames: list[np.ndarray] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h
+        for cid, body, sz in _riff_chunks(data, pos, end):
+            if cid == b"LIST":
+                walk(body + 4, body + sz)
+            elif cid == b"strf":
+                _, w_, h_, _, bpp = struct.unpack_from("<IiiHH", data, body)
+                (comp,) = struct.unpack_from("<I", data, body + 16)
+                if bpp != 24 or comp != 0:
+                    raise ValueError("only 24-bit uncompressed AVI supported")
+                w, h = w_, abs(h_)
+            elif cid in (b"00db", b"00dc"):
+                if w is None:
+                    raise ValueError("frame chunk before strf header")
+                row_size = (w * 3 + 3) // 4 * 4
+                arr = np.frombuffer(data, np.uint8, count=row_size * h, offset=body)
+                arr = arr.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+                frames.append(np.ascontiguousarray(arr[::-1]))
+
+    walk(12, 8 + struct.unpack_from("<I", data, 4)[0])
+    return np.stack(frames) if frames else np.zeros((0, 0, 0, 3), np.uint8)

@@ -354,3 +354,70 @@ def decode_audio_wav(blobs: DataFrame) -> DataFrame:
         schema="blob_id long, n_samples int, sample_rate int, "
         "peak long, sum_samples long",
     )
+
+
+def avi_blobs(docs: DataFrame, n_frames: int = 4, size: int = 8) -> DataFrame:
+    """REAL-format video blobs: every doc carries a genuine
+    uncompressed-DIB AVI (pure-numpy encoder, stock-player-openable)
+    of ``n_frames`` solid-color frames derived from (doc_id, frame)."""
+    from distributed_computing_spark.functions.codecs import encode_avi
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, datas = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = np.zeros((n_frames, size, size, 3), np.uint8)
+                for f in range(n_frames):
+                    frames[f, ..., 0] = (did * 7 + 3 * f) % 256
+                    frames[f, ..., 1] = (did * 13 + 5 * f) % 256
+                    frames[f, ..., 2] = (did * 29 + 7 * f) % 256
+                ids.append(did)
+                datas.append(encode_avi(frames))
+            yield pd.DataFrame(
+                {"blob_id": pd.array(ids, dtype="int64"), "data": datas}
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema="blob_id long, data binary")
+
+
+def sample_frames_avi(blobs: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL video frame sampling: parse the AVI container (nested RIFF
+    walk), keep every ``stride``-th frame, emit per-frame channel
+    means — the decode/frame-sample step of a video training pipeline,
+    over genuine bytes."""
+    from distributed_computing_spark.functions.codecs import decode_avi
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "blob_id": [],
+                "frame_idx": [],
+                "mean_r": [],
+                "mean_g": [],
+                "mean_b": [],
+            }
+            for bid, data in zip(pdf["blob_id"], pdf["data"]):
+                frames = decode_avi(bytes(data))
+                for f in range(0, frames.shape[0], stride):
+                    m = frames[f].astype(np.float64).mean(axis=(0, 1))
+                    out["blob_id"].append(int(bid))
+                    out["frame_idx"].append(f)
+                    out["mean_r"].append(float(m[0]))
+                    out["mean_g"].append(float(m[1]))
+                    out["mean_b"].append(float(m[2]))
+            yield pd.DataFrame(
+                {
+                    "blob_id": pd.array(out["blob_id"], dtype="int64"),
+                    "frame_idx": pd.array(out["frame_idx"], dtype="int32"),
+                    "mean_r": out["mean_r"],
+                    "mean_g": out["mean_g"],
+                    "mean_b": out["mean_b"],
+                }
+            )
+
+    return blobs.mapInPandas(
+        run,
+        schema="blob_id long, frame_idx int, "
+        "mean_r double, mean_g double, mean_b double",
+    )

@@ -1037,6 +1037,16 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_audio_wav(multimodal.bmp_wav_blobs(docs))
 
 
+def multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec video path, VALUE-GATED: genuine uncompressed-DIB AVI
+    payloads parsed by the nested RIFF walker, every 2nd frame sampled,
+    per-frame channel means stated in closed form by the oracle."""
+    from distributed_computing_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.sample_frames_avi(multimodal.avi_blobs(docs), stride=2)
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate-facing scalar projection of extract_features: the driver's
     pandas canonicalizer cannot sort list-valued cells, so the registry
@@ -1175,7 +1185,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk_exact": ivf_topk_exact_q,
     "embedding_neardup": embedding_neardup_q,
     # Structured Streaming path (K5 + event-time windows)
-    "stream_sliding": stream_sliding,
     "stream_enriched": stream_enriched,
     "stream_kv_state": stream_kv_state,
     "stream_kv_stateful": stream_kv_stateful,
@@ -1192,6 +1201,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-3: REAL uncompressed-format codecs (BMP/WAV), value-gated
     "multimodal_bmp_decode": multimodal_bmp_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
+    "multimodal_avi_frames": multimodal_avi_frames,
     "multimodal_features": multimodal_features,
     "multimodal_ann": multimodal_ann,
     # MapReduce flagship — back in the window for round 3: the fused
@@ -1250,6 +1260,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming windows (driver-proven r2, unchanged)
     "stream_windowed": stream_windowed,
     "stream_sessions": stream_sessions,
+    "stream_sliding": stream_sliding,
     # KV engine (K1-K6)
     "kv_state": kv_state,
     # Sharding (T5-T7, A7, P1-P5)
@@ -2047,6 +2058,13 @@ SELECT d.doc_id AS blob_id,
 FROM documents d CROSS JOIN range(0, 256) t(i)
 WHERE d.doc_id % 2 = 1
 GROUP BY d.doc_id""",
+    "multimodal_avi_frames": """
+SELECT d.doc_id AS blob_id, CAST(t.i AS INTEGER) AS frame_idx,
+       CAST((d.doc_id * 7 + 3 * t.i) % 256 AS DOUBLE) AS mean_r,
+       CAST((d.doc_id * 13 + 5 * t.i) % 256 AS DOUBLE) AS mean_g,
+       CAST((d.doc_id * 29 + 7 * t.i) % 256 AS DOUBLE) AS mean_b
+FROM documents d CROSS JOIN range(0, 4) t(i)
+WHERE t.i % 2 = 0""",
     "stream_curated_ingest": f"""
 WITH cleaned AS (
   SELECT doc_id, lang, {_CLEAN_SQL} AS text FROM documents),

@@ -192,3 +192,33 @@ def test_real_codec_blob_pipeline(spark, sf_dir):
         )
     for r in decode_audio_wav(blobs).collect():
         assert r["n_samples"] == 256 and r["sample_rate"] == 8000
+
+
+def test_avi_roundtrip_and_frame_sampling():
+    import numpy as np
+
+    from distributed_computing_spark.functions.codecs import decode_avi, encode_avi
+
+    rng = np.random.default_rng(5)
+    for n, h, w in [(4, 8, 8), (2, 5, 7), (1, 1, 1)]:  # odd widths → padded rows
+        fr = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+        back = decode_avi(encode_avi(fr))
+        assert back.shape == fr.shape and (back == fr).all()
+
+
+def test_avi_spark_frame_means(spark, sf_dir):
+    from distributed_computing_spark.operators.multimodal import (
+        avi_blobs,
+        sample_frames_avi,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    rows = sample_frames_avi(avi_blobs(docs), stride=2).collect()
+    assert rows and {r["frame_idx"] for r in rows} == {0, 2}
+    for r in rows:
+        i, f = r["blob_id"], r["frame_idx"]
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (
+            (i * 7 + 3 * f) % 256,
+            (i * 13 + 5 * f) % 256,
+            (i * 29 + 7 * f) % 256,
+        )
