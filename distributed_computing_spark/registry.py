@@ -1047,6 +1047,44 @@ def multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames_avi(multimodal.avi_blobs(docs), stride=2)
 
 
+def multimodal_real_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode→featurize→ANN composition over REAL bytes, VALUE-
+    GATED (the strict counterpart of rows-only ``multimodal_ann``):
+    genuine BMPs decode to channel-mean vectors, every 50th image is a
+    query, exact cosine top-3 over the feature space. Zero-vector rows
+    (doc_id ≡ 0 mod 256 → black frame) are excluded on both engines —
+    cosine is undefined there."""
+    from distributed_computing_spark.operators import multimodal
+    from distributed_computing_spark.operators.similarity import cosine
+
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = (
+        multimodal.decode_images_bmp(multimodal.bmp_wav_blobs(docs))
+        .where(F.col("blob_id") % 256 != 0)
+        .select(
+            "blob_id",
+            F.array("mean_r", "mean_g", "mean_b").alias("vec"),
+        )
+    )
+    q = feats.where(F.col("blob_id") % 50 == 0).select(
+        F.col("blob_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    sims = (
+        feats.select(F.col("blob_id").alias("nn_id"), F.col("vec").alias("nn_vec"))
+        .crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("nn_id"))
+        .select("q_id", "nn_id", cosine(F.col("q_vec"), F.col("nn_vec")).alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("q_id", "nn_id", "rank")
+    )
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate-facing scalar projection of extract_features: the driver's
     pandas canonicalizer cannot sort list-valued cells, so the registry
@@ -1183,7 +1221,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_exact": simhash_exact_q,
     "ivf_topk": ivf_topk_q,
     "ivf_topk_exact": ivf_topk_exact_q,
-    "embedding_neardup": embedding_neardup_q,
     # Structured Streaming path (K5 + event-time windows)
     "stream_enriched": stream_enriched,
     "stream_kv_state": stream_kv_state,
@@ -1202,6 +1239,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_bmp_decode": multimodal_bmp_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
     "multimodal_avi_frames": multimodal_avi_frames,
+    "multimodal_real_ann": multimodal_real_ann,
     "multimodal_features": multimodal_features,
     "multimodal_ann": multimodal_ann,
     # MapReduce flagship — back in the window for round 3: the fused
@@ -1257,6 +1295,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_anomalies": analytics.event_anomalies,
     "user_retention": analytics.user_retention,
     "neardup_canonical": neardup_canonical_q,
+    "embedding_neardup": embedding_neardup_q,
     # streaming windows (driver-proven r2, unchanged)
     "stream_windowed": stream_windowed,
     "stream_sessions": stream_sessions,
@@ -2058,6 +2097,23 @@ SELECT d.doc_id AS blob_id,
 FROM documents d CROSS JOIN range(0, 256) t(i)
 WHERE d.doc_id % 2 = 1
 GROUP BY d.doc_id""",
+    "multimodal_real_ann": """
+WITH f AS (
+  SELECT doc_id AS id,
+         CAST((doc_id * 7) % 256 AS DOUBLE) AS r,
+         CAST((doc_id * 13) % 256 AS DOUBLE) AS g,
+         CAST((doc_id * 29) % 256 AS DOUBLE) AS b
+  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 256 <> 0),
+q AS (SELECT id AS q_id, r, g, b FROM f WHERE id % 50 = 0),
+s AS (
+  SELECT q.q_id, f.id AS nn_id,
+         list_cosine_similarity([q.r, q.g, q.b], [f.r, f.g, f.b]) AS sim
+  FROM q JOIN f ON f.id <> q.q_id),
+rk AS (
+  SELECT q_id, nn_id,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS INTEGER) AS rank
+  FROM s)
+SELECT q_id, nn_id, rank FROM rk WHERE rank <= 3""",
     "multimodal_avi_frames": """
 SELECT d.doc_id AS blob_id, CAST(t.i AS INTEGER) AS frame_idx,
        CAST((d.doc_id * 7 + 3 * t.i) % 256 AS DOUBLE) AS mean_r,
