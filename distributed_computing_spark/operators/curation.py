@@ -114,10 +114,75 @@ def chunk_docs(
     )
 
 
+def fused_chunk_docs(
+    docs: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """``chunk_docs`` on the fused-Arrow plan (round 3): tokenize +
+    window + join-back collapse into ONE map-only mapInPandas pass.
+    The JVM form pays interpreted per-chunk expression cost building
+    each chunk's text (slice + concat_ws over array attributes);
+    measured at the 50× tier: 25.2 s → 0.6–2.5 s warm (BASELINE.md),
+    results bit-identical (same ASCII tokenizer equivalence the fused
+    word_count uses), so the oracle is unchanged. Still map-only —
+    output streams straight to a partitioned writer at 100 TB.
+    ``chunk_docs`` stays as the pure-JVM reference plan.
+    """
+    import re
+
+    import pandas as pd
+
+    pat = re.compile("[A-Za-z0-9]+")
+    extra_cols = list(keep_cols)
+
+    def run(batches):
+        for pdf in batches:
+            od: list = []
+            oc: list = []
+            ot: list = []
+            on: list = []
+            extras: dict[str, list] = {c: [] for c in extra_cols}
+            for row in zip(pdf["doc_id"], pdf[text_col], *[pdf[c] for c in extra_cols]):
+                did, text, *ev = row
+                toks = pat.findall(text if isinstance(text, str) else "")
+                n = len(toks)
+                if n == 0:
+                    continue
+                for ci, start in enumerate(range(0, n, stride)):
+                    piece = toks[start : start + size]
+                    od.append(did)
+                    oc.append(ci)
+                    ot.append(" ".join(piece))
+                    on.append(len(piece))
+                    for c, v in zip(extra_cols, ev):
+                        extras[c].append(v)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(od, dtype="int64"),
+                    **{c: extras[c] for c in extra_cols},
+                    "chunk_id": pd.array(oc, dtype="int64"),
+                    "chunk_text": ot,
+                    "n_tokens": pd.array(on, dtype="int64"),
+                }
+            )
+
+    types = {f.name: f.dataType.simpleString() for f in docs.schema.fields}
+    extra_schema = "".join(f"{c} {types[c]}, " for c in extra_cols)
+    return docs.select("doc_id", *extra_cols, text_col).mapInPandas(
+        run,
+        schema=f"doc_id long, {extra_schema}chunk_id long, "
+        "chunk_text string, n_tokens long",
+    )
+
+
 def chunk_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry form: chunk `documents` at 64/48 and return the chunk
-    rows (doc_id, chunk_id, chunk_text, n_tokens)."""
-    return chunk_docs(load_table(spark, sf_dir, "documents"))
+    rows (doc_id, chunk_id, chunk_text, n_tokens) — the fused Arrow
+    pass (bit-identical to the ``chunk_docs`` JVM reference plan)."""
+    return fused_chunk_docs(load_table(spark, sf_dir, "documents"))
 
 
 def pack_chunks(

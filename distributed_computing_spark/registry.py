@@ -428,7 +428,10 @@ def corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     from distributed_computing_spark.functions.text import fingerprint, quality_score
-    from distributed_computing_spark.operators.curation import chunk_docs, clean_text
+    from distributed_computing_spark.operators.curation import (
+        clean_text,
+        fused_chunk_docs,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     cleaned = docs.select(
@@ -456,7 +459,7 @@ def corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     kept = corpus.join(contam, "doc_id", "left_anti")
-    chunks = chunk_docs(kept, size=64, stride=48, keep_cols=("lang", "source"))
+    chunks = fused_chunk_docs(kept, size=64, stride=48, keep_cols=("lang", "source"))
     return chunks.groupBy("source", "lang").agg(
         F.countDistinct("doc_id").alias("docs_kept"),
         F.count("*").alias("n_chunks"),

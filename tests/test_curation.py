@@ -287,3 +287,17 @@ def test_epoch_shuffle_is_exact_permutation_no_global_sort(spark, sf_dir):
     assert other != again
     # scale posture: never a single-task range sort of the data
     assert "rangepartitioning" not in physical_plan(out)
+
+
+def test_fused_chunk_docs_identical_to_jvm_plan(spark, sf_dir):
+    """The fused Arrow chunker must be bit-identical to the pure-JVM
+    reference plan, including carried keep_cols."""
+    from distributed_computing_spark.operators.curation import (
+        chunk_docs,
+        fused_chunk_docs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, chunk_docs(docs, keep_cols=("lang",)).collect()))
+    b = sorted(map(tuple, fused_chunk_docs(docs, keep_cols=("lang",)).collect()))
+    assert a == b and a
