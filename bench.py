@@ -42,8 +42,10 @@ HEADLINE = [
     "lang_id",
     "corpus_summary",
     # round-1 breadth additions (cheap relational/join/multimodal surface)
-    # round-3: the end-to-end curation composition as one plan
+    # round-3: the end-to-end curation composition as one plan, and the
+    # fused Arrow chunker (formerly the dominant crossover cost)
     "corpus_pipeline",
+    "chunk_docs",
     "asof_attribution",
     "range_join_views",
     "semi_anti_orders",
