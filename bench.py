@@ -17,6 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from distributed_computing_spark.caching import release_tracked
 from distributed_computing_spark.registry import QUERIES
 from distributed_computing_spark.session import get_spark
 
@@ -85,6 +86,7 @@ def main() -> None:
         # 0.3 s (count) vs 14 s (noop) for text_stats at the 20× tier.
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        release_tracked()  # builder persists don't outlive their query
 
     total = round(sum(timings.values()), 3)
     payload = {

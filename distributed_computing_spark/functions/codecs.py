@@ -170,7 +170,19 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
         for f in frames
     )
     movi = list_chunk(b"movi", movi_body)
-    riff_body = b"AVI " + hdrl + movi
+    # idx1: avih advertises AVIF_HASINDEX (0x10), so actually write the
+    # index (strict players may balk at an advertised-but-missing one).
+    # Entry offsets point at each frame chunk's fourcc, relative to the
+    # 'movi' fourcc; every frame is a keyframe (AVIIF_KEYFRAME = 0x10).
+    chunk_stride = 8 + frame_size  # frame_size is 4-aligned, no pad byte
+    idx1 = chunk(
+        b"idx1",
+        b"".join(
+            struct.pack("<4sIII", b"00db", 0x10, 4 + i * chunk_stride, frame_size)
+            for i in range(n)
+        ),
+    )
+    riff_body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
@@ -181,10 +193,11 @@ def decode_avi(data: bytes) -> np.ndarray:
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI")
     w = h = None
+    top_down = False
     frames: list[np.ndarray] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal w, h
+        nonlocal w, h, top_down
         for cid, body, sz in _riff_chunks(data, pos, end):
             if cid == b"LIST":
                 walk(body + 4, body + sz)
@@ -193,14 +206,16 @@ def decode_avi(data: bytes) -> np.ndarray:
                 (comp,) = struct.unpack_from("<I", data, body + 16)
                 if bpp != 24 or comp != 0:
                     raise ValueError("only 24-bit uncompressed AVI supported")
-                w, h = w_, abs(h_)
+                # DIB convention: negative biHeight = top-down rows —
+                # flipping those too would mirror the frames vertically.
+                w, h, top_down = w_, abs(h_), h_ < 0
             elif cid in (b"00db", b"00dc"):
                 if w is None:
                     raise ValueError("frame chunk before strf header")
                 row_size = (w * 3 + 3) // 4 * 4
                 arr = np.frombuffer(data, np.uint8, count=row_size * h, offset=body)
                 arr = arr.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
-                frames.append(np.ascontiguousarray(arr[::-1]))
+                frames.append(np.ascontiguousarray(arr if top_down else arr[::-1]))
 
     walk(12, 8 + struct.unpack_from("<I", data, 4)[0])
     return np.stack(frames) if frames else np.zeros((0, 0, 0, 3), np.uint8)

@@ -131,6 +131,8 @@ def fused_chunk_docs(
     output streams straight to a partitioned writer at 100 TB.
     ``chunk_docs`` stays as the pure-JVM reference plan.
     """
+    if not (0 < stride <= size):
+        raise ValueError(f"need 0 < stride <= size, got {stride=} {size=}")
     import re
 
     import pandas as pd

@@ -575,13 +575,20 @@ def minhash_lsh_exact(
     the default 6/16 gates at est ≥ 0.375 with an 8×2 band s-curve
     (threshold ≈ (1/8)^(1/2) ≈ 0.35).
     """
+    from distributed_computing_spark.caching import track_persist
+
     rows_per_band = num_hashes // bands
     sh = shingle_rows(documents, n, distinct=False)
-    sig = sh.groupBy("doc_id").agg(
-        F.array(
-            *[F.min(md5_hash60("shingle", i)) for i in range(num_hashes)]
-        ).alias("sig")
-    ).persist()
+    # track_persist: the signature table feeds banding + both verify
+    # joins; the builder can't unpersist (consumers run later), so the
+    # harness releases it after the terminal action (caching.py).
+    sig = track_persist(
+        sh.groupBy("doc_id").agg(
+            F.array(
+                *[F.min(md5_hash60("shingle", i)) for i in range(num_hashes)]
+            ).alias("sig")
+        )
+    )
     # Band bucket = the comma-joined minhash values themselves (exact
     # strings both engines — no second-level hash to reproduce).
     banded = sig.select(
@@ -667,7 +674,11 @@ def simhash_exact(
         )
         term = F.shiftleft(bit, j)
         packed = term if packed is None else packed + term
-    fp = agg.select("doc_id", packed.alias("fp")).persist()
+    from distributed_computing_spark.caching import track_persist
+
+    # harness-released persist (caching.py) — same rationale as
+    # minhash_lsh_exact's signature table.
+    fp = track_persist(agg.select("doc_id", packed.alias("fp")))
     chunks = fp.select(
         "doc_id",
         F.posexplode(

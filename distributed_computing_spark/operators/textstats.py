@@ -256,7 +256,9 @@ def hash_stratified_sample(
     from distributed_computing_spark.operators.dedup import md5_hash60
 
     h = md5_hash60(F.concat_ws("#", F.col(strata_col), F.col(id_col)), seed)
-    return df.where(F.pmod(h, F.lit(1000)) < int(fraction * 1000))
+    # round, not int: int() truncates binary-float products (0.3*1000 ==
+    # 299.999... -> 299), silently undershooting the stated fraction.
+    return df.where(F.pmod(h, F.lit(1000)) < round(fraction * 1000))
 
 
 def repetition_scores(documents: DataFrame, n: int = 2) -> DataFrame:

@@ -427,6 +427,7 @@ def corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.storagelevel import StorageLevel
 
+    from distributed_computing_spark.caching import track_persist
     from distributed_computing_spark.functions.text import fingerprint, quality_score
     from distributed_computing_spark.operators.curation import (
         clean_text,
@@ -434,9 +435,14 @@ def corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    cleaned = docs.select(
-        "doc_id", "lang", "source", clean_text(F.col("text")).alias("text")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # track_persist: four consumers, released by the harness after the
+    # terminal action (caching.py) instead of leaking per invocation.
+    cleaned = track_persist(
+        docs.select(
+            "doc_id", "lang", "source", clean_text(F.col("text")).alias("text")
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
     keep = (
         cleaned.select(fingerprint("text").alias("th"), "doc_id")
         .groupBy("th")

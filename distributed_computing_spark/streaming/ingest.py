@@ -140,9 +140,13 @@ class CorpusIngestStore:
             )
             if not near_dup:
                 admitted = fresh.persist()
-                adm_sigs = self.spark.createDataFrame(
-                    [], "doc_id long, sig array<bigint>"
-                )
+                # Still compute and persist REAL signatures for admitted
+                # docs: the index must stay complete even for exact-only
+                # batches, or a later near_dup=True batch would silently
+                # skip near-dup checks against everything admitted here
+                # (round-4 ADVICE fix). Admission itself stays a pure
+                # function of the input — sigs are written, not checked.
+                adm_sigs = minhash_signatures(admitted, n, num_hashes)
                 adm_fps = admitted.select("fp")
                 admitted_rows = admitted.drop("fp")
                 for df, sub in (

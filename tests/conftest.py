@@ -18,6 +18,9 @@ def spark():
     s = get_spark(app_name="tests", cpus=8, shuffle_partitions=8)
     s.sparkContext.setLogLevel("ERROR")
     yield s
+    from distributed_computing_spark.caching import release_tracked
+
+    release_tracked()
 
 
 @pytest.fixture(scope="session")

@@ -301,3 +301,19 @@ def test_fused_chunk_docs_identical_to_jvm_plan(spark, sf_dir):
     a = sorted(map(tuple, chunk_docs(docs, keep_cols=("lang",)).collect()))
     b = sorted(map(tuple, fused_chunk_docs(docs, keep_cols=("lang",)).collect()))
     assert a == b and a
+
+
+def test_fused_chunk_docs_validates_stride(spark):
+    """round-4 ADVICE: the fused chunker enforces the same
+    0 < stride <= size contract as the JVM reference plan — stride=0
+    must fail fast at build time, not as an opaque executor error, and
+    stride > size must not silently skip tokens between windows."""
+    import pytest
+
+    from distributed_computing_spark.operators.curation import fused_chunk_docs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        fused_chunk_docs(docs, size=4, stride=0)
+    with pytest.raises(ValueError, match="stride"):
+        fused_chunk_docs(docs, size=4, stride=5)

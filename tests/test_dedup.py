@@ -337,3 +337,26 @@ def test_prefix_dup_groups_planted(spark):
         for r in prefix_dup_groups(_docs(spark, rows), k=16).collect()
     }
     assert got == {1: 2}  # docs 1+2 share the 16-token prefix; 3, 4 don't
+
+
+def test_tracked_persists_are_released(spark):
+    """round-4 ADVICE: lazy builders' persisted intermediates
+    (minhash_lsh_exact's signature table) register with caching.py and
+    release after the terminal action instead of leaking for the
+    session lifetime."""
+    from distributed_computing_spark import caching
+    from distributed_computing_spark.operators.dedup import minhash_lsh_exact
+
+    caching.release_tracked()
+    docs = spark.createDataFrame(
+        [(i, "shared words for every doc here plus tail %d" % i) for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = minhash_lsh_exact(docs, num_hashes=4, bands=2, min_match=1)
+    assert len(caching._TRACKED) == 1
+    tracked = caching._TRACKED[0]
+    out.collect()
+    assert tracked.storageLevel.useMemory  # persisted while in use
+    caching.release_tracked()
+    assert not caching._TRACKED
+    assert not tracked.storageLevel.useMemory  # actually unpersisted

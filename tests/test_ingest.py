@@ -127,3 +127,24 @@ def test_curated_ingest_cleans_filters_and_dedups(spark, tmp_path):
     assert set(corpus) == {1, 11}  # 2 quality-dropped, 10 deduped vs 1
     assert "  " not in corpus[1]["text"]  # whitespace collapsed by clean
     assert corpus[1]["n_chars"] == len(corpus[1]["text"])
+
+
+def test_exact_only_batches_still_index_signatures(spark, tmp_path):
+    """round-4 ADVICE: near_dup=False admission must still persist REAL
+    MinHash signatures, so a later near_dup=True batch near-dup-checks
+    against everything admitted in exact-only mode (an empty sigs file
+    would silently skip those checks)."""
+    base = "unique ingest document with plenty of distinctive filler words " * 4
+    store = CorpusIngestStore(spark, str(tmp_path / "store_mm"))
+    store.admit_batch(
+        spark.createDataFrame([_doc(1, base)], DOCS), near_dup=False
+    )
+    # the sigs parquet for the exact-only batch is non-empty
+    assert store._read("sigs", "doc_id long, sig array<bigint>").count() == 1
+    # a near-dup of the exact-only-admitted doc is now rejected
+    store.admit_batch(
+        spark.createDataFrame([_doc(2, base + "tiny suffix")], DOCS),
+        near_dup=True,
+    )
+    admitted = {r["doc_id"] for r in store.corpus().select("doc_id").collect()}
+    assert admitted == {1}, admitted

@@ -222,3 +222,51 @@ def test_avi_spark_frame_means(spark, sf_dir):
             (i * 13 + 5 * f) % 256,
             (i * 29 + 7 * f) % 256,
         )
+
+
+def test_avi_honors_top_down_height_sign():
+    """round-4 ADVICE: negative strf biHeight marks top-down row order —
+    the decoder must not flip those frames (it would mirror them)."""
+    import struct
+
+    import numpy as np
+
+    from distributed_computing_spark.functions.codecs import decode_avi, encode_avi
+
+    frames = np.zeros((2, 4, 4, 3), np.uint8)
+    frames[:, 0, :, 0] = 255  # distinctive top row
+    data = encode_avi(frames)
+    # patch strf biHeight to -h AND leave the (bottom-up-encoded) rows
+    # alone: the decoder must now read them as top-down, i.e. flipped.
+    i = data.index(b"strf") + 8  # chunk header: fourcc + size
+    h = struct.unpack_from("<i", data, i + 8)[0]
+    patched = bytearray(data)
+    struct.pack_into("<i", patched, i + 8, -h)
+    normal = decode_avi(data)
+    top_down = decode_avi(bytes(patched))
+    assert np.array_equal(normal, frames)
+    assert np.array_equal(top_down, frames[:, ::-1])
+
+
+def test_avi_idx1_index_present_and_correct():
+    """round-4 ADVICE: avih advertises AVIF_HASINDEX, so the file must
+    carry an idx1 chunk whose entries point at each frame chunk
+    (offsets relative to the 'movi' fourcc)."""
+    import struct
+
+    import numpy as np
+
+    from distributed_computing_spark.functions.codecs import encode_avi
+
+    n, h, w = 3, 4, 4
+    frames = np.arange(n * h * w * 3, dtype=np.uint8).reshape(n, h, w, 3)
+    data = encode_avi(frames)
+    i = data.index(b"idx1")
+    (sz,) = struct.unpack_from("<I", data, i + 4)
+    assert sz == 16 * n
+    movi = data.index(b"movi")
+    for e in range(n):
+        cid, flags, off, size = struct.unpack_from("<4sIII", data, i + 8 + 16 * e)
+        assert cid == b"00db" and flags == 0x10
+        assert data[movi + off : movi + off + 4] == b"00db"
+        assert size == ((w * 3 + 3) // 4 * 4) * h

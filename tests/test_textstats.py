@@ -316,3 +316,29 @@ def test_source_token_kl_nonnegative_and_discriminates(spark, sf_dir):
     assert all(r["kl_nats"] >= -1e-6 for r in rows)
     # sources differ lexically in the synthetic corpus → not all zero
     assert any(r["kl_nats"] > 0 for r in rows)
+
+
+def test_hash_stratified_sample_fraction_threshold_not_truncated(spark):
+    """round-4 ADVICE: the bucket threshold must be round(fraction*1000),
+    not int() — 0.3*1000 is 299.999... in binary float and int() would
+    undershoot the stated fraction. Verified against an exact Python
+    recompute of the md5 predicate at threshold 300."""
+    import hashlib
+
+    from distributed_computing_spark.operators.textstats import (
+        hash_stratified_sample,
+    )
+
+    rows = [(i, f"l{i % 3}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        r["doc_id"]
+        for r in hash_stratified_sample(df, fraction=0.3, seed=42).collect()
+    }
+
+    def bucket(lang: str, did: int) -> int:
+        h = hashlib.md5(f"{lang}#{did}#42".encode()).hexdigest()[:15]
+        return int(h, 16) % 1000
+
+    want = {i for i, lang in rows if bucket(lang, i) < 300}
+    assert got == want

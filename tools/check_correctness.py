@@ -15,6 +15,7 @@ sys.path.insert(0, "/root/repo")
 import duckdb
 
 from __spark_entry__ import oracle_sql, queries
+from distributed_computing_spark.caching import release_tracked
 from distributed_computing_spark.session import get_spark
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -60,6 +61,8 @@ def main() -> None:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            release_tracked()  # drop builder-persisted intermediates
         if name not in oracles:
             print(f"ROWS {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue

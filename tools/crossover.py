@@ -209,6 +209,9 @@ def run_crossover(
         # DuckDB's fetchall pays for them — an unfair comparison.
         QUERIES[name](spark, scaled).write.format("noop").mode("overwrite").save()
         s = round(time.time() - t0, 3)
+        from distributed_computing_spark.caching import release_tracked
+
+        release_tracked()  # builder persists don't leak across timings
         t0 = time.time()
         con.execute(ORACLES[name]).fetchall()
         d = round(time.time() - t0, 3)
