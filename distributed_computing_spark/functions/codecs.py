@@ -1,12 +1,13 @@
-"""Pure-numpy codecs for uncompressed container formats (BMP, WAV).
+"""Pure-numpy codecs: BMP, WAV, AVI (uncompressed) and PNG (DEFLATE
+via stdlib zlib).
 
 These are REAL codecs for real formats — any stock image viewer opens
-the BMP output, any audio player the WAV — implemented with
-struct+numpy so the decode path has no PIL/ffmpeg dependency (both
-absent in this container). They make the multimodal decode pipeline
-end-to-end real for the uncompressed formats; COMPRESSED formats
-(PNG/JPEG/FLAC/MP3) still require a codec library and remain behind
-the ``_HAS_PIL`` gate in operators/multimodal.py.
+the BMP/PNG output, any audio player the WAV, any video player the
+AVI — implemented with struct+numpy+zlib so the decode path has no
+PIL/ffmpeg dependency (both absent in this container). They make the
+multimodal decode pipeline end-to-end real; only formats needing a
+transform-codec library (JPEG's DCT, MP3's MDCT) remain behind the
+``_HAS_PIL`` gate in operators/multimodal.py.
 
 Format notes:
 - BMP: ``BM`` magic, BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40),
@@ -14,6 +15,9 @@ Format notes:
   bytes, bottom-up unless height < 0.
 - WAV: RIFF/WAVE container walked chunk-by-chunk (not fixed-offset:
   real files carry LIST/fact chunks); PCM (format 1), 16-bit.
+- PNG: signature + length/type/data/CRC chunk walk, IDAT concat +
+  zlib inflate, per-scanline unfilter of all five filter types
+  (None/Sub/Up/Average/Paeth); 8-bit gray/RGB/RGBA, non-interlaced.
 """
 
 from __future__ import annotations
@@ -219,3 +223,159 @@ def decode_avi(data: bytes) -> np.ndarray:
 
     walk(12, 8 + struct.unpack_from("<I", data, 4)[0])
     return np.stack(frames) if frames else np.zeros((0, 0, 0, 3), np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# PNG (stdlib-zlib DEFLATE) — the compressed image format needs no PIL
+# ---------------------------------------------------------------------------
+#
+# PNG's only hard dependency is DEFLATE, which Python ships (zlib), so a
+# full-fidelity 8-bit codec is implementable here: chunk walk (length/
+# type/data/CRC), IDAT inflate, and per-scanline unfiltering of all five
+# filter types (None/Sub/Up/Average/Paeth). JPEG/MP3 stay env-blocked —
+# those genuinely need a DCT/MDCT codec library.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> channels (8-bit depth only; palette would need PLTE)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (left, up, up-left)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 2) -> bytes:
+    """Encode (H, W), (H, W, 3) or (H, W, 4) uint8 as a real PNG.
+
+    ``filter_type`` applies to every scanline after the first (the
+    first is always filter 0 — no prior row for Up/Average/Paeth) so
+    the decoder's unfilter path is exercised by our own files, not just
+    foreign ones. Stock viewers open the output (CRCs included).
+    """
+    import zlib
+
+    if pixels.dtype != np.uint8 or pixels.ndim not in (2, 3):
+        raise ValueError("need (H, W[, C]) uint8")
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, ch = pixels.shape
+    color_type = {1: 0, 3: 2, 4: 6}.get(ch)
+    if color_type is None:
+        raise ValueError("channels must be 1, 3, or 4")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError("filter_type must be 0..4")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    px = pixels.astype(np.int16)
+    raw = bytearray()
+    for y in range(h):
+        ft = 0 if y == 0 else filter_type
+        row = px[y].reshape(-1)
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub: left neighbor (same channel)
+            left = np.concatenate([np.zeros(ch, np.int16), row[:-ch]])
+            filt = row - left
+        elif ft == 2:  # Up
+            filt = row - px[y - 1].reshape(-1)
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(ch, np.int16), row[:-ch]])
+            filt = row - (left + px[y - 1].reshape(-1)) // 2
+        else:  # Paeth
+            up = px[y - 1].reshape(-1)
+            filt = np.empty_like(row)
+            for i in range(len(row)):
+                a = int(row[i - ch]) if i >= ch else 0
+                b = int(up[i])
+                c = int(up[i - ch]) if i >= ch else 0
+                filt[i] = row[i] - _paeth(a, b, c)
+        raw.append(ft)
+        raw += (filt % 256).astype(np.uint8).tobytes()
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (gray / RGB / RGBA) to an
+    (H, W, C) uint8 array: chunk walk, IDAT concat + inflate, and
+    per-scanline unfilter of all five PNG filter types."""
+    import zlib
+
+    if len(data) < 8 or data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if ctype == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or comp != 0 or filt != 0:
+                raise ValueError("only 8-bit depth, method-0 PNG supported")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+            ch = _PNG_CHANNELS.get(color_type)
+            if ch is None:
+                raise ValueError(f"unsupported color type {color_type}")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad scanline payload size")
+    out = np.zeros((h, stride), np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int16)
+        prior = out[y - 1].astype(np.int16) if y > 0 else np.zeros(stride, np.int16)
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up (vectorized)
+            rec = line + prior
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth: left-dependent scan
+            rec = np.empty(stride, np.int16)
+            for i in range(stride):
+                a = int(rec[i - ch]) if i >= ch else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + int(prior[i])) // 2
+                else:
+                    c = int(prior[i - ch]) if i >= ch else 0
+                    pred = _paeth(a, int(prior[i]), c)
+                # reduce IN the loop: the raw (mod-256) value is the
+                # left neighbor feeding the next pixel's prediction
+                rec[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out[y] = (rec % 256).astype(np.uint8)
+    return out.reshape(h, w, ch)

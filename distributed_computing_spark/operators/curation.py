@@ -193,6 +193,7 @@ def pack_chunks(
     group_col: str = "source",
     sub_bands: int = 32,
     bounds: DataFrame | None = None,
+    banding: str = "width",
 ) -> DataFrame:
     """Assign chunks to fixed-capacity training bins per group.
 
@@ -211,25 +212,51 @@ def pack_chunks(
     IDENTICAL to a single per-group window (offset + local cum ==
     global cum), but the big-data sort parallelism is groups × bands
     instead of groups — at 100 TB a handful of mega-sources no longer
-    serialize into one task each. Banding is value-range over doc_id
-    (equi-width); swap in equi-depth range boundaries if doc ids are
-    heavily skewed.
+    serialize into one task each.
+
+    ``banding`` picks the boundary rule — bin ids are band-invariant
+    (any monotone-in-doc_id banding gives offset + local cum == global
+    cum), so BOTH modes hash-match the single-window oracle; only task
+    balance differs:
+    - ``"width"``: equi-width over the group's [min, max] doc_id range.
+      Cheapest (one min/max over a pruned scan, and callers may pass
+      ``bounds`` from an even cheaper frame), but a group whose doc_ids
+      cluster in a narrow slice of its range degenerates to one band.
+    - ``"depth"``: equi-depth via per-group ``approx_percentile``
+      boundaries over doc_id — bands hold ~equal ROW counts however
+      skewed the id distribution. The boundary aggregate is one extra
+      pass over (group, doc_id); approx-sketch wobble only moves band
+      edges, never bin ids.
     """
+    if banding not in ("width", "depth"):
+        raise ValueError(f"banding must be 'width' or 'depth', got {banding!r}")
     order_cols = ["doc_id", "chunk_id"]
-    # per-group doc_id bounds → order-contiguous equi-width bands.
-    # Band boundaries only need to be a monotone cover of the group's
-    # doc_ids, not tight — so callers can pass ``bounds`` computed from
-    # a CHEAPER frame (e.g. the raw docs table) to avoid re-running the
-    # chunk pipeline's tokenizer a second time for this aggregate; bin
-    # assignment is band-invariant (offset + local cum == global cum).
-    if bounds is None:
-        bounds = chunks.groupBy(group_col).agg(
-            F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi")
-        )
-    band = F.least(
-        F.lit(sub_bands - 1),
-        F.expr(f"((doc_id - _lo) * {sub_bands}) div (_hi - _lo + 1)"),
-    ).cast("int")
+    if banding == "depth":
+        qs = ", ".join(str(i / sub_bands) for i in range(1, sub_bands))
+        if bounds is None:
+            bounds = chunks.groupBy(group_col).agg(
+                F.expr(f"approx_percentile(doc_id, array({qs}))").alias("_bnds")
+            )
+        # band = #boundaries strictly below doc_id (monotone, 0..bands-1);
+        # the boundary array is sub_bands-1 elements, so no cap needed.
+        band = F.size(
+            F.filter(F.col("_bnds"), lambda b: b < F.col("doc_id"))
+        ).cast("int")
+    else:
+        # per-group doc_id bounds → order-contiguous equi-width bands.
+        # Band boundaries only need to be a monotone cover of the group's
+        # doc_ids, not tight — so callers can pass ``bounds`` computed from
+        # a CHEAPER frame (e.g. the raw docs table) to avoid re-running the
+        # chunk pipeline's tokenizer a second time for this aggregate; bin
+        # assignment is band-invariant (offset + local cum == global cum).
+        if bounds is None:
+            bounds = chunks.groupBy(group_col).agg(
+                F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi")
+            )
+        band = F.least(
+            F.lit(sub_bands - 1),
+            F.expr(f"((doc_id - _lo) * {sub_bands}) div (_hi - _lo + 1)"),
+        ).cast("int")
     banded = chunks.join(F.broadcast(bounds), group_col).withColumn("_band", band)
 
     # level 1: local running total within each (group, band)

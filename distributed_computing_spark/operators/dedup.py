@@ -771,6 +771,7 @@ def fused_decontaminate(
     benchmark: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
+    max_broadcast_shingles: int = 5_000_000,
 ) -> DataFrame:
     """``decontaminate`` on the fused-Arrow plan (round 3): the corpus
     side's shingle → probe → per-doc count pipeline collapses into ONE
@@ -782,6 +783,13 @@ def fused_decontaminate(
     task. Counts come back exact integers; ratios/rounding stay in the
     SAME JVM expressions, so results are bit-identical and the oracle
     is unchanged. Measured at the 50× tier: see BASELINE.md.
+
+    The broadcast contract is ENFORCED, not assumed (round-4): the
+    distinct benchmark shingles are counted first (a cheap aggregate
+    over the benchmark only), and above ``max_broadcast_shingles`` the
+    call dispatches to the JVM broadcast-join plan (``decontaminate``)
+    instead of collecting an unbounded set to the driver — identical
+    results either way, so callers never need to pick a branch.
     """
     import re
 
@@ -789,10 +797,10 @@ def fused_decontaminate(
 
     pat = re.compile("[A-Za-z0-9]+")
     spark = corpus.sparkSession
-    bench_set = frozenset(
-        r["shingle"]
-        for r in shingle_rows(benchmark, n).select("shingle").distinct().collect()
-    )
+    bench_distinct = shingle_rows(benchmark, n).select("shingle").distinct()
+    if bench_distinct.count() > max_broadcast_shingles:
+        return decontaminate(corpus, benchmark, n, threshold)
+    bench_set = frozenset(r["shingle"] for r in bench_distinct.collect())
     bench_bc = spark.sparkContext.broadcast(bench_set)
 
     def probe(batches):

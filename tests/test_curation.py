@@ -317,3 +317,78 @@ def test_fused_chunk_docs_validates_stride(spark):
         fused_chunk_docs(docs, size=4, stride=0)
     with pytest.raises(ValueError, match="stride"):
         fused_chunk_docs(docs, size=4, stride=5)
+
+
+def test_pack_chunks_equi_depth_banding_under_skew(spark):
+    """round-4: banding='depth' balances band occupancy when doc_ids
+    cluster in a narrow slice of the group's id range (the case that
+    degenerates equi-width banding to one band), while bin assignment
+    stays identical to the single-window reference in both modes."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from distributed_computing_spark.operators.curation import pack_chunks
+
+    # 90% of docs in [0, 900), a tail at ~10^9: equi-width over the
+    # full range puts the head entirely in band 0.
+    rows = [(d, 0, "s", 10) for d in range(900)]
+    rows += [(1_000_000_000 + d, 0, "s", 10) for d in range(100)]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_id long, source string, n_tokens long"
+    )
+    width = sorted(map(tuple, pack_chunks(chunks, capacity=64).collect()))
+    depth = sorted(
+        map(tuple, pack_chunks(chunks, capacity=64, banding="depth").collect())
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = sorted(
+        map(
+            tuple,
+            chunks.withColumn("_cum", F.sum("n_tokens").over(w))
+            .select(
+                "source",
+                F.expr("(_cum - n_tokens) div 64").alias("bin_id"),
+                "n_tokens",
+            )
+            .groupBy("source", "bin_id")
+            .agg(
+                F.count("*").cast("long").alias("n_chunks"),
+                F.sum("n_tokens").cast("long").alias("bin_tokens"),
+            )
+            .collect(),
+        )
+    )
+    assert width == ref and depth == ref
+
+    # occupancy: replicate both band rules and compare spreads
+    sub_bands = 32
+    lo, hi = 0, 1_000_000_099
+    width_occ = (
+        chunks.groupBy(
+            F.least(
+                F.lit(sub_bands - 1),
+                F.expr(f"((doc_id - {lo}) * {sub_bands}) div ({hi} - {lo} + 1)"),
+            ).alias("b")
+        )
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in width_occ) >= 0.85 * 1000  # degenerate
+    qs = ", ".join(str(i / sub_bands) for i in range(1, sub_bands))
+    bnds = chunks.groupBy("source").agg(
+        F.expr(f"approx_percentile(doc_id, array({qs}))").alias("_bnds")
+    )
+    depth_occ = (
+        chunks.join(F.broadcast(bnds), "source")
+        .groupBy(
+            F.size(F.filter(F.col("_bnds"), lambda b: b < F.col("doc_id"))).alias("b")
+        )
+        .count()
+        .collect()
+    )
+    assert len(depth_occ) >= sub_bands // 2  # many occupied bands
+    assert max(r["count"] for r in depth_occ) <= 4 * 1000 / sub_bands  # balanced

@@ -360,3 +360,28 @@ def test_tracked_persists_are_released(spark):
     caching.release_tracked()
     assert not caching._TRACKED
     assert not tracked.storageLevel.useMemory  # actually unpersisted
+
+
+def test_fused_decontaminate_enforces_broadcast_contract(spark):
+    """round-4: the fused Arrow pass counts the benchmark's distinct
+    shingles before collecting; above max_broadcast_shingles it
+    dispatches to the JVM broadcast-join plan — identical results,
+    never an unbounded driver collect."""
+    from distributed_computing_spark.operators.dedup import fused_decontaminate
+    from distributed_computing_spark.plans import physical_plan
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    fused = fused_decontaminate(corpus, bench, n=3)
+    fallback = fused_decontaminate(corpus, bench, n=3, max_broadcast_shingles=1)
+    # branch check: the fused plan runs Python (mapInPandas); the
+    # fallback is the pure-JVM broadcast-join plan
+    assert "MapInPandas" in physical_plan(fused)
+    assert "MapInPandas" not in physical_plan(fallback)
+    assert "Broadcast" in physical_plan(fallback)
+    assert sorted(map(tuple, fused.collect())) == sorted(map(tuple, fallback.collect()))

@@ -270,3 +270,76 @@ def test_avi_idx1_index_present_and_correct():
         assert cid == b"00db" and flags == 0x10
         assert data[movi + off : movi + off + 4] == b"00db"
         assert size == ((w * 3 + 3) // 4 * 4) * h
+
+
+def test_png_roundtrip_all_filter_types():
+    """PNG codec (round 4, stdlib zlib only): encode/decode must be the
+    identity for every scanline filter type and for gray/RGB/RGBA."""
+    import numpy as np
+
+    from distributed_computing_spark.functions.codecs import decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    for shape in [(5, 7, 3), (4, 4, 4), (6, 3), (1, 1, 3)]:
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        want = px if px.ndim == 3 else px[:, :, None]
+        for ft in range(5):
+            assert np.array_equal(decode_png(encode_png(px, filter_type=ft)), want)
+
+
+def test_png_paeth_predictor_reference_cases():
+    """Paeth predictor per the PNG spec: nearest of (left, up, up-left)
+    to p = a + b - c, ties resolved a then b then c."""
+    from distributed_computing_spark.functions.codecs import _paeth
+
+    assert _paeth(10, 20, 15) == 15   # p=15: c is exact
+    assert _paeth(100, 20, 15) == 100  # p=105: a closest
+    assert _paeth(5, 200, 100) == 100  # p=105: c closest
+    assert _paeth(7, 7, 7) == 7        # tie -> a
+    assert _paeth(0, 0, 0) == 0
+
+
+def test_png_container_is_wellformed():
+    """The emitted bytes are a real PNG container: signature, IHDR
+    first, CRC-valid chunks, IEND last — what any stock decoder checks
+    before touching pixel data."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from distributed_computing_spark.functions.codecs import encode_png
+
+    data = encode_png(np.zeros((3, 5, 3), np.uint8))
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, types = 8, []
+    while pos < len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
+        assert crc == (zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        types.append(ctype)
+        pos += 12 + ln
+    assert types[0] == b"IHDR" and types[-1] == b"IEND" and b"IDAT" in types
+    w, h, depth, ct, *_ = struct.unpack(">IIBBBBB", data[16:29])
+    assert (w, h, depth, ct) == (5, 3, 8, 2)
+
+
+def test_png_spark_decode_means(spark, sf_dir):
+    """decode_images_png over png_blobs: per-channel means equal the
+    planted two-band closed form for every doc."""
+    from distributed_computing_spark.operators.multimodal import (
+        decode_images_png,
+        png_blobs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(24)
+    rows = decode_images_png(png_blobs(docs)).collect()
+    assert len(rows) == 24
+    for r in rows:
+        i = r["blob_id"]
+        assert (r["width"], r["height"]) == (16, 16)
+        assert r["mean_r"] == ((i * 7) % 256 + (i * 11) % 256) / 2
+        assert r["mean_g"] == ((i * 13) % 256 + (i * 17) % 256) / 2
+        assert r["mean_b"] == ((i * 29) % 256 + (i * 23) % 256) / 2
