@@ -119,6 +119,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: float | None = 0.2,
+    max_posting: int = 10_000,
 ) -> DataFrame:
     """All doc pairs with word-``n``-gram Jaccard ≥ threshold (a < b).
 
@@ -135,6 +136,18 @@ def ngram_jaccard_pairs(
     shingles can only *miss* pairs whose overlap is mostly head
     shingles — for dedup that's boilerplate, the right thing to drop.
     ``max_df=None`` recovers plain Jaccard over all shingles.
+
+    ``max_posting`` is the ABSOLUTE companion to the relative
+    ``max_df`` cap (effective cap = min of the two), added after a
+    measured failure: at the 50× crossover tier (250 k docs) the
+    relative cap alone allows a single shingle's posting list to reach
+    0.2·n ≈ 50 k docs, whose |df|² pair expansion is ~10⁹ rows from ONE
+    shingle — the aggregation OOMed a 32-core executor JVM. A relative
+    cap scales the worst-case bucket quadratically WITH the corpus; at
+    100 TB the guard has to be absolute (the same reasoning as
+    ``minhash_lsh_pairs``' ``max_bucket``). Jaccard stays well-defined
+    over the capped shingle space and the oracle mirrors the min() cap
+    exactly, so the guarded form remains strictly gate-checkable.
     """
     # The inverted index keys on xxhash64(shingle), not the string:
     # everything downstream of the first shuffle moves 8-byte keys
@@ -160,9 +173,14 @@ def ngram_jaccard_pairs(
         .select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
         .dropDuplicates(["doc_id", "shingle_h"])
     )
-    if max_df is not None:
-        n_docs = documents.count()
-        cap = int(max_df * n_docs) + 1
+    if max_df is not None or max_posting is not None:
+        if max_df is not None:
+            n_docs = documents.count()
+            cap = int(max_df * n_docs) + 1
+            if max_posting is not None:
+                cap = min(cap, max_posting)
+        else:
+            cap = max_posting
         head = (
             sh_dedup.groupBy("shingle_h")
             .agg(F.count("*").alias("df"))

@@ -1217,11 +1217,11 @@ _CLEAN_SQL = r"""trim(regexp_replace(
 # ---------------------------------------------------------------------------
 
 # Ordering contract: the external driver's correctness gate covers the FIRST
-# 50 entries of this dict. The least-proven surfaces (dedup, similarity,
-# streaming, multimodal, text analysis) therefore sit up front; the long-tail
-# relational/SQL-surface queries — all individually oracle-checked locally via
-# tools/check_correctness.py — fill the back. Keep new operators inside the
-# first 50.
+# 50 entries of this dict. The dict below groups queries by subject; the
+# _R4_WINDOW reorder at the bottom of this file puts the round-4 gate window
+# up front (staleness-driven rotation — see its comment). Every entry is
+# oracle-checked locally every round via tools/check_correctness.py
+# regardless of window position.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver-gate window (first ~50): every entry here either has
     # never had a driver CORRECTNESS row (the 12 round-2 additions,
@@ -1768,10 +1768,11 @@ g0 AS (
                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
   FROM t),
 -- identical df cap to the Spark plan: drop shingles appearing in more
--- than floor(0.2 * n_docs) + 1 documents
+-- than min(floor(0.2 * n_docs) + 1, 10000) documents — the relative
+-- df cap AND the absolute posting-size guard, identical to Spark
 head AS (
   SELECT shingle FROM g0 GROUP BY shingle
-  HAVING count(*) > CAST(floor(0.2 * (SELECT count(*) FROM documents)) AS BIGINT) + 1),
+  HAVING count(*) > least(CAST(floor(0.2 * (SELECT count(*) FROM documents)) AS BIGINT) + 1, 10000)),
 g AS (SELECT * FROM g0 WHERE shingle NOT IN (SELECT shingle FROM head)),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY doc_id),
 common AS (
@@ -2413,7 +2414,7 @@ ORACLES["stream_kv_stateful"] = ORACLES["kv_state"]
 # connected components = transitive closure of the (symmetrized) exact
 # near-dup pair set; min reachable id per node == the propagation fixpoint
 ORACLES["neardup_clusters"] = (
-    "WITH RECURSIVE pairs AS ("
+    "WITH RECURSIVE pairs AS MATERIALIZED ("
     + ORACLES["ngram_jaccard_pairs"]
     + """),
 e AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
@@ -2428,7 +2429,7 @@ SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n"""
 # assignment per cluster (seed 13, 10% test) — mirrors
 # curation.leakage_safe_split exactly
 ORACLES["leakage_safe_split"] = (
-    "WITH RECURSIVE pairs AS ("
+    "WITH RECURSIVE pairs AS MATERIALIZED ("
     + ORACLES["ngram_jaccard_pairs"]
     + """),
 e AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
@@ -2446,7 +2447,7 @@ FROM cl"""
 # cluster collapse: same recursive closure, then the longest-member
 # (id tie-break) keep rule re-expressed as a window rank
 ORACLES["neardup_canonical"] = (
-    "WITH RECURSIVE pairs AS ("
+    "WITH RECURSIVE pairs AS MATERIALIZED ("
     + ORACLES["ngram_jaccard_pairs"]
     + """),
 e AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
@@ -2469,3 +2470,46 @@ SELECT m.cluster_id, b.kept_doc,
 FROM mem m JOIN best b ON m.cluster_id = b.cluster_id AND b.rn = 1
 GROUP BY m.cluster_id, b.kept_doc"""
 )
+
+
+# ---------------------------------------------------------------------------
+# Driver-gate window rotation (round 4)
+# ---------------------------------------------------------------------------
+# The external driver gates the FIRST 50 entries of QUERIES each round.
+# Rotation policy (VERDICT r3 item 9): minimize staleness — no query
+# should go rounds without a driver row when capacity allows. Driver
+# coverage so far: r1+r2+r3 covered all 121 queries; the r3 window
+# re-gated 50, leaving 42 queries whose last driver row is r1 (three
+# rounds old by the end of r4) and 29 last gated in r2. Round-4 window
+# = every new round-4 query + all 42 r1-stale + the most consequential
+# r2-stale (dedup/clustering family). The r3-gated entries (including
+# the oracle-exact counterparts of the rows-only families — all green
+# in r3) rotate below the boundary and come back in r5 with the
+# remaining r2-stale set.
+_R4_WINDOW = [
+    # new in round 4
+    "multimodal_png_decode",
+    # last driver row r1 (42)
+    "approx_distinct_users", "approx_percentiles", "asof_attribution",
+    "bool_aggregates", "corr_stats", "customer_upsert",
+    "events_json_extract", "events_windowed", "exact_dedup",
+    "frequent_items", "funnel_conversion", "inverted_index",
+    "kv_changes", "kv_effective_ops", "kv_get", "kv_snapshot",
+    "lang_long_format", "mapreduce_wordcount", "order_percentiles",
+    "order_running_totals", "price_outliers", "pricing_summary",
+    "priority_cube", "priority_rollup", "range_join_views",
+    "regex_extraction", "regional_revenue", "revenue_by_segment",
+    "revenue_percentiles", "rolling_weekly_revenue", "scalar_functions",
+    "semi_anti_orders", "set_ops", "shard_census", "source_lang_pivot",
+    "string_functions", "table_profile", "tiered_rollup",
+    "token_array_ops", "top_orders", "user_event_profile",
+    "user_sessions",
+    # last driver row r2 — dedup/clustering family first (the crossover
+    # tier this round measures them; keep driver rows fresh too)
+    "ngram_jaccard_pairs", "neardup_clusters", "neardup_canonical",
+    "minhash_neardup", "embedding_neardup", "kv_state", "shard_routing",
+]
+assert len(_R4_WINDOW) == 50 and len(set(_R4_WINDOW)) == 50
+QUERIES = {name: QUERIES[name] for name in _R4_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R4_WINDOW)
+}

@@ -385,3 +385,26 @@ def test_fused_decontaminate_enforces_broadcast_contract(spark):
     assert "MapInPandas" not in physical_plan(fallback)
     assert "Broadcast" in physical_plan(fallback)
     assert sorted(map(tuple, fused.collect())) == sorted(map(tuple, fallback.collect()))
+
+
+def test_ngram_absolute_posting_guard(spark):
+    """round-4: max_posting is the ABSOLUTE fan-out cap the relative
+    max_df cap lacks (at 250k docs the relative cap admits ~50k-doc
+    posting lists whose |df|^2 expansion OOMed a 32-core JVM). Shingles
+    over the absolute cap drop even when under the relative cap."""
+    from distributed_computing_spark.operators.dedup import ngram_jaccard_pairs
+
+    shared = "alpha beta gamma"  # one shingle shared by ALL docs
+    rows = [(i, f"{shared} tail{i} x{i} y{i}") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # relative cap admits the shared shingle (df=8 <= 0.9*8+1);
+    # absolute cap 2 must drop it -> no doc pair clears the threshold
+    guarded = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.1, max_df=0.9, max_posting=2
+    )
+    assert guarded.count() == 0
+    # without the absolute cap the shared shingle pairs everything
+    unguarded = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.1, max_df=0.9, max_posting=None
+    )
+    assert unguarded.count() == 8 * 7 // 2
