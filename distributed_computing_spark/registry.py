@@ -2505,11 +2505,98 @@ _R4_WINDOW = [
     "token_array_ops", "top_orders", "user_event_profile",
     "user_sessions",
     # last driver row r2 — dedup/clustering family first (the crossover
-    # tier this round measures them; keep driver rows fresh too)
+    # tier this round measures them; keep driver rows fresh too), plus
+    # the two BPE rows whose round-4 oracles turn them exact
     "ngram_jaccard_pairs", "neardup_clusters", "neardup_canonical",
-    "minhash_neardup", "embedding_neardup", "kv_state", "shard_routing",
+    "embedding_neardup", "shard_routing",
+    "bpe_merges", "bpe_encode_stats",
 ]
 assert len(_R4_WINDOW) == 50 and len(set(_R4_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R4_WINDOW} | {
     k: v for k, v in QUERIES.items() if k not in set(_R4_WINDOW)
 }
+
+
+# ---------------------------------------------------------------------------
+# Oracle-exact BPE (round 4): the iterative merge loop as 24 unrolled
+# CTE rounds — the generated-SQL trick that made MinHash/SimHash/IVF
+# exact extends to BPE because the greedy left-to-right pair merge is
+# EXACTLY leftmost-non-overlapping string replacement over a bracketed
+# symbol encoding ('{sym}{sym}...'): replace(s, '{a}{b}', '{ab}')
+# reproduces operators/bpe._merge_pair's fold bit-for-bit (proven
+# against a pure-Python reference in tests/test_bpe.py). Each round is
+# a MATERIALIZED CTE pair (argmax + rewrite); without the hint DuckDB
+# re-inlines the chain exponentially. Contract: valid when no early
+# min_count stop fires within n_merges rounds (true at gate scale; an
+# early stop would surface as a row-count mismatch, not silence).
+# ---------------------------------------------------------------------------
+
+
+def _bpe_rounds_sql(n_merges: int) -> str:
+    """Shared CTE chain: wc -> w0 -> (b1, w1) ... (bN, wN)."""
+    parts = [
+        """wc AS MATERIALIZED (
+  SELECT word, count(*) AS cnt
+  FROM (SELECT unnest(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
+                                  x -> x <> '')) AS word
+        FROM documents)
+  GROUP BY word),
+w0 AS MATERIALIZED (
+  SELECT word, cnt,
+         '{' || array_to_string(regexp_extract_all(word, '.'), '}{')
+             || '}{</w>}' AS s
+  FROM wc)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""
+b{i} AS MATERIALIZED (
+  SELECT z[1] AS a, z[2] AS b, sum(cnt) AS n
+  FROM (SELECT cnt,
+               unnest(list_zip(regexp_extract_all(s, '\\{{([^}}]*)\\}}', 1)[:-1],
+                               regexp_extract_all(s, '\\{{([^}}]*)\\}}', 1)[2:])) AS z
+        FROM w{i-1})
+  WHERE z[2] IS NOT NULL
+  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1),
+w{i} AS MATERIALIZED (
+  SELECT word, cnt,
+         replace(s, '{{' || b.a || '}}{{' || b.b || '}}',
+                    '{{' || b.a || b.b || '}}') AS s
+  FROM w{i-1}, b{i} b)"""
+        )
+    return "WITH " + ",".join(parts)
+
+
+def _bpe_merges_oracle_sql(n_merges: int = 24) -> str:
+    sel = "\nUNION ALL\n".join(
+        f'SELECT {i} AS rank, a AS "left", b AS "right", '
+        f"CAST(n AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return _bpe_rounds_sql(n_merges) + "\n" + sel
+
+
+def _bpe_encode_oracle_sql(n_merges: int = 24) -> str:
+    """Self-encode via the final pieces table: n_pieces per word = its
+    '{'-bracket count in w{N}; self-encoding has zero OOV (every token
+    is in the vocabulary it was trained from)."""
+    return (
+        _bpe_rounds_sql(n_merges)
+        + f""",
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
+                            x -> x <> '')) AS word
+  FROM documents)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(w.s) - length(replace(w.s, '{{', ''))) AS BIGINT)
+         AS n_pieces,
+       CAST(0 AS BIGINT) AS n_oov
+FROM tok t JOIN w{n_merges} w USING (word)
+GROUP BY t.doc_id"""
+    )
+
+
+ORACLES["bpe_merges"] = _bpe_merges_oracle_sql(24)
+ORACLES["bpe_encode_stats"] = _bpe_encode_oracle_sql(24)

@@ -56,15 +56,20 @@ DEFAULT_QUERIES = [
 # carries them; the `measured` field marks them as recorded, not re-run.
 RECORDED_DEDUP_TIERS = {
     "note": "offline single-run measurements via tools/crossover.py; "
-    "see BASELINE.md 'Dedup/ANN family crossover'",
-    "neardup_clusters": {
-        "R20": {"spark_s": 100.3, "duckdb_s": 856.0, "ratio": 0.12},
-    },
-    "neardup_canonical": {
-        "R20": {"spark_s": 131.2, "duckdb_s": None, "ratio": None},
-    },
+    "see BASELINE.md 'Dedup/ANN family crossover'. DuckDB times use the "
+    "adopted MATERIALIZED-hinted oracle (the unhinted planner re-ran "
+    "the n-gram join inside the recursion: clusters 856 s at 20x, "
+    "canonical ran out of 77 GB of spill disk).",
     "minhash_lsh_exact": {
         "R20": {"spark_s": 32.9, "duckdb_s": 49.8, "ratio": 0.66},
+        "R50": {"spark_s": 29.4, "duckdb_s": 34.1, "ratio": 0.86},
+    },
+    "neardup_clusters": {
+        "R20": {"spark_s": 100.3, "duckdb_s": 264.3, "ratio": 0.38},
+        "R50": {"spark_s": 1014.6, "duckdb_s": None, "ratio": None},
+    },
+    "neardup_canonical": {
+        "R20": {"spark_s": 131.2, "duckdb_s": 146.3, "ratio": 0.90},
     },
 }
 
