@@ -133,18 +133,27 @@ def customer_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
+    # Exact-DECIMAL arithmetic end to end (round-4 sf0.1 gate fix):
+    # o_totalprice is an exact 2-decimal value, but sum(double) is
+    # addition-order-dependent, and double round() at an exact .xx5
+    # boundary diverges between engines (DuckDB multiplies by 10^d
+    # first, which can flip the ulp). Summing as decimal, scaling by a
+    # DECIMAL 0.001, and rounding while still exact makes every step
+    # order-independent and boundary-deterministic on both engines; the
+    # final cast back to double only converts an already-rounded
+    # 2-decimal value.
     rev = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("c_custkey"))
-        .agg(F.sum("o_totalprice").alias("_rev"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev"))
     )
-    updates = (
-        cust.join(rev, "c_custkey")
-        .select(
-            "c_custkey",
-            "c_mktsegment",
-            (F.col("c_acctbal") + F.col("_rev") / 1000).alias("c_acctbal"),
-        )
+    new_bal = F.round(
+        F.col("c_acctbal").cast("decimal(18,2)")
+        + F.col("_rev") * F.lit(0.001).cast("decimal(4,3)"),
+        2,
+    ).cast("double")
+    updates = cust.join(rev, "c_custkey").select(
+        "c_custkey", "c_mktsegment", new_bal.alias("c_acctbal")
     )
     merged = merge_upsert(cust, updates, "c_custkey")
     return merged.select(
@@ -282,11 +291,17 @@ def salted_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = salted_join(
         li.hint("shuffle_hash"), orders, "okey", ["okey", "l_linenumber"], n_salt=8
     )
+    # DECIMAL revenue sum (round-4 sf0.1 gate fix): price and discount
+    # are exact 2-decimal values, so the per-row product is an exact
+    # 4-decimal decimal and the sum is order-independent — sum(double)
+    # drifted in the 4th decimal at sf0.1 group sizes. Final cast back
+    # to double keeps the gate's column type float on both engines.
+    rev_dec = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-            "revenue"
-        ),
+        F.round(F.sum(rev_dec), 4).cast("double").alias("revenue"),
     )
 
 
@@ -1076,11 +1091,19 @@ def multimodal_real_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode→featurize→ANN composition over REAL bytes, VALUE-
     GATED (the strict counterpart of rows-only ``multimodal_ann``):
     genuine BMPs decode to channel-mean vectors, every 50th image is a
-    query, exact cosine top-3 over the feature space. Zero-vector rows
+    query, cosine top-3 over the feature space. Zero-vector rows
     (doc_id ≡ 0 mod 256 → black frame) are excluded on both engines —
-    cosine is undefined there."""
+    cosine is undefined there.
+
+    Ranking key (round-4 sf0.1 gate fix): the channel means are exact
+    small integers, so instead of float cosine — whose last-ulp
+    differences between engines flipped near-tied ranks at sf0.1 — the
+    sort key is the EXACT integer (dot² · 10⁸) div (‖q‖²·‖v‖²), i.e.
+    cosine² quantized to 1e-8, computed identically in both engines
+    (all intermediates < 2⁶³; dot products here are non-negative).
+    Ranking is monotone in cosine up to the quantization; sub-1e-8
+    near-ties break deterministically by nn_id on both sides."""
     from distributed_computing_spark.operators import multimodal
-    from distributed_computing_spark.operators.similarity import cosine
 
     from pyspark.sql import Window
 
@@ -1090,19 +1113,33 @@ def multimodal_real_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("blob_id") % 256 != 0)
         .select(
             "blob_id",
-            F.array("mean_r", "mean_g", "mean_b").alias("vec"),
+            F.col("mean_r").cast("long").alias("r"),
+            F.col("mean_g").cast("long").alias("g"),
+            F.col("mean_b").cast("long").alias("b"),
         )
     )
     q = feats.where(F.col("blob_id") % 50 == 0).select(
-        F.col("blob_id").alias("q_id"), F.col("vec").alias("q_vec")
+        F.col("blob_id").alias("q_id"),
+        F.col("r").alias("qr"),
+        F.col("g").alias("qg"),
+        F.col("b").alias("qb"),
     )
+    d = F.col("qr") * F.col("r") + F.col("qg") * F.col("g") + F.col("qb") * F.col("b")
+    nq = F.col("qr") * F.col("qr") + F.col("qg") * F.col("qg") + F.col("qb") * F.col("qb")
+    nv = F.col("r") * F.col("r") + F.col("g") * F.col("g") + F.col("b") * F.col("b")
     sims = (
-        feats.select(F.col("blob_id").alias("nn_id"), F.col("vec").alias("nn_vec"))
+        feats.select(F.col("blob_id").alias("nn_id"), "r", "g", "b")
         .crossJoin(F.broadcast(q))
         .where(F.col("q_id") != F.col("nn_id"))
-        .select("q_id", "nn_id", cosine(F.col("q_vec"), F.col("nn_vec")).alias("sim"))
+        .select(
+            "q_id",
+            "nn_id",
+            (d * d * F.lit(100_000_000)).cast("long").alias("_num"),
+            (nq * nv).cast("long").alias("_den"),
+        )
+        .select("q_id", "nn_id", F.expr("_num div _den").alias("key"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("key").desc(), F.col("nn_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
@@ -1464,9 +1501,14 @@ WITH {_OPS_CTE}, {_EFF_CTE},
 state AS (WITH {_REPLAY_SQL})
 SELECT * FROM state WHERE "key" IN ('0', '7', '13', '19')""",
     "customer_upsert": """
-WITH r AS (SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY 1)
+WITH r AS (SELECT o_custkey,
+                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1)
 SELECT c_custkey, c_mktsegment,
-       round(c_acctbal + coalesce(rev / 1000, 0), 2) AS c_acctbal
+       CASE WHEN rev IS NULL THEN round(c_acctbal, 2)
+            ELSE CAST(round(CAST(c_acctbal AS DECIMAL(18,2))
+                            + rev * CAST(0.001 AS DECIMAL(4,3)), 2) AS DOUBLE)
+       END AS c_acctbal
 FROM customer LEFT JOIN r ON c_custkey = o_custkey""",
     "lang_long_format": """
 WITH s AS (SELECT DISTINCT source FROM documents),
@@ -2134,18 +2176,24 @@ GROUP BY d.doc_id""",
     "multimodal_real_ann": """
 WITH f AS (
   SELECT doc_id AS id,
-         CAST((doc_id * 7) % 256 AS DOUBLE) AS r,
-         CAST((doc_id * 13) % 256 AS DOUBLE) AS g,
-         CAST((doc_id * 29) % 256 AS DOUBLE) AS b
+         CAST((doc_id * 7) % 256 AS BIGINT) AS r,
+         CAST((doc_id * 13) % 256 AS BIGINT) AS g,
+         CAST((doc_id * 29) % 256 AS BIGINT) AS b
   FROM documents WHERE doc_id % 2 = 0 AND doc_id % 256 <> 0),
 q AS (SELECT id AS q_id, r, g, b FROM f WHERE id % 50 = 0),
 s AS (
+  -- exact-integer cosine^2 key quantized to 1e-8 (matches Spark's
+  -- `div`): float cosine's last ulp flips near-tied ranks across
+  -- engines at larger SFs
   SELECT q.q_id, f.id AS nn_id,
-         list_cosine_similarity([q.r, q.g, q.b], [f.r, f.g, f.b]) AS sim
+         ((q.r*f.r + q.g*f.g + q.b*f.b) * (q.r*f.r + q.g*f.g + q.b*f.b)
+          * 100000000)
+         // ((q.r*q.r + q.g*q.g + q.b*q.b) * (f.r*f.r + f.g*f.g + f.b*f.b))
+           AS key
   FROM q JOIN f ON f.id <> q.q_id),
 rk AS (
   SELECT q_id, nn_id,
-         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS INTEGER) AS rank
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY key DESC, nn_id) AS INTEGER) AS rank
   FROM s)
 SELECT q_id, nn_id, rank FROM rk WHERE rank <= 3""",
     "multimodal_avi_frames": """
@@ -2394,7 +2442,9 @@ SELECT user_id, count(*) AS n_events,
 FROM events GROUP BY user_id""",
     "salted_revenue_join": """
 SELECT o_orderpriority, count(*) AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 4)
+            AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority""",
     "value_histogram": """
