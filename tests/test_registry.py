@@ -26,10 +26,9 @@ ROWS_ONLY = {
     "multimodal_decode",
     "multimodal_features",
     "sample_by_lang",
-    # iterative argmax-and-rewrite (not SQL-expressible); merge order
-    # pinned by the classic-example tests in tests/test_bpe.py
-    "bpe_merges",
-    "bpe_encode_stats",
+    # bpe_merges / bpe_encode_stats graduated OUT of this set in round 4:
+    # the 24-round merge loop unrolls into generated MATERIALIZED CTEs
+    # (registry._bpe_merges_oracle_sql), so both are strictly gated now.
 }
 
 

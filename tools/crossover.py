@@ -66,7 +66,14 @@ RECORDED_DEDUP_TIERS = {
     },
     "neardup_clusters": {
         "R20": {"spark_s": 100.3, "duckdb_s": 264.3, "ratio": 0.38},
-        "R50": {"spark_s": 1014.6, "duckdb_s": None, "ratio": None},
+        "R50": {
+            "spark_s": 1014.6,
+            "duckdb_s": None,
+            "ratio": None,
+            "duckdb_outcome": "DNF: OutOfMemory after 1743 s (solo run, "
+            "128 GiB box, MATERIALIZED-hinted SQL; first attempt OOMed "
+            "at 2314 s under light concurrent load)",
+        },
     },
     "neardup_canonical": {
         "R20": {"spark_s": 131.2, "duckdb_s": 146.3, "ratio": 0.90},
