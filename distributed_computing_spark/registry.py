@@ -1385,6 +1385,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders": analytics.top_orders,
     "revenue_by_segment": analytics.revenue_by_segment,
     "regional_revenue": analytics.regional_revenue,
+    # round-4: the storage-partitioned-join variant (bucketed facts,
+    # zero shuffle exchanges — plan-asserted; BASELINE.md experiment)
+    "regional_revenue_bucketed": analytics.regional_revenue_bucketed,
     "order_running_totals": analytics.order_running_totals,
     "mapreduce_wordcount": mapreduce_wordcount,
     "inverted_index": inverted_index,
@@ -2538,7 +2541,7 @@ GROUP BY m.cluster_id, b.kept_doc"""
 # remaining r2-stale set.
 _R4_WINDOW = [
     # new in round 4
-    "multimodal_png_decode",
+    "multimodal_png_decode", "regional_revenue_bucketed",
     # last driver row r1 (42)
     "approx_distinct_users", "approx_percentiles", "asof_attribution",
     "bool_aggregates", "corr_stats", "customer_upsert",
@@ -2558,7 +2561,7 @@ _R4_WINDOW = [
     # tier this round measures them; keep driver rows fresh too), plus
     # the two BPE rows whose round-4 oracles turn them exact
     "ngram_jaccard_pairs", "neardup_clusters", "neardup_canonical",
-    "embedding_neardup", "shard_routing",
+    "shard_routing",
     "bpe_merges", "bpe_encode_stats",
 ]
 assert len(_R4_WINDOW) == 50 and len(set(_R4_WINDOW)) == 50
@@ -2647,6 +2650,19 @@ FROM tok t JOIN w{n_merges} w USING (word)
 GROUP BY t.doc_id"""
     )
 
+
+ORACLES["regional_revenue_bucketed"] = """
+SELECT r_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name"""
 
 ORACLES["bpe_merges"] = _bpe_merges_oracle_sql(24)
 ORACLES["bpe_encode_stats"] = _bpe_encode_oracle_sql(24)

@@ -234,3 +234,14 @@ def test_corpus_pipeline_single_composed_plan(spark):
     # dedup membership + contamination drop both resolve as (semi/anti)
     # hash joins against broadcast id sets at this SF
     assert "LeftSemi" in tree and "LeftAnti" in tree
+
+
+def test_regional_revenue_bucketed_has_no_shuffle(spark):
+    """round-4 storage-partitioned join: with lineitem+orders bucketed
+    and sorted on the order key, the fact-fact join plans with ZERO
+    shuffle exchanges — dims ride broadcasts, and the one data-scale
+    exchange the ad-hoc plan pays (the l⋈o shuffle) is gone."""
+    df = QUERIES["regional_revenue_bucketed"](spark, SF_DIR)
+    tree = operator_tree(df)
+    assert tree.count("Exchange hashpartitioning") == 0, tree
+    assert "BroadcastHashJoin" in tree
