@@ -54,6 +54,9 @@ HEADLINE = [
     "priority_cube",
     "scalar_functions",
     "multimodal_stats",
+    # round-4: the real-PNG decode pipeline (zlib inflate + unfilter in
+    # Arrow batches — the compressed-format multimodal throughput story)
+    "multimodal_png_decode",
 ]
 
 
