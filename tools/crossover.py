@@ -77,6 +77,13 @@ RECORDED_DEDUP_TIERS = {
     },
     "neardup_canonical": {
         "R20": {"spark_s": 131.2, "duckdb_s": 146.3, "ratio": 0.90},
+        "R50": {
+            "spark_s": 608.4,
+            "duckdb_s": None,
+            "ratio": None,
+            "duckdb_outcome": "DNF: embeds the same recursive closure "
+            "that OOMs solo at 50x (see neardup_clusters.R50)",
+        },
     },
 }
 
