@@ -322,12 +322,21 @@ def decode_png(data: bytes) -> np.ndarray:
 
     if len(data) < 8 or data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
-    pos, w = 8, None
+    pos, w, h, ch = 8, None, None, None
     idat = bytearray()
     while pos + 8 <= len(data):
         (ln,) = struct.unpack_from(">I", data, pos)
         ctype = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + ln]
+        # per-chunk CRC covers type+data (ADVICE r4: verify on decode so
+        # a truncated/corrupted blob fails the ValueError contract, not
+        # deep inside zlib or the unfilter loop)
+        crc_off = pos + 8 + ln
+        if crc_off + 4 > len(data):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", data, crc_off)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
         if ctype == b"IHDR":
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
@@ -340,6 +349,8 @@ def decode_png(data: bytes) -> np.ndarray:
             if ch is None:
                 raise ValueError(f"unsupported color type {color_type}")
         elif ctype == b"IDAT":
+            if w is None:
+                raise ValueError("IDAT before IHDR")
             idat += body
         elif ctype == b"IEND":
             break

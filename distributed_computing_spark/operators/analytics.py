@@ -119,6 +119,26 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucketed_source_tag(sf_dir: str, n_buckets: int) -> str:
+    """Catalog-table tag folding in a SOURCE fingerprint (mtime+size of
+    both fact parquet files), not just the path: if the testdata under
+    sf_dir is ever regenerated, stale bucketed copies would otherwise
+    silently serve old data while the DuckDB oracle reads the fresh
+    files (ADVICE r4)."""
+    import hashlib
+    import os
+
+    fp_parts = [sf_dir, str(n_buckets)]
+    for t in ("orders", "lineitem"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            fp_parts.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+        except OSError:
+            fp_parts.append(f"{t}:missing")
+    return hashlib.md5("|".join(fp_parts).encode()).hexdigest()[:8]
+
+
 def _bucketed_fact_tables(
     spark: SparkSession, sf_dir: str, n_buckets: int = 8
 ) -> tuple[str, str]:
@@ -132,9 +152,7 @@ def _bucketed_fact_tables(
     saveAsTable). One write amortizes over every downstream join; the
     experiment record in BASELINE.md has the measured tradeoff.
     """
-    import hashlib
-
-    tag = hashlib.md5(f"{sf_dir}|{n_buckets}".encode()).hexdigest()[:8]
+    tag = _bucketed_source_tag(sf_dir, n_buckets)
     lt, ot = f"l_bkt_{tag}", f"o_bkt_{tag}"
     if not (spark.catalog.tableExists(lt) and spark.catalog.tableExists(ot)):
         spark.conf.set("spark.sql.sources.bucketing.enabled", "true")

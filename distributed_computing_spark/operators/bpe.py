@@ -21,9 +21,18 @@ already yields every known word's final pieces, so encoding is a
 broadcast join against the trained table (unknown words fall back to
 character pieces).
 
-No SQL oracle: 30 rounds of argmax-and-rewrite are not expressible in
-DuckDB SQL — the registry entry is rows-only by design, with the merge
-sequence pinned by hand-computed tests (tests/test_bpe.py).
+SQL oracle (round 4): the registry gates this EXACTLY against DuckDB
+via a generated chain of unrolled MATERIALIZED CTE rounds
+(registry._bpe_rounds_sql) — the greedy left-to-right pair merge is
+leftmost-non-overlapping string replacement over a bracketed symbol
+encoding, so each round is an argmax CTE plus a replace() rewrite.
+Contract: the oracle unrolls exactly ``n_merges`` rounds, so it is
+valid only while no early ``min_count`` stop fires within that many
+merges (true at gate scales; ``registry.bpe_merges`` asserts
+``len(rules) == n_merges`` so a future early stop fails loudly as the
+documented contract, not as a silent oracle divergence). The merge
+sequence is additionally pinned by hand-computed tests
+(tests/test_bpe.py).
 """
 
 from __future__ import annotations

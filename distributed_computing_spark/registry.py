@@ -828,13 +828,27 @@ def stream_kv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_merges(spark: SparkSession, sf_dir: str, n_merges: int = 24) -> DataFrame:
     """BPE tokenizer training (word-frequency formulation) on the
     corpus: the learned merge sequence as (rank, left, right,
-    pair_count). Iterative argmax-and-rewrite — not SQL-expressible, so
-    rows-only under the gate; the merge order is pinned by the
-    hand-computed classic example in tests/test_bpe.py."""
+    pair_count). Oracle-exact since round 4: the iterative
+    argmax-and-rewrite is gated against a generated chain of unrolled
+    MATERIALIZED CTE rounds (_bpe_rounds_sql) that reproduces the merge
+    fold bit-for-bit; the merge order is additionally pinned by the
+    hand-computed classic example in tests/test_bpe.py. The oracle
+    unrolls exactly ``n_merges`` rounds, so an early ``min_count`` stop
+    would break the contract — asserted loudly below."""
     from distributed_computing_spark.operators.bpe import train_bpe
 
     docs = load_table(spark, sf_dir, "documents")
     rules, _pieces = train_bpe(spark, docs, n_merges=n_merges)
+    # Oracle contract (ADVICE r4): the unrolled-CTE oracle assumes all
+    # n_merges rounds ran. If a sparse corpus ever fires the min_count
+    # early stop, diagnose it HERE as the documented contract rather
+    # than letting an empty CTE round surface as a cryptic mismatch.
+    assert len(rules) == n_merges, (
+        f"bpe_merges: early min_count stop after {len(rules)}/{n_merges} "
+        "merges — the fixed-round unrolled-CTE oracle (registry."
+        "_bpe_rounds_sql) is only valid when all rounds fire; lower "
+        "n_merges or regenerate the oracle for this corpus"
+    )
     return spark.createDataFrame(
         [(i + 1, a, b, int(n)) for i, (a, b, n) in enumerate(rules)],
         "rank int, left string, right string, pair_count long",

@@ -274,3 +274,24 @@ def test_event_transitions_ordering(spark, tmp_path):
     got = {(r["from_type"], r["to_type"]): (r["n_transitions"], r["n_users"])
            for r in event_transitions(spark, d).collect()}
     assert got == {("view", "click"): (1, 1), ("click", "purchase"): (1, 1)}
+
+
+def test_bucketed_source_tag_tracks_source_fingerprint(tmp_path):
+    """ADVICE r5: the bucketed-table catalog tag must change when the
+    source parquet is regenerated (mtime/size), so stale bucketed
+    copies can't silently serve old data against a fresh oracle."""
+    import os
+    import shutil
+
+    from distributed_computing_spark.operators.analytics import _bucketed_source_tag
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in ("orders", "lineitem"):
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    t1 = _bucketed_source_tag(str(d), 8)
+    assert t1 == _bucketed_source_tag(str(d), 8)  # stable when unchanged
+    assert t1 != _bucketed_source_tag(str(d), 16)  # bucket count in tag
+    os.utime(d / "orders.parquet", ns=(1, 1))  # simulate regeneration
+    assert t1 != _bucketed_source_tag(str(d), 8)

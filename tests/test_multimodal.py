@@ -343,3 +343,41 @@ def test_png_spark_decode_means(spark, sf_dir):
         assert r["mean_r"] == ((i * 7) % 256 + (i * 11) % 256) / 2
         assert r["mean_g"] == ((i * 13) % 256 + (i * 17) % 256) / 2
         assert r["mean_b"] == ((i * 29) % 256 + (i * 23) % 256) / 2
+
+
+def test_png_decode_malformed_follows_valueerror_contract():
+    """ADVICE r5: malformed containers fail with ValueError (the codec's
+    documented contract), never NameError/IndexError — IDAT before IHDR,
+    corrupted chunk CRC, and truncated chunks all included."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from distributed_computing_spark.functions.codecs import decode_png, encode_png
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # IDAT before IHDR: previously referenced h/ch before assignment.
+    bad = sig + chunk(b"IDAT", zlib.compress(b"\x00\x00")) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IDAT before IHDR"):
+        decode_png(bad)
+
+    good = encode_png(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+    # flip one byte inside the first chunk body -> CRC mismatch
+    corrupted = bytearray(good)
+    corrupted[20] ^= 0xFF
+    with pytest.raises(ValueError, match="bad CRC"):
+        decode_png(bytes(corrupted))
+    # truncate inside the final chunk's CRC -> truncated, not IndexError
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(good[:-1])

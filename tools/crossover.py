@@ -54,36 +54,26 @@ DEFAULT_QUERIES = [
 # Measured numbers live in BASELINE.md ("Dedup/ANN family crossover")
 # and are echoed into the bench JSON below so every BENCH_r{N} snapshot
 # carries them; the `measured` field marks them as recorded, not re-run.
+# Keep this dict NUMBERS-ONLY: it is embedded in bench.py's single JSON
+# output line, and round 4's prose notes grew that line past the
+# driver's tail capture, destroying the artifact ("parsed": null in
+# BENCH_r04.json). All prose/context lives in BASELINE.md §"Dedup/ANN
+# family crossover"; "DNF" = DuckDB OutOfMemory (details there).
 RECORDED_DEDUP_TIERS = {
-    "note": "offline single-run measurements via tools/crossover.py; "
-    "see BASELINE.md 'Dedup/ANN family crossover'. DuckDB times use the "
-    "adopted MATERIALIZED-hinted oracle (the unhinted planner re-ran "
-    "the n-gram join inside the recursion: clusters 856 s at 20x, "
-    "canonical ran out of 77 GB of spill disk).",
+    "note": "offline runs, see BASELINE.md 'Dedup/ANN family crossover'",
     "minhash_lsh_exact": {
         "R20": {"spark_s": 32.9, "duckdb_s": 49.8, "ratio": 0.66},
         "R50": {"spark_s": 29.4, "duckdb_s": 34.1, "ratio": 0.86},
     },
     "neardup_clusters": {
         "R20": {"spark_s": 100.3, "duckdb_s": 264.3, "ratio": 0.38},
-        "R50": {
-            "spark_s": 1014.6,
-            "duckdb_s": None,
-            "ratio": None,
-            "duckdb_outcome": "DNF: OutOfMemory after 1743 s (solo run, "
-            "128 GiB box, MATERIALIZED-hinted SQL; first attempt OOMed "
-            "at 2314 s under light concurrent load)",
-        },
+        "R50": {"spark_s": 1014.6, "duckdb_s": None, "ratio": None,
+                "duckdb_outcome": "DNF-OOM@1743s"},
     },
     "neardup_canonical": {
         "R20": {"spark_s": 131.2, "duckdb_s": 146.3, "ratio": 0.90},
-        "R50": {
-            "spark_s": 608.4,
-            "duckdb_s": None,
-            "ratio": None,
-            "duckdb_outcome": "DNF: embeds the same recursive closure "
-            "that OOMs solo at 50x (see neardup_clusters.R50)",
-        },
+        "R50": {"spark_s": 608.4, "duckdb_s": None, "ratio": None,
+                "duckdb_outcome": "DNF-OOM (same closure as clusters R50)"},
     },
 }
 
