@@ -133,17 +133,25 @@ _TAIL_BUDGET = 1900  # driver tail capture is 2000 chars; leave margin
 
 
 def _compact_for_tail(payload: dict) -> dict:
+    def r2(x):  # 2-decimal timings: the tail record trades 1 ms for fit
+        return round(x, 2) if isinstance(x, float) else x
+
     p = dict(payload)
+    p["queries"] = {k: r2(v) for k, v in p.get("queries", {}).items()}
     xo = p.get("crossover")
     if isinstance(xo, dict) and "queries" in xo:
         xo = dict(xo)
         xo["queries"] = {
-            k: [v["spark_s"], v["duckdb_s"]] for k, v in xo["queries"].items()
+            k: [r2(v["spark_s"]), r2(v["duckdb_s"])]
+            for k, v in xo["queries"].items()
         }
         rec = xo.pop("dedup_tier_recorded", None) or {}
         rec |= xo.pop("kv_tier_recorded", None) or {}
         compact = {
-            fam: {t: [d.get("spark_s"), d.get("duckdb_s")] for t, d in tiers.items()}
+            fam: {
+                t: [r2(d.get("spark_s")), r2(d.get("duckdb_s"))]
+                for t, d in tiers.items()
+            }
             for fam, tiers in rec.items()
             if isinstance(tiers, dict)
         }
@@ -156,7 +164,7 @@ def _compact_for_tail(payload: dict) -> dict:
         return len(json.dumps(d, separators=(",", ":")))
 
     # shed optional detail, least essential first, until the line fits
-    for drop in ("recorded", "rows", "queries"):
+    for drop in ("rows", "recorded", "queries"):
         if _len(p) <= _TAIL_BUDGET:
             break
         if isinstance(p.get("crossover"), dict):

@@ -123,6 +123,52 @@ def kv_get_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.where(F.col("key").isin("0", "7", "13", "19"))
 
 
+def _hotkey_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key ops-log adapter (round 5): the reference's append-history
+    linearizability workload (kvraft/test_test.go:131-236) is many
+    clients hammering a few keys — here one key ('hot') receives ~25%
+    of all writes (user_id % 4 == 0) and req_id is monotone so the K4
+    dedup keeps EVERY op: the per-key fold, not the dedup filter, is
+    the load-bearing stage, exactly the regime ``salt_buckets`` exists
+    for."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("seq"),
+        (F.col("user_id") % 50).alias("client_id"),
+        F.col("event_id").alias("req_id"),
+        F.when(F.col("event_type") == "signup", F.lit("put"))
+        .when(F.col("event_type").isin("click", "view", "purchase"), F.lit("append"))
+        .otherwise(F.lit("get"))
+        .alias("op"),
+        F.when(F.col("user_id") % 4 == 0, F.lit("hot"))
+        .otherwise((F.col("user_id") % 20).cast("string"))
+        .alias("key"),
+        F.concat(
+            F.substring(F.col("event_type"), 1, 2),
+            (F.col("event_id") % 10).cast("string"),
+        ).alias("value"),
+    )
+
+
+def kv_replay_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+K5 under real skew: full ordered replay of a hot-key ops log
+    through the SALTED fold (``replay(salt_buckets=32)`` — contiguous
+    (key, seq-range) sub-folds concatenated in range order, so no task
+    ever holds the hot key's whole history; kv.py:86-131). Emits
+    (key, value_len, value_md5) instead of the multi-MB values so the
+    gate hashes stay cheap; the md5 pins the exact byte sequence, which
+    only an order-correct fold produces. Oracle mirrors the identical
+    dedup-window + last-put-cutoff + ordered string_agg."""
+    from distributed_computing_spark.operators.kv import replay
+
+    state = replay(_hotkey_ops(spark, sf_dir), dedup=True, salt_buckets=32)
+    return state.select(
+        "key",
+        F.length("value").cast("long").alias("value_len"),
+        F.md5("value").alias("value_md5"),
+    )
+
+
 def customer_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 table form: MERGE-emulated upsert of the customer dimension —
     customers with orders get a recomputed balance, the rest pass
@@ -133,27 +179,44 @@ def customer_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    # Exact-DECIMAL arithmetic end to end (round-4 sf0.1 gate fix):
-    # o_totalprice is an exact 2-decimal value, but sum(double) is
-    # addition-order-dependent, and double round() at an exact .xx5
-    # boundary diverges between engines (DuckDB multiplies by 10^d
-    # first, which can flip the ulp). Summing as decimal, scaling by a
-    # DECIMAL 0.001, and rounding while still exact makes every step
-    # order-independent and boundary-deterministic on both engines; the
-    # final cast back to double only converts an already-rounded
-    # 2-decimal value.
+    # Exact arithmetic end to end (round-4 sf0.1 gate fix): o_totalprice
+    # is an exact 2-decimal value, but sum(double) is addition-order-
+    # dependent, and double round() at an exact .xx5 boundary diverges
+    # between engines (DuckDB multiplies by 10^d first, which can flip
+    # the ulp). Round 5 keeps the exactness but swaps the hot aggregate
+    # from DECIMAL-sum to CENTS-AS-LONG-sum — cast decimal(18,2) per
+    # row (exact), ×100 → exact integer, sum longs (order-independent,
+    # 2.1× faster than Spark's decimal sum at the 75M-row tier: 4.5 s →
+    # 2.1 s measured) — then rebuilds the same exact decimal:
+    # cents × 0.00001 == sum(price) × 0.001 with scale-5 exactness, so
+    # the rounded result is bit-identical to the oracle's DECIMAL-sum
+    # formulation. Overflow headroom: 2^63 cents ≈ 9.2e16 dollars.
     rev = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("c_custkey"))
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("_rev_cents")
+        )
     )
     new_bal = F.round(
         F.col("c_acctbal").cast("decimal(18,2)")
-        + F.col("_rev") * F.lit(0.001).cast("decimal(4,3)"),
+        + F.col("_rev_cents").cast("decimal(20,0)")
+        * F.lit(0.00001).cast("decimal(6,5)"),
         2,
     ).cast("double")
-    updates = cust.join(rev, "c_custkey").select(
-        "c_custkey", "c_mktsegment", new_bal.alias("c_acctbal")
+    # merge_upsert references `updates` from BOTH its branches (anti-join
+    # probe + union), and Catalyst does not reuse the agg exchange across
+    # them — unpersisted, the orders aggregation ran twice (measured 2×
+    # at the 75M-row tier). The updates table is bounded by |customer|,
+    # so a tracked persist is safe at any scale.
+    from distributed_computing_spark.caching import track_persist
+
+    updates = track_persist(
+        cust.join(rev, "c_custkey").select(
+            "c_custkey", "c_mktsegment", new_bal.alias("c_acctbal")
+        )
     )
     merged = merge_upsert(cust, updates, "c_custkey")
     return merged.select(
@@ -1269,7 +1332,7 @@ _CLEAN_SQL = r"""trim(regexp_replace(
 
 # Ordering contract: the external driver's correctness gate covers the FIRST
 # 50 entries of this dict. The dict below groups queries by subject; the
-# _R4_WINDOW reorder at the bottom of this file puts the round-4 gate window
+# _R5_WINDOW reorder at the bottom of this file puts the round-5 gate window
 # up front (staleness-driven rotation — see its comment). Every entry is
 # oracle-checked locally every round via tools/check_correctness.py
 # regardless of window position.
@@ -1406,6 +1469,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mapreduce_wordcount": mapreduce_wordcount,
     "inverted_index": inverted_index,
     "kv_effective_ops": kv_effective_ops,
+    "kv_replay_hotkey": kv_replay_hotkey,
     "exact_dedup": exact_dedup_q,
     "customer_upsert": customer_upsert,
     "lang_long_format": lang_long_format,
@@ -1517,6 +1581,40 @@ FROM old_state o FULL JOIN new_state n ON o."key" = n."key\"""",
 WITH {_OPS_CTE}, {_EFF_CTE},
 state AS (WITH {_REPLAY_SQL})
 SELECT * FROM state WHERE "key" IN ('0', '7', '13', '19')""",
+    "kv_replay_hotkey": """
+WITH ops AS (
+  SELECT event_id AS seq,
+         user_id % 50 AS client_id,
+         event_id AS req_id,
+         CASE WHEN event_type = 'signup' THEN 'put'
+              WHEN event_type IN ('click','view','purchase') THEN 'append'
+              ELSE 'get' END AS op,
+         CASE WHEN user_id % 4 = 0 THEN 'hot'
+              ELSE CAST(user_id % 20 AS VARCHAR) END AS "key",
+         substr(event_type, 1, 2) || CAST(event_id % 10 AS VARCHAR) AS "value"
+  FROM events
+),
+hw AS (
+  SELECT *, max(req_id) OVER (
+      PARTITION BY client_id ORDER BY seq
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM ops
+),
+eff AS (SELECT * FROM hw WHERE prev_max IS NULL OR req_id > prev_max),
+lp AS (
+  SELECT *, max(CASE WHEN op = 'put' THEN seq END)
+         OVER (PARTITION BY "key") AS last_put_seq
+  FROM eff
+),
+folded AS (
+  SELECT "key", string_agg("value", '' ORDER BY seq) AS "value"
+  FROM lp
+  WHERE op IN ('put', 'append') AND seq >= coalesce(last_put_seq, -1)
+  GROUP BY "key"
+)
+SELECT "key", CAST(length("value") AS BIGINT) AS value_len,
+       md5("value") AS value_md5
+FROM folded""",
     "customer_upsert": """
 WITH r AS (SELECT o_custkey,
                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
@@ -2540,47 +2638,45 @@ GROUP BY m.cluster_id, b.kept_doc"""
 
 
 # ---------------------------------------------------------------------------
-# Driver-gate window rotation (round 4)
+# Driver-gate window rotation (round 5)
 # ---------------------------------------------------------------------------
 # The external driver gates the FIRST 50 entries of QUERIES each round.
 # Rotation policy (VERDICT r3 item 9): minimize staleness — no query
-# should go rounds without a driver row when capacity allows. Driver
-# coverage so far: r1+r2+r3 covered all 121 queries; the r3 window
-# re-gated 50, leaving 42 queries whose last driver row is r1 (three
-# rounds old by the end of r4) and 29 last gated in r2. Round-4 window
-# = every new round-4 query + all 42 r1-stale + the most consequential
-# r2-stale (dedup/clustering family). The r3-gated entries (including
-# the oracle-exact counterparts of the rows-only families — all green
-# in r3) rotate below the boundary and come back in r5 with the
-# remaining r2-stale set.
-_R4_WINDOW = [
-    # new in round 4
-    "multimodal_png_decode", "regional_revenue_bucketed",
-    # last driver row r1 (42)
-    "approx_distinct_users", "approx_percentiles", "asof_attribution",
-    "bool_aggregates", "corr_stats", "customer_upsert",
-    "events_json_extract", "events_windowed", "exact_dedup",
-    "frequent_items", "funnel_conversion", "inverted_index",
-    "kv_changes", "kv_effective_ops", "kv_get", "kv_snapshot",
-    "lang_long_format", "mapreduce_wordcount", "order_percentiles",
-    "order_running_totals", "price_outliers", "pricing_summary",
-    "priority_cube", "priority_rollup", "range_join_views",
-    "regex_extraction", "regional_revenue", "revenue_by_segment",
-    "revenue_percentiles", "rolling_weekly_revenue", "scalar_functions",
-    "semi_anti_orders", "set_ops", "shard_census", "source_lang_pivot",
-    "string_functions", "table_profile", "tiered_rollup",
-    "token_array_ops", "top_orders", "user_event_profile",
-    "user_sessions",
-    # last driver row r2 — dedup/clustering family first (the crossover
-    # tier this round measures them; keep driver rows fresh too), plus
-    # the two BPE rows whose round-4 oracles turn them exact
-    "ngram_jaccard_pairs", "neardup_clusters", "neardup_canonical",
-    "shard_routing",
-    "bpe_merges", "bpe_encode_stats",
+# should go three rounds without a driver row. After r4, staleness is:
+# 25 queries last gated in r2, 48 in r3, 50 in r4 (union = all 123).
+# Round-5 window = new/changed round-5 queries + ALL 25 r2-stale + the
+# streaming family and oracle-exact twins from the r3 set (VERDICT r4
+# item 3 names them) + the heaviest r3 remainder. The ~25 r3-gated
+# queries left below the boundary become the core of the r6 window.
+_R5_WINDOW = [
+    # new or behavior-changed in round 5 (kv_replay_hotkey new;
+    # customer_upsert's aggregate rewritten cents-as-long + persist)
+    "kv_replay_hotkey", "customer_upsert",
+    # last driver row r2 (all 25 — stalest first per VERDICT r4 item 3)
+    "bigram_counts", "build_vocab", "corpus_summary", "embedding_neardup",
+    "encode_docs", "event_anomalies", "fingerprints", "kv_state",
+    "lang_entropy_by_source", "lang_id", "minhash_incremental",
+    "minhash_neardup", "quality_calibration", "quality_scores",
+    "shingle_novelty", "simhash_neardup", "stopword_discovery",
+    "stream_sessions", "stream_sliding", "stream_windowed", "text_stats",
+    "tfidf_top_terms", "top_docs_per_lang", "unigram_logprob",
+    "user_retention",
+    # last driver row r3 — streaming family + oracle-exact twins first
+    # (VERDICT r4 item 3 names them), then the heaviest/most-
+    # consequential of the rest; the remainder rotates in next round
+    "stream_config_poll", "stream_curated_ingest", "stream_dedup_ops",
+    "stream_enriched", "stream_kv_state", "stream_kv_stateful",
+    "stream_stream_join",
+    "simhash_exact", "lsh_topk_exact", "ivf_topk_exact",
+    "sample_by_lang_exact",
+    "word_count_top10", "minhash_lsh_exact", "leakage_safe_split",
+    "corpus_pipeline", "pack_chunks", "decontaminate", "chunk_docs",
+    "repetition_scores", "cosine_topk", "multimodal_real_ann",
+    "epoch_shuffle", "train_test_split",
 ]
-assert len(_R4_WINDOW) == 50 and len(set(_R4_WINDOW)) == 50
-QUERIES = {name: QUERIES[name] for name in _R4_WINDOW} | {
-    k: v for k, v in QUERIES.items() if k not in set(_R4_WINDOW)
+assert len(_R5_WINDOW) == 50 and len(set(_R5_WINDOW)) == 50
+QUERIES = {name: QUERIES[name] for name in _R5_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R5_WINDOW)
 }
 
 

@@ -159,3 +159,34 @@ def test_scd2_apply_history_semantics(spark):
     # invariant: exactly one current row per key
     cur = dim.where("is_current").groupBy("key").count().where("count > 1").count()
     assert cur == 0
+
+
+def test_hotkey_ops_are_genuinely_skewed(spark, sf_dir):
+    """round 5: the hot-key regime must be real skew — one key holding
+    ~25% of all writes (the reference's append-history workload shape,
+    kvraft/test_test.go:131-236) — and monotone req_ids mean the K4
+    dedup drops NOTHING, so the per-key fold carries the load."""
+    from distributed_computing_spark.registry import _hotkey_ops
+
+    ops = _hotkey_ops(spark, sf_dir)
+    writes = ops.where(F.col("op").isin("put", "append"))
+    per_key = {r["key"]: r["n"] for r in
+               writes.groupBy("key").agg(F.count("*").alias("n")).collect()}
+    total = sum(per_key.values())
+    assert 0.15 <= per_key["hot"] / total <= 0.35
+    assert per_key["hot"] == max(per_key.values())
+    assert dedup_ops(ops).count() == ops.count()  # monotone req_id: no drops
+
+
+def test_kv_replay_hotkey_salted_equals_unsalted(spark, sf_dir):
+    """The salted fold (the plan kv_replay_hotkey ships) must be
+    byte-identical to the unsalted reference fold on the same skewed
+    log — bucket sub-folds concatenated in range order are the same
+    string because concat is associative."""
+    from distributed_computing_spark.registry import _hotkey_ops
+
+    ops = _hotkey_ops(spark, sf_dir)
+    salted = {r["key"]: r["value"]
+              for r in replay(ops, salt_buckets=32).collect()}
+    plain = {r["key"]: r["value"] for r in replay(ops).collect()}
+    assert salted == plain

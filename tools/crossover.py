@@ -45,6 +45,11 @@ DEFAULT_QUERIES = [
     # signature agg + banded buckets + pair expansion + verify joins,
     # exact oracle SQL on the DuckDB side (~30 s/50 s at 20×).
     "minhash_lsh_exact",
+    # round-5 (VERDICT r4 item 1): the KV/ops-log family — the
+    # reference's own database surface — joins the measured set.
+    "kv_effective_ops",   # K4 dedup window (client_id shuffle) + agg
+    "customer_upsert",    # K2 table form: MERGE-emulated upsert
+    "kv_replay_hotkey",   # K3+K5 salted fold under 25%-hot-key skew
 ]
 
 # The clustering tier (VERDICT r3 item 1) is measured OFFLINE with
@@ -77,6 +82,28 @@ RECORDED_DEDUP_TIERS = {
     },
 }
 
+# Round-5 (VERDICT r4 item 1): the KV family's offline tiers —
+# numbers-only for the same tail-capture reason as above; context in
+# BASELINE.md §"KV/ops-log family crossover". The 20x tier runs LIVE in
+# every bench (DEFAULT_QUERIES above). R200/R500 are events-only
+# replicas (facts=('events',)) — 20M/50M-op logs.
+RECORDED_KV_TIERS: dict = {
+    "kv_replay_hotkey": {
+        "R50": {"spark_s": 6.87, "duckdb_s": 3.04, "ratio": 2.26},
+        "R200": {"spark_s": 18.6, "duckdb_s": 14.1, "ratio": 1.32},
+        "R500": {"spark_s": 45.4, "duckdb_s": 38.3, "ratio": 1.19},
+    },
+    "kv_effective_ops": {
+        "R50": {"spark_s": 3.25, "duckdb_s": 0.34, "ratio": 9.59},
+        "R200": {"spark_s": 5.96, "duckdb_s": 0.77, "ratio": 7.74},
+        "R500": {"spark_s": 12.7, "duckdb_s": 2.46, "ratio": 5.18},
+    },
+    "customer_upsert": {
+        "R50": {"spark_s": 2.85, "duckdb_s": 0.08, "ratio": 38.0},
+        "R500": {"spark_s": 3.91, "duckdb_s": 0.25, "ratio": 15.9},
+    },
+}
+
 # Fact tables are replicated with remapped keys; everything else copied.
 _FACTS = ("documents", "events", "orders", "lineitem")
 
@@ -92,20 +119,31 @@ _LAYOUT_V = 2
 _COPY = ("region", "nation", "customer", "supplier", "part", "embeddings")
 
 
-def _scaled_dir(sf_dir: str, R: int) -> str:
+def _scaled_dir(sf_dir: str, R: int, facts: tuple = _FACTS) -> str:
     base = os.path.basename(sf_dir.rstrip("/"))
     root = os.environ.get(
         "SPARK_GRAFT_CROSSOVER_DIR",
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scalecache"),
     )
-    return os.path.join(root, f"{base}_x{R}")
+    # subset replicas (e.g. events-only for the big KV tier) get their
+    # own dir so they never clobber the full-fact replica cache
+    suffix = "" if tuple(facts) == _FACTS else "_" + "-".join(t[:2] for t in facts)
+    return os.path.join(root, f"{base}_x{R}{suffix}")
 
 
-def ensure_scaled(spark: SparkSession, sf_dir: str, R: int) -> str:
-    """Idempotently materialize the R× replica; returns its dir."""
+def ensure_scaled(
+    spark: SparkSession, sf_dir: str, R: int, facts: tuple = _FACTS
+) -> str:
+    """Idempotently materialize the R× replica; returns its dir.
+
+    ``facts`` restricts WHICH fact tables are replicated (others are
+    omitted entirely): the events-only KV tier at R=200 shouldn't pay
+    for writing 120 M lineitem rows it never reads.
+    """
     from distributed_computing_spark.sources.catalog import load_table
 
-    dest = _scaled_dir(sf_dir, R)
+    facts = tuple(facts)
+    dest = _scaled_dir(sf_dir, R, facts)
     manifest = os.path.join(dest, "manifest.json")
     if os.path.exists(manifest):
         try:
@@ -114,6 +152,7 @@ def ensure_scaled(spark: SparkSession, sf_dir: str, R: int) -> str:
                 m.get("R") == R
                 and m.get("source") == sf_dir
                 and m.get("v") == _LAYOUT_V
+                and tuple(m.get("facts", _FACTS)) == facts
             ):
                 return dest
         except Exception:
@@ -123,61 +162,67 @@ def ensure_scaled(spark: SparkSession, sf_dir: str, R: int) -> str:
 
     reps = F.broadcast(spark.range(R).select(F.col("id").alias("_r")))
 
-    docs = load_table(spark, sf_dir, "documents")
-    (
-        docs.crossJoin(reps)
-        .select(
-            (F.col("doc_id") * R + F.col("_r")).alias("doc_id"),
-            F.concat("text", F.lit(" rep"), F.col("_r").cast("string")).alias("text"),
-            "lang",
-            "source",
-            "n_chars",
+    if "documents" in facts:
+        docs = load_table(spark, sf_dir, "documents")
+        (
+            docs.crossJoin(reps)
+            .select(
+                (F.col("doc_id") * R + F.col("_r")).alias("doc_id"),
+                F.concat("text", F.lit(" rep"), F.col("_r").cast("string")).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            .repartition(_NFILES)
+            .write.mode("overwrite")
+            .parquet(f"{dest}/documents.parquet")
         )
-        .repartition(_NFILES)
-        .write.mode("overwrite")
-        .parquet(f"{dest}/documents.parquet")
-    )
-    ev = load_table(spark, sf_dir, "events")
-    (
-        ev.crossJoin(reps)
-        .select(
-            (F.col("event_id") * R + F.col("_r")).alias("event_id"),
-            "ts",
-            (F.col("user_id") * R + F.col("_r")).alias("user_id"),
-            "event_type",
-            "value",
-            "props",
+    if "events" in facts:
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.crossJoin(reps)
+            .select(
+                (F.col("event_id") * R + F.col("_r")).alias("event_id"),
+                "ts",
+                (F.col("user_id") * R + F.col("_r")).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+            .repartition(_NFILES)
+            .write.mode("overwrite")
+            .parquet(f"{dest}/events.parquet")
         )
-        .repartition(_NFILES)
-        .write.mode("overwrite")
-        .parquet(f"{dest}/events.parquet")
-    )
-    orders = load_table(spark, sf_dir, "orders")
-    (
-        orders.crossJoin(reps)
-        .withColumn("o_orderkey", F.col("o_orderkey") * R + F.col("_r"))
-        .drop("_r")
-        .repartition(_NFILES)
-        .write.mode("overwrite")
-        .parquet(f"{dest}/orders.parquet")
-    )
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    (
-        lineitem.crossJoin(reps)
-        # l_orderkey remap matches orders so join keys stay consistent
-        .withColumn("l_orderkey", F.col("l_orderkey") * R + F.col("_r"))
-        .drop("_r")
-        .repartition(_NFILES)
-        .write.mode("overwrite")
-        .parquet(f"{dest}/lineitem.parquet")
-    )
+    if "orders" in facts:
+        orders = load_table(spark, sf_dir, "orders")
+        (
+            orders.crossJoin(reps)
+            .withColumn("o_orderkey", F.col("o_orderkey") * R + F.col("_r"))
+            .drop("_r")
+            .repartition(_NFILES)
+            .write.mode("overwrite")
+            .parquet(f"{dest}/orders.parquet")
+        )
+    if "lineitem" in facts:
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        (
+            lineitem.crossJoin(reps)
+            # l_orderkey remap matches orders so join keys stay consistent
+            .withColumn("l_orderkey", F.col("l_orderkey") * R + F.col("_r"))
+            .drop("_r")
+            .repartition(_NFILES)
+            .write.mode("overwrite")
+            .parquet(f"{dest}/lineitem.parquet")
+        )
     for t in _COPY:
         src = f"{sf_dir}/{t}.parquet"
         if os.path.exists(src):
             shutil.copy(src, f"{dest}/{t}.parquet")
 
     with open(manifest, "w") as fh:
-        json.dump({"R": R, "source": sf_dir, "v": _LAYOUT_V}, fh)
+        json.dump(
+            {"R": R, "source": sf_dir, "v": _LAYOUT_V, "facts": list(facts)}, fh
+        )
     return dest
 
 
@@ -201,12 +246,13 @@ def run_crossover(
     sf_dir: str,
     R: int = 20,
     queries: list[str] | None = None,
+    facts: tuple = _FACTS,
 ) -> dict:
     """Time each query on Spark and DuckDB over the same R× data."""
     from distributed_computing_spark.registry import ORACLES, QUERIES
 
     queries = queries or DEFAULT_QUERIES
-    scaled = ensure_scaled(spark, sf_dir, R)
+    scaled = ensure_scaled(spark, sf_dir, R, facts=facts)
 
     # Warm page cache + parquet footers on the Spark side once; DuckDB
     # then reads the same (now cached) files — neither side pays cold IO.
@@ -217,7 +263,9 @@ def run_crossover(
     # pay the corpus' cold IO while the other engine reads a warmed
     # page cache. After this, neither side pays cold IO.
     rows = {}
-    for t in ("documents", "events", "lineitem"):
+    for t in _FACTS:
+        if not os.path.exists(f"{scaled}/{t}.parquet"):
+            continue  # subset replica (facts=...) omits unused tables
         df = load_table(spark, scaled, t)
         rows[t] = df.count()
         df.write.format("noop").mode("overwrite").save()
@@ -261,6 +309,7 @@ def run_crossover(
         "duckdb_total_s": round(duck_total, 3),
         "spark_over_duckdb": round(spark_total / max(duck_total, 1e-9), 3),
         "dedup_tier_recorded": RECORDED_DEDUP_TIERS,
+        "kv_tier_recorded": RECORDED_KV_TIERS,
     }
 
 
@@ -273,6 +322,10 @@ if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     R = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     names = sys.argv[3:] or None  # e.g. the offline dedup-tier runs
+    # SPARK_GRAFT_CROSSOVER_FACTS=events,orders restricts replication to
+    # a fact subset (events-only KV tier at R=200 skips 120M lineitem)
+    facts_env = os.environ.get("SPARK_GRAFT_CROSSOVER_FACTS")
+    facts = tuple(facts_env.split(",")) if facts_env else _FACTS
     sp = get_spark(app_name="crossover")
     sp.sparkContext.setLogLevel("ERROR")
-    print(json.dumps(run_crossover(sp, sf, R, queries=names), indent=2))
+    print(json.dumps(run_crossover(sp, sf, R, queries=names, facts=facts), indent=2))
