@@ -57,6 +57,9 @@ HEADLINE = [
     # round-4: the real-PNG decode pipeline (zlib inflate + unfilter in
     # Arrow batches — the compressed-format multimodal throughput story)
     "multimodal_png_decode",
+    # round-5: the real-JPEG decode pipeline (Huffman entropy decode +
+    # IDCT in Arrow batches — the transform-codec throughput story)
+    "multimodal_jpeg_decode",
 ]
 
 

@@ -174,9 +174,13 @@ def _bucketed_fact_tables(
 
 
 def regional_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``regional_revenue`` over the bucketed-fact layout: ZERO shuffle
-    exchanges — the lineitem⋈orders join reads co-bucketed, co-sorted
-    tables and the dims broadcast (plan-asserted in test_plans.py).
+    """``regional_revenue`` over the bucketed-fact layout: the
+    lineitem⋈orders join plans with NO exchange (SortMergeJoin directly
+    over co-bucketed, co-sorted scans) and the dims broadcast; the only
+    shuffle left is the final 5-group rollup of partial aggregates
+    (bytes ∝ partitions×groups, irreducible by layout). Plan-asserted
+    in test_plans.py — round 5 corrected the earlier "zero exchanges"
+    wording, which a trivially-true tree assertion had let stand.
 
     Measured at the 50× tier (BASELINE.md): the shuffle-free plan is
     wall-clock comparable to the hinted shuffle_hash plan on ONE box

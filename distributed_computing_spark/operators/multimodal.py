@@ -1,11 +1,16 @@
 """Multimodal column plumbing ([EXT]): images/audio/video as opaque
 binary columns with typed metadata, processed via Arrow-batched UDFs.
 
-The container has no image/audio codecs, so the decode kernels are
+The container has no codec libraries, so the GENERIC decode kernels
+(`decode_images`/`decode_audio`, arbitrary formats via PIL/ffmpeg) are
 STUBS behind ``_HAS_PIL``-style gates: a clearly-marked deterministic
 fake stands in so the Spark-side plumbing — schemas, batch iteration,
 partition sizing, UDF signatures — is real and tested end-to-end. Swap
 ``_fake_decode_rgb`` for a PIL/ffmpeg call and nothing else changes.
+The REAL-format paths below need no library at all: BMP/WAV/AVI/PNG
+(functions/codecs.py) and baseline JPEG (functions/jpeg.py, round 5)
+decode genuine bytes value-gated end-to-end; of the mandate only MP3's
+psychoacoustic MDCT still requires an external codec.
 
 Scale notes: binary payloads ride ``BinaryType`` columns in parquet;
 ``mapInPandas`` streams Arrow batches so one task never materializes
@@ -473,6 +478,74 @@ def decode_images_png(blobs: DataFrame, out_w: int = 8, out_h: int = 8) -> DataF
             }
             for data in pdf["data"]:
                 img = decode_png(bytes(data))
+                small = mean_pool(img, out_h, out_w)
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+                out["mean_r"].append(float(small[..., 0].mean()))
+                out["mean_g"].append(float(small[..., 1].mean()))
+                out["mean_b"].append(float(small[..., 2].mean()))
+            yield pd.DataFrame(out)
+
+    return blobs.select("blob_id", "data").mapInPandas(
+        run,
+        schema="blob_id long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double",
+    )
+
+
+def jpeg_blobs(docs: DataFrame) -> DataFrame:
+    """REAL transform-codec blob table over ``documents`` (round 5):
+    every doc carries a genuine baseline JFIF JPEG — Annex K Huffman
+    tables, DCT + quantization, 0xFF-stuffed entropy stream; stock
+    viewers open them. The planted image is one SOLID color per doc_id
+    with a flat q=16 quantization table, so every 8×8 block is DC-only
+    and the lossy pipeline has an exact closed form the SQL oracle can
+    replicate (see functions/jpeg.py's exact-DC rounding contract).
+    This retires the repo's last fake-kernel line: after PNG (round 4,
+    stdlib zlib) and JPEG (pure-numpy DCT), only MP3's psychoacoustic
+    MDCT still genuinely needs a library."""
+    from distributed_computing_spark.functions.jpeg import Q_FLAT16, encode_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, datas = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px = np.zeros((16, 16, 3), np.uint8)
+                px[..., 0] = (did * 7) % 256
+                px[..., 1] = (did * 13) % 256
+                px[..., 2] = (did * 29) % 256
+                ids.append(did)
+                datas.append(encode_jpeg(px, qtables=(Q_FLAT16, Q_FLAT16)))
+            yield pd.DataFrame(
+                {"blob_id": pd.array(ids, dtype="int64"), "data": datas}
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema="blob_id long, data binary")
+
+
+def decode_images_jpeg(blobs: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """REAL JPEG decode: marker walk, canonical Huffman rebuild from
+    DHT, MCU entropy decode (DC prediction, run/size AC), dequantize,
+    8×8 IDCT, YCbCr→RGB — same Arrow plumbing and output contract as
+    decode_images_png, over genuinely DCT-compressed bytes."""
+    from distributed_computing_spark.functions.codecs import mean_pool
+    from distributed_computing_spark.functions.jpeg import decode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "blob_id": pdf["blob_id"],
+                "width": [],
+                "height": [],
+                "mean_r": [],
+                "mean_g": [],
+                "mean_b": [],
+            }
+            for data in pdf["data"]:
+                img = decode_jpeg(bytes(data))
+                if img.shape[2] == 1:  # grayscale: replicate channels
+                    img = np.repeat(img, 3, axis=2)
                 small = mean_pool(img, out_h, out_w)
                 out["width"].append(img.shape[1])
                 out["height"].append(img.shape[0])

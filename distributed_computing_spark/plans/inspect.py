@@ -37,8 +37,16 @@ def executed_plan(df: DataFrame) -> str:
 
 def count_exchanges(df: DataFrame, kind: str = "hashpartitioning") -> int:
     """Number of shuffle exchanges of the given partitioning in the
-    initial plan — the per-query shuffle budget, assertable in tests."""
-    return physical_plan(df).count(f"Exchange {kind}")
+    initial plan — the per-query shuffle budget, assertable in tests.
+
+    Round-5 fix: under AQE the formatted TREE prints bare ``Exchange``
+    and the partitioning only appears in the detail section as
+    ``Arguments: hashpartitioning(...)`` — the old
+    ``"Exchange <kind>"`` substring matched NOTHING there, so
+    zero-shuffle assertions passed trivially. Count both spellings.
+    """
+    plan = physical_plan(df)
+    return plan.count(f"Exchange {kind}") + plan.count(f"Arguments: {kind}")
 
 
 def has_pushed_filter(df: DataFrame, fragment: str) -> bool:

@@ -381,3 +381,190 @@ def test_png_decode_malformed_follows_valueerror_contract():
     # truncate inside the final chunk's CRC -> truncated, not IndexError
     with pytest.raises(ValueError, match="truncated"):
         decode_png(good[:-1])
+
+
+def test_jpeg_roundtrip_quality_and_determinism():
+    """Baseline JPEG codec (round 5, pure numpy): lossy but faithful —
+    PSNR above floor on random and smooth content, deterministic bytes,
+    grayscale path, odd (non-multiple-of-8) dimensions."""
+    import numpy as np
+
+    from distributed_computing_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(11)
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 10 * np.log10(255**2 / max(mse, 1e-12))
+
+    px = rng.randint(0, 256, (24, 31, 3)).astype(np.uint8)
+    data = encode_jpeg(px, quality=90)
+    assert data == encode_jpeg(px, quality=90)  # deterministic
+    out = decode_jpeg(data)
+    assert out.shape == (24, 31, 3)
+    assert psnr(px, out) > 25  # random noise is the worst case for DCT
+
+    xx, yy = np.meshgrid(np.arange(33), np.arange(17))
+    smooth = np.stack(
+        [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    assert psnr(smooth, decode_jpeg(encode_jpeg(smooth, quality=90))) > 40
+
+    gray = rng.randint(0, 256, (9, 14)).astype(np.uint8)
+    gout = decode_jpeg(encode_jpeg(gray, quality=95))
+    assert gout.shape == (9, 14, 1)
+    assert psnr(gray[..., None], gout) > 25
+
+
+def test_jpeg_container_is_wellformed():
+    """The emitted bytes are a real JFIF container: SOI first, APP0/
+    DQT/SOF0/DHT/SOS segments with consistent lengths, EOI last, and no
+    bare 0xFF inside the entropy stream (byte stuffing) — what any
+    stock decoder checks before touching coefficients."""
+    import struct
+
+    import numpy as np
+
+    from distributed_computing_spark.functions.jpeg import encode_jpeg
+
+    data = encode_jpeg(np.full((16, 16, 3), 77, np.uint8))
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    pos, tags = 2, []
+    while True:
+        assert data[pos] == 0xFF
+        tag = data[pos + 1]
+        tags.append(tag)
+        if tag == 0xDA:
+            (ln,) = struct.unpack_from(">H", data, pos + 2)
+            scan_start = pos + 2 + ln
+            break
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        pos += 2 + ln
+    assert tags[0] == 0xE0  # JFIF APP0 first
+    assert 0xDB in tags and 0xC0 in tags and 0xC4 in tags
+    # entropy stream: every 0xFF is followed by 0x00 (stuffing) until EOI
+    i = scan_start
+    while i < len(data) - 2:
+        if data[i] == 0xFF:
+            assert data[i + 1] == 0x00
+            i += 2
+        else:
+            i += 1
+
+
+def test_jpeg_solid_color_matches_closed_form_for_all_256_colors():
+    """The planted-content contract behind multimodal_jpeg_decode's
+    oracle: with a flat q=16 table and the codec's exact-DC rounding,
+    decode(encode(solid)) equals the closed-form chain for EVERY color
+    the doc_id formula can produce (colors depend only on doc_id mod
+    256, so 256 consecutive ids cover the whole domain)."""
+    import numpy as np
+
+    from distributed_computing_spark.functions.jpeg import (
+        Q_FLAT16,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    def rhu(x):
+        return np.floor(x + 0.5)
+
+    def closed(r, g, b):
+        y = min(max(rhu(0.299 * r + 0.587 * g + 0.114 * b), 0.0), 255.0)
+        cb = min(max(rhu(128 - 0.168736 * r - 0.331264 * g + 0.5 * b), 0.0), 255.0)
+        cr = min(max(rhu(128 + 0.5 * r - 0.418688 * g - 0.081312 * b), 0.0), 255.0)
+
+        def chan(c):
+            return 16 * rhu(8 * (c - 128) / 16) / 8 + 128
+
+        y1, cb1, cr1 = chan(y), chan(cb), chan(cr)
+        r1 = min(max(rhu(y1 + 1.402 * (cr1 - 128)), 0.0), 255.0)
+        g1 = min(
+            max(rhu(y1 - 0.344136 * (cb1 - 128) - 0.714136 * (cr1 - 128)), 0.0),
+            255.0,
+        )
+        b1 = min(max(rhu(y1 + 1.772 * (cb1 - 128)), 0.0), 255.0)
+        return (r1, g1, b1)
+
+    for did in range(256):
+        r, g, b = (did * 7) % 256, (did * 13) % 256, (did * 29) % 256
+        px = np.zeros((16, 16, 3), np.uint8)
+        px[..., 0], px[..., 1], px[..., 2] = r, g, b
+        out = decode_jpeg(encode_jpeg(px, qtables=(Q_FLAT16, Q_FLAT16)))
+        assert len(np.unique(out.reshape(-1, 3), axis=0)) == 1, did
+        got = tuple(float(v) for v in out[0, 0])
+        assert got == closed(float(r), float(g), float(b)), (did, got)
+
+
+def test_jpeg_decode_rejects_unsupported_and_malformed():
+    """ValueError contract: progressive SOF2, restart intervals,
+    truncated entropy data, and non-JPEG bytes all fail loudly."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from distributed_computing_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG1234")
+
+    good = encode_jpeg(np.full((8, 8, 3), 42, np.uint8))
+    # flip SOF0 (0xC0) to SOF2 (0xC2): progressive must be rejected
+    i = good.index(b"\xff\xc0")
+    prog = good[:i] + b"\xff\xc2" + good[i + 2 :]
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(prog)
+
+    # inject a DRI segment with a non-zero interval before SOS
+    j = good.index(b"\xff\xda")
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 8)
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(good[:j] + dri + good[j:])
+
+    # truncate inside the entropy stream of a content-heavy image
+    rng = np.random.RandomState(0)
+    busy = encode_jpeg(rng.randint(0, 256, (16, 16, 3)).astype(np.uint8))
+    k = busy.index(b"\xff\xda")
+    with pytest.raises(ValueError, match="truncated|marker|Huffman"):
+        decode_jpeg(busy[: k + 16])
+
+
+def test_jpeg_spark_decode_means(spark, sf_dir):
+    """decode_images_jpeg over jpeg_blobs: per-channel means equal the
+    closed-form chain (the oracle's arithmetic) for every doc."""
+    import numpy as np
+
+    from distributed_computing_spark.operators.multimodal import (
+        decode_images_jpeg,
+        jpeg_blobs,
+    )
+    from distributed_computing_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    rows = decode_images_jpeg(jpeg_blobs(docs)).collect()
+    assert len(rows) == 40
+
+    def rhu(x):
+        return np.floor(x + 0.5)
+
+    for row in rows:
+        did = row["blob_id"]
+        r, g, b = (
+            float((did * 7) % 256),
+            float((did * 13) % 256),
+            float((did * 29) % 256),
+        )
+        y = min(max(rhu(0.299 * r + 0.587 * g + 0.114 * b), 0.0), 255.0)
+        cb = min(max(rhu(128 - 0.168736 * r - 0.331264 * g + 0.5 * b), 0.0), 255.0)
+        cr = min(max(rhu(128 + 0.5 * r - 0.418688 * g - 0.081312 * b), 0.0), 255.0)
+        y1 = 16 * rhu(8 * (y - 128) / 16) / 8 + 128
+        cb1 = 16 * rhu(8 * (cb - 128) / 16) / 8 + 128
+        cr1 = 16 * rhu(8 * (cr - 128) / 16) / 8 + 128
+        assert row["width"] == 16 and row["height"] == 16
+        assert row["mean_r"] == min(max(rhu(y1 + 1.402 * (cr1 - 128)), 0.0), 255.0)
+        assert row["mean_g"] == min(
+            max(rhu(y1 - 0.344136 * (cb1 - 128) - 0.714136 * (cr1 - 128)), 0.0),
+            255.0,
+        )
+        assert row["mean_b"] == min(max(rhu(y1 + 1.772 * (cb1 - 128)), 0.0), 255.0)

@@ -236,12 +236,25 @@ def test_corpus_pipeline_single_composed_plan(spark):
     assert "LeftSemi" in tree and "LeftAnti" in tree
 
 
-def test_regional_revenue_bucketed_has_no_shuffle(spark):
-    """round-4 storage-partitioned join: with lineitem+orders bucketed
-    and sorted on the order key, the fact-fact join plans with ZERO
-    shuffle exchanges — dims ride broadcasts, and the one data-scale
-    exchange the ad-hoc plan pays (the l⋈o shuffle) is gone."""
+def test_regional_revenue_bucketed_join_is_shuffle_free(spark):
+    """round-4 storage-partitioned join, round-5 HONEST assertion: with
+    lineitem+orders bucketed and sorted on the order key, the FACT-FACT
+    JOIN plans with no exchange (SortMergeJoin directly over bucketed
+    scans) and dims ride broadcasts. The one shuffle left is the final
+    5-group rollup of PARTIAL aggregates — bytes ∝ partitions×groups,
+    not data — which no layout can remove. (The round-4 version of
+    this test asserted "zero Exchange hashpartitioning" against the
+    formatted TREE, where AQE prints bare "Exchange" — trivially true;
+    count_exchanges now reads the detail section.)"""
     df = QUERIES["regional_revenue_bucketed"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert count_exchanges(df) == 1, plan
+    # the surviving exchange is the rollup (carries the region key),
+    # not the order-key join shuffle the ad-hoc plan pays
+    arg_line = plan[plan.index("Arguments: hashpartitioning") :].split("\n")[0]
+    assert "r_name" in arg_line and "o_orderkey" not in arg_line, arg_line
     tree = operator_tree(df)
-    assert tree.count("Exchange hashpartitioning") == 0, tree
-    assert "BroadcastHashJoin" in tree
+    assert tree.count("- Exchange ") == 1  # BroadcastExchange ≠ Exchange
+    assert "SortMergeJoin" in tree and "BroadcastHashJoin" in tree
+    # exchange is an ancestor of the join (the rollup), not below it
+    assert tree.index("- Exchange ") < tree.index("SortMergeJoin")

@@ -281,7 +281,12 @@ def run_crossover(
         _warm(F.col("id").cast("double"))
     ).count()
 
-    con = _duckdb_connect(scaled)
+    # Spark-only mode: for tiers where the DuckDB side is a KNOWN DNF
+    # (the 50x/100x recursive-closure OOMs, BASELINE.md) — re-running a
+    # 30-minute OOM to reconfirm it wastes the box; record the Spark
+    # datum and mark DuckDB DNF-by-implication.
+    spark_only = os.environ.get("SPARK_GRAFT_CROSSOVER_SPARK_ONLY") == "1"
+    con = None if spark_only else _duckdb_connect(scaled)
     out: dict[str, dict[str, float]] = {}
     spark_total = duck_total = 0.0
     for name in queries:
@@ -294,20 +299,27 @@ def run_crossover(
         from distributed_computing_spark.caching import release_tracked
 
         release_tracked()  # builder persists don't leak across timings
+        if spark_only:
+            out[name] = {"spark_s": s, "duckdb_s": None}
+            spark_total += s
+            continue
         t0 = time.time()
         con.execute(ORACLES[name]).fetchall()
         d = round(time.time() - t0, 3)
         out[name] = {"spark_s": s, "duckdb_s": d}
         spark_total += s
         duck_total += d
-    con.close()
+    if con is not None:
+        con.close()
     return {
         "R": R,
         "rows": rows,
         "queries": out,
         "spark_total_s": round(spark_total, 3),
         "duckdb_total_s": round(duck_total, 3),
-        "spark_over_duckdb": round(spark_total / max(duck_total, 1e-9), 3),
+        "spark_over_duckdb": (
+            None if spark_only else round(spark_total / max(duck_total, 1e-9), 3)
+        ),
         "dedup_tier_recorded": RECORDED_DEDUP_TIERS,
         "kv_tier_recorded": RECORDED_KV_TIERS,
     }
