@@ -63,7 +63,9 @@ def test_aggregation_is_partial_before_exchange(spark):
 def test_topk_avoids_global_sort(spark):
     plan = _plan(QUERIES["top_orders"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
-    assert "Exchange rangepartitioning" not in plan
+    # r5: count BOTH spellings (AQE detail prints "Arguments:
+    # rangepartitioning"; the tree shows bare "Exchange")
+    assert count_exchanges(QUERIES["top_orders"](spark, SF_DIR), "rangepartitioning") == 0
 
 
 def test_exact_dedup_shuffles_hash_not_text(spark):
@@ -258,3 +260,34 @@ def test_regional_revenue_bucketed_join_is_shuffle_free(spark):
     assert "SortMergeJoin" in tree and "BroadcastHashJoin" in tree
     # exchange is an ancestor of the join (the rollup), not below it
     assert tree.index("- Exchange ") < tree.index("SortMergeJoin")
+
+
+def test_shard_migration_is_one_exchange_no_pershard_loop(spark):
+    """round 5 (VERDICT r4 item 7): migrating the whole state table
+    across a Join+Leave config change is ONE hash exchange — route
+    under the new config via a broadcast of the ~NSHARDS-row config
+    (never a shuffle of the data side), then repartition by the new
+    owner. The reference's per-shard TransferShard pull loop
+    (shardkv/server.go:237-319) has no driver-side analog here."""
+    from distributed_computing_spark.operators.sharding import ShardMaster, route
+    from distributed_computing_spark.sources.catalog import load_table
+
+    sm = ShardMaster()
+    sm.join({100: ["a"], 101: ["b"], 102: ["c"]})
+    sm.join({103: ["d"]})
+    sm.leave([101])
+    new_cfg = sm.config_df(spark)
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    from pyspark.sql import functions as F
+
+    state = li.select(
+        F.concat(F.pmod("l_orderkey", F.lit(97)).cast("string"), F.lit("-"),
+                 F.col("l_linenumber").cast("string")).alias("key"),
+        F.col("l_returnflag").alias("value"),
+    )
+    migrated = route(state, new_cfg).repartition("gid")
+    assert count_exchanges(migrated) == 1, physical_plan(migrated)
+    tree = operator_tree(migrated)
+    assert "BroadcastHashJoin" in tree or "BroadcastNestedLoopJoin" not in tree
+    assert "SortMergeJoin" not in tree and "CartesianProduct" not in tree
