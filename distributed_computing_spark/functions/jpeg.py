@@ -441,6 +441,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
         tag = data[pos + 1]
+        if tag == 0xFF:  # legal fill byte between markers (T.81 §B.1.1.2)
+            pos += 1
+            continue
         if tag == 0xD9:  # EOI before SOS
             break
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
