@@ -110,6 +110,19 @@ def _fold_effective_writes(
         )
         return eff.groupBy("key").agg(F.concat_ws("", ordered_vals).alias("value"))
 
+    # The salted path references `writes` TWICE (last-put aggregate +
+    # the fold probe), and Catalyst re-evaluates the subtree — with a
+    # deduped input that meant running the client_id dedup window twice
+    # over the full log (measured: 5 exchanges, two full scans at the
+    # 500× tier). A tracked MEMORY_AND_DISK persist computes it once;
+    # the reuse is disk-backed at scale, released by the harness after
+    # the terminal action (same lazy-builder discipline as
+    # minhash_lsh_exact).
+    from pyspark import StorageLevel
+
+    from distributed_computing_spark.caching import track_persist
+
+    writes = track_persist(writes, StorageLevel.MEMORY_AND_DISK)
     last_put = writes.groupBy("key").agg(
         F.max(F.when(F.col("op") == "put", F.col("seq"))).alias("_last_put")
     )

@@ -291,3 +291,23 @@ def test_shard_migration_is_one_exchange_no_pershard_loop(spark):
     tree = operator_tree(migrated)
     assert "BroadcastHashJoin" in tree or "BroadcastNestedLoopJoin" not in tree
     assert "SortMergeJoin" not in tree and "CartesianProduct" not in tree
+
+
+def test_kv_replay_hotkey_salted_fold_plan_shape(spark):
+    """round 5: the salted hot-key replay must fold in bucket partials
+    (partial ObjectHashAggregate before each exchange) and never plan a
+    global sort or nested-loop join — the shape that keeps any single
+    task from holding a hot key's whole history."""
+    from distributed_computing_spark import caching
+
+    df = QUERIES["kv_replay_hotkey"](spark, SF_DIR)
+    plan = _plan(df)
+    tree = operator_tree(df)
+    assert "SortMergeJoin" not in tree and "CartesianProduct" not in tree
+    assert "partial" in plan  # map-side partials feed the exchanges
+    # the deduped writes are persisted and BOTH consumers (last-put agg
+    # + fold probe) read the cache — the client_id dedup window runs
+    # once, not twice (round-5 fix; without the persist the plan ran
+    # two full scans of the ops log)
+    assert tree.count("InMemoryTableScan") == 2, tree
+    caching.release_tracked()
