@@ -53,6 +53,23 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Shuffle/spill compression codec. Default lz4 optimizes CPU; the
+        # disk-bound dedup tiers (pair-expansion shuffle > free disk on
+        # this box at 75×+) need zstd's ~35% better ratio — a knob a real
+        # deployment sets per workload (SPARK_GRAFT_CODEC=zstd).
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_CODEC", "lz4"),
+        )
+        # AQE sizes post-shuffle relations from COMPRESSED bytes; with
+        # zstd a >1 GB pair table can deflate under the broadcast
+        # threshold and the resulting broadcast collect trips the 1g
+        # default maxResultSize (observed at the 75× dedup tier). Big
+        # offline runs raise this alongside the driver heap.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "1g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.stateStore.providerClass",
                 "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")

@@ -80,6 +80,25 @@ RECORDED_DEDUP_TIERS = {
         "R50": {"spark_s": 608.4, "duckdb_s": None, "ratio": None,
                 "duckdb_outcome": "DNF-OOM (same closure as clusters R50)"},
     },
+    # round 5 (VERDICT r4 item 4): the two open cells. leakage embeds
+    # the same recursive closure that OOMs DuckDB solo at 50x -> DNF by
+    # implication. clusters R75 is the Spark-only slope point (zstd
+    # shuffle codec + 80g driver; R100 and lz4-R75 exhaust this box's
+    # ~72 GB free disk during the pair shuffle — single-box limit, see
+    # BASELINE.md). 1559 s at 2.27x the 50x pair count = sublinear.
+    "leakage_safe_split": {
+        "R50": {"spark_s": 1001.5, "duckdb_s": None, "ratio": None,
+                "duckdb_outcome": "DNF-by-implication (embeds clusters R50 closure)"},
+    },
+}
+RECORDED_DEDUP_TIERS["neardup_clusters"]["R75"] = {
+    "spark_s": 1559.0, "duckdb_s": None, "ratio": None,
+    "duckdb_outcome": "not attempted (OOMs solo at R50)",
+}
+RECORDED_DEDUP_TIERS["neardup_clusters"]["R100"] = {
+    "spark_s": None, "duckdb_s": None, "ratio": None,
+    "spark_outcome": "DNF-disk: pair shuffle exceeds this box's ~72GB free "
+    "(aggregate disk on a real cluster; see BASELINE.md)",
 }
 
 # Round-5 (VERDICT r4 item 1): the KV family's offline tiers —
@@ -88,18 +107,20 @@ RECORDED_DEDUP_TIERS = {
 # every bench (DEFAULT_QUERIES above). R200/R500 are events-only
 # replicas (facts=('events',)) — 20M/50M-op logs.
 RECORDED_KV_TIERS: dict = {
+    # post persist-fix numbers (the dedup window now runs once): the
+    # hot-key fold CROSSES to a Spark win at 500x (was 1.19x pre-fix).
     "kv_replay_hotkey": {
-        "R50": {"spark_s": 6.87, "duckdb_s": 3.04, "ratio": 2.26},
-        "R200": {"spark_s": 18.6, "duckdb_s": 14.1, "ratio": 1.32},
-        "R500": {"spark_s": 45.4, "duckdb_s": 38.3, "ratio": 1.19},
+        "R50": {"spark_s": 6.86, "duckdb_s": 2.29, "ratio": 3.0},
+        "R200": {"spark_s": 14.5, "duckdb_s": 11.4, "ratio": 1.27},
+        "R500": {"spark_s": 30.4, "duckdb_s": 33.2, "ratio": 0.91},
     },
     "kv_effective_ops": {
         "R50": {"spark_s": 3.25, "duckdb_s": 0.34, "ratio": 9.59},
-        "R200": {"spark_s": 5.96, "duckdb_s": 0.77, "ratio": 7.74},
-        "R500": {"spark_s": 12.7, "duckdb_s": 2.46, "ratio": 5.18},
+        "R200": {"spark_s": 4.25, "duckdb_s": 0.56, "ratio": 7.62},
+        "R500": {"spark_s": 10.5, "duckdb_s": 1.63, "ratio": 6.47},
     },
     "customer_upsert": {
-        "R50": {"spark_s": 2.85, "duckdb_s": 0.08, "ratio": 38.0},
+        "R50": {"spark_s": 1.80, "duckdb_s": 0.06, "ratio": 30.0},
         "R500": {"spark_s": 3.91, "duckdb_s": 0.25, "ratio": 15.9},
     },
 }
