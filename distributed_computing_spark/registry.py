@@ -1175,8 +1175,9 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     two horizontal color bands per doc_id, so each channel mean is
     closed-form: (band_a + band_b) / 2 — exactly representable, the
     whole inflate→unfilter→resize→featurize path under the hash gate.
-    This retires the 'compressed formats are env-blocked' line for PNG;
-    only transform codecs (JPEG/MP3) still need PIL/ffmpeg."""
+    This retired the 'compressed formats are env-blocked' line for PNG
+    in round 4; round 5 closed JPEG too (multimodal_jpeg_decode) —
+    only MP3's MDCT still needs a library."""
     from distributed_computing_spark.operators import multimodal
 
     docs = load_table(spark, sf_dir, "documents")

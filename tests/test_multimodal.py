@@ -1,9 +1,13 @@
-"""Multimodal plumbing tests: schemas, batch shapes, determinism.
+"""Multimodal tests: plumbing contracts AND real codecs.
 
-The decode/encode kernels are deterministic fakes (no codecs in the
-container) — these tests pin the *plumbing* contract: schema stability,
-modality filtering staying JVM-side, Arrow batch iteration, and
-composition with the similarity operators.
+The GENERIC-format kernels are deterministic fakes (no PIL/ffmpeg in
+the container) — those tests pin the *plumbing* contract: schema
+stability, modality filtering staying JVM-side, Arrow batch iteration,
+composition with the similarity operators. The REAL codecs need no
+library and are tested as codecs: BMP/WAV/AVI/PNG (functions/codecs.py)
+and baseline JPEG (functions/jpeg.py) — roundtrips, container
+well-formedness, malformed-input ValueError contracts, closed-form
+value gates, and the 4:2:0 subsampling decode path.
 """
 
 from __future__ import annotations
@@ -568,3 +572,88 @@ def test_jpeg_spark_decode_means(spark, sf_dir):
             255.0,
         )
         assert row["mean_b"] == min(max(rhu(y1 + 1.772 * (cb1 - 128)), 0.0), 255.0)
+
+
+def test_jpeg_decoder_handles_420_chroma_subsampling():
+    """The decoder's sampling-factor path (h,v dividing hmax,vmax) has
+    no encoder-side producer (we always write 4:4:4), so craft a
+    minimal DC-only 4:2:0 file by hand: Y at 2x2 blocks per MCU, Cb/Cr
+    at 1x1, flat q=16 — decode must upsample chroma by replication and
+    reconstruct the exact solid color."""
+    import struct
+
+    import numpy as np
+
+    from distributed_computing_spark.functions.jpeg import (
+        _AC_LUMA_SPEC,
+        _DC_LUMA_SPEC,
+        _BitWriter,
+        _canonical_codes,
+        _category,
+        _encode_coefficient_bits,
+        decode_jpeg,
+    )
+
+    def marker(tag, body):
+        return struct.pack(">BBH", 0xFF, tag, len(body) + 2) + body
+
+    h = w = 16  # one MCU at 4:2:0
+    y_val, cb_val, cr_val = 90, 140, 120  # the planted YCbCr solid
+
+    out = bytearray(b"\xff\xd8")
+    out += marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += marker(0xDB, bytes([0]) + bytes([16] * 64))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x22, 0])  # Y: h=2, v=2
+    sof += bytes([2, 0x11, 0])  # Cb: 1x1
+    sof += bytes([3, 0x11, 0])  # Cr: 1x1
+    out += marker(0xC0, sof)
+    for cls, tid, spec in ((0, 0, _DC_LUMA_SPEC), (1, 0, _AC_LUMA_SPEC)):
+        bits, vals = spec
+        out += marker(0xC4, bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals))
+    sos = bytes([3]) + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + bytes([0, 63, 0])
+    out += marker(0xDA, sos)
+
+    dc_codes = _canonical_codes(*_DC_LUMA_SPEC)
+    ac_codes = _canonical_codes(*_AC_LUMA_SPEC)
+    bw = _BitWriter()
+
+    def emit_block(diff):
+        cat = _category(diff)
+        code, ln = dc_codes[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(_encode_coefficient_bits(diff, cat), cat)
+        code, ln = ac_codes[0x00]  # EOB (all AC zero)
+        bw.write(code, ln)
+
+    # MCU order at 4:2:0: four Y blocks, then Cb, then Cr. DC diffs are
+    # per-component: first Y block carries qDC, the other three carry 0.
+    def qdc(c):
+        return int(np.floor(8 * (c - 128) / 16 + 0.5))
+
+    emit_block(qdc(y_val))
+    for _ in range(3):
+        emit_block(0)
+    emit_block(qdc(cb_val))
+    emit_block(qdc(cr_val))
+    bw.flush()
+    out += bw.buf + b"\xff\xd9"
+
+    img = decode_jpeg(bytes(out))
+    assert img.shape == (16, 16, 3)
+    assert len(np.unique(img.reshape(-1, 3), axis=0)) == 1  # chroma upsampled flat
+
+    # expected color via the closed-form chain on reconstructed planes
+    def rhu(x):
+        return np.floor(x + 0.5)
+
+    y1 = 16 * qdc(y_val) / 8 + 128
+    cb1 = 16 * qdc(cb_val) / 8 + 128
+    cr1 = 16 * qdc(cr_val) / 8 + 128
+    want = (
+        min(max(rhu(y1 + 1.402 * (cr1 - 128)), 0.0), 255.0),
+        min(max(rhu(y1 - 0.344136 * (cb1 - 128) - 0.714136 * (cr1 - 128)), 0.0), 255.0),
+        min(max(rhu(y1 + 1.772 * (cb1 - 128)), 0.0), 255.0),
+    )
+    assert tuple(float(v) for v in img[0, 0]) == want
