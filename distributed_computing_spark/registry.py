@@ -224,6 +224,66 @@ def customer_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/K6 dimension-history form (round 5): two sequential SCD2
+    applications over the customer dimension — version 2 upgrades
+    high-activity customers (≥12 orders), version 3 churns
+    c_custkey % 7 == 0 — emitting the full type-2 history
+    (valid_from/valid_to/is_current). The oracle expresses the same
+    two-fold fold as closed-form CASE logic over the two key sets,
+    which cross-checks scd2_apply's close-and-append semantics
+    (operators/kv.py). Reference analog: the Put history a KV store's
+    K6 time travel generalizes to."""
+    from distributed_computing_spark.operators.kv import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    dim = cust.select(
+        "c_custkey",
+        "segment",
+        F.lit(1).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    active = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= 12)
+        .select("c_custkey")
+    )
+    dim = scd2_apply(dim, active.withColumn("segment", F.lit("UPGRADED")), "c_custkey", 2)
+    churned = cust.where(F.col("c_custkey") % 7 == 0).select("c_custkey")
+    dim = scd2_apply(dim, churned.withColumn("segment", F.lit("CHURNED")), "c_custkey", 3)
+    return dim.select("c_custkey", "segment", "valid_from", "valid_to", "is_current")
+
+
+def priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational breadth (round 5): IRREGULAR grouping sets —
+    ((priority, status), (status), (priority)) with no grand total —
+    which neither CUBE (priority_cube) nor ROLLUP (priority_rollup) can
+    express; GROUPING() flags disambiguate the stratum. One Expand +
+    one exchange; revenue summed as exact DECIMAL and rounded while
+    exact (the customer_upsert gate invariant). SURVEY §2.8 lists
+    grouping sets among the reference's absences — this closes the
+    general form."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority, o_orderstatus AS status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_p,
+               CAST(grouping(o_orderstatus) AS INT) AS g_s,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS revenue
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
 def lang_long_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT: the source×lang pivot stacked back to long form (zeros
     kept) — the pivot/stack round-trip."""
@@ -1491,6 +1551,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inverted_index": inverted_index,
     "kv_effective_ops": kv_effective_ops,
     "kv_replay_hotkey": kv_replay_hotkey,
+    "customer_scd2": customer_scd2,
+    "priority_grouping_sets": priority_grouping_sets,
     "exact_dedup": exact_dedup_q,
     "customer_upsert": customer_upsert,
     "lang_long_format": lang_long_format,
@@ -1636,6 +1698,38 @@ folded AS (
 SELECT "key", CAST(length("value") AS BIGINT) AS value_len,
        md5("value") AS value_md5
 FROM folded""",
+    "priority_grouping_sets": """
+SELECT o_orderpriority AS priority, o_orderstatus AS status,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_p,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS g_s,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderstatus), (o_orderpriority))""",
+    "customer_scd2": """
+WITH a AS (SELECT o_custkey AS k FROM orders GROUP BY 1 HAVING count(*) >= 12),
+base AS (SELECT c_custkey, c_mktsegment AS seg,
+                c_custkey IN (SELECT k FROM a) AS in_a,
+                c_custkey % 7 = 0 AS in_b
+         FROM customer)
+SELECT c_custkey, seg AS segment,
+       CAST(1 AS BIGINT) AS valid_from,
+       CAST(CASE WHEN in_a THEN 2 WHEN in_b THEN 3 END AS BIGINT) AS valid_to,
+       NOT (in_a OR in_b) AS is_current
+FROM base
+UNION ALL
+SELECT c_custkey, 'UPGRADED' AS segment,
+       CAST(2 AS BIGINT) AS valid_from,
+       CAST(CASE WHEN in_b THEN 3 END AS BIGINT) AS valid_to,
+       NOT in_b AS is_current
+FROM base WHERE in_a
+UNION ALL
+SELECT c_custkey, 'CHURNED' AS segment,
+       CAST(3 AS BIGINT) AS valid_from,
+       CAST(NULL AS BIGINT) AS valid_to,
+       TRUE AS is_current
+FROM base WHERE in_b""",
     "customer_upsert": """
 WITH r AS (SELECT o_custkey,
                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
@@ -2701,6 +2795,7 @@ _R5_WINDOW = [
     # multimodal_jpeg_decode new; customer_upsert's aggregate rewritten
     # cents-as-long + persist)
     "kv_replay_hotkey", "multimodal_jpeg_decode", "customer_upsert",
+    "customer_scd2", "priority_grouping_sets",
     # last driver row r2 (all 25 — stalest first per VERDICT r4 item 3)
     "bigram_counts", "build_vocab", "corpus_summary", "embedding_neardup",
     "encode_docs", "event_anomalies", "fingerprints", "kv_state",
@@ -2720,8 +2815,7 @@ _R5_WINDOW = [
     "sample_by_lang_exact",
     "word_count_top10", "minhash_lsh_exact", "leakage_safe_split",
     "corpus_pipeline", "pack_chunks", "decontaminate", "chunk_docs",
-    "repetition_scores", "cosine_topk", "multimodal_real_ann",
-    "epoch_shuffle",
+    "repetition_scores", "cosine_topk",
 ]
 assert len(_R5_WINDOW) == 50 and len(set(_R5_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R5_WINDOW} | {

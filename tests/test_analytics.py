@@ -295,3 +295,22 @@ def test_bucketed_source_tag_tracks_source_fingerprint(tmp_path):
     assert t1 != _bucketed_source_tag(str(d), 16)  # bucket count in tag
     os.utime(d / "orders.parquet", ns=(1, 1))  # simulate regeneration
     assert t1 != _bucketed_source_tag(str(d), 8)
+
+
+def test_priority_grouping_sets_strata(spark, sf_dir):
+    """round 5: irregular grouping sets ((p,s),(s),(p)) — no grand
+    total row, GROUPING() flags disambiguate strata, and each partial
+    stratum's counts re-aggregate to the detail stratum's."""
+    from distributed_computing_spark.registry import priority_grouping_sets
+
+    rows = priority_grouping_sets(spark, sf_dir).collect()
+    strata = {(r["g_p"], r["g_s"]) for r in rows}
+    assert strata == {(0, 0), (1, 0), (0, 1)}  # no (1,1) grand total
+    detail = [r for r in rows if (r["g_p"], r["g_s"]) == (0, 0)]
+    by_status = {}
+    for r in detail:
+        by_status[r["status"]] = by_status.get(r["status"], 0) + r["n_orders"]
+    for r in rows:
+        if (r["g_p"], r["g_s"]) == (1, 0):  # priority grouped out
+            assert r["priority"] is None
+            assert r["n_orders"] == by_status[r["status"]]

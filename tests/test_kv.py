@@ -190,3 +190,33 @@ def test_kv_replay_hotkey_salted_equals_unsalted(spark, sf_dir):
               for r in replay(ops, salt_buckets=32).collect()}
     plain = {r["key"]: r["value"] for r in replay(ops).collect()}
     assert salted == plain
+
+
+def test_customer_scd2_history_invariants(spark, sf_dir):
+    """round 5: the two-fold SCD2 application must produce a legal
+    type-2 history — per key: exactly one current row, contiguous
+    validity intervals starting at version 1, closed rows immutable."""
+    from distributed_computing_spark.registry import customer_scd2
+
+    rows = customer_scd2(spark, sf_dir).collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["c_custkey"], []).append(r)
+    assert by_key  # non-empty
+    multi = 0
+    for key, hist in by_key.items():
+        hist.sort(key=lambda r: r["valid_from"])
+        assert sum(r["is_current"] for r in hist) == 1, key
+        assert hist[0]["valid_from"] == 1
+        assert hist[-1]["is_current"] and hist[-1]["valid_to"] is None
+        for a, b in zip(hist, hist[1:]):
+            assert a["valid_to"] == b["valid_from"], key  # contiguous
+            assert not a["is_current"]
+        if len(hist) > 1:
+            multi += 1
+    assert multi > 0  # versions 2/3 actually fired at this SF
+    # a customer hit by BOTH changes carries all three segment states
+    tri = [h for h in by_key.values() if len(h) == 3]
+    if tri:
+        segs = [r["segment"] for r in sorted(tri[0], key=lambda r: r["valid_from"])]
+        assert segs[1] == "UPGRADED" and segs[2] == "CHURNED"
