@@ -297,14 +297,20 @@ def encode_png(pixels: np.ndarray, filter_type: int = 2) -> bytes:
         elif ft == 3:  # Average
             left = np.concatenate([np.zeros(ch, np.int16), row[:-ch]])
             filt = row - (left + px[y - 1].reshape(-1)) // 2
-        else:  # Paeth
+        else:  # Paeth — vectorized: the ENCODE predictor reads only
+            # ORIGINAL neighbor bytes (unlike decode, whose left
+            # neighbor is the reconstructed value), so the whole row
+            # computes in numpy (was a per-byte Python loop; the blob
+            # generators emit thousands of these per Arrow batch)
             up = px[y - 1].reshape(-1)
-            filt = np.empty_like(row)
-            for i in range(len(row)):
-                a = int(row[i - ch]) if i >= ch else 0
-                b = int(up[i])
-                c = int(up[i - ch]) if i >= ch else 0
-                filt[i] = row[i] - _paeth(a, b, c)
+            a = np.concatenate([np.zeros(ch, np.int16), row[:-ch]])
+            c = np.concatenate([np.zeros(ch, np.int16), up[:-ch]])
+            p = a + up - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - up), np.abs(p - c)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, up, c)
+            )
+            filt = row - pred
         raw.append(ft)
         raw += (filt % 256).astype(np.uint8).tobytes()
     return (
@@ -391,3 +397,105 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"bad filter type {ft}")
         out[y] = (rec % 256).astype(np.uint8)
     return out.reshape(h, w, ch)
+
+
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (same tie-break order as _paeth)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def unfilter_scanlines_batch(raws: list[bytes], h: int, w: int, ch: int) -> np.ndarray:
+    """Batched PNG scanline reconstruction: N same-shape inflated IDAT
+    payloads → (N, H, W, C) uint8.
+
+    The Sub/Average/Paeth recurrences are sequential along x (each
+    pixel's LEFT neighbor is the reconstructed value), so a per-image
+    decode pays H·stride Python steps per image. Across an Arrow batch
+    the images are independent — running the same recurrence once with
+    N-vector numpy ops turns H·stride·N scalar steps into H·stride
+    vector steps (the decode-side analog of the fused-Arrow-pass wins;
+    per-image filter types may differ per row, handled with masks).
+    Bit-identical to decode_png's scalar path (tested per filter type).
+    """
+    stride = w * ch
+    n = len(raws)
+    arr = np.frombuffer(b"".join(raws), np.uint8).reshape(n, h, stride + 1)
+    out = np.zeros((n, h, stride), np.uint8)
+    zero_col = np.zeros(n, np.int16)
+    for y in range(h):
+        ft = arr[:, y, 0]
+        if (ft > 4).any():
+            raise ValueError(f"bad filter type {int(ft.max())}")
+        line = arr[:, y, 1:].astype(np.int16)
+        prior = out[:, y - 1].astype(np.int16) if y > 0 else np.zeros(
+            (n, stride), np.int16
+        )
+        rec = np.empty((n, stride), np.int16)
+        easy = (ft == 0) | (ft == 2)
+        if easy.any():
+            rec[easy] = np.where(
+                (ft[easy] == 2)[:, None], line[easy] + prior[easy], line[easy]
+            ) & 0xFF
+        hard = ~easy
+        if hard.any():
+            ln, pr, fh = line[hard], prior[hard], ft[hard][:, None]
+            rh = np.empty_like(ln)
+            for i in range(stride):
+                a = rh[:, i - ch] if i >= ch else zero_col[: len(ln)]
+                b = pr[:, i]
+                c = pr[:, i - ch] if i >= ch else zero_col[: len(ln)]
+                pred = np.where(
+                    fh[:, 0] == 1,
+                    a,
+                    np.where(fh[:, 0] == 3, (a + b) // 2, _paeth_vec(a, b, c)),
+                )
+                rh[:, i] = (ln[:, i] + pred) & 0xFF
+            rec[hard] = rh
+        out[:, y] = rec.astype(np.uint8)
+    return out.reshape(n, h, w, ch)
+
+
+def decode_png_headers(data: bytes) -> tuple[int, int, int, bytes]:
+    """Chunk-walk a PNG and return (h, w, channels, inflated_raw) — the
+    shared front half of decode_png, exposed so batch consumers can
+    group same-shape images for unfilter_scanlines_batch."""
+    import zlib
+
+    if len(data) < 8 or data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w, h, ch = 8, None, None, None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        crc_off = pos + 8 + ln
+        if crc_off + 4 > len(data):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", data, crc_off)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("only 8-bit, method-0, non-interlaced PNG")
+            ch = _PNG_CHANNELS.get(color_type)
+            if ch is None:
+                raise ValueError(f"unsupported color type {color_type}")
+        elif ctype == b"IDAT":
+            if w is None:
+                raise ValueError("IDAT before IHDR")
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (w * ch + 1):
+        raise ValueError("bad scanline payload size")
+    return h, w, ch, raw

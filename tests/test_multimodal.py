@@ -657,3 +657,42 @@ def test_jpeg_decoder_handles_420_chroma_subsampling():
         min(max(rhu(y1 + 1.772 * (cb1 - 128)), 0.0), 255.0),
     )
     assert tuple(float(v) for v in img[0, 0]) == want
+
+
+def test_png_batched_unfilter_matches_scalar_through_spark(spark):
+    """round 5: decode_images_png's batched unfilter (same-shape group)
+    and its scalar fallback (odd shapes) must both land in one Arrow
+    batch and agree with per-image decode_png — mixed filter types,
+    mixed shapes, one mapInPandas pass."""
+    import numpy as np
+
+    from distributed_computing_spark.functions.codecs import decode_png, encode_png
+    from distributed_computing_spark.operators.multimodal import decode_images_png
+
+    rng = np.random.RandomState(13)
+    rows, want = [], {}
+    for i in range(24):
+        if i % 4 == 3:  # odd 24x24 -> batched (divisible by 8)
+            px = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+        else:  # 16x16 -> batched group
+            px = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+        blob = encode_png(px, filter_type=i % 5)
+        rows.append((i, bytearray(blob)))
+        img = decode_png(blob)
+        want[i] = (img.shape[1], img.shape[0])
+    # a non-divisible shape exercises the scalar fallback
+    px = rng.randint(0, 256, (12, 20, 3)).astype(np.uint8)
+    rows.append((100, bytearray(encode_png(px, filter_type=4))))
+
+    df = spark.createDataFrame(rows, "blob_id long, data binary")
+    got = {r["blob_id"]: r for r in decode_images_png(df, out_w=4, out_h=4).collect()}
+    assert len(got) == 25
+    for i, (w, h) in want.items():
+        assert (got[i]["width"], got[i]["height"]) == (w, h)
+    # value parity vs scalar decode + mean_pool for a batched member
+    from distributed_computing_spark.functions.codecs import mean_pool
+
+    img = decode_png(bytes(rows[0][1]))
+    small = mean_pool(img, 4, 4)
+    assert got[0]["mean_r"] == float(small[..., 0].mean())
+    assert (got[100]["width"], got[100]["height"]) == (20, 12)
