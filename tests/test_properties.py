@@ -240,3 +240,97 @@ def test_epoch_shuffle_matches_sorted_hash_hypothesis(spark):
         assert got == want
 
     check()
+
+
+def test_png_roundtrip_hypothesis():
+    """Property (round 5): decode(encode(px, ft)) is the identity for
+    ANY uint8 content, shape, channel count and filter type — the
+    lossless contract the value-gated query rests on."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from distributed_computing_spark.functions.codecs import decode_png, encode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 24),
+        st.integers(1, 24),
+        st.sampled_from([1, 3, 4]),
+        st.integers(0, 4),
+        st.integers(0, 2**32 - 1),
+    )
+    def check(h, w, ch, ft, seed):
+        rng = np.random.RandomState(seed)
+        shape = (h, w) if ch == 1 else (h, w, ch)
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        want = px if px.ndim == 3 else px[:, :, None]
+        assert np.array_equal(decode_png(encode_png(px, filter_type=ft)), want)
+
+    check()
+
+
+def test_png_batched_unfilter_parity_hypothesis():
+    """Property (round 5): the batched unfilter equals per-image decode
+    for any same-shape batch with arbitrary per-image filter types."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from distributed_computing_spark.functions.codecs import (
+        decode_png,
+        decode_png_headers,
+        encode_png,
+        unfilter_scanlines_batch,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.integers(1, 16),
+        st.integers(1, 16),
+        st.lists(st.integers(0, 4), min_size=1, max_size=8),
+        st.integers(0, 2**32 - 1),
+    )
+    def check(h, w, fts, seed):
+        rng = np.random.RandomState(seed)
+        blobs = [
+            encode_png(rng.randint(0, 256, (h, w, 3)).astype(np.uint8), filter_type=ft)
+            for ft in fts
+        ]
+        raws = [decode_png_headers(b)[3] for b in blobs]
+        batch = unfilter_scanlines_batch(raws, h, w, 3)
+        for img, b in zip(batch, blobs):
+            assert np.array_equal(img, decode_png(b))
+
+    check()
+
+
+def test_jpeg_roundtrip_psnr_hypothesis():
+    """Property (round 5): baseline JPEG roundtrips any uint8 content at
+    q=95 above a PSNR floor, with exact output shape — including
+    non-multiple-of-8 and degenerate 1-pixel dimensions."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from distributed_computing_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 28),
+        st.integers(1, 28),
+        st.booleans(),
+        st.integers(0, 2**32 - 1),
+    )
+    def check(h, w, gray, seed):
+        rng = np.random.RandomState(seed)
+        shape = (h, w) if gray else (h, w, 3)
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(px, quality=95))
+        assert out.shape == (h, w, 1 if gray else 3)
+        ref = px if px.ndim == 3 else px[:, :, None]
+        mse = np.mean((out.astype(float) - ref.astype(float)) ** 2)
+        psnr = 10 * np.log10(255**2 / max(mse, 1e-12))
+        assert psnr > 24, (h, w, gray, seed, psnr)
+
+    check()
