@@ -142,14 +142,18 @@ def _compact_for_tail(payload: dict) -> dict:
     p = dict(payload)
     p["queries"] = {k: r2(v) for k, v in p.get("queries", {}).items()}
     xo = p.get("crossover")
-    if isinstance(xo, dict) and "queries" in xo:
+    if isinstance(xo, dict):
+        # ADVICE r5: always shallow-copy before any pop — the recorded
+        # tier dicts are embedded by reference from module globals, and
+        # the shed loop below must never mutate the caller's payload.
         xo = dict(xo)
-        xo["queries"] = {
-            k: [r2(v["spark_s"]), r2(v["duckdb_s"])]
-            for k, v in xo["queries"].items()
-        }
-        rec = xo.pop("dedup_tier_recorded", None) or {}
-        rec |= xo.pop("kv_tier_recorded", None) or {}
+        rec = dict(xo.pop("dedup_tier_recorded", None) or {})
+        rec.update(xo.pop("kv_tier_recorded", None) or {})
+        if "queries" in xo:
+            xo["queries"] = {
+                k: [r2(v["spark_s"]), r2(v["duckdb_s"])]
+                for k, v in xo["queries"].items()
+            }
         compact = {
             fam: {
                 t: [r2(d.get("spark_s")), r2(d.get("duckdb_s"))]

@@ -323,51 +323,12 @@ def encode_png(pixels: np.ndarray, filter_type: int = 2) -> bytes:
 
 def decode_png(data: bytes) -> np.ndarray:
     """Decode an 8-bit non-interlaced PNG (gray / RGB / RGBA) to an
-    (H, W, C) uint8 array: chunk walk, IDAT concat + inflate, and
-    per-scanline unfilter of all five PNG filter types."""
-    import zlib
-
-    if len(data) < 8 or data[:8] != _PNG_SIG:
-        raise ValueError("not a PNG")
-    pos, w, h, ch = 8, None, None, None
-    idat = bytearray()
-    while pos + 8 <= len(data):
-        (ln,) = struct.unpack_from(">I", data, pos)
-        ctype = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + ln]
-        # per-chunk CRC covers type+data (ADVICE r4: verify on decode so
-        # a truncated/corrupted blob fails the ValueError contract, not
-        # deep inside zlib or the unfilter loop)
-        crc_off = pos + 8 + ln
-        if crc_off + 4 > len(data):
-            raise ValueError("truncated PNG chunk")
-        (crc,) = struct.unpack_from(">I", data, crc_off)
-        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"bad CRC in {ctype!r} chunk")
-        if ctype == b"IHDR":
-            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if depth != 8 or comp != 0 or filt != 0:
-                raise ValueError("only 8-bit depth, method-0 PNG supported")
-            if interlace != 0:
-                raise ValueError("interlaced PNG not supported")
-            ch = _PNG_CHANNELS.get(color_type)
-            if ch is None:
-                raise ValueError(f"unsupported color type {color_type}")
-        elif ctype == b"IDAT":
-            if w is None:
-                raise ValueError("IDAT before IHDR")
-            idat += body
-        elif ctype == b"IEND":
-            break
-        pos += 12 + ln  # length + type + data + crc
-    if w is None or not idat:
-        raise ValueError("missing IHDR/IDAT chunk")
-    raw = zlib.decompress(bytes(idat))
+    (H, W, C) uint8 array. The container walk (chunk CRCs, IHDR
+    validation, IDAT concat + inflate) is decode_png_headers — one
+    parser, not two copies that can drift (ADVICE r5); this function
+    keeps only the scalar per-scanline unfilter loop."""
+    h, w, ch, raw = decode_png_headers(data)
     stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("bad scanline payload size")
     out = np.zeros((h, stride), np.uint8)
     for y in range(h):
         ft = raw[y * (stride + 1)]

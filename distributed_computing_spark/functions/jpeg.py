@@ -446,6 +446,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             continue
         if tag == 0xD9:  # EOI before SOS
             break
+        if tag == 0x01 or 0xD0 <= tag <= 0xD8:
+            # ADVICE r5: TEM / RSTn / a stray second SOI are standalone
+            # markers with NO length field — reading payload bytes as a
+            # segment length would silently skip an arbitrary span.
+            # Outside an entropy-coded scan they're malformed here, so
+            # fail with the documented clean contract instead.
+            raise ValueError(f"standalone marker 0x{tag:02X} before SOS")
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + seglen]
         if len(body) != seglen - 2:

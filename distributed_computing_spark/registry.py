@@ -966,12 +966,14 @@ def bpe_merges(spark: SparkSession, sf_dir: str, n_merges: int = 24) -> DataFram
     # n_merges rounds ran. If a sparse corpus ever fires the min_count
     # early stop, diagnose it HERE as the documented contract rather
     # than letting an empty CTE round surface as a cryptic mismatch.
-    assert len(rules) == n_merges, (
-        f"bpe_merges: early min_count stop after {len(rules)}/{n_merges} "
-        "merges — the fixed-round unrolled-CTE oracle (registry."
-        "_bpe_rounds_sql) is only valid when all rounds fire; lower "
-        "n_merges or regenerate the oracle for this corpus"
-    )
+    if len(rules) != n_merges:  # ADVICE r5: assert is stripped under -O;
+        # this contract is load-bearing for oracle validity, so raise.
+        raise RuntimeError(
+            f"bpe_merges: early min_count stop after {len(rules)}/{n_merges} "
+            "merges — the fixed-round unrolled-CTE oracle (registry."
+            "_bpe_rounds_sql) is only valid when all rounds fire; lower "
+            "n_merges or regenerate the oracle for this corpus"
+        )
     return spark.createDataFrame(
         [(i + 1, a, b, int(n)) for i, (a, b, n) in enumerate(rules)],
         "rank int, left string, right string, pair_count long",

@@ -1,0 +1,79 @@
+"""bench.py tail-compaction purity (ADVICE r5).
+
+_compact_for_tail receives a payload that embeds module-global recorded
+tier dicts BY REFERENCE (tools/crossover.RECORDED_*_TIERS); the
+compactor and its shed loop must never mutate the caller's structures —
+round 5's `rec |= pop(...)` folded KV tiers into the dedup global in
+place, and the shed path popped keys off the original crossover dict
+when 'queries' was absent. Pure-python tests, no Spark session.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+
+
+def _payload(with_queries: bool) -> dict:
+    dedup = {"minhash_lsh_exact": {"R20": {"spark_s": 32.9, "duckdb_s": 49.8}}}
+    kv = {"kv_replay_hotkey": {"R50": {"spark_s": 6.86, "duckdb_s": 2.29}}}
+    xo = {
+        "R": 20,
+        "dedup_tier_recorded": dedup,
+        "kv_tier_recorded": kv,
+        "rows": {"word_count_top10": 123},
+    }
+    if with_queries:
+        xo["queries"] = {
+            "word_count_top10": {"spark_s": 0.784, "duckdb_s": 0.112}
+        }
+    return {
+        "metric": "headline_queries_total",
+        "value": 43.375,
+        "unit": "sec",
+        "queries": {"word_count_top10": 2.468},
+        "sf": 0.1,
+        "crossover": xo,
+    }
+
+
+def test_compact_does_not_mutate_payload_or_tier_globals():
+    from bench import _compact_for_tail
+
+    payload = _payload(with_queries=True)
+    dedup_ref = payload["crossover"]["dedup_tier_recorded"]
+    before = copy.deepcopy(payload)
+    out = _compact_for_tail(payload)
+    assert payload == before, "caller's payload mutated"
+    # the KV fold must land in the output's merged view, NOT inside the
+    # (module-global-by-reference) dedup dict
+    assert "kv_replay_hotkey" not in dedup_ref
+    assert set(out["crossover"]["recorded"]) == {
+        "minhash_lsh_exact",
+        "kv_replay_hotkey",
+    }
+    assert out["crossover"]["queries"]["word_count_top10"] == [0.78, 0.11]
+
+
+def test_shed_without_queries_copies_crossover():
+    import bench
+
+    payload = _payload(with_queries=False)
+    before = copy.deepcopy(payload)
+    # force shedding: shrink the budget so every optional section drops
+    saved = bench._TAIL_BUDGET
+    bench._TAIL_BUDGET = 1
+    try:
+        out = bench._compact_for_tail(payload)
+    finally:
+        bench._TAIL_BUDGET = saved
+    assert payload == before, "shed loop mutated the caller's crossover"
+    for k in ("rows", "recorded", "queries"):
+        assert k not in out["crossover"]
+
+
+def test_compact_line_fits_tail_budget():
+    from bench import _TAIL_BUDGET, _compact_for_tail
+
+    out = _compact_for_tail(_payload(with_queries=True))
+    assert len(json.dumps(out, separators=(",", ":"))) <= _TAIL_BUDGET

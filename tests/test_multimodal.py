@@ -533,6 +533,13 @@ def test_jpeg_decode_rejects_unsupported_and_malformed():
     with pytest.raises(ValueError, match="truncated|marker|Huffman"):
         decode_jpeg(busy[: k + 16])
 
+    # ADVICE r5: standalone markers (TEM 0x01, RST0-7, stray SOI) have
+    # NO length field — they must fail cleanly, never be misparsed as a
+    # length-prefixed segment that skips an arbitrary byte span.
+    for marker in (b"\xff\x01", b"\xff\xd3", b"\xff\xd8"):
+        with pytest.raises(ValueError, match="standalone marker"):
+            decode_jpeg(good[:j] + marker + good[j:])
+
 
 def test_jpeg_spark_decode_means(spark, sf_dir):
     """decode_images_jpeg over jpeg_blobs: per-channel means equal the
