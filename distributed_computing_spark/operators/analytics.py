@@ -861,3 +861,40 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_transitions"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bar resampling (OHLC): per (event_type, hour) the opening,
+    highest, lowest, and closing `value` plus the tick count — the
+    financial-bar / telemetry-downsampling shape.
+
+    One shuffle, pure aggregation: open/close use min_by/max_by keyed
+    on the UNIQUE struct(ts, event_id) — single-pass partial-aggregable
+    picks, no ordering window. Struct-keyed min_by buffers aren't
+    hash-aggregable, so Spark lowers to partial+final SortAggregate;
+    that's still the scale-right plan: one row per bar crosses the
+    exchange, where a window formulation would shuffle and sort EVERY
+    event (plan-asserted in tests). No float is ever summed (picks and
+    extrema only), so the result is bit-exact cross-engine; the DuckDB
+    oracle expresses the same picks with row_number windows over
+    (ts, event_id).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bar_hour"),
+            "ts",
+            "event_id",
+            "value",
+        )
+        .groupBy("event_type", "bar_hour")
+        .agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )

@@ -1,0 +1,199 @@
+"""Iterative graph analytics over DataFrames: PageRank on the
+co-purchase graph.
+
+The reference has no graph surface; this is EXT coverage alongside the
+near-dup connected-components closure (dedup.cluster_neardups) — the
+OTHER canonical iterative-distributed algorithm, with per-round numeric
+state instead of label propagation.
+
+Design for 100 TB:
+- The edge table is built once (per-order bounded self-join, the same
+  per-basket fan-out discipline as copurchase_pairs) and persisted;
+  it is never re-exchanged — vertex state travels to the edges.
+- One iteration = map-side edge join against BROADCAST vertex
+  contributions plus one partial-aggregated groupBy(dst): the Pregel
+  message-passing step with exactly one (node-sized-output) shuffle
+  per round. Above the broadcast threshold it degrades to shuffle
+  joins. No driver-side state beyond the loop counter.
+- All arithmetic is INTEGER (rank mass scaled by ``scale``): sums of
+  longs are order-independent, so the result is bit-exact against the
+  unrolled-CTE DuckDB oracle (same trick that made BPE/MinHash exact),
+  and ANSI overflow is impossible while n_nodes * scale * damping_num
+  stays under 2^63 (~1e8 nodes at the default scale=1e9).
+
+Contract notes: teleport mass uses integer ``(scale * damping_num)``
+splits with truncating division on both engines (`div` / `//` truncate
+toward zero; all values here are non-negative). Nodes are defined as
+edge endpoints (an isolated part never enters the graph); the
+co-purchase graph is symmetric, so every node has outdeg >= 1 and no
+dangling-mass redistribution is needed — asserted, not assumed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_computing_spark.caching import track_persist
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Directed co-purchase edge list: (src, dst) part pairs sharing an
+    order, both directions, deduplicated. Fan-out is bounded per order
+    (items² within one basket), never cross-order."""
+    li = lineitem.select("l_orderkey", F.col("l_partkey").alias("src")).distinct()
+    rb = li.select("l_orderkey", F.col("src").alias("dst"))
+    return (
+        li.join(rb, "l_orderkey")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 8,
+    scale: int = 10**9,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    broadcast_nodes_max: int = 5_000_000,
+) -> DataFrame:
+    """Integer-scaled PageRank over a directed edge list.
+
+    r_0(v) = scale;
+    c_t(u) = r_{t-1}(u) div outdeg(u);
+    r_t(v) = (scale * (den - num)) div den
+             + (num * sum_{u->v} c_t(u)) div den.
+
+    Returns (node, outdeg, rank_score) for every node. The iteration
+    chain is lazy — one job executes all rounds.
+
+    Shuffle contract (the thing that matters at 100 TB): the edge
+    table is persisted ONCE and never re-exchanged. Vertex state is
+    node-sized, typically orders of magnitude smaller than the edges,
+    so when the measured node count fits ``broadcast_nodes_max`` each
+    round joins edges against a BROADCAST of (src → contribution) —
+    the only shuffle per round is the partial-aggregated
+    ``groupBy(dst)``, which reduces edge-sized messages to node-sized
+    partials map-side (plan-asserted in tests/test_graph.py). Above
+    the threshold it degrades to co-partitioned shuffle joins (the
+    vertex state would blow executor memory as a broadcast — same
+    enforced-dispatch discipline as dedup.decontaminate). A naive
+    formulation instead re-shuffles the EDGES every round — AQE-cached
+    relations report unknown partitioning, so caching alone does not
+    co-locate them; that dead end is why the broadcast form exists.
+    """
+    edges = track_persist(edges)
+    deg = track_persist(
+        edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("outdeg")
+        )
+    )
+    # Bounded: one row per distinct source; this count also dispatches
+    # the join strategy, so the contract is measured, not assumed.
+    n_nodes = deg.count()
+    use_broadcast = n_nodes <= broadcast_nodes_max
+    teleport = (scale * (damping_den - damping_num)) // damping_den
+    ranks = deg.select("node", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(n_iter):
+        # per-source contribution: node-sized (broadcast-joined below
+        # threshold, so the whole round's vertex side stays shuffle-free)
+        contrib = ranks.join(
+            F.broadcast(deg) if use_broadcast else deg, "node"
+        ).select(
+            F.col("node").alias("src"),
+            F.expr("rank div outdeg").alias("c"),
+        )
+        if use_broadcast:
+            contrib = F.broadcast(contrib)
+        c_in = (
+            edges.join(contrib, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("c_in"))
+        )
+        # LEFT join from the node universe: a node with no in-edges
+        # still receives teleport mass (can't happen on the symmetric
+        # co-purchase graph, but the operator shouldn't assume it).
+        nodes = deg.select("node")
+        ranks = (
+            nodes.join(F.broadcast(c_in) if use_broadcast else c_in, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({damping_num} * coalesce(c_in, 0L)) div {damping_den}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+    return ranks.join(deg, "node").select("node", "outdeg", F.col("rank").alias("rank_score"))
+
+
+def pagerank_parts(
+    spark: SparkSession, sf_dir: str, n_iter: int = 8, k: int = 100
+) -> DataFrame:
+    """Registry query: top-k parts of the co-purchase graph by
+    integer-scaled PageRank, deterministically tie-broken by part key."""
+    from distributed_computing_spark.sources.catalog import load_table
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    pr = pagerank(edges, n_iter=n_iter)
+    return (
+        pr.orderBy(F.col("rank_score").desc(), F.col("node").asc())
+        .select(
+            F.col("node").alias("p_partkey"),
+            F.col("outdeg").alias("n_neighbors"),
+            "rank_score",
+        )
+        .limit(k)
+    )
+
+
+def pagerank_oracle_sql(
+    n_iter: int = 8,
+    scale: int = 10**9,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    k: int = 100,
+) -> str:
+    """Generated unrolled-CTE DuckDB oracle for ``pagerank_parts`` —
+    the BPE/MinHash generated-SQL trick applied to the rank iteration.
+    Every round is one MATERIALIZED CTE (without the hint DuckDB
+    re-inlines the chain exponentially; see CLAUDE.md round-4 note).
+    `//` and Spark's `div` both truncate toward zero; all values are
+    non-negative, so the folds agree bit-for-bit."""
+    teleport = (scale * (damping_den - damping_num)) // damping_den
+    parts = [
+        """WITH edges AS MATERIALIZED (
+  SELECT DISTINCT la.l_partkey AS src, lb.l_partkey AS dst
+  FROM lineitem la JOIN lineitem lb
+    ON la.l_orderkey = lb.l_orderkey AND la.l_partkey <> lb.l_partkey),
+deg AS MATERIALIZED (
+  SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1),
+r0 AS MATERIALIZED (
+  SELECT node, CAST(%d AS BIGINT) AS rank FROM deg)"""
+        % scale
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"""r{t} AS MATERIALIZED (
+  SELECT d.node,
+         CAST({teleport} + ({damping_num} * COALESCE(s.c_in, 0)) // {damping_den}
+              AS BIGINT) AS rank
+  FROM deg d LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank // d2.outdeg) AS c_in
+    FROM r{t - 1} r
+    JOIN deg d2 ON r.node = d2.node
+    JOIN edges e ON e.src = r.node
+    GROUP BY 1) s ON d.node = s.node)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT r.node AS p_partkey, d.outdeg AS n_neighbors, r.rank AS rank_score
+FROM r{n_iter} r JOIN deg d ON r.node = d.node
+ORDER BY rank_score DESC, p_partkey ASC
+LIMIT {k}"""
+    )

@@ -2921,3 +2921,34 @@ GROUP BY r_name"""
 
 ORACLES["bpe_merges"] = _bpe_merges_oracle_sql(24)
 ORACLES["bpe_encode_stats"] = _bpe_encode_oracle_sql(24)
+
+
+# ---------------------------------------------------------------------------
+# Round 6: time-bar resampling (OHLC) and iterative graph analytics
+# ---------------------------------------------------------------------------
+from distributed_computing_spark.operators.graph import (  # noqa: E402
+    pagerank_oracle_sql,
+    pagerank_parts,
+)
+
+QUERIES["events_ohlc"] = analytics.events_ohlc
+ORACLES["events_ohlc"] = """
+WITH p AS (
+  SELECT event_type,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar_hour,
+         value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events)
+SELECT event_type, bar_hour,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS n_ticks
+FROM p GROUP BY 1, 2"""
+
+QUERIES["pagerank_parts"] = pagerank_parts
+ORACLES["pagerank_parts"] = pagerank_oracle_sql(n_iter=8)

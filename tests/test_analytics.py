@@ -314,3 +314,57 @@ def test_priority_grouping_sets_strata(spark, sf_dir):
         if (r["g_p"], r["g_s"]) == (1, 0):  # priority grouped out
             assert r["priority"] is None
             assert r["n_orders"] == by_status[r["status"]]
+
+
+def test_events_ohlc_picks_and_plan(spark, sf_dir):
+    """round 6: OHLC bars — open/close are the unique (ts, event_id)-
+    ordered first/last picks (cross-checked against an explicit window
+    formulation), extrema bound them, and the whole query is a single
+    partial-aggregated hash exchange (no ordering window shuffle)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from distributed_computing_spark.operators.analytics import events_ohlc
+    from distributed_computing_spark.plans.inspect import (
+        count_exchanges,
+        physical_plan,
+    )
+    from distributed_computing_spark.sources.catalog import load_table
+
+    out = events_ohlc(spark, sf_dir)
+    assert count_exchanges(out) == 1
+    # struct-keyed min_by buffers aren't hash-aggregable, so Spark
+    # lowers to SortAggregate — but crucially WITH a map-side partial
+    # (one row per bar crosses the exchange; the window formulation
+    # would shuffle every event). Pin partial+final.
+    tree = physical_plan(out).split("\n\n")[0]
+    assert tree.count("SortAggregate") == 2, tree
+
+    rows = {(r["event_type"], r["bar_hour"]): r for r in out.collect()}
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "bar_hour", F.date_trunc("hour", F.col("ts"))
+    )
+    w = Window.partitionBy("event_type", "bar_hour").orderBy("ts", "event_id")
+    ref = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "rn_last",
+            F.row_number().over(
+                w.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+            ),
+        )
+        .groupBy("event_type", "bar_hour")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
+            F.max(F.when(F.col("rn_last") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert len(ref) == len(rows)
+    for r in ref:
+        got = rows[(r["event_type"], r["bar_hour"])]
+        assert got["open"] == r["open"] and got["close"] == r["close"]
+        assert got["n_ticks"] == r["n"]
+        assert got["low"] <= min(r["open"], r["close"])
+        assert got["high"] >= max(r["open"], r["close"])
