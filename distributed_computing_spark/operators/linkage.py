@@ -1,0 +1,148 @@
+"""Record linkage: edit-distance self-join with pigeonhole blocking.
+
+Entity resolution over dirty identifiers ("find records whose keys
+differ by a typo") is the cross-record analog of the dedup family's
+near-dup text matching — EXT coverage next to SimHash's pigeonhole
+chunks (dedup.py): to find all pairs within Levenshtein distance d
+among EQUAL-LENGTH strings, split every string into d+1 aligned
+segments; d substitutions can corrupt at most d segments, so every
+true pair still agrees on at least one (segment_index, segment_text)
+block. Equal length is part of the block key, which is what makes the
+pigeonhole sound (equal-length strings at distance <= d differ by
+exactly <= d substitutions — an insert/delete pair would already cost
+distance 2 and change alignment).
+
+Design for 100 TB:
+- Candidate generation is a self-join on (length, segment_index,
+  segment_text) — bounded blocks, never a cross join.
+- Every block carries an ABSOLUTE size cap (CLAUDE.md round-4 rule:
+  relative caps don't survive scale-up); oversized blocks are dropped
+  deterministically on BOTH engines, so the oracle stays exact.
+- The candidate-pair exchange carries ids only; names re-attach via
+  two id-keyed joins before the Levenshtein verify (same ids-only
+  discipline as the MinHash band joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_dist: int = 1,
+    max_block: int = 512,
+) -> DataFrame:
+    """All (a_id, b_id, dist) pairs with levenshtein <= ``max_dist``
+    among equal-length values of ``name_col``, a_id < b_id.
+
+    Complete for equal-length inputs whose blocks stay within
+    ``max_block`` (oversized blocks are dropped entirely — the
+    deterministic guard both engines mirror). Intended for values with
+    length >= max_dist + 1 segments of at least one char.
+    """
+    n_seg = max_dist + 1
+    nm = df.select(
+        F.col(id_col).alias("id"),
+        F.col(name_col).alias("name"),
+        F.length(name_col).alias("ln"),
+    )
+    segs = nm.select(
+        "id",
+        "ln",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seg_i"),
+                        F.expr(
+                            f"substring(name, (ln * {i}) div {n_seg} + 1, "
+                            f"(ln * {i + 1}) div {n_seg} - (ln * {i}) div {n_seg})"
+                        ).alias("seg"),
+                    )
+                    for i in range(n_seg)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", "ln", F.col("s.seg_i").alias("seg_i"), F.col("s.seg").alias("seg"))
+    ok = (
+        segs.groupBy("ln", "seg_i", "seg")
+        .agg(F.count(F.lit(1)).alias("block_n"))
+        .where(F.col("block_n") <= max_block)
+        .select("ln", "seg_i", "seg")
+    )
+    blocked = segs.join(ok, ["ln", "seg_i", "seg"])
+    cand = (
+        blocked.select("ln", "seg_i", "seg", F.col("id").alias("a_id"))
+        .join(
+            blocked.select("ln", "seg_i", "seg", F.col("id").alias("b_id")),
+            ["ln", "seg_i", "seg"],
+        )
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return (
+        cand.join(nm.select(F.col("id").alias("a_id"), F.col("name").alias("a_name")), "a_id")
+        .join(nm.select(F.col("id").alias("b_id"), F.col("name").alias("b_name")), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.levenshtein("a_name", "b_name").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )
+
+
+def fuzzy_customer_match(
+    spark: SparkSession, sf_dir: str, max_dist: int = 1, max_block: int = 512
+) -> DataFrame:
+    """Registry query: customer-name pairs one typo apart (among the
+    deterministic c_custkey % 3 == 0 subset, which bounds the gate
+    output while keeping a few thousand true matches)."""
+    from distributed_computing_spark.sources.catalog import load_table
+
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 3 == 0
+    )
+    return edit_distance_pairs(
+        cust, "c_custkey", "c_name", max_dist=max_dist, max_block=max_block
+    )
+
+
+def fuzzy_match_oracle_sql(max_dist: int = 1, max_block: int = 512) -> str:
+    """Exact DuckDB oracle: same segmentation arithmetic (truncating
+    integer division), same absolute block cap, same levenshtein
+    verify."""
+    n_seg = max_dist + 1
+    seg_rows = ", ".join(str(i) for i in range(n_seg))
+    return f"""
+WITH nm AS (
+  SELECT c_custkey AS id, c_name AS name, length(c_name) AS ln
+  FROM customer WHERE c_custkey % 3 = 0),
+segs AS (
+  SELECT id, ln, s.seg_i,
+         substr(name, (ln * s.seg_i) // {n_seg} + 1,
+                (ln * (s.seg_i + 1)) // {n_seg} - (ln * s.seg_i) // {n_seg})
+           AS seg
+  FROM nm, (SELECT unnest([{seg_rows}]) AS seg_i) s),
+ok AS (
+  SELECT ln, seg_i, seg FROM segs
+  GROUP BY 1, 2, 3 HAVING count(*) <= {max_block}),
+blocked AS (
+  SELECT s.id, s.ln, s.seg_i, s.seg
+  FROM segs s JOIN ok o
+    ON s.ln = o.ln AND s.seg_i = o.seg_i AND s.seg = o.seg),
+cand AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+  FROM blocked a JOIN blocked b
+    ON a.ln = b.ln AND a.seg_i = b.seg_i AND a.seg = b.seg
+   AND a.id < b.id)
+SELECT c.a_id, c.b_id, levenshtein(na.name, nb.name) AS dist
+FROM cand c
+JOIN nm na ON na.id = c.a_id
+JOIN nm nb ON nb.id = c.b_id
+WHERE levenshtein(na.name, nb.name) <= {max_dist}"""

@@ -2952,3 +2952,13 @@ FROM p GROUP BY 1, 2"""
 
 QUERIES["pagerank_parts"] = pagerank_parts
 ORACLES["pagerank_parts"] = pagerank_oracle_sql(n_iter=8)
+
+
+# Round 6: record linkage (edit-distance self-join, pigeonhole blocked)
+from distributed_computing_spark.operators.linkage import (  # noqa: E402
+    fuzzy_customer_match,
+    fuzzy_match_oracle_sql,
+)
+
+QUERIES["fuzzy_customer_match"] = fuzzy_customer_match
+ORACLES["fuzzy_customer_match"] = fuzzy_match_oracle_sql()
