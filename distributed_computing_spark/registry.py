@@ -2962,3 +2962,17 @@ from distributed_computing_spark.operators.linkage import (  # noqa: E402
 
 QUERIES["fuzzy_customer_match"] = fuzzy_customer_match
 ORACLES["fuzzy_customer_match"] = fuzzy_match_oracle_sql()
+
+
+# Round 6: Z-order (Morton) layout — multi-dimensional min/max pruning
+from distributed_computing_spark.operators.layout import (  # noqa: E402
+    zorder_cells,
+    zorder_cells_oracle_sql,
+    zorder_events_scan,
+    zorder_scan_oracle_sql,
+)
+
+QUERIES["zorder_cells"] = zorder_cells
+ORACLES["zorder_cells"] = zorder_cells_oracle_sql()
+QUERIES["zorder_events_scan"] = zorder_events_scan
+ORACLES["zorder_events_scan"] = zorder_scan_oracle_sql()

@@ -1,0 +1,103 @@
+"""Z-order layout (operators/layout.py): interleave parity, the
+measured pruning claim (the reason the operator exists), round-trip
+integrity, and the quantization range guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_computing_spark.operators.layout import (
+    _window,
+    quantize,
+    rowgroup_skip_fraction,
+    zorder_write,
+    zvalue,
+    zvalue_py,
+)
+from distributed_computing_spark.sources.catalog import load_table
+
+SF_MID = "/root/testdata/sf0.01"
+
+
+def test_zvalue_matches_python_reference(spark):
+    df = spark.createDataFrame(
+        [(x, y) for x in (0, 1, 5, 255, 65535) for y in (0, 2, 7, 254, 65535)],
+        "x long, y long",
+    )
+    rows = df.select(
+        "x", "y", zvalue(F.col("x"), F.col("y")).alias("z")
+    ).collect()
+    for r in rows:
+        assert r["z"] == zvalue_py(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_quantize_bounds_and_monotonicity(spark):
+    df = spark.range(0, 1000).select(F.col("id").alias("v"))
+    q = df.select("v", quantize("v", 0, 999, 8).alias("q")).collect()
+    qs = [r["q"] for r in sorted(q, key=lambda r: r["v"])]
+    assert qs[0] == 0 and qs[-1] == 255
+    assert all(a <= b for a, b in zip(qs, qs[1:]))
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, tmp_path_factory):
+    """events written two ways: linear sort on user_id vs z-order on
+    (user_id, ts_sec), same file count."""
+    ev = load_table(spark, SF_MID, "events").withColumn(
+        "ts_sec", F.col("ts").cast("long")
+    )
+    row = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("ts_sec"), F.max("ts_sec")
+    ).collect()[0]
+    bounds = tuple(int(v) for v in row)
+    lin = str(tmp_path_factory.mktemp("lin"))
+    zo = str(tmp_path_factory.mktemp("zo"))
+    (
+        ev.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(lin)
+    )
+    zorder_write(ev, zo, "user_id", "ts_sec", bounds, n_files=16)
+    return ev, bounds, lin, zo
+
+
+def _skip(path, preds):
+    s, t = rowgroup_skip_fraction(path, preds)
+    assert t >= 16
+    return s / t
+
+
+def test_pruning_both_dimensions(layouts):
+    """The headline claim: a linear layout prunes only its own sort
+    column; the z-order layout prunes range predicates on EITHER
+    column and more than either alone on the conjunction."""
+    _, (xmin, xmax, ymin, ymax), lin, zo = layouts
+    x_pred = {"user_id": _window(xmin, xmax, 20, 40)}
+    y_pred = {"ts_sec": _window(ymin, ymax, 30, 45)}
+    both = {**x_pred, **y_pred}
+
+    assert _skip(lin, x_pred) >= 0.6  # sorted column prunes hard
+    assert _skip(lin, y_pred) == 0.0  # other column: every file hit
+    assert _skip(zo, x_pred) >= 0.4  # z-order prunes BOTH dimensions
+    assert _skip(zo, y_pred) >= 0.4
+    assert _skip(zo, both) >= 0.7
+    assert _skip(zo, y_pred) > _skip(lin, y_pred)
+
+
+def test_roundtrip_preserves_rows(spark, layouts):
+    ev, _, _lin, zo = layouts
+    back = spark.read.parquet(zo)
+    assert back.count() == ev.count()
+    a = ev.agg(F.sum("event_id"), F.sum("user_id")).collect()[0]
+    b = back.agg(F.sum("event_id"), F.sum("user_id")).collect()[0]
+    assert tuple(a) == tuple(b)
+
+
+def test_range_guard_raises(spark, tmp_path):
+    df = spark.range(2).select(F.col("id").alias("x"), F.col("id").alias("y"))
+    with pytest.raises(ValueError, match="pre-scale"):
+        zorder_write(
+            df, str(tmp_path / "p"), "x", "y", (0, 1 << 50, 0, 1), bits=16
+        )
