@@ -894,3 +894,201 @@ def neardup_canonical(
         "n_members",
         (F.col("tot_chars") - F.col("best.n_chars")).alias("dropped_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (cross-document duplicated token spans)
+# ---------------------------------------------------------------------------
+
+
+def gram_positions(
+    documents: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, gram_h) for every token ``k``-gram, 1-based pos.
+
+    Same map-side zip-of-shifted-slices construction as
+    ``shingle_rows`` (measured there against the element_at-lambda and
+    posexplode+window forms), but keeps the POSITION: consecutive
+    positions are what lets span merging recover maximal duplicated
+    substrings from k-gram anchor matches. Keys on ``xxhash64(gram)``
+    so everything after the tokenize pass moves 8-byte keys, never
+    k-token text (collision within any doc pair < 1e-8 — the same
+    accepted tradeoff as ``ngram_jaccard_pairs``).
+    """
+    base = documents.select(id_col, tokens(text_col).alias("_toks"))
+    toks = F.col("_toks")
+    span = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, span) for i in range(k)])
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)])
+    )
+    return base.select(
+        F.col(id_col), F.posexplode(grams).alias("_idx", "_gram")
+    ).select(
+        id_col,
+        (F.col("_idx") + 1).cast("long").alias("pos"),
+        F.xxhash64("_gram").alias("gram_h"),
+    )
+
+
+def duplicate_spans(
+    documents: DataFrame,
+    k: int = 8,
+    max_posting: int = 2_000,
+    min_span: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans of length >= k.
+
+    Exact substring dedup in the style of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed Spark-first. The suffix-array construction the paper
+    uses is a single-machine algorithm; the distributed equivalent is
+    k-gram anchor matching + diagonal run merging:
+
+      grams    (doc, pos, xxhash64(k-gram)) — map-side only
+      guard    drop grams with > ``max_posting`` total occurrences
+               (ABSOLUTE fan-out cap: the |occ|^2 anchor expansion of
+               one boilerplate gram must stay bounded at any corpus
+               size — the ngram_jaccard/minhash max_bucket lesson)
+      anchors  postings groupBy(gram_h) → nested posexplode of the
+               occurrence list (map-side pair expansion after the one
+               heavy exchange; a < b cross-doc only)
+      spans    a shared span of length L >= k appears as L-k+1 anchors
+               at consecutive ``pa`` on one diagonal ``pa - pb``;
+               gaps-and-islands over (a, b, diag) recovers each maximal
+               span as one group (grp = pa - row_number()).
+
+    Every exchange after the gram scan carries ids/positions only —
+    text never shuffles. Returns (a, b, a_start, b_start, span_len),
+    positions 1-based in token space; each row is a MAXIMAL span for
+    its (a, b, diagonal) — spans at different alignments may still
+    overlap in either document (interval union is ``span_dedup_stats``'
+    job). ``min_span`` filters short spans after merging (anchors must
+    still be built at granularity k, so this is a cheap post-filter).
+    """
+    g = gram_positions(documents, k, id_col=id_col)
+    head = (
+        g.groupBy("gram_h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") > max_posting)
+        .select("gram_h")
+    )
+    g = g.join(head, "gram_h", "left_anti")
+    postings = g.groupBy("gram_h").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("d"), F.col("pos")))
+        ).alias("occ")
+    )
+    anchors = (
+        postings.where(F.size("occ") > 1)
+        .select(F.posexplode("occ").alias("_i", "oa"), "occ")
+        .select(
+            "oa",
+            F.explode(
+                F.expr("slice(occ, _i + 2, size(occ) - _i - 1)")
+            ).alias("ob"),
+        )
+        .where(F.col("oa.d") != F.col("ob.d"))
+        .select(
+            F.col("oa.d").alias("a"),
+            F.col("ob.d").alias("b"),
+            F.col("oa.pos").alias("pa"),
+            F.col("ob.pos").alias("pb"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a", "b", "diag").orderBy("pa")
+    runs = anchors.withColumn("diag", F.col("pa") - F.col("pb")).withColumn(
+        "grp", F.col("pa") - F.row_number().over(w)
+    )
+    spans = (
+        runs.groupBy("a", "b", "diag", "grp")
+        .agg(F.min("pa").alias("a_start"), F.count(F.lit(1)).alias("n_anchor"))
+        .select(
+            "a",
+            "b",
+            "a_start",
+            (F.col("a_start") - F.col("diag")).alias("b_start"),
+            (F.col("n_anchor") + F.lit(k - 1)).alias("span_len"),
+        )
+    )
+    if min_span is not None and min_span > k:
+        spans = spans.where(F.col("span_len") >= min_span)
+    return spans
+
+
+def span_dedup_stats(
+    documents: DataFrame,
+    k: int = 8,
+    max_posting: int = 2_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-token accounting under keep-earliest.
+
+    The dedup ACTION on top of ``duplicate_spans``: for every document,
+    how many of its tokens sit inside a span that also appears in some
+    EARLIER document (smaller doc_id — the deterministic keep-first
+    policy)? Overlapping spans from different partners / alignments are
+    union-merged per document with the classic interval sweep
+    (running max(end) over starts; a new island begins where
+    start > max end so far) — a window over (doc, start), never a
+    per-position explode, so the merge is O(spans log spans) not
+    O(total span tokens) at 100 TB.
+
+    Returns (doc_id, n_tokens, dup_tokens, kept_tokens) for EVERY doc
+    (zero dup_tokens when untouched) — the downstream curation join is
+    a plain equi-join on doc_id.
+    """
+    from pyspark.sql import Window
+
+    spans = duplicate_spans(
+        documents, k=k, max_posting=max_posting, id_col=id_col
+    )
+    ivl = spans.select(
+        F.col("b").alias(id_col),
+        F.col("b_start").alias("s"),
+        (F.col("b_start") + F.col("span_len")).alias("e"),
+    ).dropDuplicates([id_col, "s", "e"])
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = ivl.withColumn("prev_max", F.max("e").over(w_prev)).withColumn(
+        "isl_id",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).over(w_run),
+    )
+    merged = isl.groupBy(id_col, "isl_id").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    dup = merged.groupBy(id_col).agg(
+        F.sum(F.col("me") - F.col("ms")).alias("dup_tokens")
+    )
+    from distributed_computing_spark.functions.text import token_count
+
+    base = documents.select(
+        id_col, token_count("text").cast("long").alias("n_tokens")
+    )
+    return base.join(dup, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        (F.col("n_tokens") - F.coalesce("dup_tokens", F.lit(0)))
+        .cast("long")
+        .alias("kept_tokens"),
+    )

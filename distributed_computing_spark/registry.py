@@ -2976,3 +2976,89 @@ QUERIES["zorder_cells"] = zorder_cells
 ORACLES["zorder_cells"] = zorder_cells_oracle_sql()
 QUERIES["zorder_events_scan"] = zorder_events_scan
 ORACLES["zorder_events_scan"] = zorder_scan_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round 6: exact substring-span dedup (Lee et al. 2022-style), gated
+# ---------------------------------------------------------------------------
+
+
+def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-doc duplicated token spans (k=8 anchors, absolute
+    posting cap mirrored by the oracle). Spark keys anchors on
+    xxhash64(gram); the oracle groups the gram STRING — identical
+    output absent 64-bit collisions (< 1e-8/pair, same accepted
+    tradeoff as ngram_jaccard_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(docs, k=8, max_posting=2_000).orderBy(
+        "a", "b", "a_start", "b_start"
+    )
+
+
+def span_dedup_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-earliest duplicated-token accounting per document: interval
+    union of every span shared with a smaller doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.span_dedup_stats(docs, k=8, max_posting=2_000).orderBy(
+        "doc_id"
+    )
+
+
+QUERIES["dup_spans"] = dup_spans
+QUERIES["span_dedup_stats"] = span_dedup_stats_q
+
+_SPAN_RUNS = f"""t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+p AS (SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - 6, 1))) AS pos
+      FROM t),
+g0 AS MATERIALIZED (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         array_to_string(toks[pos:pos+7], ' ') AS gram
+  FROM p),
+head AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) > 2000),
+g AS (SELECT * FROM g0 WHERE gram NOT IN (SELECT gram FROM head)),
+anchors AS (
+  SELECT ga.doc_id AS a, gb.doc_id AS b, ga.pos AS pa, gb.pos AS pb
+  FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id),
+runs AS (
+  SELECT a, b, pa - pb AS diag, pa,
+         pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS grp
+  FROM anchors)"""
+
+ORACLES["dup_spans"] = f"""
+WITH {_SPAN_RUNS}
+SELECT a, b, min(pa) AS a_start, min(pa) - diag AS b_start,
+       count(*) + 7 AS span_len
+FROM runs GROUP BY a, b, diag, grp
+ORDER BY a, b, a_start, b_start"""
+
+ORACLES["span_dedup_stats"] = f"""
+WITH {_SPAN_RUNS},
+spans AS (SELECT a, b, diag, min(pa) AS a_start, count(*) + 7 AS span_len
+          FROM runs GROUP BY a, b, diag, grp),
+ivl AS (SELECT DISTINCT b AS doc_id, a_start - diag AS s,
+               a_start - diag + span_len AS e
+        FROM spans),
+m AS (SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM ivl),
+isl AS (SELECT doc_id, s, e,
+               sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS isl_id
+        FROM m),
+merged AS (SELECT doc_id, isl_id, min(s) AS ms, max(e) AS me
+           FROM isl GROUP BY doc_id, isl_id),
+dup AS (SELECT doc_id, CAST(sum(me - ms) AS BIGINT) AS dup_tokens
+        FROM merged GROUP BY doc_id)
+SELECT t.doc_id AS doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(dup.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(len(toks) - coalesce(dup.dup_tokens, 0) AS BIGINT)
+         AS kept_tokens
+FROM t LEFT JOIN dup ON t.doc_id = dup.doc_id
+ORDER BY doc_id"""

@@ -429,3 +429,87 @@ def test_scoped_tracking_confines_release_to_its_own_persists(spark):
     assert caching._TRACKED == [outer_df]
     assert outer_df.storageLevel.useMemory
     caching.release_tracked()
+
+
+# --- exact substring-span dedup ---------------------------------------------
+
+
+def _span_docs(spark):
+    """Three docs with PLANTED shared spans: docs 1 and 2 share one
+    12-token span; doc 3 shares a different 9-token span with doc 1;
+    everything else is unique filler (distinct token vocabularies)."""
+    shared_a = " ".join(f"alpha{i}" for i in range(12))
+    shared_b = " ".join(f"beta{i}" for i in range(9))
+    d1 = f"u1a u1b {shared_a} u1c u1d {shared_b} u1e"
+    d2 = f"v1 v2 v3 v4 {shared_a} v5"
+    d3 = f"w1 {shared_b} w2 w3 w4 w5 w6 w7"
+    return spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+
+
+def test_duplicate_spans_planted(spark):
+    from distributed_computing_spark.operators.dedup import duplicate_spans
+
+    spans = duplicate_spans(_span_docs(spark), k=8).orderBy("a", "b").collect()
+    assert [
+        (r["a"], r["b"], r["a_start"], r["b_start"], r["span_len"])
+        for r in spans
+    ] == [
+        # d1 tokens: u1a u1b alpha0..alpha11 u1c u1d beta0..beta8 u1e
+        (1, 2, 3, 5, 12),  # alpha span: d1 pos 3, d2 pos 5
+        (1, 3, 17, 2, 9),  # beta span: d1 pos 17, d3 pos 2
+    ]
+
+
+def test_duplicate_spans_min_span_filters_after_merge(spark):
+    from distributed_computing_spark.operators.dedup import duplicate_spans
+
+    spans = duplicate_spans(_span_docs(spark), k=8, min_span=10).collect()
+    assert [(r["a"], r["b"], r["span_len"]) for r in spans] == [(1, 2, 12)]
+
+
+def test_span_stats_interval_union_of_overlapping_partners(spark):
+    """Doc 3 duplicates two OVERLAPPING windows of doc 1's content via
+    two earlier partners — dup_tokens must count the union once."""
+    from distributed_computing_spark.operators.dedup import span_dedup_stats
+
+    core = [f"c{i}" for i in range(14)]
+    docs = spark.createDataFrame(
+        [
+            (1, "x1 x2 " + " ".join(core[:10]) + " x3"),  # c0..c9
+            (2, "y1 " + " ".join(core[4:14]) + " y2 y3"),  # c4..c13
+            (3, "z1 z2 z3 " + " ".join(core) + " z4"),  # all 14, dup'd
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in span_dedup_stats(docs, k=8).orderBy("doc_id").collect()
+    }
+    # doc 3: c0..c9 shared with doc 1, c4..c13 with doc 2 → union c0..c13
+    assert rows[3]["dup_tokens"] == 14
+    assert rows[3]["kept_tokens"] == rows[3]["n_tokens"] - 14
+    # doc 2 shares c4..c13 with doc 1? only c4..c9 (6 < k=8) → no span;
+    # keep-earliest means docs 1 and 2 are untouched
+    assert rows[1]["dup_tokens"] == 0 and rows[2]["dup_tokens"] == 0
+    assert all(
+        r["kept_tokens"] + r["dup_tokens"] == r["n_tokens"]
+        for r in rows.values()
+    )
+
+
+def test_span_posting_cap_drops_boilerplate_gram(spark):
+    """A gram occurring in > max_posting docs is dropped BEFORE pair
+    expansion — spans through it split; spans made only of it vanish."""
+    from distributed_computing_spark.operators.dedup import duplicate_spans
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(i, f"pad{i}a pad{i}b {boiler} pad{i}c") for i in range(10)],
+        "doc_id long, text string",
+    )
+    # the boilerplate 8-gram occurs 10 times; cap 9 kills it entirely
+    assert duplicate_spans(docs, k=8, max_posting=9).count() == 0
+    # without the cap it yields all 45 pair spans
+    assert duplicate_spans(docs, k=8, max_posting=100).count() == 45
