@@ -197,3 +197,129 @@ FROM r{n_iter} r JOIN deg d ON r.node = d.node
 ORDER BY rank_score DESC, p_partkey ASC
 LIMIT {k}"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered wedge closure)
+# ---------------------------------------------------------------------------
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected graph given as a
+    SYMMETRIC directed edge list (both directions present, no self
+    loops — what ``copurchase_edges`` emits).
+
+    The classic distributed formulation (Suri & Vassilvitskii's MR
+    algorithm): orient every undirected edge from its lower to its
+    higher endpoint under the total order (degree, node id); a
+    triangle {a,b,c} then materializes exactly once, as the wedge at
+    its lowest vertex closed by one oriented edge. Orientation is THE
+    scale lever: a node's oriented out-degree is O(sqrt(m)) on any
+    graph, so wedge generation is bounded by m^1.5 total — without it
+    a single celebrity node with degree d contributes d^2 wedges.
+
+    Shuffle contract: degrees are one partial-aggregated groupBy; the
+    wedge self-join exchanges oriented edges on u once; the closure is
+    an equi-join of wedges against oriented edges on (v, w) — ids and
+    degree longs only, three exchanges total, no cartesian anywhere.
+    """
+    und = edges.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    # symmetric directed list → out-degree == undirected degree
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    j = (
+        und.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("d", "da")
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b"
+        )
+    )
+    lt = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oe = j.select(
+        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lt, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    from distributed_computing_spark.caching import track_persist
+
+    oe = track_persist(oe)  # reused three times (e1, e2, closure probe)
+    e1 = oe.select(
+        F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy")
+    )
+    e2 = oe.select(
+        F.col("u"), F.col("v").alias("z"), F.col("dv").alias("dz")
+    )
+    wedge_lt = (F.col("dy") < F.col("dz")) | (
+        (F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z"))
+    )
+    wedges = e1.join(e2, "u").where(wedge_lt).select("u", "y", "z")
+    closer = oe.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tri = wedges.join(closer, ["y", "z"])
+    members = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return members.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
+def copurchase_triangles(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """Registry query: top-k parts by co-purchase triangle membership
+    (ties broken by part id) — integer counts, exactly oracle-checkable
+    against the three-way self-join in SQL."""
+    from distributed_computing_spark.sources.catalog import load_table
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    out = (
+        triangle_counts(edges)
+        .orderBy(F.desc("n_triangles"), F.asc("node"))
+        .limit(k)
+        .select(F.col("node").alias("p_partkey"), "n_triangles")
+    )
+    return out
+
+
+def triangles_oracle_sql(k: int = 20) -> str:
+    """Exact DuckDB oracle: identical orientation and wedge closure;
+    MATERIALIZED on every multiply-referenced CTE (CLAUDE.md rule)."""
+    return f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT la.l_partkey AS src, lb.l_partkey AS dst
+  FROM lineitem la JOIN lineitem lb
+    ON la.l_orderkey = lb.l_orderkey AND la.l_partkey <> lb.l_partkey),
+deg AS MATERIALIZED (
+  SELECT src AS node, count(*) AS d FROM edges GROUP BY 1),
+oe AS MATERIALIZED (
+  SELECT CASE WHEN lt THEN a ELSE b END AS u,
+         CASE WHEN lt THEN b ELSE a END AS v,
+         CASE WHEN lt THEN db ELSE da END AS dv
+  FROM (
+    SELECT e.src AS a, e.dst AS b, x.d AS da, y.d AS db,
+           (x.d < y.d OR (x.d = y.d AND e.src < e.dst)) AS lt
+    FROM edges e
+    JOIN deg x ON e.src = x.node
+    JOIN deg y ON e.dst = y.node
+    WHERE e.src < e.dst)),
+tri AS MATERIALIZED (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM oe e1
+  JOIN oe e2 ON e1.u = e2.u
+    AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+  JOIN oe e3 ON e3.u = e1.v AND e3.v = e2.v),
+members AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri)
+SELECT node AS p_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+FROM members GROUP BY node
+ORDER BY n_triangles DESC, p_partkey ASC
+LIMIT {k}"""

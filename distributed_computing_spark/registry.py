@@ -3062,3 +3062,13 @@ SELECT t.doc_id AS doc_id,
          AS kept_tokens
 FROM t LEFT JOIN dup ON t.doc_id = dup.doc_id
 ORDER BY doc_id"""
+
+
+# Round 6: triangle counting (degree-ordered wedge closure)
+from distributed_computing_spark.operators.graph import (  # noqa: E402
+    copurchase_triangles,
+    triangles_oracle_sql,
+)
+
+QUERIES["copurchase_triangles"] = copurchase_triangles
+ORACLES["copurchase_triangles"] = triangles_oracle_sql(20)

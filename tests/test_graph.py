@@ -126,3 +126,90 @@ def test_pagerank_shuffle_fallback_matches_broadcast(spark, toy_edges):
     }
     release_tracked()
     assert a == b
+
+
+# --- triangle counting -------------------------------------------------------
+
+
+def _sym(pairs):
+    return [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+
+
+def _py_triangles(und_pairs):
+    """Brute-force reference: count triangles per node."""
+    import itertools
+
+    adj = {}
+    for a, b in und_pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = dict.fromkeys(adj, 0)
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                counts[n] += 1
+    return {n: c for n, c in counts.items() if c}
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        # K4: every node in 3 triangles
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)],
+        # celebrity hub (star) + one closing rim edge: exactly 1 triangle
+        [(0, i) for i in range(1, 8)] + [(1, 2)],
+        # two triangles sharing an edge + a pendant path (no triangle)
+        [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+    ],
+)
+def test_triangle_counts_match_bruteforce(spark, pairs):
+    from distributed_computing_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(_sym(pairs), "src long, dst long")
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(edges).collect()
+    }
+    release_tracked()
+    assert got == _py_triangles(pairs)
+
+
+def test_triangle_counts_random_graph_matches_bruteforce(spark):
+    import random
+
+    from distributed_computing_spark.operators.graph import triangle_counts
+
+    rng = random.Random(6)
+    pairs = sorted(
+        {
+            (a, b)
+            for _ in range(120)
+            for a, b in [sorted(rng.sample(range(18), 2))]
+        }
+    )
+    edges = spark.createDataFrame(_sym(pairs), "src long, dst long")
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(edges).collect()
+    }
+    release_tracked()
+    assert got == _py_triangles(pairs)
+
+
+def test_triangle_plan_no_cartesian_and_orientation_bounds_wedges(spark):
+    """The wedge join must be an equi-join (no cartesian/BNLJ), and
+    orientation must bound the hub's wedge fan-out: in a star graph the
+    hub has degree d but oriented out-degree 0 (every edge points AWAY
+    from higher-degree nodes... i.e. toward the hub only from rim nodes
+    of lower degree) — so a star yields ZERO wedges at the hub."""
+    from distributed_computing_spark.operators.graph import triangle_counts
+    from distributed_computing_spark.plans import operator_tree
+
+    star = _sym([(0, i) for i in range(1, 30)])
+    edges = spark.createDataFrame(star, "src long, dst long")
+    out = triangle_counts(edges)
+    tree = operator_tree(out)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert out.count() == 0  # star has no triangles
+    release_tracked()
