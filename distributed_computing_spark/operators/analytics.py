@@ -898,3 +898,63 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_ticks"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D Pareto skyline
+# ---------------------------------------------------------------------------
+
+
+def skyline2d(
+    df: DataFrame,
+    u_col: str,
+    c_col: str,
+    id_col: str = "doc_id",
+    prune_buckets: int = 64,
+) -> DataFrame:
+    """Rows not Pareto-dominated: maximize ``u_col``, minimize
+    ``c_col`` (r' dominates r iff u' >= u, c' <= c, strict somewhere;
+    equal points dominate neither way, so exact duplicates both stay).
+
+    Non-domination is two RANGE-frame window conditions:
+      u == max(u) over {c' <= c}   (nobody cheaper-or-equal is richer)
+      c == min(c) over {u' >= u}   (nobody richer-or-equal is cheaper)
+    — equivalent to the NOT EXISTS definition (the DuckDB oracle
+    states that form directly, so the gate checks algorithm-
+    independent agreement).
+
+    Scale shape: the skyline is DISTRIBUTIVE — skyline(parts) ⊆ union
+    of per-part skylines — so a bucketed local prune (one exchange of
+    (id, u, c) integer triples, windows per bucket) runs first, and
+    the unpartitioned global windows only ever see the per-bucket
+    survivors (~O(buckets × |skyline|) rows), never the full table.
+    The bucket assignment affects only which dominated rows die early,
+    not the result.
+    """
+
+    def _keep(frame: DataFrame, part: str | None) -> DataFrame:
+        wc = Window.orderBy("_c").rangeBetween(Window.unboundedPreceding, 0)
+        wu = Window.orderBy(F.desc("_u")).rangeBetween(
+            Window.unboundedPreceding, 0
+        )
+        if part is not None:
+            wc, wu = wc.partitionBy(part), wu.partitionBy(part)
+        return (
+            frame.withColumn("_mu", F.max("_u").over(wc))
+            .withColumn("_mc", F.min("_c").over(wu))
+            .where((F.col("_u") == F.col("_mu")) & (F.col("_c") == F.col("_mc")))
+            .drop("_mu", "_mc")
+        )
+
+    pts = df.select(
+        id_col, F.col(u_col).alias("_u"), F.col(c_col).alias("_c")
+    )
+    local = _keep(
+        pts.withColumn(
+            "_b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(prune_buckets))
+        ),
+        "_b",
+    ).drop("_b")
+    return _keep(local, None).select(
+        id_col, F.col("_u").alias(u_col), F.col("_c").alias(c_col)
+    )

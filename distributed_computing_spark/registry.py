@@ -3072,3 +3072,40 @@ from distributed_computing_spark.operators.graph import (  # noqa: E402
 
 QUERIES["copurchase_triangles"] = copurchase_triangles
 ORACLES["copurchase_triangles"] = triangles_oracle_sql(20)
+
+
+# Round 6: Pareto skyline (maximize vocabulary richness, minimize size)
+def doc_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal documents: no other doc has >= distinct tokens
+    AND <= chars (strict somewhere). Integer dims keep the gate exact;
+    the oracle is the NOT EXISTS dominance definition — a different
+    algorithm than the window-condition plan, same answer."""
+    from distributed_computing_spark.functions.text import tokens
+    from distributed_computing_spark.operators.analytics import skyline2d
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.array_distinct(tokens("text")))
+        .cast("long")
+        .alias("n_uniq_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    return skyline2d(docs, "n_uniq_tokens", "n_chars").orderBy(
+        "n_chars", "doc_id"
+    )
+
+
+QUERIES["doc_skyline"] = doc_skyline
+ORACLES["doc_skyline"] = f"""
+WITH pts AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(len(list_distinct({_TOKENS})) AS BIGINT) AS n_uniq_tokens,
+         CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents)
+SELECT p.doc_id, p.n_uniq_tokens, p.n_chars
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.n_uniq_tokens >= p.n_uniq_tokens AND q.n_chars <= p.n_chars
+    AND (q.n_uniq_tokens > p.n_uniq_tokens OR q.n_chars < p.n_chars))
+ORDER BY n_chars, doc_id"""

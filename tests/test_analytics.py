@@ -368,3 +368,61 @@ def test_events_ohlc_picks_and_plan(spark, sf_dir):
         assert got["n_ticks"] == r["n"]
         assert got["low"] <= min(r["open"], r["close"])
         assert got["high"] >= max(r["open"], r["close"])
+
+
+# --- 2-D Pareto skyline ------------------------------------------------------
+
+
+def _py_skyline(pts):
+    return sorted(
+        (i, u, c)
+        for i, u, c in pts
+        if not any(
+            (u2 >= u and c2 <= c and (u2 > u or c2 < c))
+            for _, u2, c2 in pts
+        )
+    )
+
+
+def test_skyline_matches_bruteforce_with_duplicates(spark):
+    import random
+
+    from distributed_computing_spark.operators.analytics import skyline2d
+
+    rng = random.Random(17)
+    pts = [(i, rng.randint(0, 40), rng.randint(0, 40)) for i in range(300)]
+    pts += [(300 + j, pts[j][1], pts[j][2]) for j in range(10)]  # exact dups
+    df = spark.createDataFrame(pts, "doc_id long, u long, c long")
+    got = sorted(
+        (r["doc_id"], r["u"], r["c"])
+        for r in skyline2d(df, "u", "c").collect()
+    )
+    assert got == _py_skyline(pts)
+    # exact duplicates of a skyline point are BOTH retained
+    dup_ids = {i for i, u, c in _py_skyline(pts) if i >= 300}
+    for d in dup_ids:
+        assert (pts[d - 300][0], pts[d - 300][1], pts[d - 300][2]) in [
+            (i, u, c) for i, u, c in got
+        ]
+
+
+def test_skyline_invariant_to_prune_bucketing(spark):
+    import random
+
+    from distributed_computing_spark.operators.analytics import skyline2d
+
+    rng = random.Random(99)
+    pts = [(i, rng.randint(0, 25), rng.randint(0, 25)) for i in range(200)]
+    df = spark.createDataFrame(pts, "doc_id long, u long, c long")
+    base = sorted(
+        tuple(r) for r in skyline2d(df, "u", "c", prune_buckets=1).collect()
+    )
+    for nb in (2, 7, 64):
+        assert (
+            sorted(
+                tuple(r)
+                for r in skyline2d(df, "u", "c", prune_buckets=nb).collect()
+            )
+            == base
+        )
+    assert base == _py_skyline(pts)
