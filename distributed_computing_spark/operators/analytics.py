@@ -958,3 +958,67 @@ def skyline2d(
     return _keep(local, None).select(
         id_col, F.col("_u").alias(u_col), F.col("_c").alias(c_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-exact HyperLogLog register sketch
+# ---------------------------------------------------------------------------
+
+
+def hll_register_sketch(
+    df: DataFrame, col: str, m: int = 64, seed: int = 0
+) -> DataFrame:
+    """HLL registers over the cross-engine ``md5_hash60`` family:
+    (register, max_rank), register = h mod m, rank = leading-zero
+    count of the remaining 60 - log2(m) hash bits, plus one.
+
+    The strict-gate twin of ``approx_distinct_users`` (whose
+    ``approx_count_distinct`` uses Spark's engine-private HLL++ —
+    rows-only by necessity): here the SKETCH ITSELF is the checked
+    artifact, exactly reproducible in DuckDB SQL, same motion that
+    graduated MinHash/SimHash (``md5_hash60`` docstring). The scale
+    story is the register table's algebra: it is the distributive
+    form of distinct-count — partial aggregation maxes registers
+    map-side, merging two corpora's sketches is elementwise max, and
+    the estimate is computed client-side from m integers. The
+    estimate itself (harmonic mean, bias correction) stays OUT of the
+    gated output: summing 2^-rank terms is float-addition-order-
+    dependent (CLAUDE.md float-aggregate rule); tests bound its error
+    against the exact distinct count instead.
+    """
+    if m & (m - 1) != 0:
+        raise ValueError("m must be a power of two")
+    from distributed_computing_spark.operators.dedup import md5_hash60
+
+    bits = 60 - (m.bit_length() - 1)  # hash bits left after the index
+    hashed = df.select(
+        md5_hash60(F.col(col).cast("string"), seed).alias("_h")
+    )
+    rest = F.expr(f"_h div {m}")
+    # leading zeros of a `bits`-wide field holding rest, plus one:
+    #   rest > 0 → bits - bitlength(rest) + 1  (bitlength = len(bin))
+    #   rest = 0 → bits + 1  (all suffix bits zero; bin('0') would
+    #              miscount as bitlength 1, so it gets its own branch)
+    rank = F.when(rest == 0, F.lit(bits + 1)).otherwise(
+        F.lit(bits + 1) - F.length(F.bin(rest))
+    )
+    out = hashed.select(
+        F.pmod(F.col("_h"), F.lit(m)).alias("register"),
+        rank.cast("long").alias("rank"),
+    )
+    return out.groupBy("register").agg(F.max("rank").alias("max_rank"))
+
+
+def hll_estimate(registers: dict[int, int], m: int = 64) -> float:
+    """Client-side HLL estimate from a {register: max_rank} dict —
+    the only float step, deliberately outside the gated plan."""
+    alpha = 0.709 if m == 64 else 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -registers.get(j, 0) for j in range(m))
+    est = alpha * m * m / s
+    if est <= 2.5 * m:  # small-range correction
+        zeros = sum(1 for j in range(m) if registers.get(j, 0) == 0)
+        if zeros:
+            import math
+
+            est = m * math.log(m / zeros)
+    return est

@@ -3109,3 +3109,29 @@ WHERE NOT EXISTS (
   WHERE q.n_uniq_tokens >= p.n_uniq_tokens AND q.n_chars <= p.n_chars
     AND (q.n_uniq_tokens > p.n_uniq_tokens OR q.n_chars < p.n_chars))
 ORDER BY n_chars, doc_id"""
+
+
+# Round 6: oracle-exact HLL register sketch (strict twin of
+# approx_distinct_users, same motion as minhash_lsh_exact)
+def hll_user_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.analytics import (
+        hll_register_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_register_sketch(ev, "user_id", m=64, seed=0).orderBy(
+        "register"
+    )
+
+
+QUERIES["hll_user_registers"] = hll_user_registers
+ORACLES["hll_user_registers"] = """
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#0'), 1, 15))::BIGINT
+           AS h
+  FROM events),
+r AS (SELECT h % 64 AS register, h // 64 AS rest FROM h)
+SELECT register,
+       CAST(max(CASE WHEN rest = 0 THEN 55
+                     ELSE 55 - length(bin(rest)) END) AS BIGINT) AS max_rank
+FROM r GROUP BY register ORDER BY register"""

@@ -426,3 +426,91 @@ def test_skyline_invariant_to_prune_bucketing(spark):
             == base
         )
     assert base == _py_skyline(pts)
+
+
+# --- oracle-exact HLL register sketch ---------------------------------------
+
+
+def _py_hll_registers(values, m=64, seed=0):
+    import hashlib
+
+    regs = {}
+    bits = 60 - (m.bit_length() - 1)
+    for v in values:
+        h = int(
+            hashlib.md5(f"{v}#{seed}".encode()).hexdigest()[:15], 16
+        )
+        reg, rest = h % m, h // m
+        rank = bits + 1 if rest == 0 else bits + 1 - rest.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rank)
+    return regs
+
+
+def test_hll_registers_match_python_md5_reference(spark):
+    from distributed_computing_spark.operators.analytics import (
+        hll_register_sketch,
+    )
+
+    vals = list(range(1000, 1600))
+    df = spark.createDataFrame([(v,) for v in vals], "user_id long")
+    got = {
+        r["register"]: r["max_rank"]
+        for r in hll_register_sketch(df, "user_id").collect()
+    }
+    assert got == _py_hll_registers(vals)
+
+
+def test_hll_sketch_merge_is_elementwise_max(spark):
+    from distributed_computing_spark.operators.analytics import (
+        hll_register_sketch,
+    )
+
+    a = spark.createDataFrame([(v,) for v in range(500)], "user_id long")
+    b = spark.createDataFrame(
+        [(v,) for v in range(300, 900)], "user_id long"
+    )
+    ra = {
+        r["register"]: r["max_rank"]
+        for r in hll_register_sketch(a, "user_id").collect()
+    }
+    rb = {
+        r["register"]: r["max_rank"]
+        for r in hll_register_sketch(b, "user_id").collect()
+    }
+    ru = {
+        r["register"]: r["max_rank"]
+        for r in hll_register_sketch(a.unionAll(b), "user_id").collect()
+    }
+    merged = {
+        k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)
+    }
+    assert ru == merged
+
+
+def test_hll_estimate_error_bound(spark):
+    from distributed_computing_spark.operators.analytics import (
+        hll_estimate,
+        hll_register_sketch,
+    )
+
+    for n in (200, 2_000, 20_000):
+        df = spark.createDataFrame(
+            [(v * 7 + 1,) for v in range(n)], "user_id long"
+        )
+        regs = {
+            r["register"]: r["max_rank"]
+            for r in hll_register_sketch(df, "user_id").collect()
+        }
+        est = hll_estimate(regs)
+        # sigma = 1.04 / sqrt(64) = 13%; allow 3 sigma
+        assert abs(est - n) / n < 0.39, (n, est)
+
+
+def test_hll_rejects_non_power_of_two(spark):
+    from distributed_computing_spark.operators.analytics import (
+        hll_register_sketch,
+    )
+
+    df = spark.createDataFrame([(1,)], "user_id long")
+    with pytest.raises(ValueError, match="power of two"):
+        hll_register_sketch(df, "user_id", m=48)
