@@ -260,10 +260,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     wedges = e1.join(e2, "u").where(wedge_lt).select("u", "y", "z")
     closer = oe.select(F.col("u").alias("y"), F.col("v").alias("z"))
     tri = wedges.join(closer, ["y", "z"])
-    members = (
-        tri.select(F.col("u").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
+    # ONE reference to the closure: a 3-way unionAll would make
+    # Catalyst re-evaluate the entire wedge join three times
+    # (CLAUDE.md subtree-reuse rule) — explode(array(...)) emits the
+    # same three member rows in a single Generate over one evaluation.
+    members = tri.select(
+        F.explode(F.array("u", "y", "z")).alias("node")
     )
     return members.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")

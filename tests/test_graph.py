@@ -213,3 +213,20 @@ def test_triangle_plan_no_cartesian_and_orientation_bounds_wedges(spark):
     assert "BroadcastNestedLoopJoin" not in tree
     assert out.count() == 0  # star has no triangles
     release_tracked()
+
+
+def test_triangle_closure_evaluated_once(spark):
+    """The per-node count must reference the closure join ONCE
+    (explode of array(u,y,z)) — a 3-way union would re-run the whole
+    wedge closure three times — and the oriented edge table must be
+    read through its cache at each of its three reference sites."""
+    from distributed_computing_spark.operators.graph import triangle_counts
+    from distributed_computing_spark.plans import operator_tree
+
+    edges = spark.createDataFrame(
+        _sym([(1, 2), (2, 3), (1, 3)]), "src long, dst long"
+    )
+    tree = operator_tree(triangle_counts(edges))
+    assert tree.count("InMemoryTableScan") == 3
+    assert "Union" not in tree
+    release_tracked()
