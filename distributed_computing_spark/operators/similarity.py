@@ -608,3 +608,166 @@ def cosine_topk_gemm(
         .where(F.col("rank") <= k)
         .select("q_id", "nn_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact k-means (Lloyd's) over quantized embeddings
+# ---------------------------------------------------------------------------
+
+
+def kmeans_quantized(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    scale: int = 10**6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Lloyd's k-means made bit-exact across engines: vectors quantize
+    to longs (``floor(v * scale)`` — floor is toward -inf in both
+    Spark and DuckDB), distances are integer sums, centroid updates
+    are truncating integer division (Spark ``div`` == DuckDB ``//``,
+    both toward zero), ties in the argmin break to the lowest cluster
+    id, and an emptied cluster keeps its previous centroid. With every
+    step a pure integer function of the inputs, the whole iteration
+    reproduces in generated unrolled-CTE SQL — the PageRank/BPE trick
+    applied to iterative ML.
+
+    Seeding: the k lowest ``id_col`` rows (deterministic; k-means++
+    would need engine-matched randomness for no gate value).
+
+    Scale shape: vertex state is the k×d centroid table (a few KB) —
+    collected and re-broadcast as LITERAL expressions each round, so
+    one Lloyd round is a map-side assignment pass (zip_with/aggregate
+    over the vector column against k literal arrays — no join, no
+    shuffle) plus ONE partial-aggregated groupBy(cluster) whose output
+    is k×d longs. Driver state is bounded by k·d·n_iter, the same
+    contract as BPE's per-round argmax collect. The quantized vector
+    table is persisted once; nothing vector-sized ever exchanges.
+
+    Returns (assignments DataFrame (id, cluster, dist), centroids
+    dict {cluster: [long]*d}). Overflow audit: |q| <= scale, squared
+    diffs <= (2·scale)², times d — keep (2·scale)²·d < 2^62 (guarded).
+    """
+    from distributed_computing_spark.caching import track_persist
+
+    d_probe = embeddings.select(
+        F.size(F.col(vec_col)).alias("d")
+    ).limit(1).collect()
+    if not d_probe:
+        raise ValueError("empty embeddings input")
+    dim = d_probe[0]["d"]
+    if (2 * scale) ** 2 * dim >= 1 << 62:
+        raise ValueError("scale too large: (2*scale)^2 * dim must stay under 2^62")
+
+    q = embeddings.select(
+        id_col,
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.floor(v.cast("double") * F.lit(float(scale))).cast(
+                "long"
+            ),
+        ).alias("q"),
+    )
+    q = track_persist(q)
+    seed_rows = q.orderBy(id_col).limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(seed_rows)}")
+    cents = {j: list(r["q"]) for j, r in enumerate(seed_rows)}
+
+    def _assigned():
+        dist_cols = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("q"),
+                    F.array(*[F.lit(x).cast("long") for x in cents[j]]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, e: acc + e,
+            )
+            for j in range(k)
+        ]
+        dists = F.array(*dist_cols)
+        return q.select(
+            id_col,
+            "q",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cluster"),
+            F.array_min(dists).alias("dist"),
+        )
+
+    for _ in range(n_iter - 1):
+        sums = (
+            _assigned()
+            .select("cluster", F.posexplode("q").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = {j: list(cents[j]) for j in range(k)}  # empty keeps old
+        for r in sums:
+            # truncate toward zero: Python // FLOORS (-7//2 = -4) but
+            # Spark `div` and DuckDB `//` truncate (-7 div 2 = -3) —
+            # sums of centered embedding coords are routinely negative
+            sx, n = r["sx"], r["n"]
+            t = abs(sx) // n
+            new[r["cluster"]][r["dim"]] = t if sx >= 0 else -t
+        cents = new
+    return _assigned().drop("q"), cents
+
+
+def kmeans_oracle_sql(
+    k: int = 8, n_iter: int = 5, scale: int = 10**6
+) -> str:
+    """Generated unrolled-CTE oracle for ``kmeans_embeddings``: each
+    Lloyd round is one assignment CTE + one centroid CTE, every
+    multiply-referenced CTE MATERIALIZED (CLAUDE.md rule)."""
+    parts = [
+        f"""q AS MATERIALIZED (
+  SELECT vec_id, dim, CAST(floor(CAST(v AS DOUBLE) * {scale}.0) AS BIGINT) AS x
+  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+               unnest(embedding) AS v
+        FROM embeddings)),
+c0 AS MATERIALIZED (
+  SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         dim, x AS cx
+  FROM q
+  WHERE vec_id IN (SELECT vec_id FROM (
+          SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT {k})))"""
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"""d{t} AS (
+  SELECT q.vec_id, c.cluster,
+         sum((q.x - c.cx) * (q.x - c.cx)) AS dist
+  FROM q JOIN c{t - 1} c ON q.dim = c.dim
+  GROUP BY q.vec_id, c.cluster),
+a{t} AS MATERIALIZED (
+  SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist FROM (
+    SELECT vec_id, cluster, dist,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM d{t})
+  WHERE rn = 1)"""
+        )
+        if t < n_iter:
+            parts.append(
+                f"""c{t} AS MATERIALIZED (
+  SELECT p.cluster, p.dim,
+         CASE WHEN s.n IS NULL THEN p.cx ELSE s.sx // s.n END AS cx
+  FROM c{t - 1} p LEFT JOIN (
+    SELECT a.cluster, q.dim, sum(q.x) AS sx, count(*) AS n
+    FROM a{t} a JOIN q ON q.vec_id = a.vec_id
+    GROUP BY a.cluster, q.dim) s
+  ON p.cluster = s.cluster AND p.dim = s.dim)"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(dist) AS DECIMAL(38, 0)) AS wss
+FROM a{n_iter} GROUP BY cluster ORDER BY cluster"""
+    )

@@ -3171,3 +3171,32 @@ assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R6_WINDOW} | {
     k: v for k, v in QUERIES.items() if k not in set(_R6_WINDOW)
 }
+
+
+# Round 6: integer-exact Lloyd's k-means over quantized embeddings
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 Lloyd rounds, k=8, deterministic lowest-id seeding; cluster
+    sizes + within-cluster squared distance (integer-exact, summed as
+    DECIMAL for the overflow-free cross-engine compare)."""
+    from distributed_computing_spark.operators.similarity import (
+        kmeans_quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _cents = kmeans_quantized(emb, k=8, n_iter=5)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("dist").cast("decimal(38,0)")).alias("wss"),
+        )
+        .orderBy("cluster")
+    )
+
+
+from distributed_computing_spark.operators.similarity import (  # noqa: E402
+    kmeans_oracle_sql,
+)
+
+QUERIES["kmeans_embeddings"] = kmeans_embeddings
+ORACLES["kmeans_embeddings"] = kmeans_oracle_sql(k=8, n_iter=5)

@@ -237,3 +237,146 @@ def test_ivf_exact_recall_vs_bruteforce(spark, sf_dir):
         by_q.setdefault(r["q_id"], []).append(r["rank"])
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+# --- integer-exact k-means ---------------------------------------------------
+
+
+def _py_kmeans(vecs, k, n_iter, scale=10**6):
+    """Pure-Python reference of the exact integer contract."""
+
+    def trunc_div(a, b):
+        t = abs(a) // b
+        return t if a >= 0 else -t
+
+    import math
+
+    q = {i: [math.floor(x * scale) for x in v] for i, v in vecs}
+    ids = sorted(q)
+    cents = {j: list(q[ids[j]]) for j in range(k)}
+
+    def assign():
+        out = {}
+        for i in ids:
+            dists = [
+                (sum((a - b) * (a - b) for a, b in zip(q[i], cents[j])), j)
+                for j in range(k)
+            ]
+            d, j = min(dists)
+            out[i] = (j, d)
+        return out
+
+    for _ in range(n_iter - 1):
+        a = assign()
+        new = {j: list(cents[j]) for j in range(k)}
+        for j in range(k):
+            members = [i for i in ids if a[i][0] == j]
+            if members:
+                for dim in range(len(new[j])):
+                    s = sum(q[i][dim] for i in members)
+                    new[j][dim] = trunc_div(s, len(members))
+        cents = new
+    return assign(), cents
+
+
+def test_kmeans_matches_python_reference(spark):
+    import random
+
+    from distributed_computing_spark.caching import release_tracked
+    from distributed_computing_spark.operators.similarity import (
+        kmeans_quantized,
+    )
+
+    rng = random.Random(42)
+    vecs = [
+        (i, [rng.uniform(-0.6, 0.6) for _ in range(8)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs], "vec_id long, embedding array<float>"
+    )
+    # float32 round-trip: quantize from the FLOAT values Spark sees
+    stored = {
+        r["vec_id"]: list(r["embedding"]) for r in df.collect()
+    }
+    assigned, cents = kmeans_quantized(df, k=4, n_iter=4)
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist"]) for r in assigned.collect()
+    }
+    release_tracked()
+    ref_assign, ref_cents = _py_kmeans(
+        sorted(stored.items()), k=4, n_iter=4
+    )
+    assert got == ref_assign
+    assert {j: list(c) for j, c in cents.items()} == ref_cents
+
+
+def test_kmeans_recovers_planted_blobs(spark):
+    import random
+
+    from distributed_computing_spark.caching import release_tracked
+    from distributed_computing_spark.operators.similarity import (
+        kmeans_quantized,
+    )
+
+    rng = random.Random(7)
+    centers = [[0.5] * 6, [-0.5] * 6, [0.5, -0.5] * 3]
+    rows = []
+    for i in range(150):
+        c = i % 3
+        rows.append(
+            (
+                i,
+                [x + rng.uniform(-0.05, 0.05) for x in centers[c]],
+                c,
+            )
+        )
+    df = spark.createDataFrame(
+        [(i, v) for i, v, _ in rows], "vec_id long, embedding array<float>"
+    )
+    assigned, _ = kmeans_quantized(df, k=3, n_iter=6)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    release_tracked()
+    # perfect recovery up to cluster relabeling
+    by_true = {}
+    for i, _, c in rows:
+        by_true.setdefault(c, set()).add(got[i])
+    assert all(len(s) == 1 for s in by_true.values())
+    assert len({next(iter(s)) for s in by_true.values()}) == 3
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    from distributed_computing_spark.caching import release_tracked
+    from distributed_computing_spark.operators.similarity import (
+        kmeans_quantized,
+    )
+
+    # two far blobs + a lone seed point that immediately loses all
+    # members (every point is closer to another centroid after round 1)
+    vecs = [(0, [0.0, 0.9]), (1, [0.52, 0.5]), (2, [0.5, 0.5]),
+            (3, [0.51, 0.5]), (4, [-0.5, -0.5]), (5, [-0.51, -0.5])]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    )
+    stored = {r["vec_id"]: list(r["embedding"]) for r in df.collect()}
+    assigned, cents = kmeans_quantized(df, k=3, n_iter=4)
+    got = {r["vec_id"]: (r["cluster"], r["dist"]) for r in assigned.collect()}
+    release_tracked()
+    ref_assign, ref_cents = _py_kmeans(sorted(stored.items()), k=3, n_iter=4)
+    assert got == ref_assign
+    assert {j: list(c) for j, c in cents.items()} == ref_cents
+
+
+def test_kmeans_guards(spark):
+    import pytest
+
+    from distributed_computing_spark.operators.similarity import (
+        kmeans_quantized,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="at least k"):
+        kmeans_quantized(df, k=3)
+    with pytest.raises(ValueError, match="scale too large"):
+        kmeans_quantized(df, k=1, scale=10**9)
