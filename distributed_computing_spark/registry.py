@@ -3137,40 +3137,6 @@ SELECT register,
 FROM r GROUP BY register ORDER BY register"""
 
 
-# ---------------------------------------------------------------------------
-# Driver-gate window rotation (round 6)
-# ---------------------------------------------------------------------------
-# Same policy as _R5_WINDOW (staleness-driven; the driver gates the
-# FIRST 50 entries). After r5: 10 round-6 queries are new (never
-# gated), 28 were last gated in r3, the rest in r4/r5. Window = all 10
-# new + all 28 r3-stale + the 12 most consequential r4-gated entries
-# (iterative/oracle-generator/bucketed-plan queries first). This block
-# sits at the END of the file so it orders the final QUERIES dict.
-_R6_WINDOW = [
-    # new in round 6 (never driver-gated)
-    "dup_spans", "span_dedup_stats", "copurchase_triangles",
-    "doc_skyline", "hll_user_registers", "events_ohlc", "pagerank_parts",
-    "fuzzy_customer_match", "zorder_cells", "zorder_events_scan",
-    # last driver row r3 (all 28)
-    "bigram_logprob", "clean_docs", "copurchase_pairs",
-    "curated_read_pruned", "decayed_user_activity", "dq_audit",
-    "epoch_shuffle", "event_transitions", "events_gapfill", "ivf_topk",
-    "lsh_topk", "mixture_sample", "multimodal_ann", "multimodal_audio",
-    "multimodal_avi_frames", "multimodal_bmp_decode", "multimodal_decode",
-    "multimodal_features", "multimodal_frames", "multimodal_real_ann",
-    "multimodal_stats", "multimodal_wav_decode", "prefix_dups",
-    "salted_revenue_join", "sample_by_lang", "source_token_kl",
-    "train_test_split", "value_histogram",
-    # most consequential of the r4-gated remainder
-    "bpe_merges", "bpe_encode_stats", "neardup_clusters",
-    "neardup_canonical", "ngram_jaccard_pairs", "multimodal_png_decode",
-    "regional_revenue_bucketed", "exact_dedup", "events_windowed",
-    "funnel_conversion", "asof_attribution", "range_join_views",
-]
-assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
-QUERIES = {name: QUERIES[name] for name in _R6_WINDOW} | {
-    k: v for k, v in QUERIES.items() if k not in set(_R6_WINDOW)
-}
 
 
 # Round 6: integer-exact Lloyd's k-means over quantized embeddings
@@ -3200,3 +3166,40 @@ from distributed_computing_spark.operators.similarity import (  # noqa: E402
 
 QUERIES["kmeans_embeddings"] = kmeans_embeddings
 ORACLES["kmeans_embeddings"] = kmeans_oracle_sql(k=8, n_iter=5)
+
+
+# ---------------------------------------------------------------------------
+# Driver-gate window rotation (round 6)
+# ---------------------------------------------------------------------------
+# Same policy as _R5_WINDOW (staleness-driven; the driver gates the
+# FIRST 50 entries). After r5: 10 round-6 queries are new (never
+# gated), 28 were last gated in r3, the rest in r4/r5. Window = all 10
+# new + all 28 r3-stale + the 12 most consequential r4-gated entries
+# (iterative/oracle-generator/bucketed-plan queries first). This block
+# sits at the END of the file so it orders the final QUERIES dict.
+_R6_WINDOW = [
+    # new in round 6 (never driver-gated)
+    "dup_spans", "span_dedup_stats", "copurchase_triangles",
+    "doc_skyline", "hll_user_registers", "events_ohlc", "pagerank_parts",
+    "fuzzy_customer_match", "zorder_cells", "zorder_events_scan",
+    # last driver row r3 (all 28)
+    "bigram_logprob", "clean_docs", "copurchase_pairs",
+    "curated_read_pruned", "decayed_user_activity", "dq_audit",
+    "epoch_shuffle", "event_transitions", "events_gapfill", "ivf_topk",
+    "lsh_topk", "mixture_sample", "multimodal_ann", "multimodal_audio",
+    "multimodal_avi_frames", "multimodal_bmp_decode", "multimodal_decode",
+    "multimodal_features", "multimodal_frames", "multimodal_real_ann",
+    "multimodal_stats", "multimodal_wav_decode", "prefix_dups",
+    "salted_revenue_join", "sample_by_lang", "source_token_kl",
+    "train_test_split", "value_histogram",
+    # most consequential of the r4-gated remainder (+ the round-6
+    # kmeans, registered below the original window position)
+    "bpe_merges", "bpe_encode_stats", "neardup_clusters",
+    "neardup_canonical", "ngram_jaccard_pairs", "multimodal_png_decode",
+    "regional_revenue_bucketed", "exact_dedup", "events_windowed",
+    "funnel_conversion", "asof_attribution", "kmeans_embeddings",
+]
+assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
+QUERIES = {name: QUERIES[name] for name in _R6_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R6_WINDOW)
+}
