@@ -380,3 +380,29 @@ def test_kmeans_guards(spark):
         kmeans_quantized(df, k=3)
     with pytest.raises(ValueError, match="scale too large"):
         kmeans_quantized(df, k=1, scale=10**9)
+
+
+def test_kmeans_gemm_path_identical_to_jvm_path(spark):
+    import random
+
+    from distributed_computing_spark.caching import release_tracked
+    from distributed_computing_spark.operators.similarity import (
+        kmeans_quantized,
+    )
+
+    rng = random.Random(3)
+    df = spark.createDataFrame(
+        [
+            (i, [rng.uniform(-0.6, 0.6) for _ in range(16)])
+            for i in range(200)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    a_jvm, c_jvm = kmeans_quantized(df, k=5, n_iter=3, force_gemm=False)
+    jvm = {r["vec_id"]: (r["cluster"], r["dist"]) for r in a_jvm.collect()}
+    release_tracked()
+    a_g, c_g = kmeans_quantized(df, k=5, n_iter=3, force_gemm=True)
+    gemm = {r["vec_id"]: (r["cluster"], r["dist"]) for r in a_g.collect()}
+    release_tracked()
+    assert jvm == gemm
+    assert c_jvm == c_g
