@@ -60,6 +60,17 @@ HEADLINE = [
     # round-5: the real-JPEG decode pipeline (Huffman entropy decode +
     # IDCT in Arrow batches — the transform-codec throughput story)
     "multimodal_jpeg_decode",
+    # round-6 surface: substring-span dedup, graph analytics, iterative
+    # ML, layout/sketch/skyline operators
+    "dup_spans",
+    "copurchase_triangles",
+    "pagerank_parts",
+    "kmeans_embeddings",
+    "doc_skyline",
+    "hll_user_registers",
+    "events_ohlc",
+    "fuzzy_customer_match",
+    "zorder_events_scan",
 ]
 
 
@@ -149,6 +160,7 @@ def _compact_for_tail(payload: dict) -> dict:
         xo = dict(xo)
         rec = dict(xo.pop("dedup_tier_recorded", None) or {})
         rec.update(xo.pop("kv_tier_recorded", None) or {})
+        rec.update(xo.pop("r6_tier_recorded", None) or {})
         if "queries" in xo:
             xo["queries"] = {
                 k: [r2(v["spark_s"]), r2(v["duckdb_s"])]

@@ -1022,28 +1022,21 @@ def duplicate_spans(
     return spans
 
 
-def span_dedup_stats(
+def merged_dup_intervals(
     documents: DataFrame,
     k: int = 8,
     max_posting: int = 2_000,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Per-document duplicated-token accounting under keep-earliest.
-
-    The dedup ACTION on top of ``duplicate_spans``: for every document,
-    how many of its tokens sit inside a span that also appears in some
-    EARLIER document (smaller doc_id — the deterministic keep-first
-    policy)? Overlapping spans from different partners / alignments are
-    union-merged per document with the classic interval sweep
-    (running max(end) over starts; a new island begins where
-    start > max end so far) — a window over (doc, start), never a
-    per-position explode, so the merge is O(spans log spans) not
-    O(total span tokens) at 100 TB.
-
-    Returns (doc_id, n_tokens, dup_tokens, kept_tokens) for EVERY doc
-    (zero dup_tokens when untouched) — the downstream curation join is
-    a plain equi-join on doc_id.
-    """
+    """Union-merged duplicated token intervals per document under the
+    keep-earliest policy: every span shared with a smaller doc_id
+    becomes a half-open token interval [ms, me) on the LATER doc, and
+    overlapping/adjacent-from-different-partners intervals merge with
+    the classic sweep (running max(end) over starts; a new island
+    begins where start > max end so far) — a window over (doc, start),
+    never a per-position explode, so the merge is O(spans log spans)
+    at 100 TB. The shared front half of ``span_dedup_stats`` (token
+    accounting) and ``span_dedup_apply`` (text rewrite)."""
     from pyspark.sql import Window
 
     spans = duplicate_spans(
@@ -1073,8 +1066,35 @@ def span_dedup_stats(
             ).otherwise(F.lit(0))
         ).over(w_run),
     )
-    merged = isl.groupBy(id_col, "isl_id").agg(
+    return isl.groupBy(id_col, "isl_id").agg(
         F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+
+
+def span_dedup_stats(
+    documents: DataFrame,
+    k: int = 8,
+    max_posting: int = 2_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-token accounting under keep-earliest.
+
+    The dedup ACTION on top of ``duplicate_spans``: for every document,
+    how many of its tokens sit inside a span that also appears in some
+    EARLIER document (smaller doc_id — the deterministic keep-first
+    policy)? Overlapping spans from different partners / alignments are
+    union-merged per document with the classic interval sweep
+    (running max(end) over starts; a new island begins where
+    start > max end so far) — a window over (doc, start), never a
+    per-position explode, so the merge is O(spans log spans) not
+    O(total span tokens) at 100 TB.
+
+    Returns (doc_id, n_tokens, dup_tokens, kept_tokens) for EVERY doc
+    (zero dup_tokens when untouched) — the downstream curation join is
+    a plain equi-join on doc_id.
+    """
+    merged = merged_dup_intervals(
+        documents, k=k, max_posting=max_posting, id_col=id_col
     )
     dup = merged.groupBy(id_col).agg(
         F.sum(F.col("me") - F.col("ms")).alias("dup_tokens")
@@ -1091,4 +1111,52 @@ def span_dedup_stats(
         (F.col("n_tokens") - F.coalesce("dup_tokens", F.lit(0)))
         .cast("long")
         .alias("kept_tokens"),
+    )
+
+
+def span_dedup_apply(
+    documents: DataFrame,
+    k: int = 8,
+    max_posting: int = 2_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The dedup ACTION: rewrite every document with its duplicated
+    spans REMOVED (keep-earliest, Lee et al. 2022's cut step). Tokens
+    whose 1-based position falls in any merged duplicated interval are
+    dropped; the survivors rejoin with single spaces (tokenizer-space
+    reconstruction — original inter-token whitespace/punctuation is
+    not preserved, the same contract as the chunker's window text).
+
+    Returns (doc_id, n_tokens, kept_tokens, kept_md5) — the md5 of the
+    reconstructed text stands in for the text itself so the gate
+    compares 32-byte hashes, not megabyte strings. The positional drop
+    is one exists()-HOF filter of the token array against the doc's
+    merged-interval array (intervals per doc are few after merging;
+    O(tokens × intervals) map-side, no explode of token rows).
+    """
+    merged = merged_dup_intervals(
+        documents, k=k, max_posting=max_posting, id_col=id_col
+    )
+    per_doc = merged.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ms"), F.col("me")))
+        ).alias("ivs")
+    )
+    base = documents.select(id_col, tokens(text_col).alias("_toks"))
+    joined = base.join(per_doc, id_col, "left").withColumn(
+        "ivs", F.coalesce("ivs", F.array())
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda x, i: ~F.exists(
+            F.col("ivs"),
+            lambda iv: (i + 1 >= iv["ms"]) & (i + 1 < iv["me"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+        F.md5(F.array_join(kept, " ")).alias("kept_md5"),
     )

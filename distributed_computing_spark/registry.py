@@ -3032,8 +3032,9 @@ SELECT a, b, min(pa) AS a_start, min(pa) - diag AS b_start,
 FROM runs GROUP BY a, b, diag, grp
 ORDER BY a, b, a_start, b_start"""
 
-ORACLES["span_dedup_stats"] = f"""
-WITH {_SPAN_RUNS},
+# shared merge pipeline: spans -> distinct intervals -> island sweep ->
+# merged per-doc intervals (consumed by BOTH span oracles below)
+_SPAN_MERGED = f"""{_SPAN_RUNS},
 spans AS (SELECT a, b, diag, min(pa) AS a_start, count(*) + 7 AS span_len
           FROM runs GROUP BY a, b, diag, grp),
 ivl AS (SELECT DISTINCT b AS doc_id, a_start - diag AS s,
@@ -3051,8 +3052,11 @@ isl AS (SELECT doc_id, s, e,
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS isl_id
         FROM m),
-merged AS (SELECT doc_id, isl_id, min(s) AS ms, max(e) AS me
-           FROM isl GROUP BY doc_id, isl_id),
+merged AS MATERIALIZED (SELECT doc_id, isl_id, min(s) AS ms, max(e) AS me
+           FROM isl GROUP BY doc_id, isl_id)"""
+
+ORACLES["span_dedup_stats"] = f"""
+WITH {_SPAN_MERGED},
 dup AS (SELECT doc_id, CAST(sum(me - ms) AS BIGINT) AS dup_tokens
         FROM merged GROUP BY doc_id)
 SELECT t.doc_id AS doc_id,
@@ -3168,6 +3172,40 @@ QUERIES["kmeans_embeddings"] = kmeans_embeddings
 ORACLES["kmeans_embeddings"] = kmeans_oracle_sql(k=8, n_iter=5)
 
 
+
+
+# Round 6: the dedup ACTION — rewrite docs with duplicated spans cut
+def span_dedup_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-earliest span removal with md5'd reconstructed text: the
+    gate compares 32-byte hashes of every rewritten document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.span_dedup_apply(docs, k=8, max_posting=2_000).orderBy(
+        "doc_id"
+    )
+
+
+QUERIES["span_dedup_apply"] = span_dedup_apply_q
+ORACLES["span_dedup_apply"] = f"""
+WITH {_SPAN_MERGED},
+pos AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+               unnest(toks) AS tok
+        FROM t),
+kept AS (
+  SELECT p.doc_id, count(*) AS n,
+         string_agg(p.tok, ' ' ORDER BY p.pos) AS s
+  FROM pos p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM merged mm
+    WHERE mm.doc_id = p.doc_id AND p.pos >= mm.ms AND p.pos < mm.me)
+  GROUP BY p.doc_id)
+SELECT t.doc_id AS doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(k.n, 0) AS BIGINT) AS kept_tokens,
+       md5(coalesce(k.s, '')) AS kept_md5
+FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
+ORDER BY doc_id"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 6)
 # ---------------------------------------------------------------------------
@@ -3197,9 +3235,27 @@ _R6_WINDOW = [
     "bpe_merges", "bpe_encode_stats", "neardup_clusters",
     "neardup_canonical", "ngram_jaccard_pairs", "multimodal_png_decode",
     "regional_revenue_bucketed", "exact_dedup", "events_windowed",
-    "funnel_conversion", "asof_attribution", "kmeans_embeddings",
+    "funnel_conversion", "span_dedup_apply", "kmeans_embeddings",
 ]
 assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R6_WINDOW} | {
     k: v for k, v in QUERIES.items() if k not in set(_R6_WINDOW)
 }
+
+# Every never-driver-gated query MUST sit inside the first-50 window —
+# this file-end block is the last statement touching QUERIES, and this
+# guard fails loudly if a future registration lands below it.
+_R6_NEW = [
+    "dup_spans", "span_dedup_stats", "span_dedup_apply",
+    "copurchase_triangles", "doc_skyline", "hll_user_registers",
+    "kmeans_embeddings", "events_ohlc", "pagerank_parts",
+    "fuzzy_customer_match", "zorder_cells", "zorder_events_scan",
+]
+_order = list(QUERIES)
+for _q in _R6_NEW:
+    if _order.index(_q) >= 50:
+        raise RuntimeError(
+            f"round-6 query {_q!r} fell outside the driver's first-50 "
+            "gate window — keep the _R6_WINDOW block at the END of "
+            "registry.py and add new registrations to it"
+        )

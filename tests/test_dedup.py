@@ -513,3 +513,48 @@ def test_span_posting_cap_drops_boilerplate_gram(spark):
     assert duplicate_spans(docs, k=8, max_posting=9).count() == 0
     # without the cap it yields all 45 pair spans
     assert duplicate_spans(docs, k=8, max_posting=100).count() == 45
+
+
+def test_span_dedup_apply_cuts_exactly_the_merged_intervals(spark):
+    import hashlib
+
+    from distributed_computing_spark.operators.dedup import span_dedup_apply
+
+    core = [f"c{i}" for i in range(14)]
+    docs = spark.createDataFrame(
+        [
+            (1, "x1 x2 " + " ".join(core[:10]) + " x3"),
+            (2, "y1 " + " ".join(core[4:14]) + " y2 y3"),
+            (3, "z1 z2 z3 " + " ".join(core) + " z4"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in span_dedup_apply(docs, k=8).orderBy("doc_id").collect()
+    }
+    # docs 1 and 2 are earliest owners of their content: untouched
+    for d, text in ((1, "x1 x2 " + " ".join(core[:10]) + " x3"),
+                    (2, "y1 " + " ".join(core[4:14]) + " y2 y3")):
+        assert rows[d]["kept_tokens"] == rows[d]["n_tokens"]
+        assert rows[d]["kept_md5"] == hashlib.md5(text.encode()).hexdigest()
+    # doc 3 loses the union c0..c13, keeping exactly its z filler
+    assert rows[3]["kept_tokens"] == 4
+    assert rows[3]["kept_md5"] == hashlib.md5(b"z1 z2 z3 z4").hexdigest()
+
+
+def test_span_dedup_apply_empty_result_hashes_empty_string(spark):
+    import hashlib
+
+    from distributed_computing_spark.operators.dedup import span_dedup_apply
+
+    body = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, body), (2, body)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r for r in span_dedup_apply(docs, k=8).collect()
+    }
+    assert rows[2]["kept_tokens"] == 0
+    assert rows[2]["kept_md5"] == hashlib.md5(b"").hexdigest()
+    assert rows[1]["kept_tokens"] == 12

@@ -50,6 +50,12 @@ DEFAULT_QUERIES = [
     "kv_effective_ops",   # K4 dedup window (client_id shuffle) + agg
     "customer_upsert",    # K2 table form: MERGE-emulated upsert
     "kv_replay_hotkey",   # K3+K5 salted fold under 25%-hot-key skew
+    # round-6: the two data-dominated new families join the live tier —
+    # substring-span dedup (k-gram anchors + diagonal islands; the
+    # dup-dense replica corpus is its worst case) and degree-ordered
+    # triangle closure on the co-purchase graph.
+    "dup_spans",
+    "copurchase_triangles",
 ]
 
 # The clustering tier (VERDICT r3 item 1) is measured OFFLINE with
@@ -122,6 +128,37 @@ RECORDED_KV_TIERS: dict = {
     "customer_upsert": {
         "R50": {"spark_s": 1.80, "duckdb_s": 0.06, "ratio": 30.0},
         "R500": {"spark_s": 3.91, "duckdb_s": 0.25, "ratio": 15.9},
+    },
+}
+
+# Round-6 offline tiers — numbers-only (tail-capture rule); context in
+# BASELINE.md §"Round-6 operator crossover". doc_skyline /
+# hll_user_registers / kmeans_embeddings are overhead-dominated small
+# absolutes at 20× (embeddings is a copied dim table, not replicated) —
+# the slope, not the ratio, is the signal, same caveat as
+# kv_effective_ops.
+RECORDED_R6_TIERS: dict = {
+    "dup_spans": {
+        "R20": {"spark_s": 18.7, "duckdb_s": 19.0, "ratio": 0.98},
+    },
+    "span_dedup_stats": {
+        "R20": {"spark_s": 19.8, "duckdb_s": 17.5, "ratio": 1.13},
+    },
+    "copurchase_triangles": {
+        "R20": {"spark_s": 13.7, "duckdb_s": 8.8, "ratio": 1.56},
+        "R50": {"spark_s": 17.4, "duckdb_s": 9.4, "ratio": 1.85},
+    },
+    "doc_skyline": {
+        "R20": {"spark_s": 6.9, "duckdb_s": 1.4, "ratio": 4.8},
+    },
+    "hll_user_registers": {
+        "R20": {"spark_s": 1.7, "duckdb_s": 0.08, "ratio": 20.4},
+    },
+    "kmeans_embeddings": {
+        "R20": {"spark_s": 8.8, "duckdb_s": 0.7, "ratio": 12.5},
+        # flat at R50 (8.9 vs 0.9): embeddings is a COPIED dim table,
+        # so both cells time fixed cost on 5k vectors, not a slope
+        "R50": {"spark_s": 8.9, "duckdb_s": 0.9, "ratio": 9.9},
     },
 }
 
@@ -343,6 +380,7 @@ def run_crossover(
         ),
         "dedup_tier_recorded": RECORDED_DEDUP_TIERS,
         "kv_tier_recorded": RECORDED_KV_TIERS,
+        "r6_tier_recorded": RECORDED_R6_TIERS,
     }
 
 
