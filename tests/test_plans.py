@@ -311,3 +311,47 @@ def test_kv_replay_hotkey_salted_fold_plan_shape(spark):
     # two full scans of the ops log)
     assert tree.count("InMemoryTableScan") == 2, tree
     caching.release_tracked()
+
+
+def test_dup_spans_shuffle_budget_and_id_only_exchanges(spark):
+    """Span dedup's contract: after the gram scan, exchanges carry the
+    8-byte gram hash or id/position longs — never text. Shuffle budget
+    is exactly 3 hash exchanges (df-cap agg, postings agg, island
+    window); the final span agg reuses the window's (a,b,diag)
+    partitioning (grouping on a superset of the partition keys)."""
+    from pyspark.sql import functions as F
+
+    from distributed_computing_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 20) for i in range(10)], "doc_id long, text string"
+    )
+    sp = duplicate_spans(docs, k=8)
+    assert count_exchanges(sp) == 3, physical_plan(sp)
+    import re
+
+    plan = physical_plan(sp)
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "text" not in keys and "gram#" not in keys, keys
+    tree = operator_tree(sp)
+    assert "CartesianProduct" not in tree
+
+
+def test_skyline_global_pass_sees_only_bucket_survivors(spark):
+    """skyline2d: ONE hash exchange (the bucketed local prune) and ONE
+    single-partition exchange (the global pass over survivors) — the
+    full table never reaches the unpartitioned windows."""
+    from distributed_computing_spark.operators.analytics import skyline2d
+
+    pts = spark.createDataFrame(
+        [(i, i % 7, i % 11) for i in range(100)], "doc_id long, u long, c long"
+    )
+    sk = skyline2d(pts, "u", "c")
+    assert count_exchanges(sk, "hashpartitioning") == 1, physical_plan(sk)
+    assert count_exchanges(sk, "SinglePartition") == 1, physical_plan(sk)
+    # the single-partition input is the LOCAL windows' filtered output,
+    # not the raw scan: a Filter sits between the bucket window and the
+    # single-partition exchange
+    tree = operator_tree(sk)
+    assert tree.count("Window") == 4  # 2 local (bucketed) + 2 global
