@@ -590,3 +590,53 @@ def epoch_shuffle_index(
             .alias("sample_idx"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted Bernoulli sampling (engine-portable, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep each row with probability weight/max(weight) — importance
+    sampling as a PURE FUNCTION of (id, seed), like
+    ``hash_stratified_sample``: retries, repartitioning, and engines
+    all agree on membership, so the sample is reproducible AND exactly
+    oracle-checkable.
+
+    The inclusion test is integer-only: with h30 the top 30 bits of
+    ``md5_hash60(id, seed)`` (uniform on [0, 2^30)), keep iff
+    ``h30 * max_w < w * 2^30`` — exactly P(keep) = w/max_w with zero
+    float arithmetic. Map-only except the bounded 1-row max (collected,
+    then folded in as a literal — same broadcast-min/max discipline as
+    ``value_histogram``). Guard: max_w must fit 32 bits so both
+    products stay under 2^62 (ANSI-safe).
+
+    ``weight`` is a Column of non-negative longs (e.g. cents-as-long
+    per the float-aggregate rule).
+    """
+    w = df.select(id_col, weight.alias("w"))
+    row = w.agg(F.max("w").alias("m")).collect()[0]
+    m = int(row["m"]) if row["m"] is not None else 0
+    if m <= 0:
+        raise ValueError("weights must contain a positive maximum")
+    if m >= 1 << 32:
+        raise ValueError(
+            "max weight must fit 32 bits (rescale weights) so the "
+            "inclusion products stay under 2^62"
+        )
+    # expr form of md5_hash60's top 30 bits: `div` truncates (Column
+    # `/` would be float division)
+    h30 = F.expr(
+        f"CAST(conv(substring(md5(concat_ws('#', CAST({id_col} AS STRING), "
+        f"'{seed}')), 1, 15), 16, 10) AS LONG) div 1073741824"
+    )
+    return (
+        w.where(h30 * F.lit(m) < F.col("w") * F.lit(1 << 30))
+        .select(id_col, F.col("w"))
+    )

@@ -3206,6 +3206,38 @@ FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
 ORDER BY doc_id"""
 
 
+
+
+# Round 6: weighted Bernoulli sampling (importance sampling by price)
+def weighted_order_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample orders with probability o_totalprice/max(o_totalprice):
+    pure integer hash test (md5 top-30-bits vs cents-as-long weight),
+    reproducible across engines/retries/partitionings."""
+    from distributed_computing_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    return weighted_sample(orders, "o_orderkey", w, seed=0).orderBy(
+        "o_orderkey"
+    )
+
+
+QUERIES["weighted_order_sample"] = weighted_order_sample
+ORACLES["weighted_order_sample"] = """
+WITH w AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+  FROM orders),
+mw AS (SELECT max(w) AS m FROM w)
+SELECT o_orderkey, w
+FROM w, mw
+WHERE (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#0'), 1, 15))::BIGINT
+         // 1073741824) * m < w * 1073741824
+ORDER BY o_orderkey"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 6)
 # ---------------------------------------------------------------------------
@@ -3234,7 +3266,7 @@ _R6_WINDOW = [
     # kmeans, registered below the original window position)
     "bpe_merges", "bpe_encode_stats", "neardup_clusters",
     "neardup_canonical", "ngram_jaccard_pairs", "multimodal_png_decode",
-    "regional_revenue_bucketed", "exact_dedup", "events_windowed",
+    "regional_revenue_bucketed", "weighted_order_sample", "events_windowed",
     "funnel_conversion", "span_dedup_apply", "kmeans_embeddings",
 ]
 assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
@@ -3248,6 +3280,7 @@ QUERIES = {name: QUERIES[name] for name in _R6_WINDOW} | {
 _R6_NEW = [
     "dup_spans", "span_dedup_stats", "span_dedup_apply",
     "copurchase_triangles", "doc_skyline", "hll_user_registers",
+    "weighted_order_sample",
     "kmeans_embeddings", "events_ohlc", "pagerank_parts",
     "fuzzy_customer_match", "zorder_cells", "zorder_events_scan",
 ]

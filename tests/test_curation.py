@@ -392,3 +392,55 @@ def test_pack_chunks_equi_depth_banding_under_skew(spark):
     )
     assert len(depth_occ) >= sub_bands // 2  # many occupied bands
     assert max(r["count"] for r in depth_occ) <= 4 * 1000 / sub_bands  # balanced
+
+
+# --- weighted Bernoulli sampling ---------------------------------------------
+
+
+def test_weighted_sample_matches_python_reference_and_rate(spark):
+    import hashlib
+
+    from distributed_computing_spark.operators.curation import weighted_sample
+    from pyspark.sql import functions as F
+
+    rows = [(i, (i * 37) % 1000 + 1) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, wt long")
+    got = {
+        r["id"] for r in weighted_sample(df, "id", F.col("wt"), seed=0).collect()
+    }
+    m = max(w for _, w in rows)
+    want = set()
+    for i, w in rows:
+        h = int(hashlib.md5(f"{i}#0".encode()).hexdigest()[:15], 16) >> 30
+        if h * m < w * (1 << 30):
+            want.add(i)
+    assert got == want
+    # realized rate tracks E[w]/max_w (CLT bound, ~3 sigma)
+    exp = sum(w for _, w in rows) / (m * len(rows))
+    assert abs(len(got) / len(rows) - exp) < 0.03
+
+
+def test_weighted_sample_guards(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from distributed_computing_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame([(1, 0)], "id long, wt long")
+    with pytest.raises(ValueError, match="positive maximum"):
+        weighted_sample(df, "id", F.col("wt"))
+    big = spark.createDataFrame([(1, 1 << 33)], "id long, wt long")
+    with pytest.raises(ValueError, match="32 bits"):
+        weighted_sample(big, "id", F.col("wt"))
+
+
+def test_weighted_sample_max_weight_always_kept(spark):
+    from pyspark.sql import functions as F
+
+    from distributed_computing_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 1000 if i == 7 else 1) for i in range(50)], "id long, wt long"
+    )
+    kept = {r["id"] for r in weighted_sample(df, "id", F.col("wt")).collect()}
+    assert 7 in kept  # p = w/max_w = 1 exactly

@@ -140,9 +140,11 @@ RECORDED_KV_TIERS: dict = {
 RECORDED_R6_TIERS: dict = {
     "dup_spans": {
         "R20": {"spark_s": 18.7, "duckdb_s": 19.0, "ratio": 0.98},
+        "R50": {"spark_s": 59.7, "duckdb_s": 270.2, "ratio": 0.22},
     },
     "span_dedup_stats": {
         "R20": {"spark_s": 19.8, "duckdb_s": 17.5, "ratio": 1.13},
+        "R50": {"spark_s": 57.7, "duckdb_s": 162.4, "ratio": 0.36},
     },
     "copurchase_triangles": {
         "R20": {"spark_s": 13.7, "duckdb_s": 8.8, "ratio": 1.56},
