@@ -3238,6 +3238,67 @@ WHERE (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#0'), 1, 15))::BIGINT
 ORDER BY o_orderkey"""
 
 
+
+
+# Round 6: incremental view maintenance (algebraic delta refresh)
+def ivm_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized per-segment (count, revenue-cents) view refreshed
+    from a signed CDC delta (post-cutoff orders as inserts, cancelled
+    pre-cutoff 'F' orders as deletes) via analytics.ivm_refresh. The
+    oracle RECOMPUTES the effective state directly, so the gate proves
+    delta algebra == full recompute."""
+    from distributed_computing_spark.operators.analytics import ivm_refresh
+
+    cutoff = "1999-01-01"
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", F.col("c_mktsegment").alias("segment")
+        )
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "segment",
+            "o_orderdate",
+            "o_orderstatus",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+    base_rows = o.where(F.col("o_orderdate") < F.lit(cutoff))
+    base = base_rows.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("revenue_cents").alias("revenue_cents"),
+    )
+    delta = (
+        o.where(F.col("o_orderdate") >= F.lit(cutoff))
+        .withColumn("_sign", F.lit(1))
+        .unionByName(
+            base_rows.where(F.col("o_orderstatus") == "F").withColumn(
+                "_sign", F.lit(-1)
+            )
+        )
+    )
+    return ivm_refresh(
+        base, delta, ["segment"], "n_rows", ("revenue_cents",)
+    ).orderBy("segment")
+
+
+QUERIES["ivm_segment_revenue"] = ivm_segment_revenue
+ORACLES["ivm_segment_revenue"] = """
+WITH eff AS (
+  SELECT c_mktsegment AS segment,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE (o_orderdate < TIMESTAMP '1999-01-01' AND o_orderstatus <> 'F')
+     OR o_orderdate >= TIMESTAMP '1999-01-01')
+SELECT segment, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM eff GROUP BY segment ORDER BY segment"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 6)
 # ---------------------------------------------------------------------------
@@ -3266,7 +3327,7 @@ _R6_WINDOW = [
     # kmeans, registered below the original window position)
     "bpe_merges", "bpe_encode_stats", "neardup_clusters",
     "neardup_canonical", "ngram_jaccard_pairs", "multimodal_png_decode",
-    "regional_revenue_bucketed", "weighted_order_sample", "events_windowed",
+    "regional_revenue_bucketed", "weighted_order_sample", "ivm_segment_revenue",
     "funnel_conversion", "span_dedup_apply", "kmeans_embeddings",
 ]
 assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
@@ -3280,7 +3341,7 @@ QUERIES = {name: QUERIES[name] for name in _R6_WINDOW} | {
 _R6_NEW = [
     "dup_spans", "span_dedup_stats", "span_dedup_apply",
     "copurchase_triangles", "doc_skyline", "hll_user_registers",
-    "weighted_order_sample",
+    "weighted_order_sample", "ivm_segment_revenue",
     "kmeans_embeddings", "events_ohlc", "pagerank_parts",
     "fuzzy_customer_match", "zorder_cells", "zorder_events_scan",
 ]

@@ -514,3 +514,62 @@ def test_hll_rejects_non_power_of_two(spark):
     df = spark.createDataFrame([(1,)], "user_id long")
     with pytest.raises(ValueError, match="power of two"):
         hll_register_sketch(df, "user_id", m=48)
+
+
+# --- incremental view maintenance --------------------------------------------
+
+
+def test_ivm_refresh_equals_recompute(spark):
+    import random
+
+    from distributed_computing_spark.operators.analytics import ivm_refresh
+    from pyspark.sql import functions as F
+
+    rng = random.Random(5)
+    rows = [(i, f"g{rng.randint(0, 5)}", rng.randint(1, 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    base = df.where(F.col("id") < 400).groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("v")
+    )
+    # deletes: a subset of base rows; inserts: the tail + a NEW group
+    deletes = df.where((F.col("id") < 400) & (F.col("id") % 7 == 0))
+    inserts = df.where(F.col("id") >= 400).unionByName(
+        spark.createDataFrame([(9999, "g_new", 42)], "id long, g string, v long")
+    )
+    delta = inserts.withColumn("_sign", F.lit(1)).unionByName(
+        deletes.withColumn("_sign", F.lit(-1))
+    )
+    got = {
+        r["g"]: (r["n_rows"], r["v"])
+        for r in ivm_refresh(base, delta, ["g"], "n_rows", ("v",)).collect()
+    }
+    # recompute the effective state directly
+    eff = [
+        (i, g, v)
+        for i, g, v in rows
+        if (i >= 400) or (i % 7 != 0)
+    ] + [(9999, "g_new", 42)]
+    want = {}
+    for _, g, v in eff:
+        n, s = want.get(g, (0, 0))
+        want[g] = (n + 1, s + v)
+    assert got == want
+    assert "g_new" in got  # group born from the delta
+
+
+def test_ivm_refresh_drops_groups_emptied_by_deletes(spark):
+    from distributed_computing_spark.operators.analytics import ivm_refresh
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 5)], "id long, g string, v long"
+    )
+    base = df.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("v")
+    )
+    delta = df.where(F.col("g") == "a").withColumn("_sign", F.lit(-1))
+    got = {
+        r["g"]: (r["n_rows"], r["v"])
+        for r in ivm_refresh(base, delta, ["g"], "n_rows", ("v",)).collect()
+    }
+    assert got == {"b": (1, 5)}
