@@ -1017,8 +1017,15 @@ def duplicate_spans(
             (F.col("n_anchor") + F.lit(k - 1)).alias("span_len"),
         )
     )
-    if min_span is not None and min_span > k:
-        spans = spans.where(F.col("span_len") >= min_span)
+    if min_span is not None:
+        if min_span < k:
+            raise ValueError(
+                f"min_span={min_span} < k={k}: anchors are built at "
+                "granularity k, so shorter spans are undetectable — "
+                "lower k instead"
+            )
+        if min_span > k:
+            spans = spans.where(F.col("span_len") >= min_span)
     return spans
 
 
