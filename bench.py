@@ -158,6 +158,12 @@ def _compact_for_tail(payload: dict) -> dict:
         # tier dicts are embedded by reference from module globals, and
         # the shed loop below must never mutate the caller's payload.
         xo = dict(xo)
+        # The full recorded-tier tables no longer fit the tail capture
+        # next to 40 headline timings (round 6) — crossover now also
+        # emits `recorded_echo`, the curated stdout subset (current
+        # round's slope tiers + the standing DNF/crossover-win datums);
+        # the full tables stay in .bench_full.json and BASELINE.md.
+        echo = xo.pop("recorded_echo", None)
         rec = dict(xo.pop("dedup_tier_recorded", None) or {})
         rec.update(xo.pop("kv_tier_recorded", None) or {})
         rec.update(xo.pop("r6_tier_recorded", None) or {})
@@ -166,14 +172,20 @@ def _compact_for_tail(payload: dict) -> dict:
                 k: [r2(v["spark_s"]), r2(v["duckdb_s"])]
                 for k, v in xo["queries"].items()
             }
-        compact = {
-            fam: {
-                t: [r2(d.get("spark_s")), r2(d.get("duckdb_s"))]
-                for t, d in tiers.items()
+        if echo:
+            compact = {
+                fam: {t: [r2(a), r2(b)] for t, (a, b) in tiers.items()}
+                for fam, tiers in echo.items()
             }
-            for fam, tiers in rec.items()
-            if isinstance(tiers, dict)
-        }
+        else:  # older payloads without the echo field: full tables
+            compact = {
+                fam: {
+                    t: [r2(d.get("spark_s")), r2(d.get("duckdb_s"))]
+                    for t, d in tiers.items()
+                }
+                for fam, tiers in rec.items()
+                if isinstance(tiers, dict)
+            }
         if compact:
             # legend: values are [spark_s, duckdb_s]; null = DNF (BASELINE.md)
             xo["recorded"] = compact

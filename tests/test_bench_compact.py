@@ -77,3 +77,53 @@ def test_compact_line_fits_tail_budget():
 
     out = _compact_for_tail(_payload(with_queries=True))
     assert len(json.dumps(out, separators=(",", ":"))) <= _TAIL_BUDGET
+
+
+def test_recorded_echo_takes_precedence_and_fits():
+    """Round 6: the curated `recorded_echo` subset (not the full tier
+    tables) rides stdout next to a 40-query headline, and the line
+    still fits the tail budget."""
+    import json
+
+    from bench import _TAIL_BUDGET, _compact_for_tail
+
+    payload = {
+        "metric": "headline_queries_total",
+        "value": 99.1,
+        "unit": "sec",
+        "queries": {f"quite_long_query_name_{i}": 1.2345 for i in range(40)},
+        "sf": 0.1,
+        "crossover": {
+            "R": 20,
+            "rows": {"documents": 100000, "events": 2000000,
+                     "orders": 3000000, "lineitem": 12000000},
+            "queries": {
+                f"crossover_query_{i}": {"spark_s": 1.234, "duckdb_s": 2.345}
+                for i in range(19)
+            },
+            "spark_total_s": 83.474,
+            "duckdb_total_s": 92.332,
+            "spark_over_duckdb": 0.904,
+            "dedup_tier_recorded": {
+                "giant_family": {
+                    f"R{r}": {"spark_s": 1.0, "duckdb_s": 2.0}
+                    for r in range(100)
+                }
+            },
+            "recorded_echo": {
+                "dup_spans": {"R50": [59.7, 270.2]},
+                "neardup_clusters": {"R50": [1014.6, None]},
+            },
+        },
+    }
+    c = _compact_for_tail(payload)
+    line = json.dumps(c, separators=(",", ":"))
+    assert len(line) <= _TAIL_BUDGET
+    # the echo subset is what rides stdout — not the 100-tier table
+    assert c["crossover"]["recorded"] == {
+        "dup_spans": {"R50": [59.7, 270.2]},
+        "neardup_clusters": {"R50": [1014.6, None]},
+    }
+    # original payload untouched (ADVICE r5 regression)
+    assert "recorded_echo" in payload["crossover"]
+    assert "dedup_tier_recorded" in payload["crossover"]

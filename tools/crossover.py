@@ -164,6 +164,20 @@ RECORDED_R6_TIERS: dict = {
     },
 }
 
+# The stdout-echo subset of the recorded tiers: the bench's compact
+# line must fit the driver's 2000-char tail capture alongside 40
+# headline timings, so only the CURRENT round's slope tiers plus the
+# two standing headline scale datums (the dedup-closure DNF, the KV
+# hot-key crossover win) ride stdout; every tier lives in
+# .bench_full.json and BASELINE.md.
+RECORDED_ECHO_KEYS: dict[str, tuple[str, ...]] = {
+    "dup_spans": ("R20", "R50"),
+    "span_dedup_stats": ("R50",),
+    "copurchase_triangles": ("R20", "R50"),
+    "neardup_clusters": ("R50",),
+    "kv_replay_hotkey": ("R500",),
+}
+
 # Fact tables are replicated with remapped keys; everything else copied.
 _FACTS = ("documents", "events", "orders", "lineitem")
 
@@ -383,6 +397,23 @@ def run_crossover(
         "dedup_tier_recorded": RECORDED_DEDUP_TIERS,
         "kv_tier_recorded": RECORDED_KV_TIERS,
         "r6_tier_recorded": RECORDED_R6_TIERS,
+        "recorded_echo": {
+            fam: {
+                t: [
+                    (src.get(fam) or {}).get(t, {}).get("spark_s"),
+                    (src.get(fam) or {}).get(t, {}).get("duckdb_s"),
+                ]
+                for t in tiers
+            }
+            for fam, tiers in RECORDED_ECHO_KEYS.items()
+            for src in [
+                {
+                    **RECORDED_DEDUP_TIERS,
+                    **RECORDED_KV_TIERS,
+                    **RECORDED_R6_TIERS,
+                }
+            ]
+        },
     }
 
 
