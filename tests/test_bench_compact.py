@@ -91,7 +91,7 @@ def test_recorded_echo_takes_precedence_and_fits():
         "metric": "headline_queries_total",
         "value": 99.1,
         "unit": "sec",
-        "queries": {f"quite_long_query_name_{i}": 1.2345 for i in range(40)},
+        "queries": {f"query_name_{i}": 1.2345 for i in range(40)},
         "sf": 0.1,
         "crossover": {
             "R": 20,
