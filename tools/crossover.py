@@ -397,23 +397,23 @@ def run_crossover(
         "dedup_tier_recorded": RECORDED_DEDUP_TIERS,
         "kv_tier_recorded": RECORDED_KV_TIERS,
         "r6_tier_recorded": RECORDED_R6_TIERS,
-        "recorded_echo": {
-            fam: {
-                t: [
-                    (src.get(fam) or {}).get(t, {}).get("spark_s"),
-                    (src.get(fam) or {}).get(t, {}).get("duckdb_s"),
-                ]
-                for t in tiers
-            }
-            for fam, tiers in RECORDED_ECHO_KEYS.items()
-            for src in [
-                {
-                    **RECORDED_DEDUP_TIERS,
-                    **RECORDED_KV_TIERS,
-                    **RECORDED_R6_TIERS,
-                }
+        "recorded_echo": _recorded_echo(),
+    }
+
+
+def _recorded_echo() -> dict:
+    """The curated stdout subset of the recorded tiers (see
+    RECORDED_ECHO_KEYS): {family: {tier: [spark_s, duckdb_s]}}."""
+    src = {**RECORDED_DEDUP_TIERS, **RECORDED_KV_TIERS, **RECORDED_R6_TIERS}
+    return {
+        fam: {
+            t: [
+                (src.get(fam) or {}).get(t, {}).get("spark_s"),
+                (src.get(fam) or {}).get(t, {}).get("duckdb_s"),
             ]
-        },
+            for t in tiers
+        }
+        for fam, tiers in RECORDED_ECHO_KEYS.items()
     }
 
 
