@@ -1077,3 +1077,72 @@ def ivm_refresh(
             .alias(c)
         )
     return merged.select(*out_cols).where(F.col(count_col) != 0)
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (two-level rank, no global sort)
+# ---------------------------------------------------------------------------
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    nb: int = 10,
+    pre_buckets: int = 64,
+) -> DataFrame:
+    """Exact equi-depth buckets of an integer value column WITHOUT a
+    global sort: (tile, n_rows, lo, hi) where tile = floor(rank·nb/n)
+    over the total order (value, id).
+
+    The ``epoch_shuffle_index`` two-level rank generalized from hash
+    order to VALUE order: deterministic equi-WIDTH pre-buckets from
+    the broadcast min/max (the ``value_histogram`` discipline — no
+    sampling, so the layout is reproducible) put rows in value order
+    across buckets; per-bucket ranks plus broadcast cumulative bucket
+    offsets compose to the exact global rank. The only data-scale
+    exchange is the pre-bucket hash partition; a skewed value column
+    concentrates rows in few pre-buckets (worst case one window
+    partition carries the mode — the usual skew caveat, and why
+    ``pre_buckets`` is a knob). A naive ``ntile() OVER (ORDER BY v)``
+    funnels everything through ONE range-sort task at 100 TB.
+
+    The tile rule is ``(rank·nb) div n`` on BOTH engines — simpler
+    than SQL ntile's ceil-then-floor remainder split and identical in
+    oracle SQL.
+    """
+    from pyspark.sql import Window
+
+    t = df.select(F.col(id_col).alias("_id"), F.col(value_col).alias("_v"))
+    row = t.agg(
+        F.min("_v").alias("lo"), F.max("_v").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n = int(row["n"])
+    if n == 0:
+        raise ValueError("empty input")
+    vmin, vmax = int(row["lo"]), int(row["hi"])
+    width = max(1, (vmax - vmin) // pre_buckets + 1)
+    t = t.withColumn("_b", F.expr(f"(_v - {vmin}L) div {width}L"))
+    counts = t.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_rank = Window.partitionBy("_b").orderBy("_v", "_id")
+    ranked = t.join(F.broadcast(offsets), "_b").select(
+        "_v",
+        (F.col("_off") + F.row_number().over(w_rank) - 1).alias("_rk"),
+    )
+    return (
+        ranked.select(
+            F.expr(f"CAST((_rk * {nb}L) div {n}L AS INT)").alias("tile"),
+            "_v",
+        )
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_v").alias("lo"),
+            F.max("_v").alias("hi"),
+        )
+    )

@@ -3299,6 +3299,42 @@ SELECT segment, CAST(count(*) AS BIGINT) AS n_rows,
 FROM eff GROUP BY segment ORDER BY segment"""
 
 
+
+
+# Round 6: equi-depth histogram over order values (two-level rank)
+def orders_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten exact equi-depth buckets of o_totalprice (cents-as-long),
+    tile rule (rank*nb) div n over the (value, orderkey) total order —
+    identical arithmetic in the oracle."""
+    from distributed_computing_spark.operators.analytics import (
+        equidepth_histogram,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return equidepth_histogram(
+        orders, "cents", "o_orderkey", nb=10
+    ).orderBy("tile")
+
+
+QUERIES["orders_equidepth"] = orders_equidepth
+ORACLES["orders_equidepth"] = """
+WITH w AS (
+  SELECT o_orderkey AS id,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM orders),
+r AS (SELECT v, row_number() OVER (ORDER BY v, id) - 1 AS rk FROM w),
+n AS (SELECT count(*) AS n FROM w)
+SELECT CAST((rk * 10) // n AS INT) AS tile,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(v) AS lo, max(v) AS hi
+FROM r, n GROUP BY tile ORDER BY tile"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 6)
 # ---------------------------------------------------------------------------
@@ -3328,7 +3364,7 @@ _R6_WINDOW = [
     "bpe_merges", "bpe_encode_stats", "neardup_clusters",
     "neardup_canonical", "ngram_jaccard_pairs", "multimodal_png_decode",
     "regional_revenue_bucketed", "weighted_order_sample", "ivm_segment_revenue",
-    "funnel_conversion", "span_dedup_apply", "kmeans_embeddings",
+    "orders_equidepth", "span_dedup_apply", "kmeans_embeddings",
 ]
 assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R6_WINDOW} | {

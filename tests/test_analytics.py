@@ -573,3 +573,46 @@ def test_ivm_refresh_drops_groups_emptied_by_deletes(spark):
         for r in ivm_refresh(base, delta, ["g"], "n_rows", ("v",)).collect()
     }
     assert got == {"b": (1, 5)}
+
+
+def test_equidepth_matches_python_reference_with_heavy_ties(spark):
+    import random
+
+    from distributed_computing_spark.operators.analytics import (
+        equidepth_histogram,
+    )
+
+    rng = random.Random(11)
+    # heavy ties: a mode value carried by 30% of rows crosses tiles
+    rows = [
+        (i, 500 if rng.random() < 0.3 else rng.randint(0, 2000))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r["tile"]: (r["n_rows"], r["lo"], r["hi"])
+        for r in equidepth_histogram(df, "v", "id", nb=7).collect()
+    }
+    order = sorted(rows, key=lambda t: (t[1], t[0]))
+    n = len(order)
+    want = {}
+    for rk, (_, v) in enumerate(order):
+        t = rk * 7 // n
+        c, lo, hi = want.get(t, (0, 1 << 62, -(1 << 62)))
+        want[t] = (c + 1, min(lo, v), max(hi, v))
+    assert got == want
+    # depths differ by at most 1 across tiles
+    depths = [c for c, _, _ in got.values()]
+    assert max(depths) - min(depths) <= 1
+
+
+def test_equidepth_empty_raises(spark):
+    import pytest
+
+    from distributed_computing_spark.operators.analytics import (
+        equidepth_histogram,
+    )
+
+    df = spark.createDataFrame([], "id long, v long")
+    with pytest.raises(ValueError, match="empty"):
+        equidepth_histogram(df, "v", "id")
