@@ -1167,3 +1167,118 @@ def span_dedup_apply(
         F.size(kept).cast("long").alias("kept_tokens"),
         F.md5(F.array_join(kept, " ")).alias("kept_md5"),
     )
+
+
+def ngram_jaccard_prefix_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold_num: int = 35,
+    threshold_den: int = 100,
+    max_df: float | None = 0.2,
+    max_posting: int = 10_000,
+) -> DataFrame:
+    """PPJoin-style prefix-filtered Jaccard pairs — IDENTICAL output to
+    ``ngram_jaccard_pairs(threshold=num/den)``, strictly fewer
+    candidate pairs.
+
+    Prefix-filtering theorem (Chaudhuri/Xiao et al.): under any global
+    total order of shingles, two sets with J(A,B) >= t must share a
+    shingle within each one's first ``|x| - ceil(t*|x|) + 1`` shingles
+    (rarest-first order maximizes the pruning). So candidates are
+    generated from PREFIX postings only — the quadratic pair expansion
+    runs over each doc's few rarest shingles instead of all of them —
+    and each candidate is then verified EXACTLY via array_intersect of
+    the two docs' full (capped-space) shingle sets: per-pair work
+    bounded by doc size, no second index pass.
+
+    The threshold is a RATIONAL (num/den) so the prefix length is pure
+    integer arithmetic — ``ceil(t*|x|)`` in floats can round BELOW the
+    true value at exact multiples (0.35*20 -> 6.999...), and an
+    undersized prefix silently loses pairs. An oversized one only adds
+    candidates; undersized breaks correctness, so floats are banned
+    here. The final Jaccard filter reuses the float formula verbatim
+    to stay bit-identical with ``ngram_jaccard_pairs``' gate contract.
+
+    Gate story: registered with the SAME oracle SQL as
+    ``ngram_jaccard_pairs`` — the gate proves optimizer-variant
+    equality, the strongest form of "same result, better plan".
+    """
+    from pyspark.sql import Window
+
+    sh_dedup = (
+        shingle_rows(documents, n, distinct=False)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
+        .dropDuplicates(["doc_id", "shingle_h"])
+    )
+    if max_df is not None or max_posting is not None:
+        if max_df is not None:
+            n_docs = documents.count()
+            cap = int(max_df * n_docs) + 1
+            if max_posting is not None:
+                cap = min(cap, max_posting)
+        else:
+            cap = max_posting
+        head = (
+            sh_dedup.groupBy("shingle_h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > cap)
+            .select("shingle_h")
+        )
+        sh_dedup = sh_dedup.join(head, "shingle_h", "left_anti")
+    from distributed_computing_spark.caching import track_persist
+
+    sh_dedup = track_persist(sh_dedup)  # df + prefix + arrays reuse it
+    df_tbl = sh_dedup.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("df"))
+    sizes = sh_dedup.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # integer ceil(num*n/den): (num*n + den - 1) div den
+    plen = (
+        F.col("n_sh")
+        - F.expr(f"({threshold_num}L * n_sh + {threshold_den - 1}) div {threshold_den}L")
+        + 1
+    )
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle_h")
+    ranked = (
+        sh_dedup.join(df_tbl, "shingle_h")
+        .withColumn("_rn", F.row_number().over(w))
+        .join(sizes.select("doc_id", plen.alias("_plen")), "doc_id")
+        .where(F.col("_rn") <= F.col("_plen"))
+        .select("doc_id", "shingle_h")
+    )
+    postings = ranked.groupBy("shingle_h").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("docs")
+    )
+    cand = (
+        postings.where(F.size("docs") > 1)
+        .select(F.posexplode("docs").alias("pos", "a"), "docs")
+        .select(
+            "a",
+            F.explode(
+                F.expr("slice(docs, pos + 2, size(docs) - pos - 1)")
+            ).alias("b"),
+        )
+        .distinct()
+    )
+    arrays = sh_dedup.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("shingle_h")).alias("shs")
+    )
+    arr_a = arrays.select(F.col("doc_id").alias("a"), F.col("shs").alias("_sa"))
+    arr_b = arrays.select(F.col("doc_id").alias("b"), F.col("shs").alias("_sb"))
+    thr = threshold_num / threshold_den
+    return (
+        cand.join(arr_a, "a")
+        .join(arr_b, "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("_sa", "_sb")).alias("n_common"),
+            F.size("_sa").alias("n_a"),
+            F.size("_sb").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= thr)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -3335,6 +3335,23 @@ SELECT CAST((rk * 10) // n AS INT) AS tile,
 FROM r, n GROUP BY tile ORDER BY tile"""
 
 
+
+
+# Round 6: prefix-filtered Jaccard (PPJoin) — optimizer-variant equality
+def ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as ngram_jaccard_pairs (threshold 0.35, df cap)
+    through the prefix-filtered candidate plan; registered with the
+    IDENTICAL oracle SQL — the gate proves same-result-better-plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_prefix_pairs(
+        docs, n=3, threshold_num=35, threshold_den=100, max_df=0.2
+    )
+
+
+QUERIES["ngram_jaccard_prefix"] = ngram_jaccard_prefix
+ORACLES["ngram_jaccard_prefix"] = ORACLES["ngram_jaccard_pairs"]
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 6)
 # ---------------------------------------------------------------------------
@@ -3361,10 +3378,11 @@ _R6_WINDOW = [
     "train_test_split", "value_histogram",
     # most consequential of the r4-gated remainder (+ the round-6
     # kmeans, registered below the original window position)
-    "bpe_merges", "bpe_encode_stats", "neardup_clusters",
+    "bpe_merges", "neardup_clusters",
     "neardup_canonical", "ngram_jaccard_pairs", "multimodal_png_decode",
     "regional_revenue_bucketed", "weighted_order_sample", "ivm_segment_revenue",
     "orders_equidepth", "span_dedup_apply", "kmeans_embeddings",
+    "ngram_jaccard_prefix",
 ]
 assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R6_WINDOW} | {

