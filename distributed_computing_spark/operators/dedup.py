@@ -1202,6 +1202,18 @@ def ngram_jaccard_prefix_pairs(
     Gate story: registered with the SAME oracle SQL as
     ``ngram_jaccard_pairs`` — the gate proves optimizer-variant
     equality, the strongest form of "same result, better plan".
+
+    MEASURED OUTCOME (round 6, record of a dead end on THIS data): on
+    the base sf0.1 corpus the variant loses 3.7 s vs 5.5 s warm, and
+    on the dup-dense 20× replica corpus it loses badly (74.7 s
+    baseline vs >120 s) — replica pairs share even their rarest
+    shingles, so the prefix prunes nothing while the df-rank window
+    and the per-candidate full-array verify add real cost. Prefix
+    filtering pays when candidate reduction is large (low-dup corpora
+    with heavy non-matching co-occurrence); on this synthetic data the
+    baseline postings plan is the right default. Kept because the
+    shared-oracle gate makes it a verified equivalent plan, not a
+    recommendation.
     """
     from pyspark.sql import Window
 
