@@ -348,3 +348,105 @@ SELECT node AS p_partkey, CAST(count(*) AS BIGINT) AS n_triangles
 FROM members GROUP BY node
 ORDER BY n_triangles DESC, p_partkey ASC
 LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peeling)
+# ---------------------------------------------------------------------------
+
+
+def kcore(
+    edges: DataFrame, k: int, max_rounds: int = 16
+) -> tuple[DataFrame, int]:
+    """Nodes of the k-core (maximal subgraph where every node keeps
+    degree >= k) of a SYMMETRIC directed edge list, with each node's
+    final within-core degree. Returns (DataFrame(node, core_deg),
+    rounds_used).
+
+    Iterative peeling: drop nodes whose degree within the surviving
+    subgraph is < k, recompute, repeat to fixpoint. Like the near-dup
+    closure, the driver holds ONLY loop control (one bounded count per
+    round); per round the plan is one partial-aggregated degree
+    groupBy over edges semi-joined against the broadcast survivor set
+    — the edge table is persisted once and never re-exchanged, the
+    survivor set is node-sized. Peeling is monotone (survivor sets
+    only shrink), so extra rounds after the fixpoint are no-ops — the
+    property the unrolled-CTE oracle leans on (it unrolls a FIXED
+    round count; `kcore_parts` raises loudly if the data ever needs
+    more than the oracle has, the BPE all-rounds-fire discipline).
+    """
+    from distributed_computing_spark.caching import track_persist
+
+    edges = track_persist(edges)
+    alive = None  # None = every node alive
+    n_alive = -1
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        e = edges
+        if alive is not None:
+            e = e.join(F.broadcast(alive), "src").join(
+                F.broadcast(alive.withColumnRenamed("src", "dst")), "dst"
+            )
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("core_deg"))
+        nxt = track_persist(deg.where(F.col("core_deg") >= k))
+        n_nxt = nxt.count()  # bounded: node-sized; also materializes
+        if n_nxt == n_alive:
+            return nxt.withColumnRenamed("src", "node"), rounds
+        alive, n_alive = nxt.select("src"), n_nxt
+    return (
+        (alive if alive is not None else edges.select("src").distinct())
+        .join(deg.where(F.col("core_deg") >= k), "src")
+        .withColumnRenamed("src", "node"),
+        rounds,
+    )
+
+
+def kcore_parts(
+    spark: SparkSession, sf_dir: str, k: int = 80, oracle_rounds: int = 16
+) -> DataFrame:
+    """Registry query: the k-core of the co-purchase graph (node +
+    within-core degree). Raises if convergence needs more rounds than
+    the oracle unrolls — the oracle is then invalid, fail loudly."""
+    from distributed_computing_spark.sources.catalog import load_table
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    out, rounds = kcore(edges, k, max_rounds=oracle_rounds)
+    if rounds >= oracle_rounds:
+        raise ValueError(
+            f"k-core peeling used {rounds} rounds; the unrolled oracle "
+            f"covers {oracle_rounds} — regenerate with more rounds"
+        )
+    return out.select(
+        F.col("node").alias("p_partkey"), F.col("core_deg").cast("long")
+    ).orderBy("p_partkey")
+
+
+def kcore_oracle_sql(k: int = 80, rounds: int = 16) -> str:
+    """Unrolled peeling oracle: monotone no-op rounds after the
+    fixpoint make a FIXED unroll exact (see kcore docstring)."""
+    parts = [
+        """edges AS MATERIALIZED (
+  SELECT DISTINCT la.l_partkey AS src, lb.l_partkey AS dst
+  FROM lineitem la JOIN lineitem lb
+    ON la.l_orderkey = lb.l_orderkey AND la.l_partkey <> lb.l_partkey),
+a0 AS MATERIALIZED (SELECT DISTINCT src FROM edges)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""d{t} AS (
+  SELECT e.src, count(*) AS core_deg
+  FROM edges e
+  JOIN a{t - 1} x ON e.src = x.src
+  JOIN a{t - 1} y ON e.dst = y.src
+  GROUP BY e.src),
+a{t} AS MATERIALIZED (
+  SELECT src FROM d{t} WHERE core_deg >= {k})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT d.src AS p_partkey, CAST(d.core_deg AS BIGINT) AS core_deg
+FROM d{rounds} d JOIN a{rounds} a ON d.src = a.src
+ORDER BY p_partkey"""
+    )

@@ -3352,6 +3352,18 @@ QUERIES["ngram_jaccard_prefix"] = ngram_jaccard_prefix
 ORACLES["ngram_jaccard_prefix"] = ORACLES["ngram_jaccard_pairs"]
 
 
+
+
+# Round 6: k-core decomposition (iterative peeling to fixpoint)
+from distributed_computing_spark.operators.graph import (  # noqa: E402
+    kcore_oracle_sql,
+    kcore_parts,
+)
+
+QUERIES["copurchase_kcore"] = kcore_parts
+ORACLES["copurchase_kcore"] = kcore_oracle_sql(k=80, rounds=16)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 6)
 # ---------------------------------------------------------------------------
@@ -3378,7 +3390,7 @@ _R6_WINDOW = [
     "train_test_split", "value_histogram",
     # most consequential of the r4-gated remainder (+ the round-6
     # kmeans, registered below the original window position)
-    "bpe_merges", "neardup_clusters",
+    "copurchase_kcore", "neardup_clusters",
     "neardup_canonical", "ngram_jaccard_pairs", "multimodal_png_decode",
     "regional_revenue_bucketed", "weighted_order_sample", "ivm_segment_revenue",
     "orders_equidepth", "span_dedup_apply", "kmeans_embeddings",

@@ -230,3 +230,65 @@ def test_triangle_closure_evaluated_once(spark):
     assert tree.count("InMemoryTableScan") == 3
     assert "Union" not in tree
     release_tracked()
+
+
+# --- k-core decomposition ----------------------------------------------------
+
+
+def _py_kcore(pairs, k):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        dead = {n for n in alive if len(adj[n] & alive) < k}
+        if not dead:
+            return {n: len(adj[n] & alive) for n in alive}
+        alive -= dead
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_kcore_matches_python_reference(spark, k):
+    import random
+
+    from distributed_computing_spark.operators.graph import kcore
+
+    rng = random.Random(21)
+    pairs = sorted(
+        {
+            (a, b)
+            for _ in range(90)
+            for a, b in [sorted(rng.sample(range(25), 2))]
+        }
+    )
+    edges = spark.createDataFrame(_sym(pairs), "src long, dst long")
+    out, rounds = kcore(edges, k)
+    got = {r["node"]: r["core_deg"] for r in out.collect()}
+    release_tracked()
+    assert got == _py_kcore(pairs, k)
+    assert rounds >= 1
+
+
+def test_kcore_peels_pendant_chain_into_triangle(spark):
+    """A triangle with a pendant path: the 2-core is exactly the
+    triangle (the chain peels away over multiple cascading rounds)."""
+    from distributed_computing_spark.operators.graph import kcore
+
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]
+    edges = spark.createDataFrame(_sym(pairs), "src long, dst long")
+    out, rounds = kcore(edges, 2)
+    got = {r["node"]: r["core_deg"] for r in out.collect()}
+    release_tracked()
+    assert got == {1: 2, 2: 2, 3: 2}
+    assert rounds >= 3  # the chain peels one node per round
+
+
+def test_kcore_whole_graph_survives_small_k(spark):
+    from distributed_computing_spark.operators.graph import kcore
+
+    pairs = [(1, 2), (2, 3), (1, 3)]
+    edges = spark.createDataFrame(_sym(pairs), "src long, dst long")
+    out, rounds = kcore(edges, 1)
+    assert out.count() == 3 and rounds <= 2
+    release_tracked()

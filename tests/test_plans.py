@@ -355,3 +355,29 @@ def test_skyline_global_pass_sees_only_bucket_survivors(spark):
     # single-partition exchange
     tree = operator_tree(sk)
     assert tree.count("Window") == 4  # 2 local (bucketed) + 2 global
+
+
+def test_kmeans_assignment_is_shuffle_free(spark):
+    """The Lloyd-round contract: assignment is a map-side pass against
+    k LITERAL centroid arrays over the cached quantized table — ZERO
+    exchanges of any kind; the only per-round shuffle is the k×d-long
+    centroid groupBy (inside the iteration, not this plan)."""
+    import random
+
+    from distributed_computing_spark import caching
+    from distributed_computing_spark.operators.similarity import (
+        kmeans_quantized,
+    )
+
+    rng = random.Random(0)
+    df = spark.createDataFrame(
+        [
+            (i, [rng.uniform(-0.5, 0.5) for _ in range(8)])
+            for i in range(100)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    assigned, _ = kmeans_quantized(df, k=3, n_iter=2)
+    assert count_exchanges(assigned, "hashpartitioning") == 0
+    assert count_exchanges(assigned, "SinglePartition") == 0
+    caching.release_tracked()
