@@ -460,3 +460,196 @@ def decode_png_headers(data: bytes) -> tuple[int, int, int, bytes]:
     if len(raw) != h * (w * ch + 1):
         raise ValueError("bad scanline payload size")
     return h, w, ch, raw
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF87a, global color table, single image, no interlace)
+# ---------------------------------------------------------------------------
+# The LZW compression family — distinct from DEFLATE (PNG) and DCT
+# (JPEG): variable-width codes 3..12 bits packed LSB-first, a growing
+# string table with clear/EOI control codes, and the KwKwK corner case.
+# Pure stdlib; scope mirrors the other codecs (encoder: GCT <= 256
+# colors, one image; decoder: skips 0x21 extension blocks, rejects
+# interlace/local color tables with a targeted ValueError).
+
+
+def _gif_lzw_encode(indices, min_code: int) -> bytes:
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table = {(i,): i for i in range(1 << min_code)}
+    next_code = eoi + 1
+    width = min_code + 1
+    out = bytearray()
+    acc = n_acc = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, n_acc
+        acc |= code << n_acc
+        n_acc += w
+        while n_acc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+
+    emit(clear, width)
+    seq: tuple = ()
+    for v in map(int, indices):
+        cand = seq + (v,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == 1 << width and width < 12:
+            width += 1
+        elif next_code > 4095:
+            emit(clear, width)
+            table = {(i,): i for i in range(1 << min_code)}
+            next_code = eoi + 1
+            width = min_code + 1
+        seq = (v,)
+    if seq:
+        emit(table[seq], width)
+    emit(eoi, width)
+    if n_acc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, n_pixels: int) -> list[int]:
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    pos = 0
+
+    def read(w: int) -> int:
+        nonlocal pos
+        v = 0
+        for i in range(w):
+            byte, bit = divmod(pos, 8)
+            if byte >= len(data):
+                raise ValueError("GIF: LZW stream truncated")
+            v |= ((data[byte] >> bit) & 1) << i
+            pos += 1
+        return v
+
+    table: list[tuple] = []
+
+    def reset() -> tuple[int, int]:
+        nonlocal table
+        table = [(i,) for i in range(1 << min_code)] + [(), ()]
+        return min_code + 1, len(table)
+
+    width, next_code = reset()
+    out: list[int] = []
+    prev: tuple | None = None
+    while len(out) < n_pixels:
+        code = read(width)
+        if code == clear:
+            width, next_code = reset()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and code not in (clear, eoi):
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + (prev[0],)  # KwKwK
+        else:
+            raise ValueError(f"GIF: bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + (entry[0],))
+            next_code += 1
+            if next_code == 1 << width and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("GIF: pixel data ended early")
+    return out[:n_pixels]
+
+
+def encode_gif(pixels) -> bytes:
+    """H×W×3 uint8 → GIF87a bytes (global color table built from the
+    image's distinct colors, sorted for determinism; <= 256 or raise)."""
+    import struct
+
+    px = np.asarray(pixels, np.uint8)
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    colors = sorted({tuple(int(x) for x in c) for c in flat})
+    if len(colors) > 256:
+        raise ValueError("GIF encoder: more than 256 distinct colors")
+    p = max(2, (max(len(colors) - 1, 1)).bit_length())  # 2^p GCT entries
+    cmap = {c: i for i, c in enumerate(colors)}
+    idx = [cmap[tuple(int(x) for x in c)] for c in flat]
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | ((p - 1) & 0x07))  # GCT flag + size
+    out += b"\x00\x00"  # bg index, aspect
+    for i in range(1 << p):
+        out += bytes(colors[i]) if i < len(colors) else b"\x00\x00\x00"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(p)  # LZW min code size
+    lzw = _gif_lzw_encode(idx, p)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(data: bytes):
+    """GIF87a/89a bytes → H×W×3 uint8 (global color table, first image;
+    extension blocks skipped; interlace/local tables rejected)."""
+    import struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("GIF: bad signature")
+    w, h = struct.unpack_from("<HH", data, 6)
+    packed, _bg, _aspect = data[10], data[11], data[12]
+    off = 13
+    if not packed & 0x80:
+        raise ValueError("GIF: no global color table")
+    n_gct = 2 << (packed & 0x07)
+    gct = np.frombuffer(data, np.uint8, n_gct * 3, off).reshape(-1, 3)
+    off += n_gct * 3
+    while True:
+        if off >= len(data):
+            raise ValueError("GIF: no image descriptor")
+        b0 = data[off]
+        off += 1
+        if b0 == 0x21:  # extension: label + sub-blocks
+            off += 1
+            while data[off] != 0:
+                off += 1 + data[off]
+            off += 1
+        elif b0 == 0x2C:
+            break
+        elif b0 == 0x3B:
+            raise ValueError("GIF: trailer before image data")
+        else:
+            raise ValueError(f"GIF: unexpected block 0x{b0:02x}")
+    left, top, iw, ih = struct.unpack_from("<HHHH", data, off)
+    ipacked = data[off + 8]
+    off += 9
+    if ipacked & 0x80:
+        raise ValueError("GIF: local color tables not supported")
+    if ipacked & 0x40:
+        raise ValueError("GIF: interlace not supported")
+    if (left, top, iw, ih) != (0, 0, w, h):
+        raise ValueError("GIF: sub-rectangle images not supported")
+    min_code = data[off]
+    off += 1
+    lzw = bytearray()
+    while True:
+        n = data[off]
+        off += 1
+        if n == 0:
+            break
+        lzw += data[off : off + n]
+        off += n
+    idx = _gif_lzw_decode(bytes(lzw), min_code, w * h)
+    arr = np.array(idx, np.int32)
+    if arr.max(initial=0) >= len(gct):
+        raise ValueError("GIF: palette index out of range")
+    return gct[arr].reshape(h, w, 3)

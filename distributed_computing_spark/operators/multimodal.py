@@ -597,3 +597,68 @@ def decode_images_jpeg(blobs: DataFrame, out_w: int = 8, out_h: int = 8) -> Data
         schema="blob_id long, width int, height int, "
         "mean_r double, mean_g double, mean_b double",
     )
+
+
+def gif_blobs(docs: DataFrame) -> DataFrame:
+    """REAL LZW-format blob table over ``documents``: every doc carries
+    a genuine 16×16 GIF87a (two horizontal color bands from doc_id —
+    the png_blobs pattern — palette-indexed, LZW-compressed sub-blocks;
+    stock viewers open them). GIF closes the third compression family:
+    DEFLATE (PNG, round 4), DCT (JPEG, round 5), LZW (round 6)."""
+    from distributed_computing_spark.functions.codecs import encode_gif
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, datas = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px = np.zeros((16, 16, 3), np.uint8)
+                px[:8, :, 0] = (did * 7) % 256
+                px[:8, :, 1] = (did * 13) % 256
+                px[:8, :, 2] = (did * 29) % 256
+                px[8:, :, 0] = (did * 11) % 256
+                px[8:, :, 1] = (did * 17) % 256
+                px[8:, :, 2] = (did * 23) % 256
+                ids.append(did)
+                datas.append(encode_gif(px))
+            yield pd.DataFrame(
+                {"blob_id": pd.array(ids, dtype="int64"), "data": datas}
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema="blob_id long, data binary")
+
+
+def decode_images_gif(blobs: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """REAL GIF decode: signature + screen descriptor, global color
+    table, variable-width LSB-first LZW (clear/EOI, KwKwK, 4096
+    reset), palette mapping, exact mean-pool resize, per-channel
+    means — the decode_images_bmp/png output contract over LZW bytes."""
+    from distributed_computing_spark.functions.codecs import decode_gif, mean_pool
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, mr, mg, mb = [], [], [], [], []
+            for data in pdf["data"]:
+                img = decode_gif(bytes(data))
+                small = mean_pool(img, out_h, out_w)
+                heights.append(img.shape[0])
+                widths.append(img.shape[1])
+                mr.append(float(small[..., 0].mean()))
+                mg.append(float(small[..., 1].mean()))
+                mb.append(float(small[..., 2].mean()))
+            yield pd.DataFrame(
+                {
+                    "blob_id": pdf["blob_id"],
+                    "width": widths,
+                    "height": heights,
+                    "mean_r": mr,
+                    "mean_g": mg,
+                    "mean_b": mb,
+                }
+            )
+
+    return blobs.mapInPandas(
+        run,
+        schema="blob_id long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double",
+    )

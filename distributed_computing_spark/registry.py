@@ -3364,6 +3364,30 @@ QUERIES["copurchase_kcore"] = kcore_parts
 ORACLES["copurchase_kcore"] = kcore_oracle_sql(k=80, rounds=16)
 
 
+
+
+# Round 6: GIF decode — the LZW compression family joins DEFLATE/DCT
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW-format image path, VALUE-GATED: genuine GIF87a blobs
+    (palette + variable-width LZW with clear/EOI/KwKwK/4096-reset,
+    spec-vector-pinned in tests) decoded by the pure-stdlib parser.
+    Two planted bands per doc_id keep each channel mean closed-form:
+    (band_a + band_b) / 2 — the same contract as the PNG/JPEG gates."""
+    from distributed_computing_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_images_gif(multimodal.gif_blobs(docs))
+
+
+QUERIES["multimodal_gif_decode"] = multimodal_gif_decode
+ORACLES["multimodal_gif_decode"] = """
+SELECT doc_id AS blob_id, 16 AS width, 16 AS height,
+       CAST((doc_id * 7) % 256 + (doc_id * 11) % 256 AS DOUBLE) / 2 AS mean_r,
+       CAST((doc_id * 13) % 256 + (doc_id * 17) % 256 AS DOUBLE) / 2 AS mean_g,
+       CAST((doc_id * 29) % 256 + (doc_id * 23) % 256 AS DOUBLE) / 2 AS mean_b
+FROM documents"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 6)
 # ---------------------------------------------------------------------------
@@ -3391,7 +3415,7 @@ _R6_WINDOW = [
     # most consequential of the r4-gated remainder (+ the round-6
     # kmeans, registered below the original window position)
     "copurchase_kcore", "neardup_clusters",
-    "neardup_canonical", "ngram_jaccard_pairs", "multimodal_png_decode",
+    "neardup_canonical", "ngram_jaccard_pairs", "multimodal_gif_decode",
     "regional_revenue_bucketed", "weighted_order_sample", "ivm_segment_revenue",
     "orders_equidepth", "span_dedup_apply", "kmeans_embeddings",
     "ngram_jaccard_prefix",

@@ -703,3 +703,87 @@ def test_png_batched_unfilter_matches_scalar_through_spark(spark):
     small = mean_pool(img, 4, 4)
     assert got[0]["mean_r"] == float(small[..., 0].mean())
     assert (got[100]["width"], got[100]["height"]) == (20, 12)
+
+
+# --- GIF codec ---------------------------------------------------------------
+
+
+def test_gif_decodes_spec_reference_vector(spark):
+    """The canonical 1x1 white GIF89a from the spec (widely published
+    byte-for-byte) pins signature parse, GCT, LSB-first bit order, and
+    clear/EOI handling against an EXTERNAL reference — the encoder and
+    decoder can't share a complementary bug here."""
+    import numpy as np
+
+    from distributed_computing_spark.functions.codecs import decode_gif
+
+    ref = bytes.fromhex(
+        "474946383961010001008000"
+        "00ffffff000000"
+        "2c000000000100010000"
+        "02024401003b"
+    )
+    px = decode_gif(ref)
+    assert px.shape == (1, 1, 3) and px.tolist() == [[[255, 255, 255]]]
+
+
+def test_gif_roundtrip_exercises_lzw_growth_and_reset(spark):
+    import numpy as np
+
+    from distributed_computing_spark.functions.codecs import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(7)
+    # 2-color 200x200: code width grows 3..12; 400x400 crosses the
+    # 4096-entry dictionary reset; 256-color exercises 8-bit min codes
+    cases = [
+        ((200, 200), 2),
+        ((400, 400), 2),
+        ((13, 9), 256),
+        ((1, 300), 256),
+        ((1, 1), 2),
+    ]
+    for shape, ncol in cases:
+        pal = rng.randint(0, 256, size=(ncol, 3), dtype=np.uint8)
+        img = pal[rng.randint(0, ncol, size=shape)]
+        assert np.array_equal(decode_gif(encode_gif(img)), img), (shape, ncol)
+
+
+def test_gif_rejects_unsupported_features(spark):
+    import numpy as np
+    import pytest
+
+    from distributed_computing_spark.functions.codecs import (
+        decode_gif,
+        encode_gif,
+    )
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    data = bytearray(encode_gif(img))
+    data[:6] = b"NOTGIF"
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(bytes(data))
+    with pytest.raises(ValueError, match="256 distinct"):
+        encode_gif(
+            np.stack(
+                [np.arange(257) % 256, np.arange(257) // 1 % 7 + 1,
+                 np.ones(257)], axis=-1
+            ).reshape(1, 257, 3).astype(np.uint8)
+        )
+
+
+def test_gif_decode_query_matches_closed_form(spark):
+    from distributed_computing_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(0, 40, 3)], "doc_id long, text string"
+    )
+    rows = multimodal.decode_images_gif(multimodal.gif_blobs(docs)).collect()
+    for r in rows:
+        d = r["blob_id"]
+        assert (r["width"], r["height"]) == (16, 16)
+        assert r["mean_r"] == ((d * 7) % 256 + (d * 11) % 256) / 2
+        assert r["mean_g"] == ((d * 13) % 256 + (d * 17) % 256) / 2
+        assert r["mean_b"] == ((d * 29) % 256 + (d * 23) % 256) / 2

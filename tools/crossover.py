@@ -159,6 +159,22 @@ RECORDED_R6_TIERS: dict = {
     "hll_user_registers": {
         "R20": {"spark_s": 1.7, "duckdb_s": 0.08, "ratio": 20.4},
     },
+    "span_dedup_apply": {
+        "R20": {"spark_s": 31.4, "duckdb_s": 20.4, "ratio": 1.54},
+    },
+    "copurchase_kcore": {
+        "R20": {"spark_s": 19.4, "duckdb_s": 10.2, "ratio": 1.90},
+    },
+    # small absolutes (overhead-dominated, kv_effective_ops caveat):
+    "orders_equidepth": {
+        "R20": {"spark_s": 4.9, "duckdb_s": 0.84, "ratio": 5.8},
+    },
+    "weighted_order_sample": {
+        "R20": {"spark_s": 3.3, "duckdb_s": 0.77, "ratio": 4.4},
+    },
+    "ivm_segment_revenue": {
+        "R20": {"spark_s": 2.1, "duckdb_s": 0.14, "ratio": 14.8},
+    },
     "kmeans_embeddings": {
         "R20": {"spark_s": 8.8, "duckdb_s": 0.7, "ratio": 12.5},
         # flat at R50 (8.9 vs 0.9): embeddings is a COPIED dim table,
