@@ -64,6 +64,7 @@ HEADLINE = [
     # ML, layout/sketch/skyline operators
     "dup_spans",
     "copurchase_triangles",
+    "multimodal_gif_decode",
     "pagerank_parts",
     "kmeans_embeddings",
     "doc_skyline",
