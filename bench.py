@@ -152,7 +152,13 @@ def _compact_for_tail(payload: dict) -> dict:
         return round(x, 2) if isinstance(x, float) else x
 
     p = dict(payload)
-    p["queries"] = {k: r2(v) for k, v in p.get("queries", {}).items()}
+    # headline timings at 1 decimal: at 41 queries the 2-decimal form
+    # pushes the line past the tail budget and sheds the recorded echo;
+    # full 3-decimal timings live in .bench_full.json
+    p["queries"] = {
+        k: round(v, 1) if isinstance(v, float) else v
+        for k, v in p.get("queries", {}).items()
+    }
     xo = p.get("crossover")
     if isinstance(xo, dict):
         # ADVICE r5: always shallow-copy before any pop — the recorded
