@@ -164,6 +164,7 @@ RECORDED_R6_TIERS: dict = {
     },
     "copurchase_kcore": {
         "R20": {"spark_s": 19.4, "duckdb_s": 10.2, "ratio": 1.90},
+        "R50": {"spark_s": 24.9, "duckdb_s": 17.9, "ratio": 1.39},
     },
     # small absolutes (overhead-dominated, kv_effective_ops caveat):
     "orders_equidepth": {
