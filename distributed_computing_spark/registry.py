@@ -3431,9 +3431,10 @@ QUERIES = {name: QUERIES[name] for name in _R6_WINDOW} | {
 _R6_NEW = [
     "dup_spans", "span_dedup_stats", "span_dedup_apply",
     "copurchase_triangles", "doc_skyline", "hll_user_registers",
-    "weighted_order_sample", "ivm_segment_revenue",
+    "weighted_order_sample", "ivm_segment_revenue", "orders_equidepth",
     "kmeans_embeddings", "events_ohlc", "pagerank_parts",
     "fuzzy_customer_match", "zorder_cells", "zorder_events_scan",
+    "ngram_jaccard_prefix", "copurchase_kcore", "multimodal_gif_decode",
 ]
 _order = list(QUERIES)
 for _q in _R6_NEW:
