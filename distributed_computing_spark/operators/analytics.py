@@ -1025,6 +1025,153 @@ def hll_estimate(registers: dict[int, int], m: int = 64) -> float:
 
 
 # ---------------------------------------------------------------------------
+# Oracle-exact count-min sketch (frequency registers)
+# ---------------------------------------------------------------------------
+
+
+def cms_register_sketch(
+    df: DataFrame, col: str, depth: int = 4, width: int = 512, seed0: int = 0
+) -> DataFrame:
+    """Count-min sketch counter table over the ``md5_hash60`` family:
+    (sketch_row, register, cnt) for depth independent hash rows of
+    ``width`` counters — the frequency-sketch sibling of
+    ``hll_register_sketch`` (cardinality) and the strict-gate twin of
+    ``frequent_items`` (whose ``stat.freqItems`` candidate sets are
+    engine-defined, rows-only by necessity). Here the SKETCH ITSELF is
+    the checked artifact: every counter is an integer count,
+    reproducible in DuckDB SQL.
+
+    Scale shape: the k per-occurrence hash positions are computed
+    map-side in one Generate (explode of a d-element struct array);
+    the groupBy key space is depth*width (~2k), so partial aggregation
+    collapses each task's stream to at most depth*width partial rows —
+    the exchange is sketch-sized no matter how many occurrences flow
+    in. Merging two corpora's sketches is elementwise +, the
+    distributive algebra that makes CMS the 100 TB frequency summary.
+    The heavy-hitter ESTIMATE (min over rows at a key's positions)
+    stays client-side (`cms_point_estimate`) like ``hll_estimate`` —
+    one-sided error (estimate >= true count) is asserted in tests.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be positive")
+    from distributed_computing_spark.operators.dedup import md5_hash60
+
+    c = F.col(col).cast("string")
+    positions = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("sketch_row"),
+                F.pmod(md5_hash60(c, seed0 + r), F.lit(width)).alias(
+                    "register"
+                ),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(positions).alias("_rc"))
+        .groupBy(
+            F.col("_rc.sketch_row").alias("sketch_row"),
+            F.col("_rc.register").alias("register"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_point_estimate(
+    registers: dict[tuple[int, int], int],
+    key: str,
+    depth: int = 4,
+    width: int = 512,
+    seed0: int = 0,
+) -> int:
+    """Client-side CMS point query: min over the key's depth counters.
+    Deterministically >= the true count (hash collisions only ADD)."""
+    import hashlib
+
+    est = None
+    for r in range(depth):
+        h = int(
+            hashlib.md5(f"{key}#{seed0 + r}".encode()).hexdigest()[:15], 16
+        )
+        v = registers.get((r, h % width), 0)
+        est = v if est is None else min(est, v)
+    return est or 0
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning (membership sketch)
+# ---------------------------------------------------------------------------
+
+
+def bloom_bitset(
+    df: DataFrame, col: str, m_bits: int = 16384, k: int = 5, seed0: int = 0
+) -> list[int]:
+    """Exact Bloom bitset over ``md5_hash60``: k positions per key,
+    folded into m_bits/64 longs with bit_or — one partial-aggregated
+    groupBy over word indexes (<= m_bits/64 rows exchange), then a
+    BOUNDED collect of the word table. The membership sketch
+    completing the trio (HLL cardinality, CMS frequency, Bloom
+    membership); its join-pruning use is `bloom_prune_semi_join`.
+    """
+    if m_bits % 64 != 0:
+        raise ValueError("m_bits must be a multiple of 64")
+    from distributed_computing_spark.operators.dedup import md5_hash60
+
+    c = F.col(col).cast("string")
+    pos = F.array(
+        *[F.pmod(md5_hash60(c, seed0 + i), F.lit(m_bits)) for i in range(k)]
+    )
+    words = (
+        df.select(F.explode(pos).alias("_p"))
+        .select(
+            F.expr("_p div 64").alias("_w"),
+            # SQL form: the Python shiftleft wrapper demands an int
+            # literal for numBits; the SQL function takes expressions
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(pmod(_p, 64) as int))"
+            ).alias("_b"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_b").alias("_bits"))
+        .collect()  # bounded: <= m_bits/64 rows (256 longs at default)
+    )
+    bits = [0] * (m_bits // 64)
+    for row in words:
+        bits[row["_w"]] = row["_bits"]
+    return bits
+
+
+def bloom_membership(
+    col_name: str,
+    bits: list[int],
+    m_bits: int = 16384,
+    k: int = 5,
+    seed0: int = 0,
+):
+    """Column predicate over the named column: all k bloom bits set
+    (possible false positives, NO false negatives — tested). The
+    bitset rides into the plan as a literal array — a scan-side
+    filter, no join, no shuffle; built as a SQL expression because the
+    bit positions are computed columns (see bloom_bitset's note)."""
+    arr = "array(" + ",".join(f"cast({w} as bigint)" for w in bits) + ")"
+    preds = []
+    for i in range(k):
+        # md5_hash60 in SQL: conv(first 15 md5 hex chars of "key#seed")
+        p = (
+            f"pmod(cast(conv(substr(md5(concat_ws('#', "
+            f"cast({col_name} as string), '{seed0 + i}')), 1, 15), 16, 10) "
+            f"as bigint), {m_bits})"
+        )
+        preds.append(
+            f"((shiftright(element_at({arr}, "
+            f"cast(({p}) div 64 as int) + 1), "
+            f"cast(pmod({p}, 64) as int)) & 1) = 1)"
+        )
+    return F.expr(" AND ".join(preds))
+
+
+# ---------------------------------------------------------------------------
 # Incremental view maintenance (algebraic delta refresh)
 # ---------------------------------------------------------------------------
 

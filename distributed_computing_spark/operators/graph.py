@@ -421,6 +421,169 @@ def kcore_parts(
     ).orderBy("p_partkey")
 
 
+# ---------------------------------------------------------------------------
+# Multi-source BFS (hop-capped shortest distances)
+# ---------------------------------------------------------------------------
+
+
+def copurchase_edges_supported(
+    lineitem: DataFrame, min_support: int = 2
+) -> DataFrame:
+    """Support-filtered symmetric co-purchase edges: keep a part pair
+    only if it co-occurs in >= min_support distinct orders. Same
+    basket-explode build as ``copurchase_edges`` (one exchange for
+    baskets, ordered pairs exchanged once at half volume), with the
+    per-pair order count as the support filter before the symmetric
+    explode — the filter runs at the pair-aggregation stage, so the
+    dense support-1 noise (97% of pairs on this data) never reaches
+    the symmetric form or any consumer join."""
+    baskets = lineitem.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    sup = (
+        baskets.select(F.posexplode("ps").alias("_i", "a"), "ps")
+        .select(
+            "a",
+            F.explode(
+                F.expr("slice(ps, _i + 2, size(ps) - _i - 1)")
+            ).alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    return sup.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
+def bfs_hops(
+    edges: DataFrame, n_seeds: int = 10, max_hops: int = 8
+) -> DataFrame:
+    """Min-hop distance (capped at ``max_hops``) from the seed set —
+    the ``n_seeds`` lowest node ids — over a symmetric edge list.
+    Returns (node, dist) for every reached node.
+
+    Frontier expansion with driver-held loop control only (the
+    neardup-closure/kcore discipline): the edge table is persisted
+    once and never re-exchanged; each round joins edges against the
+    BROADCAST frontier (node-sized), distincts the candidate dst ids
+    (the round's one id-only exchange), and anti-joins the broadcast
+    visited set. Early exit on an empty frontier is safe because
+    "dist <= H" semantics are monotone — extra rounds are no-ops,
+    which is also what makes the FIXED-unroll oracle exact
+    (``bfs_oracle_sql``), the kcore argument in the other direction.
+    """
+    edges = track_persist(edges)
+    # localCheckpoint (not persist) on the per-round state: each
+    # round's frontier references BOTH the previous frontier and the
+    # previous visited set, so raw lineage DOUBLES per hop — 8 rounds
+    # built a 2^8-copies-of-the-edge-build logical tree whose explain
+    # string alone OOMed the driver (the bpe.py nesting lesson; persist
+    # caches execution but leaves the logical plan intact). Each round
+    # cuts to a materialized node-sized leaf; `visited` then grows as a
+    # LINEAR union of leaves.
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(n_seeds)
+        .localCheckpoint(eager=True)
+    )
+    visited = seeds.withColumn("dist", F.lit(0).cast("long"))
+    frontier = seeds
+    for h in range(1, max_hops + 1):
+        cand = (
+            edges.join(
+                F.broadcast(frontier.withColumnRenamed("node", "src")),
+                "src",
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            cand.join(
+                F.broadcast(visited.select("node")), "node", "left_anti"
+            )
+            .withColumn("dist", F.lit(h).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if new.count() == 0:  # bounded: node-sized frontier
+            break
+        visited = visited.union(new)
+        frontier = new.select("node")
+    return visited
+
+
+def copurchase_bfs(
+    spark: SparkSession,
+    sf_dir: str,
+    min_support: int = 2,
+    n_seeds: int = 10,
+    max_hops: int = 8,
+) -> DataFrame:
+    """Registry query: hop-capped multi-source BFS over the
+    support-filtered co-purchase graph — (p_partkey, dist) for every
+    part within ``max_hops`` of the ``n_seeds`` lowest part ids."""
+    from distributed_computing_spark.sources.catalog import load_table
+
+    edges = copurchase_edges_supported(
+        load_table(spark, sf_dir, "lineitem"), min_support
+    )
+    return (
+        bfs_hops(edges, n_seeds=n_seeds, max_hops=max_hops)
+        .select(F.col("node").alias("p_partkey"), "dist")
+        .orderBy("dist", "p_partkey")
+    )
+
+
+def bfs_oracle_sql(
+    min_support: int = 2, n_seeds: int = 10, max_hops: int = 8
+) -> str:
+    """Fixed-unroll BFS oracle: one (frontier, visited) CTE pair per
+    hop; exact at any convergence point because post-fixpoint rounds
+    produce empty frontiers (see ``bfs_hops``)."""
+    parts = [
+        f"""op AS MATERIALIZED (
+  SELECT DISTINCT la.l_orderkey AS ok, la.l_partkey AS a, lb.l_partkey AS b
+  FROM lineitem la JOIN lineitem lb
+    ON la.l_orderkey = lb.l_orderkey AND la.l_partkey < lb.l_partkey),
+sup AS MATERIALIZED (
+  SELECT a, b FROM op GROUP BY a, b HAVING count(*) >= {min_support}),
+edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM sup
+  UNION ALL SELECT b AS src, a AS dst FROM sup),
+f0 AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT DISTINCT src AS node FROM edges ORDER BY node LIMIT {n_seeds})),
+v0 AS MATERIALIZED (SELECT node, 0 AS dist FROM f0)"""
+    ]
+    for t in range(1, max_hops + 1):
+        parts.append(
+            f"""f{t} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS node
+  FROM edges e JOIN f{t - 1} p ON e.src = p.node
+  WHERE NOT EXISTS (
+    SELECT 1 FROM v{t - 1} v WHERE v.node = e.dst)),
+v{t} AS MATERIALIZED (
+  SELECT node, dist FROM v{t - 1}
+  UNION ALL SELECT node, {t} AS dist FROM f{t})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT node AS p_partkey, CAST(dist AS BIGINT) AS dist
+FROM v{max_hops}
+ORDER BY dist, p_partkey"""
+    )
+
+
 def kcore_oracle_sql(k: int = 80, rounds: int = 16) -> str:
     """Unrolled peeling oracle: monotone no-op rounds after the
     fixpoint make a FIXED unroll exact (see kcore docstring)."""

@@ -3388,6 +3388,93 @@ SELECT doc_id AS blob_id, 16 AS width, 16 AS height,
 FROM documents"""
 
 
+# Round 6 (cont.): count-min sketch registers — the frequency sketch
+# joins HLL (cardinality) under the strict gate; twin of the rows-only
+# frequent_items the way hll_user_registers twins approx_distinct_users.
+def cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.functions.text import tokens
+    from distributed_computing_spark.operators.analytics import (
+        cms_register_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens("text")).alias("word"))
+    return cms_register_sketch(
+        words, "word", depth=4, width=512, seed0=0
+    ).orderBy("sketch_row", "register")
+
+
+QUERIES["cms_word_counts"] = cms_word_counts
+ORACLES["cms_word_counts"] = f"""
+WITH tok AS (SELECT unnest({_TOKENS}) AS word FROM documents),
+h AS (
+  SELECT r,
+         ('0x' || substr(md5(word || '#' || CAST(r AS VARCHAR)), 1, 15))::BIGINT
+           % 512 AS register
+  FROM tok, (VALUES (0), (1), (2), (3)) t(r))
+SELECT CAST(r AS INTEGER) AS sketch_row, register, count(*) AS cnt
+FROM h GROUP BY r, register
+ORDER BY sketch_row, register"""
+
+
+# Round 6 (cont.): hop-capped multi-source BFS over the
+# support-filtered co-purchase graph — graph distances join
+# rank/triangles/k-core/components.
+from distributed_computing_spark.operators.graph import (  # noqa: E402
+    bfs_oracle_sql,
+    copurchase_bfs,
+)
+
+QUERIES["copurchase_bfs"] = copurchase_bfs
+ORACLES["copurchase_bfs"] = bfs_oracle_sql(
+    min_support=2, n_seeds=10, max_hops=8
+)
+
+
+# Round 6 (cont.): Bloom-filter-pruned semi join — an optimizer-variant
+# entry (ngram_jaccard_prefix pattern) registered against the SAME
+# result contract as semi_anti_orders: a 2 KB literal bitset built from
+# the urgent-order custkeys prunes the customer scan BEFORE any
+# exchange (possible false positives), and the exact semi/anti joins
+# verify — identical output, one scan-side pre-filter the 100 TB plan
+# wants. Membership completes the sketch trio (HLL, CMS, Bloom).
+def bloom_semi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.analytics import (
+        bloom_bitset,
+        bloom_membership,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = orders.where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    bits = bloom_bitset(urgent, "o_custkey", m_bits=16384, k=5)
+    cand = cust.where(
+        bloom_membership("c_custkey", bits, m_bits=16384, k=5)
+    )
+    failed = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        cand.join(
+            urgent, cand["c_custkey"] == urgent["o_custkey"], "left_semi"
+        )
+        .join(
+            failed, cand["c_custkey"] == failed["o_custkey"], "left_anti"
+        )
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+QUERIES["bloom_semi_orders"] = bloom_semi_orders
+ORACLES["bloom_semi_orders"] = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 6)
 # ---------------------------------------------------------------------------
@@ -3413,12 +3500,16 @@ _R6_WINDOW = [
     "salted_revenue_join", "sample_by_lang", "source_token_kl",
     "train_test_split", "value_histogram",
     # most consequential of the r4-gated remainder (+ the round-6
-    # kmeans, registered below the original window position)
-    "copurchase_kcore", "neardup_clusters",
-    "neardup_canonical", "ngram_jaccard_pairs", "multimodal_gif_decode",
-    "regional_revenue_bucketed", "weighted_order_sample", "ivm_segment_revenue",
+    # kmeans, registered below the original window position). The
+    # late-round sketch/graph/join additions (cms/bfs/bloom) displaced
+    # neardup_canonical / ngram_jaccard_pairs /
+    # regional_revenue_bucketed (all r4-green) — never-gated queries
+    # outrank re-gating.
+    "copurchase_kcore", "neardup_clusters", "multimodal_gif_decode",
+    "weighted_order_sample", "ivm_segment_revenue",
     "orders_equidepth", "span_dedup_apply", "kmeans_embeddings",
     "ngram_jaccard_prefix",
+    "cms_word_counts", "copurchase_bfs", "bloom_semi_orders",
 ]
 assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R6_WINDOW} | {
@@ -3435,6 +3526,7 @@ _R6_NEW = [
     "kmeans_embeddings", "events_ohlc", "pagerank_parts",
     "fuzzy_customer_match", "zorder_cells", "zorder_events_scan",
     "ngram_jaccard_prefix", "copurchase_kcore", "multimodal_gif_decode",
+    "cms_word_counts", "copurchase_bfs", "bloom_semi_orders",
 ]
 _order = list(QUERIES)
 for _q in _R6_NEW:

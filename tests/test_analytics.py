@@ -616,3 +616,150 @@ def test_equidepth_empty_raises(spark):
     df = spark.createDataFrame([], "id long, v long")
     with pytest.raises(ValueError, match="empty"):
         equidepth_histogram(df, "v", "id")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch registers
+# ---------------------------------------------------------------------------
+
+
+def _py_cms(keys, depth=4, width=512, seed0=0):
+    import hashlib
+    from collections import Counter
+
+    regs = Counter()
+    for k in keys:
+        for r in range(depth):
+            h = int(
+                hashlib.md5(f"{k}#{seed0 + r}".encode()).hexdigest()[:15], 16
+            )
+            regs[(r, h % width)] += 1
+    return dict(regs)
+
+
+def test_cms_registers_match_python_md5_reference(spark):
+    from distributed_computing_spark.operators.analytics import (
+        cms_register_sketch,
+    )
+
+    keys = [f"w{i % 37}" for i in range(500)]  # skewed stream
+    df = spark.createDataFrame([(k,) for k in keys], "word string")
+    got = {
+        (r["sketch_row"], r["register"]): r["cnt"]
+        for r in cms_register_sketch(df, "word").collect()
+    }
+    assert got == _py_cms(keys)
+
+
+def test_cms_point_estimate_one_sided(spark):
+    """CMS guarantees estimate >= true count (collisions only add)."""
+    from collections import Counter
+
+    from distributed_computing_spark.operators.analytics import (
+        cms_point_estimate,
+        cms_register_sketch,
+    )
+
+    keys = [f"tok{i % 97}" for i in range(2000)] + ["heavy"] * 300
+    df = spark.createDataFrame([(k,) for k in keys], "word string")
+    regs = {
+        (r["sketch_row"], r["register"]): r["cnt"]
+        for r in cms_register_sketch(df, "word").collect()
+    }
+    exact = Counter(keys)
+    for k, n in exact.items():
+        assert cms_point_estimate(regs, k) >= n
+    # the heavy hitter is far above the collision noise floor
+    assert cms_point_estimate(regs, "heavy") < 300 + len(keys) // 100
+
+
+def test_cms_sketch_merge_is_elementwise_sum(spark):
+    from distributed_computing_spark.operators.analytics import (
+        cms_register_sketch,
+    )
+
+    a = [f"a{i % 11}" for i in range(200)]
+    b = [f"b{i % 7}" for i in range(150)] + ["a3"] * 25
+    def sk(keys):
+        df = spark.createDataFrame([(k,) for k in keys], "word string")
+        return {
+            (r["sketch_row"], r["register"]): r["cnt"]
+            for r in cms_register_sketch(df, "word").collect()
+        }
+
+    sa, sb, sab = sk(a), sk(b), sk(a + b)
+    merged = dict(sa)
+    for k, v in sb.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == sab
+
+
+def test_cms_rejects_bad_shape(spark):
+    from distributed_computing_spark.operators.analytics import (
+        cms_register_sketch,
+    )
+
+    df = spark.createDataFrame([("x",)], "word string")
+    with pytest.raises(ValueError):
+        cms_register_sketch(df, "word", depth=0)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    from distributed_computing_spark.operators.analytics import (
+        bloom_bitset,
+        bloom_membership,
+    )
+
+    members = spark.createDataFrame(
+        [(i * 13,) for i in range(400)], "k long"
+    )
+    bits = bloom_bitset(members, "k")
+    kept = members.where(bloom_membership("k", bits)).count()
+    assert kept == 400  # every inserted key MUST pass
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    from distributed_computing_spark.operators.analytics import (
+        bloom_bitset,
+        bloom_membership,
+    )
+
+    members = spark.createDataFrame(
+        [(i,) for i in range(500)], "k long"
+    )
+    bits = bloom_bitset(members, "k")
+    probe = spark.createDataFrame(
+        [(i,) for i in range(10_000, 12_000)], "k long"
+    )
+    fp = probe.where(bloom_membership("k", bits)).count()
+    # n=500, m=16384, k=5 → theoretical fp ~ 2e-4; allow wide slack
+    assert fp / 2000 < 0.02
+
+
+def test_bloom_semi_orders_equals_plain_semi_anti(spark, sf_dir):
+    """The bloom-pruned plan is an optimizer VARIANT: byte-identical
+    result to the direct semi/anti formulation."""
+    from distributed_computing_spark.registry import QUERIES
+
+    got = sorted(
+        (r["c_custkey"], r["c_mktsegment"])
+        for r in QUERIES["bloom_semi_orders"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        (r["c_custkey"], r["c_mktsegment"])
+        for r in QUERIES["semi_anti_orders"](spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_bloom_bitset_rejects_bad_width(spark):
+    from distributed_computing_spark.operators.analytics import bloom_bitset
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        bloom_bitset(df, "k", m_bits=100)

@@ -292,3 +292,95 @@ def test_kcore_whole_graph_survives_small_k(spark):
     out, rounds = kcore(edges, 1)
     assert out.count() == 3 and rounds <= 2
     release_tracked()
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS (hop-capped distances)
+# ---------------------------------------------------------------------------
+
+
+def _py_bfs(pairs, n_seeds, max_hops):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seeds = sorted(adj)[:n_seeds]
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = h
+                    nxt.add(v)
+        if not nxt:
+            break
+        frontier = nxt
+    return dist
+
+
+def test_bfs_matches_python_reference(spark):
+    from distributed_computing_spark.operators.graph import bfs_hops
+
+    # two chains off a hub + an unreachable component
+    pairs = [
+        (1, 2), (2, 5), (5, 6), (6, 7), (1, 3), (3, 8),
+        (100, 101), (101, 102),
+    ]
+    edges = spark.createDataFrame(_sym(pairs), "src long, dst long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_hops(edges, n_seeds=2, max_hops=8).collect()
+    }
+    release_tracked()
+    assert got == _py_bfs(pairs, n_seeds=2, max_hops=8)
+
+
+def test_bfs_hop_cap_excludes_beyond(spark):
+    from distributed_computing_spark.operators.graph import bfs_hops
+
+    chain = [(i, i + 1) for i in range(1, 8)]  # path 1-2-...-8
+    edges = spark.createDataFrame(_sym(chain), "src long, dst long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_hops(edges, n_seeds=1, max_hops=3).collect()
+    }
+    release_tracked()
+    # seed = node 1; only nodes within 3 hops appear
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_early_exit_equals_full_unroll(spark):
+    from distributed_computing_spark.operators.graph import bfs_hops
+
+    pairs = [(1, 2), (2, 3), (3, 1)]
+    edges = spark.createDataFrame(_sym(pairs), "src long, dst long")
+    short = {
+        (r["node"], r["dist"])
+        for r in bfs_hops(edges, n_seeds=1, max_hops=2).collect()
+    }
+    long = {
+        (r["node"], r["dist"])
+        for r in bfs_hops(edges, n_seeds=1, max_hops=16).collect()
+    }
+    release_tracked()
+    assert short == long  # post-fixpoint rounds are no-ops
+
+
+def test_edges_supported_filters_by_order_count(spark):
+    from distributed_computing_spark.operators.graph import (
+        copurchase_edges_supported,
+    )
+
+    rows = [
+        # pair (10,11) in two orders; (10,12) in one
+        (1, 10), (1, 11), (1, 12),
+        (2, 10), (2, 11),
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {
+        (r["src"], r["dst"])
+        for r in copurchase_edges_supported(li, min_support=2).collect()
+    }
+    assert got == {(10, 11), (11, 10)}

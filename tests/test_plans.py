@@ -381,3 +381,38 @@ def test_kmeans_assignment_is_shuffle_free(spark):
     assert count_exchanges(assigned, "hashpartitioning") == 0
     assert count_exchanges(assigned, "SinglePartition") == 0
     caching.release_tracked()
+
+
+def test_bloom_prune_is_scan_side_no_extra_exchange(spark):
+    """The bloom membership predicate must land as a Filter on the
+    customer SCAN (a literal-bitset expression — no join, no shuffle
+    added): the pruned variant's exchange count equals the plain
+    semi/anti plan's, and the bloom bit test (shiftright over the
+    literal array) appears in the pre-exchange filter stage."""
+    plain = QUERIES["semi_anti_orders"](spark, SF_DIR)
+    pruned = QUERIES["bloom_semi_orders"](spark, SF_DIR)
+    assert count_exchanges(pruned) <= count_exchanges(plain)
+    assert "shiftright" in _plan(pruned)
+
+
+def test_cms_exchange_is_sketch_sized_partial(spark):
+    """CMS registers: ONE hash exchange, partial-aggregated — each
+    task's stream collapses to <= depth*width partial rows before the
+    shuffle (the sketch algebra, A6 discipline)."""
+    df = QUERIES["cms_word_counts"](spark, SF_DIR)
+    assert count_exchanges(df) == 1
+    plan = _plan(df)
+    assert "partial_count" in plan
+
+
+def test_bfs_edge_build_shuffle_budget(spark):
+    """Support-filtered co-purchase edges: exactly two hash exchanges
+    (per-order baskets, then per-pair support) — the symmetric explode
+    and support filter add none."""
+    from distributed_computing_spark.operators.graph import (
+        copurchase_edges_supported,
+    )
+    from distributed_computing_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert count_exchanges(copurchase_edges_supported(li)) == 2

@@ -177,10 +177,30 @@ RECORDED_R6_TIERS: dict = {
         "R20": {"spark_s": 2.1, "duckdb_s": 0.14, "ratio": 14.8},
     },
     "kmeans_embeddings": {
-        "R20": {"spark_s": 8.8, "duckdb_s": 0.7, "ratio": 12.5},
-        # flat at R50 (8.9 vs 0.9): embeddings is a COPIED dim table,
-        # so both cells time fixed cost on 5k vectors, not a slope
-        "R50": {"spark_s": 8.9, "duckdb_s": 0.9, "ratio": 9.9},
+        # REPLICATED embeddings (_em subset replicas, ROADMAP backlog 4
+        # closed): 100k/250k perturbed 64-dim vectors, 5 Lloyd rounds.
+        # Spark's GEMM assignment path stays nearly flat while the
+        # unrolled-CTE side grows superlinearly — the copied-dim-table
+        # caveat from the first recording no longer applies.
+        "R20": {"spark_s": 7.4, "duckdb_s": 16.4, "ratio": 0.45},
+        "R50": {"spark_s": 8.4, "duckdb_s": 40.8, "ratio": 0.21},
+    },
+    # late-round additions (sketch trio completion + graph distances):
+    "cms_word_counts": {
+        "R20": {"spark_s": 7.9, "duckdb_s": 0.54, "ratio": 14.8},
+    },
+    "copurchase_bfs": {
+        "R20": {"spark_s": 12.2, "duckdb_s": 4.0, "ratio": 3.1},
+    },
+    # variant-overhead datum: plain semi_anti_orders runs 2.4 s on
+    # Spark at the same tier — the md5-family bitset costs ~5 s here
+    # because the probe side is a tiny copied dim; the technique pays
+    # when the pruned probe scan/shuffle dominates (BASELINE.md note)
+    "bloom_semi_orders": {
+        "R20": {"spark_s": 7.5, "duckdb_s": 0.22, "ratio": 34.0},
+    },
+    "semi_anti_orders": {
+        "R20": {"spark_s": 2.4, "duckdb_s": 0.24, "ratio": 10.0},
     },
 }
 
@@ -191,11 +211,17 @@ RECORDED_R6_TIERS: dict = {
 # hot-key crossover win) ride stdout; every tier lives in
 # .bench_full.json and BASELINE.md.
 RECORDED_ECHO_KEYS: dict[str, tuple[str, ...]] = {
+    # Budgeted against the 41-query sf0.1 headline: the full set must
+    # keep the line <= bench._TAIL_BUDGET or the shed loop drops the
+    # WHOLE recorded section. One slope cell per story: span dedup
+    # (its stats twin and R-other cells live in .bench_full.json),
+    # triangles, the dedup-closure DNF, the KV hot-key crossover win,
+    # and the round-6 kmeans replicated-tier win.
     "dup_spans": ("R20", "R50"),
-    "span_dedup_stats": ("R50",),
-    "copurchase_triangles": ("R20", "R50"),
+    "copurchase_triangles": ("R50",),
     "neardup_clusters": ("R50",),
     "kv_replay_hotkey": ("R500",),
+    "kmeans_embeddings": ("R50",),
 }
 
 # Fact tables are replicated with remapped keys; everything else copied.
@@ -308,7 +334,43 @@ def ensure_scaled(
             .write.mode("overwrite")
             .parquet(f"{dest}/lineitem.parquet")
         )
+    if "embeddings" in facts:
+        # ROADMAP backlog 4: a measured k-means slope needs embeddings to
+        # GROW with R (the copied dim table times fixed cost on 5k
+        # vectors at every tier). vec_id remap keeps ids unique; a small
+        # deterministic per-(replica, component) perturbation keeps the
+        # replicas distinct points (not R-fold exact duplicates) without
+        # moving them out of their source cluster: |delta| <= 4.98e-3
+        # against unit-normalized components, applied at WRITE time so
+        # both engines read identical parquet. Requested only via
+        # facts=('embeddings',) subset replicas (suffix _em) — the full
+        # default replica keeps embeddings in _COPY so existing cached
+        # tiers stay valid.
+        emb = load_table(spark, sf_dir, "embeddings")
+        (
+            emb.crossJoin(reps)
+            .select(
+                (F.col("vec_id") * R + F.col("_r")).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda v, i: (
+                        v.cast("double")
+                        + (
+                            F.pmod(F.col("_r") * 131 + i * 17, F.lit(997))
+                            - F.lit(498)
+                        ).cast("double")
+                        * F.lit(1e-5)
+                    ).cast("float"),
+                ).alias("embedding"),
+                "label",
+            )
+            .repartition(_NFILES)
+            .write.mode("overwrite")
+            .parquet(f"{dest}/embeddings.parquet")
+        )
     for t in _COPY:
+        if t in facts:
+            continue  # replicated above; don't clobber with the copy
         src = f"{sf_dir}/{t}.parquet"
         if os.path.exists(src):
             shutil.copy(src, f"{dest}/{t}.parquet")
@@ -357,7 +419,7 @@ def run_crossover(
     # pay the corpus' cold IO while the other engine reads a warmed
     # page cache. After this, neither side pays cold IO.
     rows = {}
-    for t in _FACTS:
+    for t in dict.fromkeys(_FACTS + tuple(facts)):
         if not os.path.exists(f"{scaled}/{t}.parquet"):
             continue  # subset replica (facts=...) omits unused tables
         df = load_table(spark, scaled, t)
