@@ -141,9 +141,12 @@ RECORDED_R6_TIERS: dict = {
     "dup_spans": {
         "R20": {"spark_s": 18.7, "duckdb_s": 19.0, "ratio": 0.98},
         "R50": {"spark_s": 59.7, "duckdb_s": 270.2, "ratio": 0.22},
-        # Spark-only slope point: 1.9x time for 2.27x anchor pairs
-        # (sublinear); DuckDB not attempted (270 s at R50, superlinear)
+        # Spark-only slope points (DuckDB not attempted past its
+        # superlinear 270 s at R50): R50->R75 1.9x time for 2.27x
+        # anchor pairs, R75->R100 1.88x for 1.78x — the distributed
+        # pipeline tracks pair count ~linearly across the full range
         "R75": {"spark_s": 114.0, "duckdb_s": None, "ratio": None},
+        "R100": {"spark_s": 214.1, "duckdb_s": None, "ratio": None},
     },
     "span_dedup_stats": {
         "R20": {"spark_s": 19.8, "duckdb_s": 17.5, "ratio": 1.13},
@@ -184,13 +187,23 @@ RECORDED_R6_TIERS: dict = {
         # caveat from the first recording no longer applies.
         "R20": {"spark_s": 7.4, "duckdb_s": 16.4, "ratio": 0.45},
         "R50": {"spark_s": 8.4, "duckdb_s": 40.8, "ratio": 0.21},
+        # Spark FLAT across 100k->500k vectors (the GEMM passes are
+        # sub-second; fixed cost dominates) while DuckDB doubles per
+        # tier — the iterative-ML slope datum
+        "R100": {"spark_s": 8.4, "duckdb_s": 85.2, "ratio": 0.10},
     },
     # late-round additions (sketch trio completion + graph distances):
     "cms_word_counts": {
+        # md5-exactness-family cost (the hll note); both engines
+        # ~linear in tokens, ratio flat — the sketch-sized exchange
+        # holds (the shuffle stays <= 2k rows/task at every tier)
         "R20": {"spark_s": 7.9, "duckdb_s": 0.54, "ratio": 14.8},
+        "R50": {"spark_s": 16.9, "duckdb_s": 1.06, "ratio": 16.0},
     },
     "copurchase_bfs": {
+        # converging with scale like kcore/triangles
         "R20": {"spark_s": 12.2, "duckdb_s": 4.0, "ratio": 3.1},
+        "R50": {"spark_s": 13.9, "duckdb_s": 8.0, "ratio": 1.73},
     },
     # variant-overhead datum: plain semi_anti_orders runs 2.4 s on
     # Spark at the same tier — the md5-family bitset costs ~5 s here
