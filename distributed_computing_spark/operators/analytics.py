@@ -1100,6 +1100,75 @@ def cms_point_estimate(
 
 
 # ---------------------------------------------------------------------------
+# Oracle-exact KMV (k-minimum-values) distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    k: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group KMV sketch over ``md5_hash60``: the k smallest
+    DISTINCT hash values of ``col`` within each group, as
+    (group, rnk, hval) rows — fourth member of the sketch suite, and
+    the one that buys what HLL cannot: SET-OPERATION estimates.
+    Union of two sketches = k smallest of their concatenation;
+    Jaccard ≈ overlap fraction within the union's min-k
+    (`kmv_jaccard`); intersection cardinality = Jaccard × union
+    estimate. Everything gated is an integer hash value — exactly
+    reproducible in SQL (QUALIFY row_number).
+
+    Scale shape: distinct-(group, hash) is one partial-aggregated
+    exchange; the rank filter then compiles to WindowGroupLimit
+    (Spark ≥ 3.5), which keeps only each partition's per-group top-k
+    BEFORE the window sort — map-side k-min, the same partial-
+    aggregation discipline as the register sketches (plan-asserted).
+    The ESTIMATE ((k-1)·2^60 / h_k) stays client-side like
+    `hll_estimate`/`cms_point_estimate`.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from pyspark.sql import Window
+
+    from distributed_computing_spark.operators.dedup import md5_hash60
+
+    hashed = df.select(
+        F.col(group_col).alias("grp"),
+        md5_hash60(F.col(col).cast("string"), seed).alias("hval"),
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("hval")
+    return (
+        hashed.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(F.col("grp").alias(group_col), "rnk", "hval")
+    )
+
+
+def kmv_estimate(hvals: list[int], k: int = 64) -> float:
+    """Client-side distinct-count estimate: (k-1) / F(h_k) where
+    F(h) = h / 2^60 (md5_hash60 is uniform on [0, 2^60)). If the
+    group holds fewer than k distinct values the sketch IS the exact
+    distinct set."""
+    if len(hvals) < k:
+        return float(len(hvals))
+    hk = sorted(hvals)[k - 1]
+    return (k - 1) * (1 << 60) / max(hk, 1)
+
+
+def kmv_jaccard(a: list[int], b: list[int], k: int = 64) -> float:
+    """Jaccard estimate from two KMV sketches: the overlap fraction
+    inside the min-k of their union (both sketches' hash sets are
+    subsets of their sources, so membership tests are exact)."""
+    union_k = sorted(set(a) | set(b))[:k]
+    sa, sb = set(a), set(b)
+    inter = sum(1 for h in union_k if h in sa and h in sb)
+    return inter / max(len(union_k), 1)
+
+
+# ---------------------------------------------------------------------------
 # Bloom-filter semi-join pruning (membership sketch)
 # ---------------------------------------------------------------------------
 

@@ -3475,6 +3475,34 @@ WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')"""
 
 
+# Round 6 (cont.): KMV distinct sketch — per-event-type k-minimum hash
+# values; the set-operation-capable distinct sketch (Jaccard /
+# intersection estimates HLL cannot provide), gated as exact integers.
+def kmv_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.analytics import kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_sketch(ev, "event_type", "user_id", k=64, seed=0).orderBy(
+        "event_type", "rnk"
+    )
+
+
+QUERIES["kmv_user_sketches"] = kmv_user_sketches
+ORACLES["kmv_user_sketches"] = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#0'), 1, 15))::BIGINT
+           AS hval
+  FROM events),
+r AS (
+  SELECT event_type, hval,
+         row_number() OVER (PARTITION BY event_type ORDER BY hval) AS rnk
+  FROM h)
+SELECT event_type, CAST(rnk AS INTEGER) AS rnk, hval
+FROM r WHERE rnk <= 64
+ORDER BY event_type, rnk"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 6)
 # ---------------------------------------------------------------------------
@@ -3501,15 +3529,16 @@ _R6_WINDOW = [
     "train_test_split", "value_histogram",
     # most consequential of the r4-gated remainder (+ the round-6
     # kmeans, registered below the original window position). The
-    # late-round sketch/graph/join additions (cms/bfs/bloom) displaced
-    # neardup_canonical / ngram_jaccard_pairs /
-    # regional_revenue_bucketed (all r4-green) — never-gated queries
-    # outrank re-gating.
-    "copurchase_kcore", "neardup_clusters", "multimodal_gif_decode",
+    # late-round sketch/graph/join additions (cms/bfs/bloom/kmv)
+    # displaced neardup_canonical / ngram_jaccard_pairs /
+    # regional_revenue_bucketed / neardup_clusters (all r4-green) —
+    # never-gated queries outrank re-gating.
+    "copurchase_kcore", "multimodal_gif_decode",
     "weighted_order_sample", "ivm_segment_revenue",
     "orders_equidepth", "span_dedup_apply", "kmeans_embeddings",
     "ngram_jaccard_prefix",
     "cms_word_counts", "copurchase_bfs", "bloom_semi_orders",
+    "kmv_user_sketches",
 ]
 assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R6_WINDOW} | {
@@ -3527,6 +3556,7 @@ _R6_NEW = [
     "fuzzy_customer_match", "zorder_cells", "zorder_events_scan",
     "ngram_jaccard_prefix", "copurchase_kcore", "multimodal_gif_decode",
     "cms_word_counts", "copurchase_bfs", "bloom_semi_orders",
+    "kmv_user_sketches",
 ]
 _order = list(QUERIES)
 for _q in _R6_NEW:

@@ -763,3 +763,101 @@ def test_bloom_bitset_rejects_bad_width(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError):
         bloom_bitset(df, "k", m_bits=100)
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def _py_kmv(vals, k=64, seed=0):
+    import hashlib
+
+    hs = sorted(
+        {
+            int(
+                hashlib.md5(f"{v}#{seed}".encode()).hexdigest()[:15], 16
+            )
+            for v in vals
+        }
+    )
+    return hs[:k]
+
+
+def test_kmv_sketch_matches_python_reference(spark):
+    from distributed_computing_spark.operators.analytics import kmv_sketch
+
+    rows = [("a", i % 200) for i in range(1000)] + [
+        ("b", i % 40) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = kmv_sketch(df, "grp", "v", k=64).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["grp"], []).append((r["rnk"], r["hval"]))
+    for g, vals in (("a", range(200)), ("b", range(40))):
+        want = _py_kmv(vals, k=64)
+        assert [h for _, h in sorted(got[g])] == want
+    # group b has < k distinct values: the sketch IS the exact set
+    assert len(got["b"]) == 40
+
+
+def test_kmv_estimate_error_bound(spark):
+    from distributed_computing_spark.operators.analytics import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    n = 5000
+    df = spark.createDataFrame(
+        [("g", i) for i in range(n)], "grp string, v long"
+    )
+    hvals = [
+        r["hval"] for r in kmv_sketch(df, "grp", "v", k=64).collect()
+    ]
+    est = kmv_estimate(hvals, k=64)
+    # standard error ~ n/sqrt(k-1) ≈ 12.6%; allow 3 sigma
+    assert abs(est - n) / n < 0.38
+
+
+def test_kmv_union_merge_property(spark):
+    """min-k of the union == min-k over the two sketches' values —
+    the mergeability that makes KMV a distributed-friendly summary."""
+    from distributed_computing_spark.operators.analytics import kmv_sketch
+
+    a = [("x", i) for i in range(500)]
+    b = [("x", i) for i in range(250, 800)]
+    def mins(rows):
+        df = spark.createDataFrame(rows, "grp string, v long")
+        return [
+            r["hval"] for r in kmv_sketch(df, "grp", "v", k=64).collect()
+        ]
+
+    merged = sorted(set(mins(a)) | set(mins(b)))[:64]
+    assert mins(a + b) == merged
+
+
+def test_kmv_jaccard_estimate(spark):
+    from distributed_computing_spark.operators.analytics import (
+        kmv_jaccard,
+        kmv_sketch,
+    )
+
+    a = [("x", i) for i in range(600)]           # {0..599}
+    b = [("x", i) for i in range(300, 900)]      # {300..899}; J = 1/3
+    def mins(rows):
+        df = spark.createDataFrame(rows, "grp string, v long")
+        return [
+            r["hval"] for r in kmv_sketch(df, "grp", "v", k=64).collect()
+        ]
+
+    j = kmv_jaccard(mins(a), mins(b), k=64)
+    assert abs(j - 1 / 3) < 0.2
+
+
+def test_kmv_rejects_tiny_k(spark):
+    from distributed_computing_spark.operators.analytics import kmv_sketch
+
+    df = spark.createDataFrame([("g", 1)], "grp string, v long")
+    with pytest.raises(ValueError):
+        kmv_sketch(df, "grp", "v", k=1)

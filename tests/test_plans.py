@@ -416,3 +416,12 @@ def test_bfs_edge_build_shuffle_budget(spark):
 
     li = load_table(spark, SF_DIR, "lineitem")
     assert count_exchanges(copurchase_edges_supported(li)) == 2
+
+
+def test_kmv_rank_filter_compiles_to_window_group_limit(spark):
+    """The rnk <= k filter must push a WindowGroupLimit below the
+    window sort (Spark >= 3.5): each partition keeps only its
+    per-group top-k BEFORE the exchange — map-side k-min, the sketch
+    family's partial-aggregation discipline."""
+    df = QUERIES["kmv_user_sketches"](spark, SF_DIR)
+    assert "WindowGroupLimit" in _plan(df)

@@ -215,6 +215,11 @@ RECORDED_R6_TIERS: dict = {
     "semi_anti_orders": {
         "R20": {"spark_s": 2.4, "duckdb_s": 0.24, "ratio": 10.0},
     },
+    "kmv_user_sketches": {
+        # small absolutes (md5 + WindowGroupLimit k-min; sketch-sized
+        # output), the hll/cms exactness-family caveat
+        "R20": {"spark_s": 3.1, "duckdb_s": 0.17, "ratio": 18.0},
+    },
 }
 
 # The stdout-echo subset of the recorded tiers: the bench's compact
