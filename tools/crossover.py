@@ -217,8 +217,12 @@ RECORDED_R6_TIERS: dict = {
     },
     "kmv_user_sketches": {
         # small absolutes (md5 + WindowGroupLimit k-min; sketch-sized
-        # output), the hll/cms exactness-family caveat
+        # output), the hll/cms exactness-family caveat; converging
+        # with scale on events-only replicas (R200 = 20M events / 3M
+        # distinct users, R500 = 50M / 7.5M)
         "R20": {"spark_s": 3.1, "duckdb_s": 0.17, "ratio": 18.0},
+        "R200": {"spark_s": 6.1, "duckdb_s": 0.78, "ratio": 7.9},
+        "R500": {"spark_s": 11.2, "duckdb_s": 1.95, "ratio": 5.8},
     },
 }
 
