@@ -584,6 +584,158 @@ ORDER BY dist, p_partkey"""
     )
 
 
+# ---------------------------------------------------------------------------
+# Hop-capped weighted shortest paths (Bellman-Ford relaxation)
+# ---------------------------------------------------------------------------
+
+
+def copurchase_edges_weighted(
+    lineitem: DataFrame, min_support: int = 2, weight_scale: int = 1000
+) -> DataFrame:
+    """Symmetric co-purchase edges with an integer weight
+    ``weight_scale div support`` — stronger co-purchase = shorter
+    edge. Same basket-explode build as ``copurchase_edges_supported``
+    (truncating div matches DuckDB ``//`` on the non-negative
+    domain)."""
+    baskets = lineitem.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    sup = (
+        baskets.select(F.posexplode("ps").alias("_i", "a"), "ps")
+        .select(
+            "a",
+            F.explode(
+                F.expr("slice(ps, _i + 2, size(ps) - _i - 1)")
+            ).alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+        .select("a", "b", F.expr(f"{weight_scale} div support").alias("w"))
+    )
+    return sup.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("src"),
+                    F.col("b").alias("dst"),
+                    F.col("w"),
+                ),
+                F.struct(
+                    F.col("b").alias("src"),
+                    F.col("a").alias("dst"),
+                    F.col("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w")
+
+
+def bellman_ford_hops(
+    edges: DataFrame, n_seeds: int = 10, max_rounds: int = 6
+) -> DataFrame:
+    """Min-WEIGHT distance over paths of <= ``max_rounds`` edges from
+    the seed set (the n_seeds lowest node ids) — the weighted
+    companion to ``bfs_hops``. Returns (node, dist).
+
+    One Bellman-Ford round: relax every edge against the BROADCAST
+    node-sized distance table, partial-aggregated min per dst, then
+    fold into the running minimum. The "<= H edges" semantics make a
+    FIXED unroll exact (relaxation is monotone nonincreasing — rounds
+    after convergence are no-ops), the bfs/kcore oracle argument. Each
+    round references the previous distance table twice (relax + fold),
+    so per-round localCheckpoint cuts the doubling lineage (the
+    bfs_hops lesson, CLAUDE.md)."""
+    edges = track_persist(edges)
+    dist = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(n_seeds)
+        .withColumn("d", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        relaxed = (
+            edges.join(
+                F.broadcast(dist.withColumnRenamed("node", "src")), "src"
+            )
+            .select(F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
+def copurchase_shortest_paths(
+    spark: SparkSession,
+    sf_dir: str,
+    min_support: int = 2,
+    n_seeds: int = 10,
+    max_rounds: int = 6,
+) -> DataFrame:
+    """Registry query: min-weight (<= max_rounds edges) distances from
+    the n_seeds lowest parts over support-weighted co-purchase
+    edges."""
+    from distributed_computing_spark.sources.catalog import load_table
+
+    edges = copurchase_edges_weighted(
+        load_table(spark, sf_dir, "lineitem"), min_support
+    )
+    return (
+        bellman_ford_hops(edges, n_seeds=n_seeds, max_rounds=max_rounds)
+        .select(F.col("node").alias("p_partkey"), F.col("d").alias("dist"))
+        .orderBy("p_partkey")
+    )
+
+
+def bellman_ford_oracle_sql(
+    min_support: int = 2,
+    n_seeds: int = 10,
+    max_rounds: int = 6,
+    weight_scale: int = 1000,
+) -> str:
+    """Fixed-unroll Bellman-Ford oracle: one relax-and-fold CTE per
+    round (see ``bellman_ford_hops`` for why the unroll is exact)."""
+    parts = [
+        f"""op AS MATERIALIZED (
+  SELECT DISTINCT la.l_orderkey AS ok, la.l_partkey AS a, lb.l_partkey AS b
+  FROM lineitem la JOIN lineitem lb
+    ON la.l_orderkey = lb.l_orderkey AND la.l_partkey < lb.l_partkey),
+sup AS MATERIALIZED (
+  SELECT a, b, {weight_scale} // count(*) AS w
+  FROM op GROUP BY a, b HAVING count(*) >= {min_support}),
+edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst, w FROM sup
+  UNION ALL SELECT b AS src, a AS dst, w FROM sup),
+d0 AS MATERIALIZED (
+  SELECT node, CAST(0 AS BIGINT) AS d FROM (
+    SELECT DISTINCT src AS node FROM edges ORDER BY node LIMIT {n_seeds}))"""
+    ]
+    for t in range(1, max_rounds + 1):
+        parts.append(
+            f"""d{t} AS MATERIALIZED (
+  SELECT node, min(d) AS d FROM (
+    SELECT node, d FROM d{t - 1}
+    UNION ALL
+    SELECT e.dst AS node, r.d + e.w AS d
+    FROM d{t - 1} r JOIN edges e ON e.src = r.node) u
+  GROUP BY node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT node AS p_partkey, CAST(d AS BIGINT) AS dist
+FROM d{max_rounds}
+ORDER BY p_partkey"""
+    )
+
+
 def kcore_oracle_sql(k: int = 80, rounds: int = 16) -> str:
     """Unrolled peeling oracle: monotone no-op rounds after the
     fixpoint make a FIXED unroll exact (see kcore docstring)."""

@@ -3417,6 +3417,36 @@ FROM h GROUP BY r, register
 ORDER BY sketch_row, register"""
 
 
+# Round 6 (cont.): the CMS counter table maintained as a STREAMING
+# aggregation — the sketch × streaming cross-link. The state store
+# holds <= depth*width counters no matter how much data flows (the
+# sketch IS the distributive agg state), and the AvailableNow replay's
+# final state must equal the batch sketch bit-for-bit, so the batch
+# oracle gates the streaming execution path (the stream_windowed
+# motion applied to a sketch).
+def stream_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.functions.text import tokens
+    from distributed_computing_spark.operators.analytics import (
+        cms_register_sketch,
+    )
+    from distributed_computing_spark.streaming.runner import (
+        run_to_batch,
+        stream_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sdf = stream_table(spark, docs.select("doc_id", "text"))
+    words = sdf.select(F.explode(tokens("text")).alias("word"))
+    out = run_to_batch(
+        cms_register_sketch(words, "word", depth=4, width=512), spark
+    )
+    return out.orderBy("sketch_row", "register")
+
+
+QUERIES["stream_cms_counts"] = stream_cms_counts
+ORACLES["stream_cms_counts"] = ORACLES["cms_word_counts"]
+
+
 # Round 6 (cont.): hop-capped multi-source BFS over the
 # support-filtered co-purchase graph — graph distances join
 # rank/triangles/k-core/components.
@@ -3428,6 +3458,19 @@ from distributed_computing_spark.operators.graph import (  # noqa: E402
 QUERIES["copurchase_bfs"] = copurchase_bfs
 ORACLES["copurchase_bfs"] = bfs_oracle_sql(
     min_support=2, n_seeds=10, max_hops=8
+)
+
+
+# Round 6 (cont.): the weighted companion — hop-capped Bellman-Ford
+# over support-weighted edges (stronger co-purchase = shorter edge).
+from distributed_computing_spark.operators.graph import (  # noqa: E402
+    bellman_ford_oracle_sql,
+    copurchase_shortest_paths,
+)
+
+QUERIES["copurchase_shortest_paths"] = copurchase_shortest_paths
+ORACLES["copurchase_shortest_paths"] = bellman_ford_oracle_sql(
+    min_support=2, n_seeds=10, max_rounds=6
 )
 
 
@@ -3526,7 +3569,6 @@ _R6_WINDOW = [
     "multimodal_features", "multimodal_frames", "multimodal_real_ann",
     "multimodal_stats", "multimodal_wav_decode", "prefix_dups",
     "salted_revenue_join", "sample_by_lang", "source_token_kl",
-    "train_test_split", "value_histogram",
     # most consequential of the r4-gated remainder (+ the round-6
     # kmeans, registered below the original window position). The
     # late-round sketch/graph/join additions (cms/bfs/bloom/kmv)
@@ -3538,7 +3580,7 @@ _R6_WINDOW = [
     "orders_equidepth", "span_dedup_apply", "kmeans_embeddings",
     "ngram_jaccard_prefix",
     "cms_word_counts", "copurchase_bfs", "bloom_semi_orders",
-    "kmv_user_sketches",
+    "kmv_user_sketches", "stream_cms_counts", "copurchase_shortest_paths",
 ]
 assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R6_WINDOW} | {
@@ -3556,7 +3598,7 @@ _R6_NEW = [
     "fuzzy_customer_match", "zorder_cells", "zorder_events_scan",
     "ngram_jaccard_prefix", "copurchase_kcore", "multimodal_gif_decode",
     "cms_word_counts", "copurchase_bfs", "bloom_semi_orders",
-    "kmv_user_sketches",
+    "kmv_user_sketches", "stream_cms_counts", "copurchase_shortest_paths",
 ]
 _order = list(QUERIES)
 for _q in _R6_NEW:

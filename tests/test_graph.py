@@ -384,3 +384,70 @@ def test_edges_supported_filters_by_order_count(spark):
         for r in copurchase_edges_supported(li, min_support=2).collect()
     }
     assert got == {(10, 11), (11, 10)}
+
+
+def _py_bellman_ford(wpairs, n_seeds, rounds):
+    adj = {}
+    for a, b, w in wpairs:
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    seeds = sorted(adj)[:n_seeds]
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for u, d in dist.items():
+            for v, w in adj[u]:
+                if v not in nxt or d + w < nxt[v]:
+                    nxt[v] = d + w
+        dist = nxt
+    return dist
+
+
+def test_bellman_ford_matches_python_reference(spark):
+    from distributed_computing_spark.operators.graph import bellman_ford_hops
+
+    # weighted: the 2-hop detour (1-3-4, cost 3) beats the direct
+    # heavy edge (1-4, cost 10)
+    wpairs = [(1, 2, 5), (1, 3, 1), (3, 4, 2), (1, 4, 10), (4, 5, 1)]
+    rows = []
+    for a, b, w in wpairs:
+        rows += [(a, b, w), (b, a, w)]
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    got = {
+        r["node"]: r["d"]
+        for r in bellman_ford_hops(edges, n_seeds=1, max_rounds=6).collect()
+    }
+    release_tracked()
+    assert got == _py_bellman_ford(wpairs, n_seeds=1, rounds=6)
+    assert got[4] == 3  # detour beat the direct edge
+
+
+def test_bellman_ford_hop_cap_is_path_length_semantics(spark):
+    from distributed_computing_spark.operators.graph import bellman_ford_hops
+
+    # chain 1-2-3-4 with unit weights: with 2 rounds node 4 unreachable
+    wpairs = [(1, 2, 1), (2, 3, 1), (3, 4, 1)]
+    rows = []
+    for a, b, w in wpairs:
+        rows += [(a, b, w), (b, a, w)]
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    got = {
+        r["node"]: r["d"]
+        for r in bellman_ford_hops(edges, n_seeds=1, max_rounds=2).collect()
+    }
+    release_tracked()
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_edges_weighted_truncating_div(spark):
+    from distributed_computing_spark.operators.graph import (
+        copurchase_edges_weighted,
+    )
+
+    rows = [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10), (3, 11)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {
+        (r["src"], r["dst"]): r["w"]
+        for r in copurchase_edges_weighted(li, min_support=2).collect()
+    }
+    assert got == {(10, 11): 333, (11, 10): 333}  # 1000 div 3

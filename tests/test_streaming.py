@@ -550,3 +550,35 @@ def test_interval_join_stream_stream_bounds(spark, tmp_path):
     )
     got = sorted(r["purch_value"] for r in out.collect())
     assert got == [5.0, 7.0]
+
+
+def test_cms_stream_equals_batch_sketch(spark):
+    """The CMS counter table built by a streaming aggregation over a
+    bounded replay must equal the batch sketch bit-for-bit — the
+    sketch is distributive agg state, so the state store holds at most
+    depth*width counters regardless of stream length."""
+    from pyspark.sql import functions as F
+
+    from distributed_computing_spark.operators.analytics import (
+        cms_register_sketch,
+    )
+    from distributed_computing_spark.streaming.runner import (
+        run_to_batch,
+        stream_table,
+    )
+
+    rows = [(i, f"tok{i % 23}") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, word string")
+    batch = {
+        (r["sketch_row"], r["register"]): r["cnt"]
+        for r in cms_register_sketch(df, "word", depth=4, width=64).collect()
+    }
+    sdf = stream_table(spark, df)
+    streamed = {
+        (r["sketch_row"], r["register"]): r["cnt"]
+        for r in run_to_batch(
+            cms_register_sketch(sdf, "word", depth=4, width=64), spark
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) <= 4 * 64

@@ -205,6 +205,16 @@ RECORDED_R6_TIERS: dict = {
         "R20": {"spark_s": 12.2, "duckdb_s": 4.0, "ratio": 3.1},
         "R50": {"spark_s": 13.9, "duckdb_s": 8.0, "ratio": 1.73},
     },
+    "copurchase_shortest_paths": {
+        # weighted companion; edge build dominates (bfs note)
+        "R20": {"spark_s": 12.7, "duckdb_s": 3.8, "ratio": 3.3},
+    },
+    "stream_cms_counts": {
+        # the STREAMING path over the same sketch (micro-batch fixed
+        # cost vs cms_word_counts' 7.9 s batch; oracle is the batch
+        # sketch — DuckDB side identical to cms_word_counts)
+        "R20": {"spark_s": 11.0, "duckdb_s": 0.54, "ratio": 20.4},
+    },
     # variant-overhead datum: plain semi_anti_orders runs 2.4 s on
     # Spark at the same tier — the md5-family bitset costs ~5 s here
     # because the probe side is a tiny copied dim; the technique pays
