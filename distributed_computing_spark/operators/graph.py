@@ -631,6 +631,18 @@ def copurchase_edges_weighted(
     ).select("e.src", "e.dst", "e.w")
 
 
+def bellman_ford_round(edges: DataFrame, dist: DataFrame) -> DataFrame:
+    """One Bellman-Ford relaxation round: relax every edge against the
+    BROADCAST node-sized distance table (BroadcastHashJoin — no edge
+    shuffle), then fold into the running minimum with partial
+    aggregation (one hash exchange carrying <= |nodes| partial rows).
+    Split out so the plan claim is assertable (test_plans)."""
+    relaxed = edges.join(
+        F.broadcast(dist.withColumnRenamed("node", "src")), "src"
+    ).select(F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d"))
+    return dist.unionByName(relaxed).groupBy("node").agg(F.min("d").alias("d"))
+
+
 def bellman_ford_hops(
     edges: DataFrame, n_seeds: int = 10, max_rounds: int = 6
 ) -> DataFrame:
@@ -656,18 +668,7 @@ def bellman_ford_hops(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_rounds):
-        relaxed = (
-            edges.join(
-                F.broadcast(dist.withColumnRenamed("node", "src")), "src"
-            )
-            .select(F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d"))
-        )
-        dist = (
-            dist.unionByName(relaxed)
-            .groupBy("node")
-            .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=True)
-        )
+        dist = bellman_ford_round(edges, dist).localCheckpoint(eager=True)
     return dist
 
 

@@ -425,3 +425,25 @@ def test_kmv_rank_filter_compiles_to_window_group_limit(spark):
     family's partial-aggregation discipline."""
     df = QUERIES["kmv_user_sketches"](spark, SF_DIR)
     assert "WindowGroupLimit" in _plan(df)
+
+
+def test_bellman_ford_round_broadcast_relax_partial_min(spark):
+    """One Bellman-Ford round: the relax join BROADCASTS the
+    node-sized distance table (never shuffles the edge set), and the
+    min fold partial-aggregates before its single hash exchange —
+    per-round shuffle volume is <= |nodes| partial rows regardless of
+    edge count."""
+    from distributed_computing_spark.operators.graph import (
+        bellman_ford_round,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 1)], "src long, dst long, w long"
+    )
+    dist = spark.createDataFrame([(1, 0)], "node long, d long")
+    rnd = bellman_ford_round(edges, dist)
+    plan = _plan(rnd)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert count_exchanges(rnd, "hashpartitioning") == 1, plan
+    assert "partial_min" in plan, plan
