@@ -206,14 +206,18 @@ RECORDED_R6_TIERS: dict = {
         "R50": {"spark_s": 13.9, "duckdb_s": 8.0, "ratio": 1.73},
     },
     "copurchase_shortest_paths": {
-        # weighted companion; edge build dominates (bfs note)
+        # weighted companion; edge build dominates (bfs note);
+        # converging with scale like bfs (3.1x -> 1.73x)
         "R20": {"spark_s": 12.7, "duckdb_s": 3.8, "ratio": 3.3},
+        "R50": {"spark_s": 16.9, "duckdb_s": 9.1, "ratio": 1.86},
     },
     "stream_cms_counts": {
         # the STREAMING path over the same sketch (micro-batch fixed
-        # cost vs cms_word_counts' 7.9 s batch; oracle is the batch
-        # sketch — DuckDB side identical to cms_word_counts)
+        # cost vs cms_word_counts' batch: +3.1 s at R20, +2.8 s at
+        # R50 — FIXED, not growing with stream length; oracle is the
+        # batch sketch, DuckDB side identical to cms_word_counts)
         "R20": {"spark_s": 11.0, "duckdb_s": 0.54, "ratio": 20.4},
+        "R50": {"spark_s": 19.7, "duckdb_s": 1.26, "ratio": 15.6},
     },
     # variant-overhead datum: plain semi_anti_orders runs 2.4 s on
     # Spark at the same tier — the md5-family bitset costs ~5 s here
