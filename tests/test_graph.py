@@ -451,3 +451,37 @@ def test_edges_weighted_truncating_div(spark):
         for r in copurchase_edges_weighted(li, min_support=2).collect()
     }
     assert got == {(10, 11): 333, (11, 10): 333}  # 1000 div 3
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", [7, 19, 43])
+def test_bellman_ford_random_graphs_match_reference(spark, seed):
+    """Seeded random weighted graphs vs the python reference — the
+    relax/fold plan and the driver-side model must agree on multi-seed
+    frontiers, unreachable nodes, and tie weights."""
+    import random
+
+    from distributed_computing_spark.operators.graph import bellman_ford_hops
+
+    rng = random.Random(seed)
+    n = 12
+    wpairs = sorted(
+        {
+            (a, b)
+            for _ in range(20)
+            for a, b in [sorted(rng.sample(range(1, n + 1), 2))]
+        }
+    )
+    wpairs = [(a, b, rng.randint(1, 9)) for a, b in wpairs]
+    rows = []
+    for a, b, w in wpairs:
+        rows += [(a, b, w), (b, a, w)]
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    got = {
+        r["node"]: r["d"]
+        for r in bellman_ford_hops(edges, n_seeds=3, max_rounds=4).collect()
+    }
+    release_tracked()
+    assert got == _py_bellman_ford(wpairs, n_seeds=3, rounds=4)
