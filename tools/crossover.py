@@ -155,6 +155,7 @@ RECORDED_R6_TIERS: dict = {
     "copurchase_triangles": {
         "R20": {"spark_s": 13.7, "duckdb_s": 8.8, "ratio": 1.56},
         "R50": {"spark_s": 17.4, "duckdb_s": 9.4, "ratio": 1.85},
+        "R100": {"spark_s": 19.5, "duckdb_s": 13.0, "ratio": 1.50},
     },
     "doc_skyline": {
         "R20": {"spark_s": 6.9, "duckdb_s": 1.4, "ratio": 4.8},
@@ -168,6 +169,9 @@ RECORDED_R6_TIERS: dict = {
     "copurchase_kcore": {
         "R20": {"spark_s": 19.4, "duckdb_s": 10.2, "ratio": 1.90},
         "R50": {"spark_s": 24.9, "duckdb_s": 17.9, "ratio": 1.39},
+        # R100: the crossover FLIPS — flat broadcast-iteration vs the
+        # superlinear unrolled CTE (the kmeans slope shape)
+        "R100": {"spark_s": 21.1, "duckdb_s": 29.5, "ratio": 0.72},
     },
     # small absolutes (overhead-dominated, kv_effective_ops caveat):
     "orders_equidepth": {
@@ -204,12 +208,15 @@ RECORDED_R6_TIERS: dict = {
         # converging with scale like kcore/triangles
         "R20": {"spark_s": 12.2, "duckdb_s": 4.0, "ratio": 3.1},
         "R50": {"spark_s": 13.9, "duckdb_s": 8.0, "ratio": 1.73},
+        "R100": {"spark_s": 21.1, "duckdb_s": 15.4, "ratio": 1.37},
     },
     "copurchase_shortest_paths": {
         # weighted companion; edge build dominates (bfs note);
         # converging with scale like bfs (3.1x -> 1.73x)
         "R20": {"spark_s": 12.7, "duckdb_s": 3.8, "ratio": 3.3},
         "R50": {"spark_s": 16.9, "duckdb_s": 9.1, "ratio": 1.86},
+        # R100: Spark WINS (flat relax rounds vs superlinear CTE)
+        "R100": {"spark_s": 17.1, "duckdb_s": 18.5, "ratio": 0.92},
     },
     "stream_cms_counts": {
         # the STREAMING path over the same sketch (micro-batch fixed
