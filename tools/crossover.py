@@ -204,6 +204,13 @@ RECORDED_R6_TIERS: dict = {
         "R20": {"spark_s": 7.9, "duckdb_s": 0.54, "ratio": 14.8},
         "R50": {"spark_s": 16.9, "duckdb_s": 1.06, "ratio": 16.0},
     },
+    "pagerank_parts": {
+        # round-5 query, tiers measured late round 6: converging like
+        # bfs (8 integer-exact rounds, one node-sized shuffle each)
+        "R20": {"spark_s": 19.5, "duckdb_s": 5.8, "ratio": 3.39},
+        "R50": {"spark_s": 24.8, "duckdb_s": 15.0, "ratio": 1.66},
+        "R100": {"spark_s": 29.4, "duckdb_s": 23.2, "ratio": 1.27},
+    },
     "copurchase_bfs": {
         # converging with scale like kcore/triangles
         "R20": {"spark_s": 12.2, "duckdb_s": 4.0, "ratio": 3.1},
