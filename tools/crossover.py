@@ -176,9 +176,14 @@ RECORDED_R6_TIERS: dict = {
     # small absolutes (overhead-dominated, kv_effective_ops caveat):
     "orders_equidepth": {
         "R20": {"spark_s": 4.9, "duckdb_s": 0.84, "ratio": 5.8},
+        # orders-only replica (75M orders): the two-level rank (no
+        # global sort) converges on the single-node exact quantiles
+        "R500": {"spark_s": 24.8, "duckdb_s": 15.3, "ratio": 1.62},
     },
     "weighted_order_sample": {
         "R20": {"spark_s": 3.3, "duckdb_s": 0.77, "ratio": 4.4},
+        # R500 (orders-only): Spark WINS — pure hash-function filter
+        "R500": {"spark_s": 14.3, "duckdb_s": 16.0, "ratio": 0.90},
     },
     "ivm_segment_revenue": {
         "R20": {"spark_s": 2.1, "duckdb_s": 0.14, "ratio": 14.8},
