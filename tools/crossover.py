@@ -159,9 +159,16 @@ RECORDED_R6_TIERS: dict = {
     },
     "doc_skyline": {
         "R20": {"spark_s": 6.9, "duckdb_s": 1.4, "ratio": 4.8},
+        "R50": {"spark_s": 14.8, "duckdb_s": 6.8, "ratio": 2.18},
+        # R100: dead tie — the bucketed local prune grows ~linearly
+        # while the single-node NOT EXISTS grows superlinearly
+        "R100": {"spark_s": 29.0, "duckdb_s": 29.1, "ratio": 1.00},
     },
     "hll_user_registers": {
         "R20": {"spark_s": 1.7, "duckdb_s": 0.08, "ratio": 20.4},
+        # flat sketch-sized absolutes (md5-exactness caveat), converging
+        "R50": {"spark_s": 1.65, "duckdb_s": 0.16, "ratio": 10.4},
+        "R100": {"spark_s": 2.1, "duckdb_s": 0.33, "ratio": 6.4},
     },
     "span_dedup_apply": {
         "R20": {"spark_s": 31.4, "duckdb_s": 20.4, "ratio": 1.54},
