@@ -194,6 +194,12 @@ RECORDED_R6_TIERS: dict = {
     },
     "ivm_segment_revenue": {
         "R20": {"spark_s": 2.1, "duckdb_s": 0.14, "ratio": 14.8},
+        # Spark refresh FLATTENS (delta-bound, the IVM claim) but the
+        # single-node recompute of this 5-row view is also ~flat — the
+        # regime where IVM pays is a recompute too big to re-run, not
+        # measurable at replica scale
+        "R50": {"spark_s": 3.98, "duckdb_s": 0.10, "ratio": 39.8},
+        "R100": {"spark_s": 4.18, "duckdb_s": 0.15, "ratio": 27.9},
     },
     "kmeans_embeddings": {
         # REPLICATED embeddings (_em subset replicas, ROADMAP backlog 4
