@@ -2,7 +2,8 @@
 
 The Lee-et-al exact-span pipeline (find duplicated spans, account
 tokens keep-earliest, cut them) and the co-purchase graph family
-(PageRank / triangles / k-core) over the shared test tables — every
+(PageRank / triangles / k-core / weighted shortest paths) over the
+shared test tables — every
 step a lazy DataFrame plan, nothing unbounded on the driver.
 
 Run: python examples/span_dedup_graph.py [sf_dir]
@@ -24,7 +25,9 @@ from distributed_computing_spark.operators.dedup import (
     span_dedup_stats,
 )
 from distributed_computing_spark.operators.graph import (
+    bellman_ford_hops,
     copurchase_edges,
+    copurchase_edges_weighted,
     kcore,
     pagerank,
     triangle_counts,
@@ -61,6 +64,14 @@ def main() -> None:
     triangle_counts(edges).orderBy(F.desc("n_triangles"), "node").show(5)
     core, rounds = kcore(edges, k=40)
     print(f"— 40-core: {core.count()} parts after {rounds} peel rounds")
+
+    wedges = copurchase_edges_weighted(
+        load_table(spark, sf_dir, "lineitem"), min_support=2
+    )
+    print("— nearest non-seed parts by weighted distance (Bellman-Ford, ≤4 hops):")
+    bellman_ford_hops(wedges, n_seeds=5, max_rounds=4).where(
+        F.col("d") > 0
+    ).orderBy("d", "node").show(5)
     release_tracked()
 
 
