@@ -582,3 +582,61 @@ def test_cms_stream_equals_batch_sketch(spark):
     }
     assert streamed == batch
     assert len(streamed) <= 4 * 64
+
+
+def test_cms_stream_restart_recovers_sketch_state(spark, tmp_path):
+    """A second AvailableNow run sharing the checkpoint reads ONLY the
+    files added after run 1, so the final sketch being equal to the
+    batch sketch over ALL rows proves the counter state was RECOVERED
+    from the checkpoint and incremented — the restart story a
+    production streaming sketch needs (reference analog: snapshot
+    restore; the foreach_batch_is_incremental motion applied to a
+    stateful aggregation)."""
+    from pyspark.sql import functions as F
+
+    from distributed_computing_spark.operators.analytics import (
+        cms_register_sketch,
+    )
+
+    rows = [(i, f"tok{i % 31}") for i in range(500)]
+    first, second = rows[:300], rows[300:]
+    ddl = "id long, word string"
+    src = str(tmp_path / "cms_src")
+    ckpt = str(tmp_path / "cms_ckpt")
+    spark.createDataFrame(first, ddl).coalesce(1).write.mode("append").parquet(src)
+
+    def _run(qname):
+        sdf = spark.readStream.schema(ddl).parquet(src)
+        q = (
+            cms_register_sketch(sdf, "word", depth=4, width=64)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["sketch_row"], r["register"]): r["cnt"]
+            for r in spark.table(qname).collect()
+        }
+
+    got1 = _run("cms_restart_run1")
+    batch1 = {
+        (r["sketch_row"], r["register"]): r["cnt"]
+        for r in cms_register_sketch(
+            spark.createDataFrame(first, ddl), "word", depth=4, width=64
+        ).collect()
+    }
+    assert got1 == batch1
+    spark.createDataFrame(second, ddl).coalesce(1).write.mode("append").parquet(src)
+    got2 = _run("cms_restart_run2")
+    batch_all = {
+        (r["sketch_row"], r["register"]): r["cnt"]
+        for r in cms_register_sketch(
+            spark.createDataFrame(rows, ddl), "word", depth=4, width=64
+        ).collect()
+    }
+    assert got2 == batch_all
+    assert got2 != batch1  # run 2 really advanced the recovered state
