@@ -640,3 +640,72 @@ def test_cms_stream_restart_recovers_sketch_state(spark, tmp_path):
     }
     assert got2 == batch_all
     assert got2 != batch1  # run 2 really advanced the recovered state
+
+
+def test_stateful_fold_restart_recovers_per_key_state(spark, tmp_path):
+    """applyInPandasWithState across a checkpoint restart: run 2 (same
+    checkpoint, only NEW files) must fold onto the RECOVERED per-key
+    (value, max_seq) state — append concatenation makes recovery
+    observable (a fold restarted from empty state would drop run 1's
+    prefix). This is the streaming analog of the reference's snapshot
+    restore for shape 2b (kv_stream.py:213)."""
+    # unique (client, req) per op -> already-effective stream, no dedup
+    # stage needed (stateful_fold_stream's input contract)
+    ops = [
+        (seq, 0, seq, op, key, f"v{seq}")
+        for seq, (op, key) in enumerate(
+            [
+                ("put", "a"), ("append", "a"), ("put", "b"),
+                ("append", "b"), ("append", "a"), ("put", "c"),
+            ]
+            * 10
+        )
+    ]
+    first, second = ops[:30], ops[30:]
+    src = str(tmp_path / "fold_src")
+    ckpt = str(tmp_path / "fold_ckpt")
+    spark.createDataFrame(first, OPS_DDL).coalesce(1).write.mode("append").parquet(src)
+
+    out_dir = str(tmp_path / "fold_out")
+
+    def _run():
+        # memory sink can't recover an update-mode query from a
+        # checkpoint; foreachBatch can (the repo's restart-test sink).
+        # batch_id keeps incrementing across restarts sharing the
+        # checkpoint, so max-batch_id-per-key is the final state.
+        def sink(bdf, bid):
+            bdf.withColumn("batch_id", F.lit(bid)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        stream = spark.readStream.schema(OPS_SCHEMA).parquet(src)
+        q = (
+            stateful_fold_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        latest = {}
+        for r in sorted(
+            spark.read.parquet(out_dir).collect(),
+            key=lambda r: r["batch_id"],
+        ):
+            latest[r["key"]] = r["value"]
+        return latest
+
+    got1 = _run()
+    assert got1 == serial_replay(first)
+    spark.createDataFrame(second, OPS_DDL).coalesce(1).write.mode("append").parquet(src)
+    got2 = _run()
+    want = serial_replay(ops)
+    # update mode: run 2 emits every key it touched; all three keys
+    # receive ops in `second`, so run 2's table IS the final state
+    assert got2 == want
+    # the recovered-state signature: run 2's values START with run 1's
+    for k in got1:
+        assert got2[k].startswith(got1[k]) or any(
+            op == "put" and key == k for _, _, _, op, key, _ in second
+        )
