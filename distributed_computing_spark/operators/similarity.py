@@ -766,7 +766,17 @@ def kmeans_oracle_sql(
 ) -> str:
     """Generated unrolled-CTE oracle for ``kmeans_embeddings``: each
     Lloyd round is one assignment CTE + one centroid CTE, every
-    multiply-referenced CTE MATERIALIZED (CLAUDE.md rule)."""
+    multiply-referenced CTE MATERIALIZED (CLAUDE.md rule).
+
+    The centroid update divides possibly-NEGATIVE sums (centered
+    embedding coordinates).  DuckDB's integer ``//`` semantics on
+    negative operands is version-sensitive (1.0.0 truncates toward
+    zero, newer releases floor), so the division is written
+    sign-explicitly — ``CASE WHEN sx >= 0 THEN sx // n ELSE
+    -((-sx) // n) END`` — which evaluates identically (truncation)
+    under either engine version and matches Spark's ``div``.
+    Regression: tests/test_oracle_portability.py evaluates this CTE
+    chain under a floored-division stand-in."""
     parts = [
         f"""q AS MATERIALIZED (
   SELECT vec_id, dim, CAST(floor(CAST(v AS DOUBLE) * {scale}.0) AS BIGINT) AS x
@@ -799,7 +809,9 @@ a{t} AS MATERIALIZED (
             parts.append(
                 f"""c{t} AS MATERIALIZED (
   SELECT p.cluster, p.dim,
-         CASE WHEN s.n IS NULL THEN p.cx ELSE s.sx // s.n END AS cx
+         CASE WHEN s.n IS NULL THEN p.cx
+              WHEN s.sx >= 0 THEN CAST(s.sx // s.n AS BIGINT)
+              ELSE CAST(-((-s.sx) // s.n) AS BIGINT) END AS cx
   FROM c{t - 1} p LEFT JOIN (
     SELECT a.cluster, q.dim, sum(q.x) AS sx, count(*) AS n
     FROM a{t} a JOIN q ON q.vec_id = a.vec_id

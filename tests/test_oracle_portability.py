@@ -1,0 +1,180 @@
+"""Oracle portability: no oracle may depend on engine-version-sensitive
+integer-division semantics.
+
+DuckDB's integer ``//`` on a NEGATIVE left operand is version-sensitive:
+1.0.0 (this box) truncates toward zero (``-7 // 2 = -3``), newer releases
+floor (``-7 // 2 = -4``).  Spark's ``div`` and the repo's driver-side
+folds pin truncation.  Round 6's ``kmeans_embeddings`` driver red
+(CORRECTNESS_r06, hash-only mismatch) was root-caused to exactly this:
+the generated oracle's centroid update divided possibly-negative sums
+with a bare ``//``.
+
+Two guards:
+
+1. ``test_kmeans_oracle_engine_invariant`` — evaluates the generated
+   kmeans CTE chain on data with guaranteed-negative centroid sums under
+   BOTH semantics (native truncating ``//`` and an exact floored-division
+   stand-in) and asserts identical output; also proves the test has teeth
+   by showing the OLD unguarded form diverges between the two.
+2. ``test_oracle_floordiv_operands_audited`` — sweeps every registered
+   oracle for ``//`` and asserts each occurrence's left operand is in the
+   audited non-negative allowlist, so a new signable ``//`` cannot land
+   silently.
+"""
+
+import re
+
+import duckdb
+import pytest
+
+from distributed_computing_spark.operators.similarity import kmeans_oracle_sql
+from distributed_computing_spark.registry import ORACLES
+
+# The guarded centroid-update expressions as emitted by kmeans_oracle_sql.
+_GUARDED_POS = "CAST(s.sx // s.n AS BIGINT)"
+_GUARDED_NEG = "CAST(-((-s.sx) // s.n) AS BIGINT)"
+
+# Exact floored-division stand-ins (integer arithmetic only, no float):
+# floor(a/b) for b>0 is a//b when a>=0 else -ceil(-a/b) = -(((-a)+b-1)//b).
+# Substituting these for the native ``//`` simulates a FLOORING engine.
+_FLOOR_POS = (
+    "CAST(CASE WHEN s.sx >= 0 THEN s.sx // s.n"
+    " ELSE -(((-s.sx) + s.n - 1) // s.n) END AS BIGINT)"
+)
+_FLOOR_NEG = (
+    "CAST(-(CASE WHEN (-s.sx) >= 0 THEN (-s.sx) // s.n"
+    " ELSE -((s.sx + s.n - 1) // s.n) END) AS BIGINT)"
+)
+
+_OLD_UNGUARDED = "CASE WHEN s.n IS NULL THEN p.cx ELSE s.sx // s.n END AS cx"
+_OLD_UNGUARDED_FLOOR = (
+    "CASE WHEN s.n IS NULL THEN p.cx"
+    " ELSE CASE WHEN s.sx >= 0 THEN s.sx // s.n"
+    " ELSE -(((-s.sx) + s.n - 1) // s.n) END END AS cx"
+)
+
+_GUARDED_BLOCK = re.compile(
+    r"CASE WHEN s\.n IS NULL THEN p\.cx\s+"
+    r"WHEN s\.sx >= 0 THEN CAST\(s\.sx // s\.n AS BIGINT\)\s+"
+    r"ELSE CAST\(-\(\(-s\.sx\) // s\.n\) AS BIGINT\) END AS cx"
+)
+
+
+def _synthetic_embeddings_con():
+    """A DuckDB connection whose ``embeddings`` view has strongly
+    negative coordinates, so centroid sums go negative and the two
+    division semantics would diverge on an unguarded oracle."""
+    con = duckdb.connect()
+    con.execute(
+        """
+CREATE VIEW embeddings AS
+SELECT i AS vec_id,
+       [sin(i * 1.7) - 0.6,
+        cos(i * 2.3) - 0.4,
+        sin(i * 0.9) * 0.5 - 0.3]::DOUBLE[] AS embedding
+FROM range(1, 61) t(i)"""
+    )
+    return con
+
+
+def test_kmeans_oracle_engine_invariant():
+    sql = kmeans_oracle_sql(k=4, n_iter=3)
+    assert _GUARDED_BLOCK.search(sql), (
+        "kmeans oracle lost its sign-explicit centroid division — "
+        "bare // on negative sums is DuckDB-version-sensitive"
+    )
+    assert sql.count(_GUARDED_POS) == 2 and sql.count(_GUARDED_NEG) == 2
+
+    floored = sql.replace(_GUARDED_POS, _FLOOR_POS).replace(
+        _GUARDED_NEG, _FLOOR_NEG
+    )
+
+    con = _synthetic_embeddings_con()
+    trunc_rows = con.execute(sql).fetchall()
+    floor_rows = con.execute(floored).fetchall()
+    assert trunc_rows == floor_rows, (
+        "guarded centroid division diverges between truncating and "
+        "flooring // semantics"
+    )
+
+    # Teeth: reconstruct the round-6 unguarded form and show the two
+    # engine semantics DISAGREE on it for this data (negative sums are
+    # actually exercised).
+    guarded_block = _GUARDED_BLOCK.search(sql).group(0)
+    old = sql.replace(guarded_block, _OLD_UNGUARDED)
+    old_floor = sql.replace(guarded_block, _OLD_UNGUARDED_FLOOR)
+    assert old != sql and old_floor != old
+    old_trunc_rows = con.execute(old).fetchall()
+    old_floor_rows = con.execute(old_floor).fetchall()
+    assert old_trunc_rows == trunc_rows  # truncating engine: old == new
+    assert old_floor_rows != old_trunc_rows, (
+        "synthetic data no longer exercises negative centroid sums — "
+        "the engine-invariance test lost its teeth"
+    )
+
+
+# Audited ``//`` left-operand patterns: each is provably non-negative,
+# so truncation == flooring and the oracle is engine-version-invariant.
+# Adding a NEW ``//`` to any oracle fails this test until its operand is
+# audited (non-negative) and a pattern is added here with a reason.
+_AUDITED_FLOORDIV = [
+    # epoch_us(ts) on the testdata's post-1970 timestamps is positive.
+    r"epoch_us\([a-z]?\.?\w*\(?ts\)?\)? // 1000000",
+    r"epoch_us\(ts\) // 1000000 // 21600",
+    # (x - min(x)) and (max - min) spans are non-negative by construction.
+    r"\(\(user_id - \(SELECT min\(user_id\)",
+    r"\(\(epoch_us\(ts\) // 1000000 - \(SELECT min\(",
+    r"\(\(umax - umin\) \* \d+\) // 100",
+    r"\(\(tmax - tmin\) \* \d+\) // 100",
+    # a.wk >= per-user min week, so datediff is non-negative.
+    r"CAST\(datediff\('day', f\.cohort_week, a\.wk\) // 7",
+    # counts / sequence numbers / token counts are non-negative.
+    r"max\(seq\) // 2",
+    r"seq <= ms // 3",
+    r"seq <= \(2 \* ms\) // 3",
+    r"tokens_before // 256",
+    # md5-derived 60-bit hashes are non-negative.
+    r"\)\)::BIGINT\s+// 1073741824",
+    r"h // 64",
+    # dot^2 over norms: both sides non-negative (quantized-rank rule).
+    r"// \(\(q\.r\*q\.r \+ q\.g\*q\.g \+ q\.b\*q\.b\)",
+    # row_number()-derived rank is non-negative.
+    r"\(rk \* 10\) // n",
+    # pagerank: rank/teleport/support counters are non-negative.
+    r"sum\(r\.rank // d2\.outdeg\)",
+    r"\d+ \* COALESCE\(s\.c_in, 0\)\) // \d+",
+    r"\d+ // count\(\*\)",
+    # linkage segment offsets: ln and seg_i are non-negative.
+    r"\(ln \* s?\.?\w*seg_i\w*\)? ?\)? //",
+    r"substr\(name, \(ln \* s\.seg_i\) // \d+",
+    # kmeans centroid update: sign-explicit guarded forms only.
+    r"WHEN s\.sx >= 0 THEN CAST\(s\.sx // s\.n AS BIGINT\)",
+    r"ELSE CAST\(-\(\(-s\.sx\) // s\.n\) AS BIGINT\)",
+]
+
+
+def _all_oracle_sql():
+    out = dict(ORACLES)
+    out["__generated_kmeans__"] = kmeans_oracle_sql()
+    return out
+
+
+def test_oracle_floordiv_operands_audited():
+    unaudited = []
+    for name, sql in _all_oracle_sql().items():
+        if not isinstance(sql, str):
+            continue
+        for m in re.finditer(r"//", sql):
+            # `https?://` etc. in regex literals is not integer division.
+            if m.start() > 0 and sql[m.start() - 1] == ":":
+                continue
+            ctx = sql[max(0, m.start() - 70) : m.end() + 40].replace(
+                "\n", " "
+            )
+            if not any(re.search(p, ctx) for p in _AUDITED_FLOORDIV):
+                unaudited.append((name, ctx))
+    assert not unaudited, (
+        "oracle // on un-audited operands (DuckDB floors vs truncates on "
+        f"negatives — audit non-negativity or rewrite sign-explicitly): "
+        f"{unaudited[:10]}"
+    )
