@@ -603,6 +603,8 @@ def decode_gif(data: bytes):
     extension blocks skipped; interlace/local tables rejected)."""
     import struct
 
+    if len(data) < 13:
+        raise ValueError("GIF: truncated header")
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("GIF: bad signature")
     w, h = struct.unpack_from("<HH", data, 6)
@@ -611,6 +613,8 @@ def decode_gif(data: bytes):
     if not packed & 0x80:
         raise ValueError("GIF: no global color table")
     n_gct = 2 << (packed & 0x07)
+    if off + n_gct * 3 > len(data):
+        raise ValueError("GIF: truncated color table")
     gct = np.frombuffer(data, np.uint8, n_gct * 3, off).reshape(-1, 3)
     off += n_gct * 3
     while True:
@@ -620,7 +624,11 @@ def decode_gif(data: bytes):
         off += 1
         if b0 == 0x21:  # extension: label + sub-blocks
             off += 1
-            while data[off] != 0:
+            while True:
+                if off >= len(data):
+                    raise ValueError("GIF: truncated extension block")
+                if data[off] == 0:
+                    break
                 off += 1 + data[off]
             off += 1
         elif b0 == 0x2C:
@@ -629,6 +637,8 @@ def decode_gif(data: bytes):
             raise ValueError("GIF: trailer before image data")
         else:
             raise ValueError(f"GIF: unexpected block 0x{b0:02x}")
+    if off + 9 > len(data):
+        raise ValueError("GIF: truncated image descriptor")
     left, top, iw, ih = struct.unpack_from("<HHHH", data, off)
     ipacked = data[off + 8]
     off += 9
@@ -638,14 +648,20 @@ def decode_gif(data: bytes):
         raise ValueError("GIF: interlace not supported")
     if (left, top, iw, ih) != (0, 0, w, h):
         raise ValueError("GIF: sub-rectangle images not supported")
+    if off >= len(data):
+        raise ValueError("GIF: truncated before LZW min code size")
     min_code = data[off]
     off += 1
     lzw = bytearray()
     while True:
+        if off >= len(data):
+            raise ValueError("GIF: truncated LZW data block")
         n = data[off]
         off += 1
         if n == 0:
             break
+        if off + n > len(data):
+            raise ValueError("GIF: truncated LZW data block")
         lzw += data[off : off + n]
         off += n
     idx = _gif_lzw_decode(bytes(lzw), min_code, w * h)

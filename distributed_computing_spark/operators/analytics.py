@@ -991,7 +991,9 @@ def hll_register_sketch(
     from distributed_computing_spark.operators.dedup import md5_hash60
 
     bits = 60 - (m.bit_length() - 1)  # hash bits left after the index
-    hashed = df.select(
+    # NULL contract: drop NULLs before hashing (Spark concat_ws skips
+    # NULL, DuckDB || propagates it — filtering is the shared semantics).
+    hashed = df.where(F.col(col).isNotNull()).select(
         md5_hash60(F.col(col).cast("string"), seed).alias("_h")
     )
     rest = F.expr(f"_h div {m}")
@@ -1041,13 +1043,26 @@ def cms_register_sketch(
     the checked artifact: every counter is an integer count,
     reproducible in DuckDB SQL.
 
-    Scale shape: the k per-occurrence hash positions are computed
-    map-side in one Generate (explode of a d-element struct array);
-    the groupBy key space is depth*width (~2k), so partial aggregation
-    collapses each task's stream to at most depth*width partial rows —
-    the exchange is sketch-sized no matter how many occurrences flow
-    in. Merging two corpora's sketches is elementwise +, the
-    distributive algebra that makes CMS the 100 TB frequency summary.
+    Scale shape: the value stream is first pre-aggregated to
+    ``(value, n)`` — md5 work is then proportional to DISTINCT values
+    ×depth, not occurrences ×depth (round-7 fix for the only flat >2x
+    crossover cell; the sketch is bit-identical because summing n per
+    register equals counting occurrences). The d hash positions are
+    computed map-side in one Generate (explode of a d-element struct
+    array); the groupBy key space is depth*width (~2k), so partial
+    aggregation collapses each task's stream to at most depth*width
+    partial rows — the exchange is sketch-sized no matter how many
+    occurrences flow in. Merging two corpora's sketches is elementwise
+    +, the distributive algebra that makes CMS the 100 TB frequency
+    summary. On a STREAMING input the pre-aggregation is skipped
+    (stacked streaming aggregations are unsupported); the sketch
+    groupBy is the single stateful operator and its state stays
+    sketch-bounded either way.
+
+    NULL contract: NULL inputs are dropped before hashing. Spark's
+    ``concat_ws`` would skip a NULL (hashing just ``'#seed'``) while
+    the DuckDB oracles' ``||`` propagates NULL — filtering is the only
+    semantics both engines express identically (ADVICE r6).
     The heavy-hitter ESTIMATE (min over rows at a key's positions)
     stays client-side (`cms_point_estimate`) like ``hll_estimate`` —
     one-sided error (estimate >= true count) is asserted in tests.
@@ -1056,25 +1071,31 @@ def cms_register_sketch(
         raise ValueError("depth and width must be positive")
     from distributed_computing_spark.operators.dedup import md5_hash60
 
-    c = F.col(col).cast("string")
+    src = df.select(F.col(col).cast("string").alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+    if df.isStreaming:
+        src = src.withColumn("_n", F.lit(1).cast("long"))
+    else:
+        src = src.groupBy("_v").agg(F.count(F.lit(1)).alias("_n"))
     positions = F.array(
         *[
             F.struct(
                 F.lit(r).cast("int").alias("sketch_row"),
-                F.pmod(md5_hash60(c, seed0 + r), F.lit(width)).alias(
-                    "register"
-                ),
+                F.pmod(
+                    md5_hash60(F.col("_v"), seed0 + r), F.lit(width)
+                ).alias("register"),
             )
             for r in range(depth)
         ]
     )
     return (
-        df.select(F.explode(positions).alias("_rc"))
+        src.select(F.explode(positions).alias("_rc"), F.col("_n"))
         .groupBy(
             F.col("_rc.sketch_row").alias("sketch_row"),
             F.col("_rc.register").alias("register"),
         )
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("_n").alias("cnt"))
     )
 
 
@@ -1135,10 +1156,16 @@ def kmv_sketch(
 
     from distributed_computing_spark.operators.dedup import md5_hash60
 
-    hashed = df.select(
-        F.col(group_col).alias("grp"),
-        md5_hash60(F.col(col).cast("string"), seed).alias("hval"),
-    ).distinct()
+    # NULL contract: drop NULL values before hashing (see
+    # hll_register_sketch — engines disagree on hashing NULL).
+    hashed = (
+        df.where(F.col(col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            md5_hash60(F.col(col).cast("string"), seed).alias("hval"),
+        )
+        .distinct()
+    )
     w = Window.partitionBy("grp").orderBy("hval")
     return (
         hashed.withColumn("rnk", F.row_number().over(w))
@@ -1192,7 +1219,9 @@ def bloom_bitset(
         *[F.pmod(md5_hash60(c, seed0 + i), F.lit(m_bits)) for i in range(k)]
     )
     words = (
-        df.select(F.explode(pos).alias("_p"))
+        # NULL contract: see hll_register_sketch.
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(pos).alias("_p"))
         .select(
             F.expr("_p div 64").alias("_w"),
             # SQL form: the Python shiftleft wrapper demands an int
@@ -1269,7 +1298,24 @@ def ivm_refresh(
     exchange), then a full outer join against the view keyed on the
     group — the view side is groups, not rows. Groups whose refreshed
     count reaches zero drop out, matching a recompute exactly.
+
+    Measures must be INTEGRAL (the float-aggregate rule: float sums
+    are addition-order-dependent, so a float refresh could never equal
+    a recompute exactly) — enforced by raising on non-integral
+    ``sum_cols`` rather than silently casting a truncated total.
     """
+    _integral = ("byte", "short", "int", "integer", "bigint", "long")
+    for c in sum_cols:
+        for side in (base, delta):
+            t = dict(side.dtypes).get(c)
+            if t is not None and t not in _integral and not t.startswith(
+                "decimal"
+            ):
+                raise ValueError(
+                    f"ivm_refresh: sum column {c!r} has non-integral type "
+                    f"{t}; exact delta maintenance requires integer or "
+                    "decimal measures (float-aggregate rule)"
+                )
     d_aggs = [
         F.sum(F.col(sign_col)).alias("_dn"),
         *[
@@ -1282,6 +1328,7 @@ def ivm_refresh(
     new_n = F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(
         F.col("_dn"), F.lit(0)
     )
+    base_types = dict(base.dtypes)
     out_cols = [*keys, new_n.cast("long").alias(count_col)]
     for c in sum_cols:
         out_cols.append(
@@ -1289,7 +1336,9 @@ def ivm_refresh(
                 F.coalesce(F.col(c), F.lit(0))
                 + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
             )
-            .cast("long")
+            # keep the view's measure type (long or decimal) — never
+            # truncate through an unconditional long cast
+            .cast(base_types.get(c, "long"))
             .alias(c)
         )
     return merged.select(*out_cols).where(F.col(count_col) != 0)

@@ -393,12 +393,17 @@ def kcore(
         if n_nxt == n_alive:
             return nxt.withColumnRenamed("src", "node"), rounds
         alive, n_alive = nxt.select("src"), n_nxt
-    return (
-        (alive if alive is not None else edges.select("src").distinct())
-        .join(deg.where(F.col("core_deg") >= k), "src")
-        .withColumnRenamed("src", "node"),
-        rounds,
+    # max_rounds exhausted without a fixpoint: recompute the degree over
+    # the FINAL survivor set so core_deg reflects the returned subgraph
+    # (joining the previous round's deg could overstate it by one round
+    # — ADVICE r6). The result is still non-converged state; direct
+    # callers must check rounds == max_rounds (kcore_parts raises).
+    final = alive if alive is not None else edges.select("src").distinct()
+    e = edges.join(F.broadcast(final), "src").join(
+        F.broadcast(final.withColumnRenamed("src", "dst")), "dst"
     )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("core_deg"))
+    return deg.withColumnRenamed("src", "node"), rounds
 
 
 def kcore_parts(

@@ -159,7 +159,9 @@ def rowgroup_skip_fraction(
 
 # --- registry queries ------------------------------------------------------
 
-_LAYOUT_CACHE: dict[tuple[int, str], tuple[str, tuple[int, int, int, int]]] = {}
+_LAYOUT_CACHE: dict[
+    tuple[int, str, str], tuple[str, tuple[int, int, int, int]]
+] = {}
 
 
 def _events_bounds(spark: SparkSession, sf_dir: str):
@@ -174,8 +176,24 @@ def _events_bounds(spark: SparkSession, sf_dir: str):
     return ev, (int(row[0]), int(row[1]), int(row[2]), int(row[3]))
 
 
+def _events_source_tag(sf_dir: str) -> str:
+    """Source fingerprint (mtime+size of events.parquet) folded into the
+    layout cache key — mirrors analytics._bucketed_source_tag: without
+    it a regenerated sf_dir (or a recycled id(spark) after session GC)
+    would serve a stale layout while the oracle reads fresh files
+    (ADVICE r6)."""
+    import os
+
+    p = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(p)
+        return f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return "missing"
+
+
 def _events_layout(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    key = (id(spark), sf_dir, _events_source_tag(sf_dir))
     if key not in _LAYOUT_CACHE:
         ev, bounds = _events_bounds(spark, sf_dir)
         path = tempfile.mkdtemp(prefix="dcs_zorder_")

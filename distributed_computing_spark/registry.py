@@ -3407,12 +3407,15 @@ def cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["cms_word_counts"] = cms_word_counts
 ORACLES["cms_word_counts"] = f"""
 WITH tok AS (SELECT unnest({_TOKENS}) AS word FROM documents),
+wc AS (SELECT word, count(*) AS n FROM tok
+       WHERE word IS NOT NULL GROUP BY word),
 h AS (
-  SELECT r,
+  SELECT r, n,
          ('0x' || substr(md5(word || '#' || CAST(r AS VARCHAR)), 1, 15))::BIGINT
            % 512 AS register
-  FROM tok, (VALUES (0), (1), (2), (3)) t(r))
-SELECT CAST(r AS INTEGER) AS sketch_row, register, count(*) AS cnt
+  FROM wc, (VALUES (0), (1), (2), (3)) t(r))
+SELECT CAST(r AS INTEGER) AS sketch_row, register,
+       CAST(sum(n) AS BIGINT) AS cnt
 FROM h GROUP BY r, register
 ORDER BY sketch_row, register"""
 
