@@ -74,6 +74,15 @@ HEADLINE = [
     "zorder_events_scan",
 ]
 
+# The round-6 headline set, frozen: BENCH_r07+ echoes the subtotal over
+# exactly these queries as `shared_prev_total` so a round-over-round
+# comparison of the headline never reads composition growth (new queries
+# joining HEADLINE) as a regression — r6's 79.9 s vs r5's 43.4 s was +10
+# queries, not a slowdown. Compare shared_prev_total to the PREVIOUS
+# round's headline value; new rounds append to HEADLINE above and
+# re-freeze this list at the end of the round.
+PREV_ROUND_HEADLINE = tuple(HEADLINE)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -111,6 +120,11 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        # subtotal over the PREVIOUS round's headline set: the
+        # round-over-round comparable number (composition-invariant)
+        "shared_prev_total": round(
+            sum(timings[q] for q in PREV_ROUND_HEADLINE if q in timings), 3
+        ),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -174,6 +188,7 @@ def _compact_for_tail(payload: dict) -> dict:
         rec = dict(xo.pop("dedup_tier_recorded", None) or {})
         rec.update(xo.pop("kv_tier_recorded", None) or {})
         rec.update(xo.pop("r6_tier_recorded", None) or {})
+        rec.update(xo.pop("r7_tier_recorded", None) or {})
         if "queries" in xo:
             xo["queries"] = {
                 k: [r2(v["spark_s"]), r2(v["duckdb_s"])]

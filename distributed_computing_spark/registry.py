@@ -3299,6 +3299,62 @@ SELECT segment, CAST(count(*) AS BIGINT) AS n_rows,
 FROM eff GROUP BY segment ORDER BY segment"""
 
 
+# Round 7 (VERDICT r6 item 6): IVM with a DATA-SIZED view. The 5-group
+# segment view can't exhibit "refresh beats recompute" (recomputing 5
+# rows is flat); keying the view per-CUSTOMER makes the view grow with
+# the data (1.5k groups at sf0.01, 15M at a real SF) while the delta
+# stays change-bound — the regime where maintaining the view pays.
+# The gated plan necessarily rebuilds the base view too (the gate times
+# correctness, not the refresh win); the paying-regime measurement with
+# a PRE-MATERIALIZED view is tools/ivm_tier.py, recorded in the
+# crossover tiers.
+def ivm_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer (count, revenue-cents) view refreshed from a signed
+    CDC delta (post-cutoff inserts, cancelled pre-cutoff 'F' deletes)
+    via analytics.ivm_refresh; oracle recomputes effective state, so
+    the gate proves delta algebra == recompute at view cardinality that
+    scales with the data (reference analog: none — EXT mandate)."""
+    from distributed_computing_spark.operators.analytics import ivm_refresh
+
+    cutoff = "1999-01-01"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+    base_rows = o.where(F.col("o_orderdate") < F.lit(cutoff))
+    base = base_rows.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("revenue_cents").alias("revenue_cents"),
+    )
+    delta = (
+        o.where(F.col("o_orderdate") >= F.lit(cutoff))
+        .withColumn("_sign", F.lit(1))
+        .unionByName(
+            base_rows.where(F.col("o_orderstatus") == "F").withColumn(
+                "_sign", F.lit(-1)
+            )
+        )
+    )
+    return ivm_refresh(
+        base, delta, ["o_custkey"], "n_rows", ("revenue_cents",)
+    ).orderBy("o_custkey")
+
+
+QUERIES["ivm_customer_revenue"] = ivm_customer_revenue
+ORACLES["ivm_customer_revenue"] = """
+WITH eff AS (
+  SELECT o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+  WHERE (o_orderdate < TIMESTAMP '1999-01-01' AND o_orderstatus <> 'F')
+     OR o_orderdate >= TIMESTAMP '1999-01-01')
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM eff GROUP BY o_custkey ORDER BY o_custkey"""
 
 
 # Round 6: equi-depth histogram over order values (two-level rank)

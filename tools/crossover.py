@@ -272,6 +272,29 @@ RECORDED_R6_TIERS: dict = {
     },
 }
 
+# Round-7 offline tiers (tools/ivm_tier.py; context in BASELINE.md
+# §"Round-7: IVM paying regime"). These measure the IVM CLAIM (refresh
+# cost bounded by |delta|+|view|, recompute by |fact|), not the oracle
+# ratio: spark_s = delta refresh of the pre-materialized per-customer
+# lineitem-revenue view, duckdb_s = single-node full recompute (join +
+# agg). The engine-internal contrast is the headline datum: Spark
+# refresh FLAT 1.3→1.6 s across R20→R100 while Spark's own recompute
+# grows 2.1→4.6 s (spark_recompute_s key) — the view pays once the
+# base scan dominates; single-node recompute (0.16→0.71 s, linear in
+# fact) extrapolates past the flat refresh near R~300 on this box.
+RECORDED_R7_TIERS: dict = {
+    "ivm_customer_refresh": {
+        "R20": {
+            "spark_s": 1.34, "duckdb_s": 0.16, "ratio": 8.4,
+            "spark_recompute_s": 2.14,
+        },
+        "R100": {
+            "spark_s": 1.55, "duckdb_s": 0.71, "ratio": 2.18,
+            "spark_recompute_s": 4.57,
+        },
+    },
+}
+
 # The stdout-echo subset of the recorded tiers: the bench's compact
 # line must fit the driver's 2000-char tail capture alongside 40
 # headline timings, so only the CURRENT round's slope tiers plus the
@@ -290,6 +313,10 @@ RECORDED_ECHO_KEYS: dict[str, tuple[str, ...]] = {
     "neardup_clusters": ("R50",),
     "kv_replay_hotkey": ("R500",),
     "kmeans_embeddings": ("R50",),
+    # round-7: the IVM paying-regime datum (spark_s = flat delta
+    # refresh; the same-engine recompute slope lives in
+    # RECORDED_R7_TIERS / BASELINE.md)
+    "ivm_customer_refresh": ("R100",),
 }
 
 # Fact tables are replicated with remapped keys; everything else copied.
@@ -547,6 +574,7 @@ def run_crossover(
         "dedup_tier_recorded": RECORDED_DEDUP_TIERS,
         "kv_tier_recorded": RECORDED_KV_TIERS,
         "r6_tier_recorded": RECORDED_R6_TIERS,
+        "r7_tier_recorded": RECORDED_R7_TIERS,
         "recorded_echo": _recorded_echo(),
     }
 
@@ -554,7 +582,12 @@ def run_crossover(
 def _recorded_echo() -> dict:
     """The curated stdout subset of the recorded tiers (see
     RECORDED_ECHO_KEYS): {family: {tier: [spark_s, duckdb_s]}}."""
-    src = {**RECORDED_DEDUP_TIERS, **RECORDED_KV_TIERS, **RECORDED_R6_TIERS}
+    src = {
+        **RECORDED_DEDUP_TIERS,
+        **RECORDED_KV_TIERS,
+        **RECORDED_R6_TIERS,
+        **RECORDED_R7_TIERS,
+    }
     return {
         fam: {
             t: [
