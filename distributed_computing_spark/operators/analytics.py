@@ -1032,7 +1032,12 @@ def hll_estimate(registers: dict[int, int], m: int = 64) -> float:
 
 
 def cms_register_sketch(
-    df: DataFrame, col: str, depth: int = 4, width: int = 512, seed0: int = 0
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 512,
+    seed0: int = 0,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-min sketch counter table over the ``md5_hash60`` family:
     (sketch_row, register, cnt) for depth independent hash rows of
@@ -1071,13 +1076,22 @@ def cms_register_sketch(
         raise ValueError("depth and width must be positive")
     from distributed_computing_spark.operators.dedup import md5_hash60
 
-    src = df.select(F.col(col).cast("string").alias("_v")).where(
-        F.col("_v").isNotNull()
-    )
-    if df.isStreaming:
-        src = src.withColumn("_n", F.lit(1).cast("long"))
+    if weight_col is not None:
+        # caller supplies pre-counted (value, n) rows — e.g. the fused
+        # Arrow token counter (mapreduce.fused_token_counts), which
+        # beats the explode+groupBy pre-agg by the usual 10-40x
+        src = df.select(
+            F.col(col).cast("string").alias("_v"),
+            F.col(weight_col).cast("long").alias("_n"),
+        ).where(F.col("_v").isNotNull())
     else:
-        src = src.groupBy("_v").agg(F.count(F.lit(1)).alias("_n"))
+        src = df.select(F.col(col).cast("string").alias("_v")).where(
+            F.col("_v").isNotNull()
+        )
+        if df.isStreaming:
+            src = src.withColumn("_n", F.lit(1).cast("long"))
+        else:
+            src = src.groupBy("_v").agg(F.count(F.lit(1)).alias("_n"))
     positions = F.array(
         *[
             F.struct(

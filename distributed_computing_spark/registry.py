@@ -3473,15 +3473,23 @@ FROM documents"""
 # joins HLL (cardinality) under the strict gate; twin of the rows-only
 # frequent_items the way hll_user_registers twins approx_distinct_users.
 def cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from distributed_computing_spark.functions.text import tokens
+    # Round 7 (VERDICT r6 item 4): feed the sketch from the FUSED Arrow
+    # token counter instead of explode+groupBy — md5 work was already
+    # cut to distinct tokens by the pre-agg; this cuts the pre-agg
+    # itself (the explode-family rewrite, CLAUDE.md). Same sketch
+    # bit-for-bit: fused_token_counts' token semantics are exactly
+    # `tokens`, and weighting counters by n equals counting occurrences.
     from distributed_computing_spark.operators.analytics import (
         cms_register_sketch,
     )
+    from distributed_computing_spark.operators.mapreduce import (
+        fused_token_counts,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(F.explode(tokens("text")).alias("word"))
+    wc = fused_token_counts(docs)
     return cms_register_sketch(
-        words, "word", depth=4, width=512, seed0=0
+        wc, "word", depth=4, width=512, seed0=0, weight_col="cnt"
     ).orderBy("sketch_row", "register")
 
 

@@ -216,11 +216,15 @@ RECORDED_R6_TIERS: dict = {
     },
     # late-round additions (sketch trio completion + graph distances):
     "cms_word_counts": {
-        # md5-exactness-family cost (the hll note); both engines
-        # ~linear in tokens, ratio flat — the sketch-sized exchange
-        # holds (the shuffle stays <= 2k rows/task at every tier)
-        "R20": {"spark_s": 7.9, "duckdb_s": 0.54, "ratio": 14.8},
-        "R50": {"spark_s": 16.9, "duckdb_s": 1.06, "ratio": 16.0},
+        # round-7 re-measure after the pre-aggregation rewrite (md5 on
+        # distinct tokens, fused Arrow token counter feeding the
+        # sketch; oracle mirrors): Spark went 7.9/16.9 s -> 3.4/3.8 s
+        # and is now ~FLAT across tiers (the occurrence-proportional
+        # cost is gone); DuckDB's recompute also sped up with the
+        # mirrored pre-agg (0.54/1.06 -> 0.14/0.22), so the RATIO
+        # stays md5-family-shaped while both absolutes dropped.
+        "R20": {"spark_s": 3.4, "duckdb_s": 0.14, "ratio": 24.5},
+        "R50": {"spark_s": 3.8, "duckdb_s": 0.22, "ratio": 17.1},
     },
     "pagerank_parts": {
         # round-5 query, tiers measured late round 6: converging like
