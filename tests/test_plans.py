@@ -396,13 +396,15 @@ def test_bloom_prune_is_scan_side_no_extra_exchange(spark):
 
 
 def test_cms_exchange_is_sketch_sized_partial(spark):
-    """CMS registers: ONE hash exchange, partial-aggregated — each
-    task's stream collapses to <= depth*width partial rows before the
-    shuffle (the sketch algebra, A6 discipline)."""
+    """CMS registers (round-7 shape): the fused Arrow token counter
+    pre-aggregates (word, cnt) — one distinct-words exchange — then the
+    sketch groupBy adds one more; BOTH are partial-aggregated, so each
+    task ships <= distinct-words / <= depth*width partial rows (the
+    sketch algebra, A6 discipline)."""
     df = QUERIES["cms_word_counts"](spark, SF_DIR)
-    assert count_exchanges(df) == 1
+    assert count_exchanges(df) == 2
     plan = _plan(df)
-    assert "partial_count" in plan
+    assert "partial_sum" in plan
 
 
 def test_bfs_edge_build_shuffle_budget(spark):
