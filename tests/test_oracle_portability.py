@@ -128,6 +128,8 @@ _AUDITED_FLOORDIV = [
     r"\(\(tmax - tmin\) \* \d+\) // 100",
     # a.wk >= per-user min week, so datediff is non-negative.
     r"CAST\(datediff\('day', f\.cohort_week, a\.wk\) // 7",
+    # MP3 spec frame size: kbps and sample rate are positive constants.
+    r"144000 \* kbps // 44100",
     # counts / sequence numbers / token counts are non-negative.
     r"max\(seq\) // 2",
     r"seq <= ms // 3",
