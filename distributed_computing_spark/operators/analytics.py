@@ -1209,6 +1209,58 @@ def kmv_jaccard(a: list[int], b: list[int], k: int = 64) -> float:
     return inter / max(len(union_k), 1)
 
 
+def kmv_union_sketches(
+    sketches: DataFrame, group_col: str, k: int = 64
+) -> DataFrame:
+    """Pairwise KMV sketch MERGE — the set-operation algebra that makes
+    KMV strictly stronger than HLL: the union sketch of two groups is
+    the k smallest distinct hashes of the union of their sketches
+    (closed under merge, no raw-data rescan), and the ``in_both`` flag
+    carries the intersection evidence the Jaccard/intersection
+    estimators consume (``kmv_jaccard``, client-side — float rule).
+    Output: (g_a, g_b, rnk, hval, in_both) for every unordered group
+    pair, rnk <= k.
+
+    Scale shape: inputs are SKETCHES (k rows per group), never the raw
+    table — merging two corpora's per-group distinct summaries costs
+    |groups|²·k rows total regardless of source size. One exchange on
+    (pair, hval) for the dedup+rank; the rank filter compiles to
+    WindowGroupLimit like kmv_sketch's (plan-asserted).
+    """
+    gs = sketches.select(F.col(group_col).alias("_g")).distinct()
+    pairs = (
+        gs.select(F.col("_g").alias("g_a"))
+        .join(gs.select(F.col("_g").alias("g_b")), F.col("g_a") < F.col("g_b"))
+    )
+    a = sketches.select(F.col(group_col).alias("g_a"), "hval")
+    b = sketches.select(F.col(group_col).alias("g_b"), "hval")
+    u = (
+        pairs.join(a, "g_a")
+        .select("g_a", "g_b", "hval", F.lit(1).alias("_a"), F.lit(0).alias("_b"))
+        .unionByName(
+            pairs.join(b, "g_b").select(
+                "g_a", "g_b", "hval", F.lit(0).alias("_a"), F.lit(1).alias("_b")
+            )
+        )
+        .groupBy("g_a", "g_b", "hval")
+        .agg(F.max("_a").alias("_a"), F.max("_b").alias("_b"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g_a", "g_b").orderBy("hval")
+    return (
+        u.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "g_a",
+            "g_b",
+            F.col("rnk").cast("int").alias("rnk"),
+            "hval",
+            (F.col("_a") * F.col("_b")).cast("int").alias("in_both"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bloom-filter semi-join pruning (membership sketch)
 # ---------------------------------------------------------------------------

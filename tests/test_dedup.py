@@ -609,3 +609,44 @@ def test_prefix_length_integer_ceil_never_undersizes(spark):
     got = ngram_jaccard_prefix_pairs(docs, n=3, max_df=None).collect()
     release_tracked()
     assert [(r["a"], r["b"], r["jaccard"]) for r in got] == [(1, 2, 1.0)]
+
+
+def test_blocklist_automaton_overlaps_and_failure_links(spark):
+    """AC semantics: ALL token-aligned occurrences, overlapping
+    included; failure links must surface a pattern that is a suffix of
+    another pattern's prefix path (the case a naive trie walk misses)."""
+    from distributed_computing_spark.operators.dedup import blocklist_matches
+
+    docs = spark.createDataFrame(
+        [
+            # 'b b b b' contains 'b b' 3 times (overlapping) and
+            # 'b b b' twice
+            (1, "b b b b"),
+            # 'a b c': walking pattern 'a b x' fails at 'c'; the
+            # failure chain must still report 'b c'
+            (2, "a b c"),
+            (3, "nothing here matches"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["phrase"]): r["n_matches"]
+        for r in blocklist_matches(
+            docs, ["b b", "b b b", "a b x", "b c"]
+        ).collect()
+    }
+    assert got == {
+        (1, "b b"): 3,
+        (1, "b b b"): 2,
+        (2, "b c"): 1,
+    }
+
+
+def test_blocklist_rejects_empty_phrase(spark):
+    import pytest
+
+    from distributed_computing_spark.operators.dedup import blocklist_matches
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        blocklist_matches(docs, ["ok phrase", "  "])
