@@ -287,6 +287,23 @@ RECORDED_R6_TIERS: dict = {
 # base scan dominates; single-node recompute (0.16→0.71 s, linear in
 # fact) extrapolates past the flat refresh near R~300 on this box.
 RECORDED_R7_TIERS: dict = {
+    "blocklist_phrase_matches": {
+        # Aho-Corasick automaton scan: Spark ~FLAT (one linear pass
+        # per partition, hit-sized exchange) vs the single-node
+        # positional join growing linearly -> crossover FLIPS at R100
+        "R20": {"spark_s": 5.35, "duckdb_s": 2.31, "ratio": 2.32},
+        "R50": {"spark_s": 5.13, "duckdb_s": 4.49, "ratio": 1.14},
+        "R100": {"spark_s": 6.06, "duckdb_s": 10.09, "ratio": 0.60},
+    },
+    "phrase_search_index": {
+        # the index-side variant pays a postings exchange that grows
+        # with the corpus — honest contrast to the automaton scan
+        # (kept as the optimizer-variant pair; the scan is the scale
+        # plan for ad-hoc blocklists, the index pays only when
+        # amortized over many query sets)
+        "R20": {"spark_s": 9.0, "duckdb_s": 2.18, "ratio": 4.13},
+        "R50": {"spark_s": 18.8, "duckdb_s": 4.84, "ratio": 3.89},
+    },
     "ivm_customer_refresh": {
         "R20": {
             "spark_s": 1.34, "duckdb_s": 0.16, "ratio": 8.4,
