@@ -146,3 +146,73 @@ FROM cand c
 JOIN nm na ON na.id = c.a_id
 JOIN nm nb ON nb.id = c.b_id
 WHERE levenshtein(na.name, nb.name) <= {max_dist}"""
+
+
+def fastss_edit1_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_bucket: int = 10000,
+) -> DataFrame:
+    """All (a, b, dist) pairs with Levenshtein distance <= 1, a < b —
+    INCLUDING the insert/delete pairs the equal-length pigeonhole
+    (``edit_distance_pairs``) cannot reach: FastSS deletion
+    neighborhoods (Bocek et al. 2007). Two strings are within edit
+    distance 1 iff their 1-deletion neighborhoods D(s) = {s} ∪
+    {s minus char i} intersect: a substitution pair meets at the key
+    with the differing char deleted; an insert/delete pair meets at
+    the shorter string itself.
+
+    Design for 100 TB (the MinHash-band discipline):
+    - neighborhood generation is pure JVM (sequence + transform +
+      substring) — |s|+1 variants per row, no Python;
+    - the candidate exchange carries (id, xxhash64(variant)) ONLY —
+      a hash collision can only ADD a candidate, and the exact
+      Levenshtein verify removes it, so hashing is loss-free;
+    - every bucket carries the ABSOLUTE ``max_bucket`` cap (CLAUDE.md
+      rule: relative caps don't survive scale-up); at the gated data
+      the deepest bucket is ~15, so the default cap is provably
+      inactive and the brute-force oracle stays exact — at a scale
+      where the cap binds, the contract becomes pairs-within-cap,
+      like the MinHash/ngram guards;
+    - names re-attach by id-keyed joins only for the final verify.
+    """
+    nm = F.col(name_col)
+    variants = F.array_distinct(
+        F.concat(
+            F.array(nm),
+            F.transform(
+                F.sequence(F.lit(1), F.length(nm)),
+                lambda i: F.concat(
+                    F.substring(nm, F.lit(1), i - 1),
+                    F.substring(nm, i + 1, F.length(nm)),
+                ),
+            ),
+        )
+    )
+    vk = (
+        df.select(F.col(id_col).alias("_id"), F.explode(variants).alias("_v"))
+        .select("_id", F.xxhash64("_v").alias("_kh"))
+        .distinct()
+    )
+    ok = (
+        vk.groupBy("_kh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") <= max_bucket)
+        .select("_kh")
+    )
+    vk = vk.join(ok, "_kh")
+    cand = (
+        vk.alias("x")
+        .join(vk.alias("y"), "_kh")
+        .where(F.col("x._id") < F.col("y._id"))
+        .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
+        .distinct()
+    )
+    names = df.select(F.col(id_col).alias("_nid"), F.col(name_col).alias("_nm"))
+    return (
+        cand.join(names.withColumnRenamed("_nid", "a").withColumnRenamed("_nm", "_na"), "a")
+        .join(names.withColumnRenamed("_nid", "b").withColumnRenamed("_nm", "_nb"), "b")
+        .where(F.levenshtein("_na", "_nb") <= 1)
+        .select("a", "b", F.levenshtein("_na", "_nb").cast("int").alias("dist"))
+    )

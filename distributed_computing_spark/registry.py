@@ -3776,6 +3776,29 @@ def kmv_pair_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Round 7: FastSS deletion-neighborhood similarity join — general
+# Levenshtein<=1 pairs INCLUDING insert/delete (the equal-length
+# pigeonhole of fuzzy_customer_match can't reach those). Oracle is the
+# brute-force levenshtein self-join — an independent algorithm; both
+# engines' levenshtein are the classic DP distance, exact integers.
+def edit1_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.linkage import (
+        fastss_edit1_pairs,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fastss_edit1_pairs(cust, "c_custkey", "c_name").orderBy("a", "b")
+
+
+QUERIES["edit1_customer_pairs"] = edit1_customer_pairs
+ORACLES["edit1_customer_pairs"] = """
+SELECT a.c_custkey AS a, b.c_custkey AS b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY a, b"""
+
+
 QUERIES["kmv_pair_sketches"] = kmv_pair_sketches
 ORACLES["kmv_pair_sketches"] = """
 WITH h AS (

@@ -100,3 +100,43 @@ def test_candidate_exchange_is_ids_only(spark, sf_dir):
     assert pair_blocks, "expected at least the distinct-pairs exchange"
     for block in pair_blocks:
         assert "name" not in block, block
+
+
+def test_fastss_edit1_semantics(spark):
+    """Deletion-neighborhood completeness: substitution, insert,
+    delete, and exact-dup (dist 0) pairs all surface; dist-2 pairs do
+    not; results carry the exact Levenshtein distance."""
+    from distributed_computing_spark.operators.linkage import (
+        fastss_edit1_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abd"), (3, "ab"), (4, "abcd"), (5, "xyz"),
+         (6, "abc")],
+        "id long, name string",
+    )
+    got = sorted(
+        (r["a"], r["b"], r["dist"])
+        for r in fastss_edit1_pairs(df, "id", "name").collect()
+    )
+    assert got == [
+        (1, 2, 1), (1, 3, 1), (1, 4, 1), (1, 6, 0),
+        (2, 3, 1), (2, 4, 1), (2, 6, 1),
+        (3, 6, 1), (4, 6, 1),
+    ]
+
+
+def test_fastss_edit1_bucket_cap_drops_oversized(spark):
+    """The ABSOLUTE max_bucket guard: a key shared by more than
+    max_bucket rows generates no candidates from that bucket (scale
+    contract — pairs-within-cap)."""
+    from distributed_computing_spark.operators.linkage import (
+        fastss_edit1_pairs,
+    )
+
+    # 5 identical names share every neighborhood key
+    df = spark.createDataFrame(
+        [(i, "same") for i in range(5)], "id long, name string"
+    )
+    assert fastss_edit1_pairs(df, "id", "name", max_bucket=4).count() == 0
+    assert fastss_edit1_pairs(df, "id", "name", max_bucket=5).count() == 10
