@@ -1011,6 +1011,56 @@ def hll_register_sketch(
     return out.groupBy("register").agg(F.max("rank").alias("max_rank"))
 
 
+def hll_group_registers(
+    df: DataFrame, group_col: str, col: str, m: int = 64, seed: int = 0
+) -> DataFrame:
+    """Per-GROUP HLL register table (group, register, max_rank) — the
+    grouped form of ``hll_register_sketch`` (same hash/rank contract;
+    see its docstring). The partial aggregation collapses each task to
+    <= |groups|·m rows before the single exchange."""
+    if m & (m - 1) != 0:
+        raise ValueError("m must be a power of two")
+    from distributed_computing_spark.operators.dedup import md5_hash60
+
+    bits = 60 - (m.bit_length() - 1)
+    hashed = df.where(F.col(col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        md5_hash60(F.col(col).cast("string"), seed).alias("_h"),
+    )
+    rest = F.expr(f"_h div {m}")
+    rank = F.when(rest == 0, F.lit(bits + 1)).otherwise(
+        F.lit(bits + 1) - F.length(F.bin(rest))
+    )
+    return (
+        hashed.select(
+            "grp",
+            F.pmod(F.col("_h"), F.lit(m)).alias("register"),
+            rank.cast("long").alias("rank"),
+        )
+        .groupBy("grp", "register")
+        .agg(F.max("rank").alias("max_rank"))
+        .withColumnRenamed("grp", group_col)
+    )
+
+
+def hll_merge_registers(
+    registers: DataFrame, mapping: DataFrame, from_col: str, to_col: str
+) -> DataFrame:
+    """Distributive HLL ROLLUP: merge fine-grained register tables into
+    coarser groups by elementwise max — the algebra that lets a 100 TB
+    pipeline maintain per-partition distinct sketches and answer any
+    coarser distinct-count without rescanning raw data (merging two
+    corpora's sketches is the same operation). The merged registers
+    are EXACTLY the registers a direct computation at the coarse level
+    would produce (max is distributive over the partition), which is
+    what the oracle checks."""
+    return (
+        registers.join(F.broadcast(mapping), from_col)
+        .groupBy(to_col, "register")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+
+
 def hll_estimate(registers: dict[int, int], m: int = 64) -> float:
     """Client-side HLL estimate from a {register: max_rank} dict —
     the only float step, deliberately outside the gated plan."""

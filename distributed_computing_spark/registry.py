@@ -3776,6 +3776,74 @@ def kmv_pair_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Round 7: distributive HLL ROLLUP — per-nation distinct-customer
+# register tables merged to per-region by elementwise max, both levels
+# gated. The merge NEVER rescans raw data; the oracle recomputes the
+# REGION level directly from the raw rows, so the gate proves the
+# distributive-algebra claim (merge of fine sketches == sketch of the
+# union) — the property that lets per-partition sketches answer any
+# coarser rollup at 100 TB.
+def hll_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.analytics import (
+        hll_group_registers,
+        hll_merge_registers,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    base = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    nat_regs = hll_group_registers(base, "n_name", "c_custkey", m=64, seed=0)
+    mapping = nat.join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    ).select("n_name", "r_name")
+    reg_regs = hll_merge_registers(nat_regs, mapping, "n_name", "r_name")
+    out = nat_regs.select(
+        F.lit("nation").alias("level"),
+        F.col("n_name").alias("grp"),
+        "register",
+        "max_rank",
+    ).unionByName(
+        reg_regs.select(
+            F.lit("region").alias("level"),
+            F.col("r_name").alias("grp"),
+            "register",
+            "max_rank",
+        )
+    )
+    return out.orderBy("level", "grp", "register")
+
+
+QUERIES["hll_nation_rollup"] = hll_nation_rollup
+ORACLES["hll_nation_rollup"] = """
+WITH h AS (
+  SELECT n.n_name, r.r_name,
+         ('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR) || '#0'), 1, 15))::BIGINT
+           AS h
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey),
+x AS (SELECT n_name, r_name, h % 64 AS register, h // 64 AS rest FROM h),
+nat AS (
+  SELECT 'nation' AS level, n_name AS grp, register,
+         CAST(max(CASE WHEN rest = 0 THEN 55
+                       ELSE 55 - length(bin(rest)) END) AS BIGINT) AS max_rank
+  FROM x GROUP BY n_name, register),
+reg AS (
+  SELECT 'region' AS level, r_name AS grp, register,
+         CAST(max(CASE WHEN rest = 0 THEN 55
+                       ELSE 55 - length(bin(rest)) END) AS BIGINT) AS max_rank
+  FROM x GROUP BY r_name, register)
+SELECT * FROM nat UNION ALL SELECT * FROM reg
+ORDER BY level, grp, register"""
+
+
 # Round 7: FastSS deletion-neighborhood similarity join — general
 # Levenshtein<=1 pairs INCLUDING insert/delete (the equal-length
 # pigeonhole of fuzzy_customer_match can't reach those). Oracle is the

@@ -908,3 +908,32 @@ def test_kmv_union_sketch_merge_closure(spark):
     # the true 20/60
     est = kmv_jaccard(sorted(a_hashes), sorted(b_hashes), k=k)
     assert 0.05 <= est <= 0.8
+
+
+def test_hll_merge_equals_direct_coarse_sketch(spark):
+    """The distributive-rollup property: merging fine-group register
+    tables by elementwise max equals sketching the coarse group
+    directly from raw rows — on planted groups with overlap."""
+    from pyspark.sql import functions as F
+
+    from distributed_computing_spark.operators.analytics import (
+        hll_group_registers,
+        hll_merge_registers,
+        hll_register_sketch,
+    )
+
+    rows = [("a", v) for v in range(30)] + [("b", v) for v in range(15, 50)]
+    df = spark.createDataFrame(rows, "fine string, v long")
+    fine = hll_group_registers(df, "fine", "v", m=64, seed=0)
+    mapping = spark.createDataFrame(
+        [("a", "all"), ("b", "all")], "fine string, coarse string"
+    )
+    merged = {
+        (r["register"]): r["max_rank"]
+        for r in hll_merge_registers(fine, mapping, "fine", "coarse").collect()
+    }
+    direct = {
+        r["register"]: r["max_rank"]
+        for r in hll_register_sketch(df, "v", m=64, seed=0).collect()
+    }
+    assert merged == direct
