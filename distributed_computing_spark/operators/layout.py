@@ -285,3 +285,62 @@ WHERE user_id BETWEEN umin + ((umax - umin) * 20) // 100
   AND epoch_us(ts) // 1000000 BETWEEN tmin + ((tmax - tmin) * 30) // 100
                                   AND tmin + ((tmax - tmin) * 45) // 100
 GROUP BY 1"""
+
+
+def parquet_footer_profile(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Distributed Parquet FOOTER profiler: one row per (file,
+    row_group, column) with value counts and compressed/uncompressed
+    chunk sizes — the physical-layout observability a 100 TB lake
+    needs (skew detection, compression audit, row-group sizing)
+    without touching data pages: footers are KBs regardless of file
+    size, so profiling a million-file table costs a million metadata
+    reads, distributed here over the file list (one Arrow task batch
+    per partition of paths; pyarrow reads only the footer).
+
+    Cross-engine contract: fields mirror DuckDB's parquet_metadata()
+    (path_in_schema / num_values / total_compressed_size /
+    total_uncompressed_size) — equality is pytest-checked per file
+    (test_layout); the registry entry is rows-only because oracle SQL
+    is static text and cannot carry the runtime data path."""
+    import os
+    from typing import Iterator
+
+    import pandas as pd
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = {
+                "file_name": [],
+                "row_group": [],
+                "column_name": [],
+                "num_values": [],
+                "compressed_bytes": [],
+                "uncompressed_bytes": [],
+            }
+            for p in pdf["path"]:
+                md = pq.ParquetFile(str(p)).metadata
+                base = os.path.basename(str(p))
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    for ci in range(rg.num_columns):
+                        c = rg.column(ci)
+                        rows["file_name"].append(base)
+                        rows["row_group"].append(g)
+                        rows["column_name"].append(c.path_in_schema)
+                        rows["num_values"].append(c.num_values)
+                        rows["compressed_bytes"].append(
+                            c.total_compressed_size
+                        )
+                        rows["uncompressed_bytes"].append(
+                            c.total_uncompressed_size
+                        )
+            yield pd.DataFrame(rows)
+
+    files = spark.createDataFrame([(p,) for p in paths], ["path"])
+    return files.repartition(min(len(paths), 32)).mapInPandas(
+        scan,
+        schema="file_name string, row_group int, column_name string, "
+        "num_values long, compressed_bytes long, uncompressed_bytes long",
+    )

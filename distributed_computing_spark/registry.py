@@ -3844,6 +3844,32 @@ SELECT * FROM nat UNION ALL SELECT * FROM reg
 ORDER BY level, grp, register"""
 
 
+# Round 7: distributed Parquet FOOTER profiler — physical-layout
+# observability (skew, compression ratios, row-group sizing) from
+# footer-only reads: KBs per file no matter how big the data pages,
+# distributed over the file list. ROWS-ONLY by necessity: the fields
+# mirror DuckDB's parquet_metadata() exactly, but oracle SQL is static
+# text and cannot carry the runtime sf_dir path — the exact
+# cross-engine equality is pytest-pinned instead (test_layout's
+# test_footer_profile_matches_duckdb_parquet_metadata).
+def parquet_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from distributed_computing_spark.operators.layout import (
+        parquet_footer_profile,
+    )
+
+    paths = [
+        os.path.join(sf_dir, f"{t}.parquet") for t in ("lineitem", "orders")
+    ]
+    return parquet_footer_profile(spark, paths).orderBy(
+        "file_name", "row_group", "column_name"
+    )
+
+
+QUERIES["parquet_profile"] = parquet_profile
+
+
 # Round 7: FastSS deletion-neighborhood similarity join — general
 # Levenshtein<=1 pairs INCLUDING insert/delete (the equal-length
 # pigeonhole of fuzzy_customer_match can't reach those). Oracle is the

@@ -109,3 +109,40 @@ def test_range_guard_raises(spark, tmp_path):
         zorder_write(
             df, str(tmp_path / "p"), "x", "y", (0, 1 << 50, 0, 1), bits=16
         )
+
+
+def test_footer_profile_matches_duckdb_parquet_metadata(spark):
+    """The rows-only registry entry's exact twin: every (file,
+    row_group, column) row from the distributed footer scan must equal
+    DuckDB's parquet_metadata() on the same files — this test IS the
+    oracle (static oracle SQL cannot carry the runtime path)."""
+    import os
+
+    import duckdb
+
+    from distributed_computing_spark.operators.layout import (
+        parquet_footer_profile,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    paths = [
+        os.path.join(sf_dir, f"{t}.parquet") for t in ("lineitem", "orders")
+    ]
+    got = {
+        (r["file_name"], r["row_group"], r["column_name"]): (
+            r["num_values"],
+            r["compressed_bytes"],
+            r["uncompressed_bytes"],
+        )
+        for r in parquet_footer_profile(spark, paths).collect()
+    }
+    con = duckdb.connect()
+    want = {}
+    for p in paths:
+        for name, rg, nv, cs, us in con.execute(
+            "SELECT path_in_schema, row_group_id, num_values, "
+            "total_compressed_size, total_uncompressed_size "
+            f"FROM parquet_metadata('{p}')"
+        ).fetchall():
+            want[(os.path.basename(p), rg, name)] = (nv, cs, us)
+    assert got == want and len(got) > 0
