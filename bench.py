@@ -83,6 +83,17 @@ HEADLINE = [
 # re-freeze this list at the end of the round.
 PREV_ROUND_HEADLINE = tuple(HEADLINE)
 
+# Round-7 additions (AFTER the freeze, so shared_prev_total stays the
+# r6-comparable subtotal): phrase blocklist (AC scan), the MP3 frame
+# layer, FastSS edit-1 join, the HLL rollup, and the data-sized IVM.
+HEADLINE += [
+    "blocklist_phrase_matches",
+    "multimodal_mp3_decode",
+    "edit1_customer_pairs",
+    "hll_nation_rollup",
+    "ivm_customer_revenue",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

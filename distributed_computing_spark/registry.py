@@ -3926,64 +3926,66 @@ ORDER BY g_a, g_b, rnk"""
 
 
 # ---------------------------------------------------------------------------
-# Driver-gate window rotation (round 6)
+# Driver-gate window rotation (round 7 — VERDICT r6 item 3)
 # ---------------------------------------------------------------------------
-# Same policy as _R5_WINDOW (staleness-driven; the driver gates the
-# FIRST 50 entries). After r5: 10 round-6 queries are new (never
-# gated), 28 were last gated in r3, the rest in r4/r5. Window = all 10
-# new + all 28 r3-stale + the 12 most consequential r4-gated entries
-# (iterative/oracle-generator/bucketed-plan queries first). This block
-# sits at the END of the file so it orders the final QUERIES dict.
-_R6_WINDOW = [
-    # new in round 6 (never driver-gated)
-    "dup_spans", "span_dedup_stats", "copurchase_triangles",
-    "doc_skyline", "hll_user_registers", "events_ohlc", "pagerank_parts",
-    "fuzzy_customer_match", "zorder_cells", "zorder_events_scan",
-    # last driver row r3 (all 28)
-    "bigram_logprob", "clean_docs", "copurchase_pairs",
-    "curated_read_pruned", "decayed_user_activity", "dq_audit",
-    "epoch_shuffle", "event_transitions", "events_gapfill", "ivf_topk",
-    "lsh_topk", "mixture_sample", "multimodal_ann", "multimodal_audio",
-    "multimodal_avi_frames", "multimodal_bmp_decode", "multimodal_decode",
-    "multimodal_features", "multimodal_frames", "multimodal_real_ann",
-    "multimodal_stats", "multimodal_wav_decode", "prefix_dups",
-    "salted_revenue_join", "sample_by_lang", "source_token_kl",
-    # most consequential of the r4-gated remainder (+ the round-6
-    # kmeans, registered below the original window position). The
-    # late-round sketch/graph/join additions (cms/bfs/bloom/kmv)
-    # displaced neardup_canonical / ngram_jaccard_pairs /
-    # regional_revenue_bucketed / neardup_clusters (all r4-green) —
-    # never-gated queries outrank re-gating.
-    "copurchase_kcore", "multimodal_gif_decode",
-    "weighted_order_sample", "ivm_segment_revenue",
-    "orders_equidepth", "span_dedup_apply", "kmeans_embeddings",
-    "ngram_jaccard_prefix",
-    "cms_word_counts", "copurchase_bfs", "bloom_semi_orders",
-    "kmv_user_sketches", "stream_cms_counts", "copurchase_shortest_paths",
+# Staleness-driven (the driver gates the FIRST 50 entries). After r6
+# the stalest cohort is the r4-gated remainder that round 6 displaced
+# plus the two r3-green leftovers; round 7 adds 8 never-gated queries
+# and changed 4 (kmeans's oracle fix MUST be proven in-window per the
+# VERDICT done-criterion; cms/stream_cms got the pre-agg rewrite;
+# kv_effective_ops got the narrow projection). 13 low-risk r4
+# relational-suite entries don't fit and are round 8's first picks:
+# bool_aggregates, corr_stats, lang_long_format, order_running_totals,
+# price_outliers, pricing_summary, priority_cube, priority_rollup,
+# regex_extraction, scalar_functions, string_functions,
+# source_lang_pivot, token_array_ops.
+_R7_WINDOW = [
+    # new in round 7 (never driver-gated)
+    "ivm_customer_revenue", "multimodal_mp3_decode",
+    "blocklist_phrase_matches", "phrase_search_index",
+    "kmv_pair_sketches", "edit1_customer_pairs", "hll_nation_rollup",
+    "parquet_profile",
+    # changed in round 7 (must re-prove under the driver)
+    "kmeans_embeddings", "cms_word_counts", "stream_cms_counts",
+    "kv_effective_ops",
+    # last driver row r3 (both)
+    "train_test_split", "value_histogram",
+    # last driver row r4 (stalest 36 of 49; the VERDICT-named set —
+    # exact_dedup, events_windowed, asof/range joins, the kv family,
+    # neardup clusters/canonical, ngram_jaccard_pairs,
+    # regional_revenue_bucketed — all included)
+    "approx_distinct_users", "approx_percentiles", "asof_attribution",
+    "bpe_encode_stats", "bpe_merges", "events_json_extract",
+    "events_windowed", "exact_dedup", "frequent_items",
+    "funnel_conversion", "inverted_index", "kv_changes", "kv_get",
+    "kv_snapshot", "kv_state", "mapreduce_wordcount",
+    "multimodal_png_decode", "neardup_canonical", "neardup_clusters",
+    "ngram_jaccard_pairs", "order_percentiles", "range_join_views",
+    "regional_revenue", "regional_revenue_bucketed",
+    "revenue_by_segment", "revenue_percentiles",
+    "rolling_weekly_revenue", "semi_anti_orders", "set_ops",
+    "shard_census", "shard_routing", "table_profile", "tiered_rollup",
+    "top_orders", "user_event_profile", "user_sessions",
 ]
-assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
-QUERIES = {name: QUERIES[name] for name in _R6_WINDOW} | {
-    k: v for k, v in QUERIES.items() if k not in set(_R6_WINDOW)
+assert len(_R7_WINDOW) == 50 and len(set(_R7_WINDOW)) == 50
+QUERIES = {name: QUERIES[name] for name in _R7_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R7_WINDOW)
 }
 
 # Every never-driver-gated query MUST sit inside the first-50 window —
 # this file-end block is the last statement touching QUERIES, and this
 # guard fails loudly if a future registration lands below it.
-_R6_NEW = [
-    "dup_spans", "span_dedup_stats", "span_dedup_apply",
-    "copurchase_triangles", "doc_skyline", "hll_user_registers",
-    "weighted_order_sample", "ivm_segment_revenue", "orders_equidepth",
-    "kmeans_embeddings", "events_ohlc", "pagerank_parts",
-    "fuzzy_customer_match", "zorder_cells", "zorder_events_scan",
-    "ngram_jaccard_prefix", "copurchase_kcore", "multimodal_gif_decode",
-    "cms_word_counts", "copurchase_bfs", "bloom_semi_orders",
-    "kmv_user_sketches", "stream_cms_counts", "copurchase_shortest_paths",
+_R7_NEW = [
+    "ivm_customer_revenue", "multimodal_mp3_decode",
+    "blocklist_phrase_matches", "phrase_search_index",
+    "kmv_pair_sketches", "edit1_customer_pairs", "hll_nation_rollup",
+    "parquet_profile",
 ]
 _order = list(QUERIES)
-for _q in _R6_NEW:
+for _q in _R7_NEW:
     if _order.index(_q) >= 50:
         raise RuntimeError(
-            f"round-6 query {_q!r} fell outside the driver's first-50 "
-            "gate window — keep the _R6_WINDOW block at the END of "
+            f"round-7 query {_q!r} fell outside the driver's first-50 "
+            "gate window — keep the _R7_WINDOW block at the END of "
             "registry.py and add new registrations to it"
         )

@@ -26,6 +26,10 @@ ROWS_ONLY = {
     "multimodal_decode",
     "multimodal_features",
     "sample_by_lang",
+    # round 7: footer profiler — static oracle SQL cannot carry the
+    # runtime parquet path; its exact DuckDB parquet_metadata() twin is
+    # test_layout.test_footer_profile_matches_duckdb_parquet_metadata
+    "parquet_profile",
     # bpe_merges / bpe_encode_stats graduated OUT of this set in round 4:
     # the 24-round merge loop unrolls into generated MATERIALIZED CTEs
     # (registry._bpe_merges_oracle_sql), so both are strictly gated now.

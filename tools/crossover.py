@@ -56,6 +56,9 @@ DEFAULT_QUERIES = [
     # triangle closure on the co-purchase graph.
     "dup_spans",
     "copurchase_triangles",
+    # round-7: the Aho-Corasick phrase blocklist — flat automaton scan
+    # vs the single-node positional join (flips to a Spark win at R100)
+    "blocklist_phrase_matches",
 ]
 
 # The clustering tier (VERDICT r3 item 1) is measured OFFLINE with
