@@ -227,8 +227,12 @@ def _compact_for_tail(payload: dict) -> dict:
     def _len(d):
         return len(json.dumps(d, separators=(",", ":")))
 
-    # shed optional detail, least essential first, until the line fits
-    for drop in ("rows", "recorded", "queries"):
+    # shed optional detail, least essential first, until the line fits.
+    # Round 7: with 46 headline timings the live per-query crossover
+    # arrays no longer fit next to the curated recorded echo — shed
+    # the live arrays BEFORE the recorded slope cells (the totals +
+    # ratio still ride stdout; per-query lives in .bench_full.json).
+    for drop in ("rows", "queries", "recorded"):
         if _len(p) <= _TAIL_BUDGET:
             break
         if isinstance(p.get("crossover"), dict):
