@@ -1402,9 +1402,15 @@ def blocklist_matches(
                 }
             )
 
-    hits = documents.select(
-        F.col(id_col), F.col(text_col).cast("string").alias(text_col)
-    ).mapInPandas(scan, schema="_id long, _pid int, n_matches long")
+    hits = (
+        documents.select(
+            F.col(id_col), F.col(text_col).cast("string").alias(text_col)
+        )
+        # NULL text matches nothing (the oracle's unnest of a NULL token
+        # list yields no rows; str(None) would tokenize as 'None')
+        .where(F.col(text_col).isNotNull())
+        .mapInPandas(scan, schema="_id long, _pid int, n_matches long")
+    )
     name_rows = [(i, n) for i, n in enumerate(names)]
     spark = documents.sparkSession
     name_df = spark.createDataFrame(name_rows, ["_pid", "phrase"])
