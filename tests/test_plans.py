@@ -449,3 +449,60 @@ def test_bellman_ford_round_broadcast_relax_partial_min(spark):
     assert "SortMergeJoin" not in plan, plan
     assert count_exchanges(rnd, "hashpartitioning") == 1, plan
     assert "partial_min" in plan, plan
+
+
+def test_blocklist_scan_plan_broadcasts_names(spark):
+    """AC blocklist: the hit stream joins the tiny pattern-name dim by
+    BROADCAST (no shuffle of hits for the join); the only hash
+    exchange is the final orderBy-free path — hits flow straight from
+    the Arrow scan."""
+    df = QUERIES["blocklist_phrase_matches"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_phrase_index_plan_broadcasts_terms_and_partial_aggs(spark):
+    """Index-side phrase plan: postings join the exploded phrase terms
+    AND the length dim by broadcast; the anchor count is
+    partial-aggregated before its exchange."""
+    df = QUERIES["phrase_search_index"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_kmv_union_rank_filter_compiles_to_window_group_limit(spark):
+    """The merged-sketch rank filter must push WindowGroupLimit below
+    the sort, like kmv_user_sketches' (map-side per-pair k-min)."""
+    df = QUERIES["kmv_pair_sketches"](spark, SF_DIR)
+    assert "WindowGroupLimit" in _plan(df)
+
+
+def test_hll_rollup_merge_is_broadcast_and_partial(spark):
+    """The rollup merge joins the nation→region mapping by BROADCAST
+    and max-merges registers with partial aggregation — register
+    tables never shuffle more than sketch-sized partials."""
+    df = QUERIES["hll_nation_rollup"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_max" in plan, plan
+
+
+def test_fastss_candidate_exchange_is_id_and_hash_only(spark):
+    """FastSS: the variant self-join exchanges (id, xxhash64) columns
+    only — names re-attach after candidate generation, so no name
+    strings ride the candidate shuffle."""
+    from distributed_computing_spark.operators.linkage import (
+        fastss_edit1_pairs,
+    )
+    from distributed_computing_spark.sources.catalog import load_table
+
+    cust = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_name"
+    )
+    df = fastss_edit1_pairs(cust, "c_custkey", "c_name")
+    plan = _plan(df)
+    assert "xxhash64" in plan, plan
+    assert "levenshtein" in plan, plan
