@@ -307,6 +307,27 @@ RECORDED_R7_TIERS: dict = {
         "R20": {"spark_s": 9.0, "duckdb_s": 2.18, "ratio": 4.13},
         "R50": {"spark_s": 18.8, "duckdb_s": 4.84, "ratio": 3.89},
     },
+    "edit1_customer_pairs": {
+        # FastSS deletion-neighborhood blocking vs the oracle's
+        # deliberately-independent BRUTE-FORCE levenshtein self-join
+        # (112M pairs over the 15k-name dim): the ratio measures
+        # algorithm + engine, not engine alone — recorded as the
+        # blocking-beats-quadratic datum. Customer is a copied dim,
+        # so the cell is R-invariant (no slope to measure).
+        "R20": {"spark_s": 5.7, "duckdb_s": 118.4, "ratio": 0.05},
+    },
+    "multimodal_mp3_decode": {
+        # codec-family caveat (the gif/jpeg cells' shape): the oracle
+        # is closed-form SQL that never parses bytes, so duckdb_s is
+        # the formula, not a decode — spark_s is the real
+        # encode+parse+decode round trip per doc.
+        "R20": {"spark_s": 4.1, "duckdb_s": 0.08, "ratio": 51.0},
+    },
+    # kmv_pair_sketches / hll_nation_rollup / ivm_customer_revenue at
+    # R20: 3.3 / 1.2 / 2.2 s vs 0.19 / 0.02 / 0.03 s — dim-sized
+    # small absolutes (events sketches are the measured family;
+    # customer/nation are copied dims), the hll_user_registers
+    # flat-ratio caveat; no slope regime exists for them.
     "ivm_customer_refresh": {
         "R20": {
             "spark_s": 1.34, "duckdb_s": 0.16, "ratio": 8.4,
