@@ -3566,6 +3566,34 @@ FROM g GROUP BY doc_id, phrase HAVING sum(hit) > 0
 ORDER BY doc_id, phrase"""
 
 
+# Round 7: blocklist matching ON INGEST — the streaming × curation
+# cross-link (the stream_cms_counts motion applied to policy
+# filtering): the Aho–Corasick scan is a STATELESS Arrow map, so it
+# runs in append mode with no state store at all; per-micro-batch
+# output unions to exactly the batch answer because each doc's text
+# arrives whole in one row. Gated by the SAME oracle as the batch
+# query.
+def stream_blocklist_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.dedup import blocklist_matches
+    from distributed_computing_spark.streaming.runner import (
+        run_to_batch,
+        stream_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sdf = stream_table(spark, docs.select("doc_id", "text"))
+    out = run_to_batch(
+        blocklist_matches(sdf, _BLOCKLIST_PHRASES),
+        spark,
+        output_mode="append",
+    )
+    return out.orderBy("doc_id", "phrase")
+
+
+QUERIES["stream_blocklist_matches"] = stream_blocklist_matches
+ORACLES["stream_blocklist_matches"] = ORACLES["blocklist_phrase_matches"]
+
+
 # Round 7: the INDEX-side plan for the same phrase semantics —
 # positional postings + anchor voting (one broadcast join + one agg;
 # mrapps/indexer.go's inverted index extended with positions).
@@ -3938,13 +3966,14 @@ ORDER BY g_a, g_b, rnk"""
 # bool_aggregates, corr_stats, lang_long_format, order_running_totals,
 # price_outliers, pricing_summary, priority_cube, priority_rollup,
 # regex_extraction, scalar_functions, string_functions,
-# source_lang_pivot, token_array_ops.
+# source_lang_pivot, token_array_ops, revenue_percentiles (evicted
+# late for the stream_blocklist_matches slot).
 _R7_WINDOW = [
     # new in round 7 (never driver-gated)
     "ivm_customer_revenue", "multimodal_mp3_decode",
     "blocklist_phrase_matches", "phrase_search_index",
     "kmv_pair_sketches", "edit1_customer_pairs", "hll_nation_rollup",
-    "parquet_profile",
+    "parquet_profile", "stream_blocklist_matches",
     # changed in round 7 (must re-prove under the driver)
     "kmeans_embeddings", "cms_word_counts", "stream_cms_counts",
     "kv_effective_ops",
@@ -3962,7 +3991,7 @@ _R7_WINDOW = [
     "multimodal_png_decode", "neardup_canonical", "neardup_clusters",
     "ngram_jaccard_pairs", "order_percentiles", "range_join_views",
     "regional_revenue", "regional_revenue_bucketed",
-    "revenue_by_segment", "revenue_percentiles",
+    "revenue_by_segment",
     "rolling_weekly_revenue", "semi_anti_orders", "set_ops",
     "shard_census", "shard_routing", "table_profile", "tiered_rollup",
     "top_orders", "user_event_profile", "user_sessions",
@@ -3979,7 +4008,7 @@ _R7_NEW = [
     "ivm_customer_revenue", "multimodal_mp3_decode",
     "blocklist_phrase_matches", "phrase_search_index",
     "kmv_pair_sketches", "edit1_customer_pairs", "hll_nation_rollup",
-    "parquet_profile",
+    "parquet_profile", "stream_blocklist_matches",
 ]
 _order = list(QUERIES)
 for _q in _R7_NEW:
