@@ -297,6 +297,8 @@ RECORDED_R7_TIERS: dict = {
         "R20": {"spark_s": 5.35, "duckdb_s": 2.31, "ratio": 2.32},
         "R50": {"spark_s": 5.13, "duckdb_s": 4.49, "ratio": 1.14},
         "R100": {"spark_s": 6.06, "duckdb_s": 10.09, "ratio": 0.60},
+        # documents-only replica (1M docs): the win widens with scale
+        "R200": {"spark_s": 7.67, "duckdb_s": 21.34, "ratio": 0.36},
     },
     "phrase_search_index": {
         # the index-side variant pays a postings exchange that grows
