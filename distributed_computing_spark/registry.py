@@ -3872,6 +3872,26 @@ SELECT * FROM nat UNION ALL SELECT * FROM reg
 ORDER BY level, grp, register"""
 
 
+# Round 7: Hilbert-curve cells — the locality upgrade over Morton
+# (no diagonal jumps → tighter per-file bounding boxes at the same
+# bit budget). The full per-level quadrant/rotate arithmetic runs as
+# a pure-JVM projection chain and is mirrored exactly by a generated
+# chained-CTE oracle (the zorder_cells motion for a rotation-based
+# curve).
+def hilbert_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.layout import hilbert_cells
+
+    return hilbert_cells(spark, sf_dir)
+
+
+from distributed_computing_spark.operators.layout import (  # noqa: E402
+    hilbert_cells_oracle_sql,
+)
+
+QUERIES["hilbert_cells"] = hilbert_cells_q
+ORACLES["hilbert_cells"] = hilbert_cells_oracle_sql()
+
+
 # Round 7: distributed Parquet FOOTER profiler — physical-layout
 # observability (skew, compression ratios, row-group sizing) from
 # footer-only reads: KBs per file no matter how big the data pages,
@@ -3966,14 +3986,15 @@ ORDER BY g_a, g_b, rnk"""
 # bool_aggregates, corr_stats, lang_long_format, order_running_totals,
 # price_outliers, pricing_summary, priority_cube, priority_rollup,
 # regex_extraction, scalar_functions, string_functions,
-# source_lang_pivot, token_array_ops, revenue_percentiles (evicted
-# late for the stream_blocklist_matches slot).
+# source_lang_pivot, token_array_ops, revenue_percentiles and the
+# rows-only approx_percentiles (evicted late for the
+# stream_blocklist_matches / hilbert_cells slots).
 _R7_WINDOW = [
     # new in round 7 (never driver-gated)
     "ivm_customer_revenue", "multimodal_mp3_decode",
     "blocklist_phrase_matches", "phrase_search_index",
     "kmv_pair_sketches", "edit1_customer_pairs", "hll_nation_rollup",
-    "parquet_profile", "stream_blocklist_matches",
+    "parquet_profile", "stream_blocklist_matches", "hilbert_cells",
     # changed in round 7 (must re-prove under the driver)
     "kmeans_embeddings", "cms_word_counts", "stream_cms_counts",
     "kv_effective_ops",
@@ -3983,7 +4004,7 @@ _R7_WINDOW = [
     # exact_dedup, events_windowed, asof/range joins, the kv family,
     # neardup clusters/canonical, ngram_jaccard_pairs,
     # regional_revenue_bucketed — all included)
-    "approx_distinct_users", "approx_percentiles", "asof_attribution",
+    "approx_distinct_users", "asof_attribution",
     "bpe_encode_stats", "bpe_merges", "events_json_extract",
     "events_windowed", "exact_dedup", "frequent_items",
     "funnel_conversion", "inverted_index", "kv_changes", "kv_get",
@@ -4008,7 +4029,7 @@ _R7_NEW = [
     "ivm_customer_revenue", "multimodal_mp3_decode",
     "blocklist_phrase_matches", "phrase_search_index",
     "kmv_pair_sketches", "edit1_customer_pairs", "hll_nation_rollup",
-    "parquet_profile", "stream_blocklist_matches",
+    "parquet_profile", "stream_blocklist_matches", "hilbert_cells",
 ]
 _order = list(QUERIES)
 for _q in _R7_NEW:

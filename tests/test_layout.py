@@ -146,3 +146,44 @@ def test_footer_profile_matches_duckdb_parquet_metadata(spark):
         ).fetchall():
             want[(os.path.basename(p), rg, name)] = (nv, cs, us)
     assert got == want and len(got) > 0
+
+
+def test_hilbert_column_matches_python_reference(spark):
+    """The JVM projection chain equals hilbert_py on every cell of a
+    small grid AND on random 8-bit points; consecutive indexes are
+    grid neighbours (the defining Hilbert locality property Morton
+    lacks)."""
+    import random
+
+    from distributed_computing_spark.operators.layout import (
+        hilbert_py,
+        with_hilbert,
+    )
+
+    rng = random.Random(11)
+    pts = [(x, y) for x in range(8) for y in range(8)] + [
+        (rng.randrange(256), rng.randrange(256)) for _ in range(50)
+    ]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got3 = {
+        (r["x"], r["y"]): r["h_cell"]
+        for r in with_hilbert(df.where("x < 8 and y < 8"), "x", "y", 3)
+        .select("x", "y", "h_cell")
+        .collect()
+    }
+    for (x, y), h in got3.items():
+        assert h == hilbert_py(x, y, 3), (x, y)
+    got8 = {
+        (r["x"], r["y"]): r["h_cell"]
+        for r in with_hilbert(df, "x", "y", 8)
+        .select("x", "y", "h_cell")
+        .collect()
+    }
+    for (x, y), h in got8.items():
+        assert h == hilbert_py(x, y, 8), (x, y)
+    # locality: consecutive d on the 8x8 grid are Manhattan neighbours
+    inv = {hilbert_py(x, y, 3): (x, y) for x in range(8) for y in range(8)}
+    assert sorted(inv) == list(range(64))
+    for d in range(63):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
