@@ -111,3 +111,37 @@ def test_writer_validates_inputs():
         encode_mp3_silence(1, 15)
     with pytest.raises(ValueError):
         encode_mp3_silence(1, 9, 3)  # bad sample rate index
+
+
+def test_roundtrip_property_random_streams():
+    """Hypothesis round trip: any (n_frames, bitrate_index,
+    sample_rate_index, global_gain, scalefac_compress) writes a stream
+    whose parse recovers every field, whose frame-size sum equals the
+    byte length, and whose silence decode is exactly 1152·n_frames
+    zeros."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n_frames=st.integers(1, 6),
+        bi=st.integers(1, 14),
+        si=st.integers(0, 2),
+        gg=st.integers(0, 255),
+        sc=st.integers(0, 15),
+    )
+    def check(n_frames, bi, si, gg, sc):
+        data = encode_mp3_silence(n_frames, bi, si, gg, sc)
+        frames = parse_mp3(data)
+        assert len(frames) == n_frames
+        assert sum(f["frame_bytes"] for f in frames) == len(data)
+        for f in frames:
+            assert f["bitrate_kbps"] == BITRATE_KBPS[bi]
+            assert f["sample_rate"] == SAMPLE_RATES[si]
+            for g in f["side_info"]["granules"]:
+                assert g["global_gain"] == gg
+                assert g["scalefac_compress"] == sc
+        pcm = decode_mp3(data)
+        assert len(pcm) == n_frames * SAMPLES_PER_FRAME and not pcm.any()
+
+    check()
