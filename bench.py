@@ -92,6 +92,8 @@ HEADLINE += [
     "edit1_customer_pairs",
     "hll_nation_rollup",
     "ivm_customer_revenue",
+    "kmv_pair_sketches",
+    "hilbert_cells",
 ]
 
 
