@@ -623,16 +623,23 @@ def kmeans_quantized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     force_gemm: bool | None = None,
+    return_trace: bool = False,
 ):
     """Lloyd's k-means made bit-exact across engines: vectors quantize
-    to longs (``floor(v * scale)`` — floor is toward -inf in both
-    Spark and DuckDB), distances are integer sums, centroid updates
-    are truncating integer division (Spark ``div`` == DuckDB ``//``,
-    both toward zero), ties in the argmin break to the lowest cluster
-    id, and an emptied cluster keeps its previous centroid. With every
-    step a pure integer function of the inputs, the whole iteration
-    reproduces in generated unrolled-CTE SQL — the PageRank/BPE trick
-    applied to iterative ML.
+    to NON-NEGATIVE longs (``floor(v * scale) + 2*scale`` — floor is
+    toward -inf in both Spark and DuckDB, and the +2·scale shift is an
+    exact long translation under which squared distances and the
+    argmin are invariant), distances are integer sums, centroid
+    updates are integer division of non-negative sums (where floor ==
+    truncate, so Spark ``div``, DuckDB ``//`` of EVERY version, and
+    Python ``//`` all agree — round 7 proved division-semantics bugs
+    can't be ruled out while any operand can go negative, so round 8
+    removes the negative class entirely; the shift is checked at
+    runtime, not assumed), ties in the argmin break to the lowest
+    cluster id, and an emptied cluster keeps its previous centroid.
+    With every step a pure integer function of the inputs, the whole
+    iteration reproduces in generated unrolled-CTE SQL — the
+    PageRank/BPE trick applied to iterative ML.
 
     Seeding: the k lowest ``id_col`` rows (deterministic; k-means++
     would need engine-matched randomness for no gate value).
@@ -647,8 +654,13 @@ def kmeans_quantized(
     table is persisted once; nothing vector-sized ever exchanges.
 
     Returns (assignments DataFrame (id, cluster, dist), centroids
-    dict {cluster: [long]*d}). Overflow audit: |q| <= scale, squared
-    diffs <= (2·scale)², times d — keep (2·scale)²·d < 2^62 (guarded).
+    dict {cluster: [long]*d}; when ``return_trace`` is set, a third
+    element: the list of per-round centroid dicts, ``trace[0]`` the
+    seeds and ``trace[t]`` after the t-th update — bounded k·d·n_iter
+    driver state, the BPE per-round-collect contract). Overflow audit:
+    shifted coords lie in [0, 4·scale] for v in [-2, 2] (checked),
+    squared diffs <= (4·scale)², times d — keep (4·scale)²·d < 2^62
+    (guarded).
     """
     from distributed_computing_spark.caching import track_persist
 
@@ -658,20 +670,34 @@ def kmeans_quantized(
     if not d_probe:
         raise ValueError("empty embeddings input")
     dim = d_probe[0]["d"]
-    if (2 * scale) ** 2 * dim >= 1 << 62:
-        raise ValueError("scale too large: (2*scale)^2 * dim must stay under 2^62")
+    if (4 * scale) ** 2 * dim >= 1 << 62:
+        raise ValueError("scale too large: (4*scale)^2 * dim must stay under 2^62")
 
+    shift = 2 * scale
     q = embeddings.select(
         id_col,
         F.transform(
             F.col(vec_col),
             lambda v: F.floor(v.cast("double") * F.lit(float(scale))).cast(
                 "long"
-            ),
+            )
+            + F.lit(shift).cast("long"),
         ).alias("q"),
     )
     q = track_persist(q)
     n_rows = q.count()  # bounded: also dispatches the assignment path
+    # The non-negative contract is CHECKED, not assumed: one bounded
+    # aggregate over the persisted table (1 row to the driver).
+    bounds = q.select(
+        F.min(F.array_min("q")).alias("lo"),
+        F.max(F.array_max("q")).alias("hi"),
+    ).collect()[0]
+    if bounds["lo"] < 0 or bounds["hi"] > 4 * scale:
+        raise ValueError(
+            "embedding values outside [-2, 2]: shifted quantization "
+            f"left range [{bounds['lo']}, {bounds['hi']}] — raise the "
+            "shift or pre-normalize"
+        )
     seed_rows = q.orderBy(id_col).limit(k).collect()
     if len(seed_rows) < k:
         raise ValueError(f"need at least k={k} vectors, got {len(seed_rows)}")
@@ -741,6 +767,7 @@ def kmeans_quantized(
             F.array_min(dists).alias("dist"),
         )
 
+    trace = [dict(cents)]
     for _ in range(n_iter - 1):
         sums = (
             _assigned()
@@ -751,35 +778,43 @@ def kmeans_quantized(
         )
         new = {j: list(cents[j]) for j in range(k)}  # empty keeps old
         for r in sums:
-            # truncate toward zero: Python // FLOORS (-7//2 = -4) but
-            # Spark `div` and DuckDB `//` truncate (-7 div 2 = -3) —
-            # sums of centered embedding coords are routinely negative
+            # sums of SHIFTED coords are non-negative (checked above),
+            # where Python //, Spark div and every DuckDB version's //
+            # coincide — no division-semantics surface left
             sx, n = r["sx"], r["n"]
-            t = abs(sx) // n
-            new[r["cluster"]][r["dim"]] = t if sx >= 0 else -t
+            if sx < 0:
+                raise AssertionError(
+                    "negative centroid sum despite shifted coords"
+                )
+            new[r["cluster"]][r["dim"]] = sx // n
         cents = new
+        trace.append(dict(cents))
+    if return_trace:
+        return _assigned().drop("q"), cents, trace
     return _assigned().drop("q"), cents
 
 
-def kmeans_oracle_sql(
-    k: int = 8, n_iter: int = 5, scale: int = 10**6
-) -> str:
-    """Generated unrolled-CTE oracle for ``kmeans_embeddings``: each
-    Lloyd round is one assignment CTE + one centroid CTE, every
-    multiply-referenced CTE MATERIALIZED (CLAUDE.md rule).
+def _kmeans_cte_parts(
+    k: int, n_rounds: int, scale: int, last_centroid: int
+) -> list[str]:
+    """Shared CTE chain for the kmeans oracle and its trace oracles:
+    q (shifted quantization), c0 (seeds), then per round t a distance
+    CTE d{t}, assignment a{t}, and — for t <= last_centroid — the
+    updated centroid table c{t}.  Every multiply-referenced CTE is
+    MATERIALIZED (CLAUDE.md rule).
 
-    The centroid update divides possibly-NEGATIVE sums (centered
-    embedding coordinates).  DuckDB's integer ``//`` semantics on
-    negative operands is version-sensitive (1.0.0 truncates toward
-    zero, newer releases floor), so the division is written
-    sign-explicitly — ``CASE WHEN sx >= 0 THEN sx // n ELSE
-    -((-sx) // n) END`` — which evaluates identically (truncation)
-    under either engine version and matches Spark's ``div``.
-    Regression: tests/test_oracle_portability.py evaluates this CTE
-    chain under a floored-division stand-in."""
+    Round 8: coordinates carry the same +2·scale shift as the
+    operator, making every centroid sum non-negative, where flooring
+    and truncating integer division coincide — no DuckDB version's
+    ``//`` semantics can enter.  The sign-explicit CASE from round 7
+    is kept anyway (its ELSE branch is now unreachable): belt and
+    suspenders, and tests/test_oracle_portability.py keeps proving the
+    chain engine-invariant under a floored-division stand-in."""
+    shift = 2 * scale
     parts = [
         f"""q AS MATERIALIZED (
-  SELECT vec_id, dim, CAST(floor(CAST(v AS DOUBLE) * {scale}.0) AS BIGINT) AS x
+  SELECT vec_id, dim,
+         CAST(floor(CAST(v AS DOUBLE) * {scale}.0) AS BIGINT) + {shift} AS x
   FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
                unnest(embedding) AS v
         FROM embeddings)),
@@ -790,7 +825,7 @@ c0 AS MATERIALIZED (
   WHERE vec_id IN (SELECT vec_id FROM (
           SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT {k})))"""
     ]
-    for t in range(1, n_iter + 1):
+    for t in range(1, n_rounds + 1):
         parts.append(
             f"""d{t} AS (
   SELECT q.vec_id, c.cluster,
@@ -805,7 +840,7 @@ a{t} AS MATERIALIZED (
     FROM d{t})
   WHERE rn = 1)"""
         )
-        if t < n_iter:
+        if t <= last_centroid:
             parts.append(
                 f"""c{t} AS MATERIALIZED (
   SELECT p.cluster, p.dim,
@@ -818,6 +853,16 @@ a{t} AS MATERIALIZED (
     GROUP BY a.cluster, q.dim) s
   ON p.cluster = s.cluster AND p.dim = s.dim)"""
             )
+    return parts
+
+
+def kmeans_oracle_sql(
+    k: int = 8, n_iter: int = 5, scale: int = 10**6
+) -> str:
+    """Generated unrolled-CTE oracle for ``kmeans_embeddings``: each
+    Lloyd round is one assignment CTE + one centroid CTE (see
+    ``_kmeans_cte_parts`` for the non-negative-shift contract)."""
+    parts = _kmeans_cte_parts(k, n_iter, scale, last_centroid=n_iter - 1)
     return (
         "WITH "
         + ",\n".join(parts)
@@ -825,4 +870,36 @@ a{t} AS MATERIALIZED (
 SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
        CAST(sum(dist) AS DECIMAL(38, 0)) AS wss
 FROM a{n_iter} GROUP BY cluster ORDER BY cluster"""
+    )
+
+
+def kmeans_trace_centroid_sql(
+    t: int, k: int = 8, scale: int = 10**6
+) -> str:
+    """Oracle for the ``kmeans_trace_c{t}`` driver-bisect queries: the
+    (cluster, dim, cx) centroid table after t Lloyd updates, a strict
+    PREFIX of the kmeans_embeddings CTE chain (VERDICT r7 item 1b: if
+    the driver's kmeans row stays red, the first red trace round
+    localizes the divergent update step driver-side).  ``dim`` is
+    re-based to 0 to match the operator's posexplode numbering."""
+    parts = _kmeans_cte_parts(k, t, scale, last_centroid=t)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT cluster, CAST(dim - 1 AS INT) AS dim, CAST(cx AS BIGINT) AS cx
+FROM c{t} ORDER BY cluster, dim"""
+    )
+
+
+def kmeans_trace_assign_sql(t: int, k: int = 8, scale: int = 10**6) -> str:
+    """Oracle for ``kmeans_trace_a{t}``: the full (vec_id, cluster,
+    dist) assignment after round t — splits an assignment-step
+    divergence from a centroid-update one in the driver bisect."""
+    parts = _kmeans_cte_parts(k, t, scale, last_centroid=t - 1)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT vec_id, cluster, dist FROM a{t} ORDER BY vec_id"""
     )

@@ -3197,6 +3197,69 @@ QUERIES["kmeans_embeddings"] = kmeans_embeddings
 ORACLES["kmeans_embeddings"] = kmeans_oracle_sql(k=8, n_iter=5)
 
 
+# Round 8: kmeans driver-bisect trace queries (VERDICT r7 item 1b).
+# kmeans_embeddings was hash-red in the r6 AND r7 driver windows while
+# every local gate (both engines, both SFs) is green, and round 7
+# falsified the division-semantics root cause.  These queries expose
+# each Lloyd round's intermediate state under the driver's own gate:
+# c{t} = the k×d centroid table after t updates, a1 = the full first
+# assignment.  Each oracle is a strict prefix of the kmeans_embeddings
+# CTE chain (tests/test_oracle_portability.py proves prefix
+# consistency), so the first red row localizes the divergent step with
+# zero local reproduction.  Driver state is k·d longs — bounded.
+def _kmeans_trace_centroids(t: int):
+    def _q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from distributed_computing_spark.operators.similarity import (
+            kmeans_quantized,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        _assigned, _c, trace = kmeans_quantized(
+            emb, k=8, n_iter=t + 1, return_trace=True
+        )
+        rows = [
+            (j, d, trace[t][j][d])
+            for j in sorted(trace[t])
+            for d in range(len(trace[t][j]))
+        ]
+        return spark.createDataFrame(
+            rows, "cluster int, dim int, cx long"
+        ).orderBy("cluster", "dim")
+
+    _q.__doc__ = (
+        f"Centroid table after {t} Lloyd update(s) — driver-bisect "
+        "trace for the kmeans_embeddings red row."
+    )
+    return _q
+
+
+from distributed_computing_spark.operators.similarity import (  # noqa: E402
+    kmeans_trace_assign_sql,
+    kmeans_trace_centroid_sql,
+)
+
+for _t in range(5):
+    QUERIES[f"kmeans_trace_c{_t}"] = _kmeans_trace_centroids(_t)
+    ORACLES[f"kmeans_trace_c{_t}"] = kmeans_trace_centroid_sql(_t, k=8)
+
+
+def kmeans_trace_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-round assignment (vec_id, cluster, dist) vs the seed
+    centroids — splits assignment-step vs centroid-update divergence
+    in the kmeans driver bisect."""
+    from distributed_computing_spark.operators.similarity import (
+        kmeans_quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _c = kmeans_quantized(emb, k=8, n_iter=1)
+    return assigned.select("vec_id", "cluster", "dist").orderBy("vec_id")
+
+
+QUERIES["kmeans_trace_a1"] = kmeans_trace_a1
+ORACLES["kmeans_trace_a1"] = kmeans_trace_assign_sql(1, k=8)
+
+
 
 
 # Round 6: the dedup ACTION — rewrite docs with duplicated spans cut

@@ -79,6 +79,14 @@ FROM range(1, 61) t(i)"""
 
 def test_kmeans_oracle_engine_invariant():
     sql = kmeans_oracle_sql(k=4, n_iter=3)
+    # Round-8 defense: the +2*scale shift makes every coordinate (and
+    # therefore every centroid sum) non-negative, where flooring and
+    # truncating // coincide for ANY engine version.
+    assert "+ 2000000 AS x" in sql, (
+        "kmeans oracle lost its non-negative quantization shift"
+    )
+    # Round-7 defense kept (ELSE branch now unreachable): sign-explicit
+    # centroid division.
     assert _GUARDED_BLOCK.search(sql), (
         "kmeans oracle lost its sign-explicit centroid division — "
         "bare // on negative sums is DuckDB-version-sensitive"
@@ -97,20 +105,61 @@ def test_kmeans_oracle_engine_invariant():
         "flooring // semantics"
     )
 
-    # Teeth: reconstruct the round-6 unguarded form and show the two
-    # engine semantics DISAGREE on it for this data (negative sums are
-    # actually exercised).
+    # Teeth: strip BOTH defenses (no shift, round-6 unguarded division)
+    # and show the two engine semantics DISAGREE on this data — i.e.
+    # the synthetic coordinates really do drive centroid sums negative
+    # once the shift is removed, so the invariance above is earned.
+    unshifted = sql.replace("+ 2000000 AS x", "+ 0 AS x")
     guarded_block = _GUARDED_BLOCK.search(sql).group(0)
-    old = sql.replace(guarded_block, _OLD_UNGUARDED)
-    old_floor = sql.replace(guarded_block, _OLD_UNGUARDED_FLOOR)
-    assert old != sql and old_floor != old
+    old = unshifted.replace(guarded_block, _OLD_UNGUARDED)
+    old_floor = unshifted.replace(guarded_block, _OLD_UNGUARDED_FLOOR)
+    assert old != unshifted and old_floor != old
     old_trunc_rows = con.execute(old).fetchall()
     old_floor_rows = con.execute(old_floor).fetchall()
-    assert old_trunc_rows == trunc_rows  # truncating engine: old == new
     assert old_floor_rows != old_trunc_rows, (
         "synthetic data no longer exercises negative centroid sums — "
         "the engine-invariance test lost its teeth"
     )
+    # With the shift in place, even the unguarded round-6 division is
+    # engine-invariant (the non-negativity defense is sufficient alone).
+    shifted_old = sql.replace(guarded_block, _OLD_UNGUARDED)
+    shifted_old_floor = sql.replace(guarded_block, _OLD_UNGUARDED_FLOOR)
+    assert (
+        con.execute(shifted_old).fetchall()
+        == con.execute(shifted_old_floor).fetchall()
+        == trunc_rows
+    )
+
+
+def test_kmeans_trace_oracles_consistent_with_main_chain():
+    """The driver-bisect trace oracles are strict prefixes of the main
+    chain: aggregating the final trace assignment reproduces the main
+    oracle's output, and the centroid traces are engine-invariant under
+    the floored-division stand-in."""
+    from distributed_computing_spark.operators.similarity import (
+        kmeans_trace_assign_sql,
+        kmeans_trace_centroid_sql,
+    )
+
+    con = _synthetic_embeddings_con()
+    main = con.execute(kmeans_oracle_sql(k=4, n_iter=3)).fetchall()
+    a3 = kmeans_trace_assign_sql(3, k=4)
+    agg = con.execute(
+        f"WITH t AS ({a3}) SELECT cluster, CAST(count(*) AS BIGINT), "
+        "CAST(sum(dist) AS DECIMAL(38,0)) FROM t "
+        "GROUP BY cluster ORDER BY cluster"
+    ).fetchall()
+    assert agg == main
+    for t in range(3):
+        sql = kmeans_trace_centroid_sql(t, k=4)
+        rows = con.execute(sql).fetchall()
+        assert rows and all(r[2] >= 0 for r in rows), (
+            "trace centroids must be non-negative under the shift"
+        )
+        floored = sql.replace(_GUARDED_POS, _FLOOR_POS).replace(
+            _GUARDED_NEG, _FLOOR_NEG
+        )
+        assert con.execute(floored).fetchall() == rows
 
 
 # Audited ``//`` left-operand patterns: each is provably non-negative,

@@ -243,15 +243,19 @@ def test_ivf_exact_recall_vs_bruteforce(spark, sf_dir):
 
 
 def _py_kmeans(vecs, k, n_iter, scale=10**6):
-    """Pure-Python reference of the exact integer contract."""
+    """Pure-Python reference of the exact integer contract (round 8:
+    non-negative +2*scale shift; all centroid sums are non-negative so
+    plain // is floor == trunc)."""
 
     def trunc_div(a, b):
-        t = abs(a) // b
-        return t if a >= 0 else -t
+        assert a >= 0, "shifted contract: centroid sums are non-negative"
+        return a // b
 
     import math
 
-    q = {i: [math.floor(x * scale) for x in v] for i, v in vecs}
+    q = {
+        i: [math.floor(x * scale) + 2 * scale for x in v] for i, v in vecs
+    }
     ids = sorted(q)
     cents = {j: list(q[ids[j]]) for j in range(k)}
 
@@ -380,6 +384,44 @@ def test_kmeans_guards(spark):
         kmeans_quantized(df, k=3)
     with pytest.raises(ValueError, match="scale too large"):
         kmeans_quantized(df, k=1, scale=10**9)
+
+
+def test_kmeans_trace_and_shift_contract(spark):
+    import math
+
+    import pytest
+
+    from distributed_computing_spark.caching import release_tracked
+    from distributed_computing_spark.operators.similarity import (
+        kmeans_quantized,
+    )
+
+    vecs = [(0, [0.5, 0.9]), (1, [0.52, 0.5]), (2, [-0.5, 0.5]),
+            (3, [0.51, -0.5]), (4, [-0.5, -0.5]), (5, [-0.51, -0.5])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    stored = {r["vec_id"]: list(r["embedding"]) for r in df.collect()}
+    _assigned, cents, trace = kmeans_quantized(
+        df, k=2, n_iter=3, return_trace=True
+    )
+    release_tracked()
+    assert len(trace) == 3 and trace[-1] == cents
+    # trace[0] is the shifted quantization of the k lowest-id vectors
+    scale = 10**6
+    assert trace[0] == {
+        j: [math.floor(x * scale) + 2 * scale for x in stored[j]]
+        for j in range(2)
+    }
+    # the whole trace is non-negative — the division-semantics surface
+    # the round-6/7 driver reds lived in no longer exists
+    assert all(c >= 0 for t in trace for v in t.values() for c in v)
+    # out-of-contract input (v < -2) is rejected, not silently wrapped
+    df2 = spark.createDataFrame(
+        [(i, [-3.0, 0.0]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="outside"):
+        kmeans_quantized(df2, k=2, n_iter=2)
+    release_tracked()
 
 
 def test_kmeans_gemm_path_identical_to_jvm_path(spark):
