@@ -203,6 +203,20 @@ def _compact_for_tail(payload: dict) -> dict:
         rec.update(xo.pop("r6_tier_recorded", None) or {})
         rec.update(xo.pop("r7_tier_recorded", None) or {})
         if "queries" in xo:
+            # VERDICT r7 item 3: the per-query crossover arrays get shed
+            # from the tail when the line outgrows the budget, which in
+            # round 7 erased the artifact trail of WHICH queries sit >2×.
+            # Distill the weak list first (only cells >2x, 1 decimal) —
+            # it is tiny and is never shed.
+            weak = {}
+            for k, v in xo["queries"].items():
+                s, d = v.get("spark_s"), v.get("duckdb_s")
+                if isinstance(s, (int, float)) and isinstance(d, (int, float)) and d > 0 and s / d > 2:
+                    weak[k] = round(s / d, 1)
+            if weak:
+                xo["weak"] = dict(
+                    sorted(weak.items(), key=lambda kv: -kv[1])
+                )
             xo["queries"] = {
                 k: [r2(v["spark_s"]), r2(v["duckdb_s"])]
                 for k, v in xo["queries"].items()

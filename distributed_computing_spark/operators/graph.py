@@ -374,6 +374,15 @@ def kcore(
     property the unrolled-CTE oracle leans on (it unrolls a FIXED
     round count; `kcore_parts` raises loudly if the data ever needs
     more than the oracle has, the BPE all-rounds-fire discipline).
+
+    Non-converged contract (``rounds == max_rounds`` without a
+    fixpoint): the returned rows are the nodes that would survive the
+    (max_rounds+1)-th peel — degrees recomputed over the FINAL
+    survivor set (never a stale earlier round's — ADVICE r6), then
+    filtered ``core_deg >= k`` like every converged return (ADVICE
+    r7: the fallback must not change the row contract). It is still
+    intermediate state: callers needing the true k-core must check
+    ``rounds`` and re-run with a larger budget (kcore_parts raises).
     """
     from distributed_computing_spark.caching import track_persist
 
@@ -394,16 +403,20 @@ def kcore(
             return nxt.withColumnRenamed("src", "node"), rounds
         alive, n_alive = nxt.select("src"), n_nxt
     # max_rounds exhausted without a fixpoint: recompute the degree over
-    # the FINAL survivor set so core_deg reflects the returned subgraph
-    # (joining the previous round's deg could overstate it by one round
-    # — ADVICE r6). The result is still non-converged state; direct
-    # callers must check rounds == max_rounds (kcore_parts raises).
+    # the FINAL survivor set (a stale earlier round's deg could
+    # overstate it — ADVICE r6) and re-apply the >= k filter so the row
+    # contract matches the converged path (ADVICE r7). See docstring.
     final = alive if alive is not None else edges.select("src").distinct()
     e = edges.join(F.broadcast(final), "src").join(
         F.broadcast(final.withColumnRenamed("src", "dst")), "dst"
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("core_deg"))
-    return deg.withColumnRenamed("src", "node"), rounds
+    return (
+        deg.where(F.col("core_deg") >= F.lit(k)).withColumnRenamed(
+            "src", "node"
+        ),
+        rounds,
+    )
 
 
 def kcore_parts(

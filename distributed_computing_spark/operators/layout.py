@@ -338,6 +338,8 @@ def parquet_footer_profile(spark: SparkSession, paths: list[str]) -> DataFrame:
                         )
             yield pd.DataFrame(rows)
 
+    if not paths:  # ADVICE r7: schemaless createDataFrame([]) throws
+        raise ValueError("parquet_footer_profile: empty paths list")
     files = spark.createDataFrame([(p,) for p in paths], ["path"])
     return files.repartition(min(len(paths), 32)).mapInPandas(
         scan,

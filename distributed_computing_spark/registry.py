@@ -1188,16 +1188,22 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode+resize over image blobs (deterministic fake
-    kernel — rows-only check; plumbing semantics in tests)."""
+    """Arrow-batched decode+resize over image blobs. Round 8: the
+    GENERIC kernel sniffs magic bytes and routes PNG/BMP/GIF/JPEG
+    through the repo's real decoders (pytest-pinned); these text-byte
+    payloads carry no container magic, so they exercise the
+    unknown-format fake branch — rows-only check; decode semantics in
+    tests/test_multimodal.py."""
     from distributed_computing_spark.operators import multimodal
 
     return multimodal.decode_images(_blobs(spark, sf_dir))
 
 
 def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Waveform-stat decode over audio blobs (deterministic fake kernel
-    — rows-only; semantics in tests)."""
+    """Waveform-stat decode over audio blobs (same sniff-dispatch as
+    multimodal_decode: real WAV/MP3-frame decode for real containers,
+    deterministic fake for these text-byte payloads — rows-only;
+    semantics in tests)."""
     from distributed_computing_spark.operators import multimodal
 
     return multimodal.decode_audio(_blobs(spark, sf_dir))

@@ -79,6 +79,31 @@ def test_compact_line_fits_tail_budget():
     assert len(json.dumps(out, separators=(",", ":"))) <= _TAIL_BUDGET
 
 
+def test_weak_list_rides_the_tail_and_survives_shedding():
+    """VERDICT r7 item 3: the >2x per-query crossover cells must stay in
+    the driver-visible tail even after the full per-query arrays are
+    shed for size."""
+    import bench
+
+    payload = _payload(with_queries=True)
+    payload["crossover"]["queries"]["fast_query"] = {
+        "spark_s": 0.5,
+        "duckdb_s": 1.0,
+    }
+    out = bench._compact_for_tail(payload)
+    # 0.784/0.112 = 7.0x is weak; 0.5/1.0 = 0.5x is not
+    assert out["crossover"]["weak"] == {"word_count_top10": 7.0}
+
+    saved = bench._TAIL_BUDGET
+    bench._TAIL_BUDGET = 1
+    try:
+        out = bench._compact_for_tail(payload)
+    finally:
+        bench._TAIL_BUDGET = saved
+    assert "queries" not in out["crossover"]
+    assert out["crossover"]["weak"] == {"word_count_top10": 7.0}
+
+
 def test_recorded_echo_takes_precedence_and_fits():
     """Round 6: the curated `recorded_echo` subset (not the full tier
     tables) rides stdout next to a 40-query headline, and the line

