@@ -192,12 +192,13 @@ def _events_source_tag(sf_dir: str) -> str:
         return "missing"
 
 
-def _events_layout(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir, _events_source_tag(sf_dir))
+def _events_layout(spark: SparkSession, sf_dir: str, curve: str = "z"):
+    key = (id(spark), sf_dir, _events_source_tag(sf_dir), curve)
     if key not in _LAYOUT_CACHE:
         ev, bounds = _events_bounds(spark, sf_dir)
-        path = tempfile.mkdtemp(prefix="dcs_zorder_")
-        zorder_write(ev, path, "user_id", "ts_sec", bounds)
+        path = tempfile.mkdtemp(prefix=f"dcs_{curve}order_")
+        writer = zorder_write if curve == "z" else hilbert_write
+        writer(ev, path, "user_id", "ts_sec", bounds)
         _LAYOUT_CACHE[key] = (path, bounds)
     return _LAYOUT_CACHE[key]
 
@@ -267,8 +268,13 @@ ORDER BY n_events DESC, z_cell ASC
 LIMIT {k}"""
 
 
-def zorder_scan_oracle_sql() -> str:
-    return """
+def scan_oracle_sql(
+    u_pct: tuple[int, int], t_pct: tuple[int, int]
+) -> str:
+    """Layout-independent scan oracle: the same 2-D range aggregate
+    over the RAW events table — a row lost or duplicated by either
+    curve's layout write fails the gate."""
+    return f"""
 WITH b AS (
   SELECT min(user_id) AS umin, max(user_id) AS umax,
          min(epoch_us(ts) // 1000000) AS tmin,
@@ -280,11 +286,15 @@ SELECT event_type,
        min(event_id) AS first_event,
        max(event_id) AS last_event
 FROM events, b
-WHERE user_id BETWEEN umin + ((umax - umin) * 20) // 100
-                  AND umin + ((umax - umin) * 40) // 100
-  AND epoch_us(ts) // 1000000 BETWEEN tmin + ((tmax - tmin) * 30) // 100
-                                  AND tmin + ((tmax - tmin) * 45) // 100
+WHERE user_id BETWEEN umin + ((umax - umin) * {u_pct[0]}) // 100
+                  AND umin + ((umax - umin) * {u_pct[1]}) // 100
+  AND epoch_us(ts) // 1000000 BETWEEN tmin + ((tmax - tmin) * {t_pct[0]}) // 100
+                                  AND tmin + ((tmax - tmin) * {t_pct[1]}) // 100
 GROUP BY 1"""
+
+
+def zorder_scan_oracle_sql() -> str:
+    return scan_oracle_sql((20, 40), (30, 45))
 
 
 def parquet_footer_profile(spark: SparkSession, paths: list[str]) -> DataFrame:
@@ -432,6 +442,73 @@ def with_hilbert(
             .withColumnRenamed("_ny", "_hy")
         )
     return df.drop("_hx", "_hy", "_rx", "_ry")
+
+
+def hilbert_write(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bounds: tuple[int, int, int, int],
+    bits: int = 16,
+    n_files: int = 16,
+) -> None:
+    """``zorder_write``'s rotation-curve twin (round 8, VERDICT r7
+    item 5 — the ADOPTION step after round 7's measurement showed
+    Hilbert >= Morton on every probe class): cluster on the Hilbert
+    index of the quantized keys, range-partition, sort within
+    partitions, drop the helpers. Same caller contract as
+    zorder_write."""
+    xmin, xmax, ymin, ymax = bounds
+    for lo, hi in ((xmin, xmax), (ymin, ymax)):
+        if (hi - lo) << bits >= 1 << 62:
+            raise ValueError(
+                f"column range {hi - lo} too wide for {bits}-bit "
+                "quantization — pre-scale the key (e.g. timestamps to "
+                "seconds) to keep (range << bits) under 2^62"
+            )
+    q = df.withColumn(
+        "_qx", quantize(x_col, xmin, xmax, bits)
+    ).withColumn("_qy", quantize(y_col, ymin, ymax, bits))
+    (
+        with_hilbert(q, "_qx", "_qy", bits, out="_h")
+        .repartitionByRange(n_files, "_h")
+        .sortWithinPartitions("_h")
+        .drop("_h", "_qx", "_qy")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def hilbert_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip + selective read through the HILBERT-clustered
+    layout (zorder_events_scan's twin on a different probe window so
+    the two gates are independent): 2-D range predicate over mid-20%
+    of users x mid-15% of time, aggregated by event_type; the oracle
+    runs the same filter on the RAW table. The pruning advantage over
+    Morton on identical probes is measured footer-side (BASELINE.md
+    layout table + tests/test_layout)."""
+    path, (xmin, xmax, ymin, ymax) = _events_layout(spark, sf_dir, "h")
+    u_lo, u_hi = _window(xmin, xmax, 55, 75)
+    t_lo, t_hi = _window(ymin, ymax, 10, 25)
+    ev = spark.read.parquet(path)
+    return (
+        ev.where(
+            F.col("user_id").between(u_lo, u_hi)
+            & F.col("ts_sec").between(t_lo, t_hi)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+    )
+
+
+def hilbert_scan_oracle_sql() -> str:
+    return scan_oracle_sql((55, 75), (10, 25))
 
 
 def hilbert_cells(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:

@@ -4042,6 +4042,19 @@ FROM r WHERE rnk <= 64
 ORDER BY g_a, g_b, rnk"""
 
 
+# Round 8: ADOPT the measured layout winner (VERDICT r7 item 5) — the
+# Hilbert layout now backs a scan-pruning gated query, not just the
+# cell-histogram arithmetic. Distinct probe window from the Morton twin
+# so the two gates are independent; oracle scans the RAW table.
+from distributed_computing_spark.operators.layout import (  # noqa: E402
+    hilbert_events_scan,
+    hilbert_scan_oracle_sql,
+)
+
+QUERIES["hilbert_events_scan"] = hilbert_events_scan
+ORACLES["hilbert_events_scan"] = hilbert_scan_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 7 — VERDICT r6 item 3)
 # ---------------------------------------------------------------------------

@@ -109,6 +109,36 @@ def test_range_guard_raises(spark, tmp_path):
         zorder_write(
             df, str(tmp_path / "p"), "x", "y", (0, 1 << 50, 0, 1), bits=16
         )
+    from distributed_computing_spark.operators.layout import hilbert_write
+
+    with pytest.raises(ValueError, match="pre-scale"):
+        hilbert_write(
+            df, str(tmp_path / "p"), "x", "y", (0, 1 << 50, 0, 1), bits=16
+        )
+
+
+def test_hilbert_layout_roundtrip_and_prunes_both(spark, layouts, tmp_path):
+    """The ADOPTED layout (round 8): hilbert_write preserves rows
+    exactly and prunes range predicates on BOTH dimensions (loose
+    thresholds — RangePartitioner wobble band, see
+    test_pruning_both_dimensions)."""
+    from distributed_computing_spark.operators.layout import hilbert_write
+
+    ev, (xmin, xmax, ymin, ymax), _lin, _zo = layouts
+    hi = str(tmp_path / "hilbert")
+    hilbert_write(ev, hi, "user_id", "ts_sec", (xmin, xmax, ymin, ymax),
+                  n_files=16)
+    back = spark.read.parquet(hi)
+    assert back.count() == ev.count()
+    assert back.columns == ev.columns  # helpers dropped
+    a = ev.agg(F.sum("event_id"), F.sum("user_id")).collect()[0]
+    b = back.agg(F.sum("event_id"), F.sum("user_id")).collect()[0]
+    assert tuple(a) == tuple(b)
+    x_pred = {"user_id": _window(xmin, xmax, 20, 40)}
+    y_pred = {"ts_sec": _window(ymin, ymax, 30, 45)}
+    assert _skip(hi, x_pred) >= 0.3
+    assert _skip(hi, y_pred) >= 0.3
+    assert _skip(hi, {**x_pred, **y_pred}) >= 0.55
 
 
 def test_footer_profile_matches_duckdb_parquet_metadata(spark):
