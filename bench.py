@@ -202,6 +202,7 @@ def _compact_for_tail(payload: dict) -> dict:
         rec.update(xo.pop("kv_tier_recorded", None) or {})
         rec.update(xo.pop("r6_tier_recorded", None) or {})
         rec.update(xo.pop("r7_tier_recorded", None) or {})
+        rec.update(xo.pop("r8_tier_recorded", None) or {})
         if "queries" in xo:
             # VERDICT r7 item 3: the per-query crossover arrays get shed
             # from the tail when the line outgrows the budget, which in

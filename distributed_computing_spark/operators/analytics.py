@@ -1460,6 +1460,66 @@ def ivm_refresh(
     return merged.select(*out_cols).where(F.col(count_col) != 0)
 
 
+_IVM_FIXTURE_CACHE: dict = {}
+
+
+def ivm_customer_fixture_paths(
+    spark, sf_dir: str, cutoff: str = "1999-01-01"
+) -> tuple[str, str]:
+    """Deterministic PRE-MATERIALIZED fixtures for the gated IVM
+    refresh path (VERDICT r7 item 7): the per-customer (count,
+    revenue-cents) view over pre-cutoff orders, and the signed CDC
+    delta (post-cutoff inserts, cancelled pre-cutoff 'F' deletes) —
+    written once per (session, source) and cached by the orders
+    file's mtime+size fingerprint (the layout-cache discipline).  In
+    the IVM story both already exist when the refresh runs: the view
+    was materialized yesterday, the delta ARRIVES from CDC — so the
+    gated `ivm_customer_refresh` plan is refresh-only, the operator
+    the paying-regime table (tools/ivm_tier.py) actually times."""
+    import os
+    import tempfile
+
+    from distributed_computing_spark.sources.catalog import load_table
+
+    p = os.path.join(sf_dir, "orders.parquet")
+    try:
+        st = os.stat(p)
+        tag = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        tag = "missing"
+    key = (id(spark), sf_dir, tag, cutoff)
+    if key not in _IVM_FIXTURE_CACHE:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderstatus",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        base_rows = o.where(F.col("o_orderdate") < F.lit(cutoff))
+        view_dir = tempfile.mkdtemp(prefix="dcs_ivm_view_")
+        delta_dir = tempfile.mkdtemp(prefix="dcs_ivm_delta_")
+        base_rows.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+        ).write.mode("overwrite").parquet(view_dir)
+        (
+            o.where(F.col("o_orderdate") >= F.lit(cutoff))
+            .withColumn("_sign", F.lit(1))
+            .unionByName(
+                base_rows.where(F.col("o_orderstatus") == "F").withColumn(
+                    "_sign", F.lit(-1)
+                )
+            )
+            .select("o_custkey", "revenue_cents", "_sign")
+            .write.mode("overwrite")
+            .parquet(delta_dir)
+        )
+        _IVM_FIXTURE_CACHE[key] = (view_dir, delta_dir)
+    return _IVM_FIXTURE_CACHE[key]
+
+
 # ---------------------------------------------------------------------------
 # Equi-depth histogram (two-level rank, no global sort)
 # ---------------------------------------------------------------------------

@@ -3451,6 +3451,37 @@ SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_rows,
 FROM eff GROUP BY o_custkey ORDER BY o_custkey"""
 
 
+# Round 8 (VERDICT r7 item 7): the REFRESH PATH itself under the gate.
+# ivm_customer_revenue's plan necessarily rebuilds the base view; here
+# the pre-materialized view + CDC delta are deterministic parquet
+# fixtures (built once per session/source, untimed setup — the IVM
+# story's precondition), so the GATED plan is exactly the delta-bound
+# refresh tools/ivm_tier.py times: one delta-sized exchange + a
+# group-keyed outer join. Shared oracle with ivm_customer_revenue —
+# refresh(view, delta) must equal the full recompute.
+def ivm_customer_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-bound refresh of the pre-materialized per-customer revenue
+    view from its CDC delta fixture (see
+    analytics.ivm_customer_fixture_paths)."""
+    from distributed_computing_spark.operators.analytics import (
+        ivm_customer_fixture_paths,
+        ivm_refresh,
+    )
+
+    view_dir, delta_dir = ivm_customer_fixture_paths(spark, sf_dir)
+    return ivm_refresh(
+        spark.read.parquet(view_dir),
+        spark.read.parquet(delta_dir),
+        ["o_custkey"],
+        "n_rows",
+        ("revenue_cents",),
+    ).orderBy("o_custkey")
+
+
+QUERIES["ivm_customer_refresh"] = ivm_customer_refresh
+ORACLES["ivm_customer_refresh"] = ORACLES["ivm_customer_revenue"]
+
+
 # Round 6: equi-depth histogram over order values (two-level rank)
 def orders_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ten exact equi-depth buckets of o_totalprice (cents-as-long),

@@ -284,11 +284,14 @@ RECORDED_R6_TIERS: dict = {
 # cost bounded by |delta|+|view|, recompute by |fact|), not the oracle
 # ratio: spark_s = delta refresh of the pre-materialized per-customer
 # lineitem-revenue view, duckdb_s = single-node full recompute (join +
-# agg). The engine-internal contrast is the headline datum: Spark
-# refresh FLAT 1.3→1.6 s across R20→R100 while Spark's own recompute
-# grows 2.1→4.6 s (spark_recompute_s key) — the view pays once the
-# base scan dominates; single-node recompute (0.16→0.71 s, linear in
-# fact) extrapolates past the flat refresh near R~300 on this box.
+# agg). Round-8 re-measure after ADVICE r7 made the legs
+# answer-equivalent (the recompute now excludes exactly the delta's
+# 30-day 'F' window; legs_equal asserted in the harness): the story
+# SHARPENS — Spark refresh flat-to-falling (1.05→0.57 s R20→R100)
+# while Spark's own recompute grows 2.76→4.13 s, and at R100 the
+# delta-bound refresh beats even the single-node full recompute
+# (0.57 vs 0.92 s) — the view pays against BOTH engines once the base
+# scan dominates.
 RECORDED_R7_TIERS: dict = {
     "blocklist_phrase_matches": {
         # Aho-Corasick automaton scan: Spark ~FLAT (one linear pass
@@ -332,13 +335,33 @@ RECORDED_R7_TIERS: dict = {
     # flat-ratio caveat; no slope regime exists for them.
     "ivm_customer_refresh": {
         "R20": {
-            "spark_s": 1.34, "duckdb_s": 0.16, "ratio": 8.4,
-            "spark_recompute_s": 2.14,
+            "spark_s": 1.05, "duckdb_s": 0.21, "ratio": 5.0,
+            "spark_recompute_s": 2.76,
         },
         "R100": {
-            "spark_s": 1.55, "duckdb_s": 0.71, "ratio": 2.18,
-            "spark_recompute_s": 4.57,
+            "spark_s": 0.57, "duckdb_s": 0.92, "ratio": 0.62,
+            "spark_recompute_s": 4.13,
         },
+    },
+}
+
+# Round-8 offline tiers (tools/edit1_tier.py; BASELINE.md §"Round-8:
+# FastSS slope"). VERDICT r7 item 6: the gated edit1 cell is on a
+# copied dim (R-invariant), so these tiers run the SAME FastSS operator
+# over customer-subset replicas with REMAPPED names (facts=('customer',)
+# — 15k·R distinct zero-padded names) against the brute-force
+# levenshtein self-join. Spark is ~flat (neighborhood exchange is
+# name-count-linear); the single-node quadratic side follows n² exactly
+# (16→100→400 s for 2×/2.5×/2× name growth). pairs_equal verified per
+# tier by the harness.
+RECORDED_R8_TIERS: dict = {
+    "edit1_customer_pairs": {
+        "R2": {"spark_s": 6.02, "duckdb_s": 16.34, "ratio": 0.37,
+               "n_names": 30000},
+        "R5": {"spark_s": 9.48, "duckdb_s": 100.28, "ratio": 0.09,
+               "n_names": 75000},
+        "R10": {"spark_s": 9.85, "duckdb_s": 399.6, "ratio": 0.025,
+                "n_names": 150000},
     },
 }
 
@@ -364,6 +387,9 @@ RECORDED_ECHO_KEYS: dict[str, tuple[str, ...]] = {
     # refresh; the same-engine recompute slope lives in
     # RECORDED_R7_TIERS / BASELINE.md)
     "ivm_customer_refresh": ("R100",),
+    # round-8: the FastSS slope endpoint (150k names: Spark flat 9.9 s
+    # vs quadratic 399.6 s; full slope in RECORDED_R8_TIERS)
+    "edit1_customer_pairs": ("R10",),
 }
 
 # Fact tables are replicated with remapped keys; everything else copied.
@@ -475,6 +501,33 @@ def ensure_scaled(
             .repartition(_NFILES)
             .write.mode("overwrite")
             .parquet(f"{dest}/lineitem.parquet")
+        )
+    if "customer" in facts:
+        # Round 8 (VERDICT r7 item 6): a STRING-KEYED scaling regime for
+        # the FastSS edit-1 join — customer is normally a copied dim
+        # (R-invariant name count, the hll_user_registers flat-ratio
+        # caveat), so a subset replica (suffix _cu) remaps BOTH the key
+        # and the name: c_name regenerated as Customer#%09d of the new
+        # key keeps the name population's shape (zero-padded numerals,
+        # dense edit-1 neighborhoods) while the distinct-name count
+        # grows R×. Requested only via facts=('customer',); the full
+        # default replica keeps customer in _COPY so cached tiers stay
+        # valid.
+        cust = load_table(spark, sf_dir, "customer")
+        (
+            cust.crossJoin(reps)
+            .select(
+                (F.col("c_custkey") * R + F.col("_r")).alias("c_custkey"),
+                F.format_string(
+                    "Customer#%09d", F.col("c_custkey") * R + F.col("_r")
+                ).alias("c_name"),
+                "c_nationkey",
+                "c_acctbal",
+                "c_mktsegment",
+            )
+            .repartition(_NFILES)
+            .write.mode("overwrite")
+            .parquet(f"{dest}/customer.parquet")
         )
     if "embeddings" in facts:
         # ROADMAP backlog 4: a measured k-means slope needs embeddings to
@@ -622,6 +675,7 @@ def run_crossover(
         "kv_tier_recorded": RECORDED_KV_TIERS,
         "r6_tier_recorded": RECORDED_R6_TIERS,
         "r7_tier_recorded": RECORDED_R7_TIERS,
+        "r8_tier_recorded": RECORDED_R8_TIERS,
         "recorded_echo": _recorded_echo(),
     }
 
@@ -634,6 +688,7 @@ def _recorded_echo() -> dict:
         **RECORDED_KV_TIERS,
         **RECORDED_R6_TIERS,
         **RECORDED_R7_TIERS,
+        **RECORDED_R8_TIERS,
     }
     return {
         fam: {
