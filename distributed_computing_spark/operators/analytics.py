@@ -13,6 +13,8 @@ value hash (summation order differs; values agree to ~1e-10).
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -838,6 +840,100 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str, min_count: int = 3) -> Da
     )
 
 
+def association_rules(
+    spark: SparkSession,
+    sf_dir: str,
+    min_count: int = 3,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Market-basket association rules over the co-purchase pairs
+    (round 8): for every directed rule a→b with pair support >=
+    min_count, emit integer-scaled confidence and lift —
+    ``conf_ppm = (supp_ab · 10^6) div supp_a`` and
+    ``lift_ppm = (supp_ab · N · 10^6) div (supp_a · supp_b)`` — the
+    float-free ranking keys (the multimodal_real_ann quantized-rank
+    rule: both engines divide exact integers, so the gate hash is
+    stable where a float lift never would be).
+
+    Plan shape: the basket self-join is per-order bounded
+    (copurchase_pairs), item supports are one partial-aggregated
+    groupBy, N is a 1-row agg broadcast as a literal-free cross join
+    of a 1-row frame; supports attach by broadcast (item-count-sized).
+    Overflow audit: supp_ab·N·10^6 <= |lineitem|²·10^6 — cast through
+    DECIMAL(38,0) and divide there, landing back in BIGINT.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_partkey").alias("item")
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    supp = li.groupBy("item").agg(
+        F.countDistinct("l_orderkey").alias("supp")
+    )
+    a_side = li.select("l_orderkey", F.col("item").alias("a"))
+    b_side = li.select("l_orderkey", F.col("item").alias("b"))
+    pairs = (
+        a_side.join(b_side, "l_orderkey")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.countDistinct("l_orderkey").alias("supp_ab"))
+        .where(F.col("supp_ab") >= min_count)
+    )
+    # both rule directions from ONE pair evaluation (the r6
+    # explode-an-array lesson: never unionAll two selects of the same
+    # expensive subtree)
+    rules = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("lhs"),
+                    F.col("b").alias("rhs"),
+                    F.col("supp_ab"),
+                ),
+                F.struct(
+                    F.col("b").alias("lhs"),
+                    F.col("a").alias("rhs"),
+                    F.col("supp_ab"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.lhs", "r.rhs", "r.supp_ab")
+    sl = supp.select(
+        F.col("item").alias("lhs"), F.col("supp").alias("supp_lhs")
+    )
+    sr = supp.select(
+        F.col("item").alias("rhs"), F.col("supp").alias("supp_rhs")
+    )
+    # integral `div` on DECIMAL(38,0) — truncating like DuckDB's `//`
+    # (all operands non-negative counts, so floor == trunc under any
+    # engine; decimal float-division + cast would ROUND half-up at the
+    # result scale and diverge near integer boundaries)
+    conf = F.expr(
+        f"cast(supp_ab as decimal(38,0)) * {scale} "
+        "div cast(supp_lhs as decimal(38,0))"
+    )
+    lift = F.expr(
+        f"cast(supp_ab as decimal(38,0)) * cast(n_orders as decimal(38,0))"
+        f" * {scale} div (cast(supp_lhs as decimal(38,0)) * "
+        "cast(supp_rhs as decimal(38,0)))"
+    )
+    return (
+        rules.join(F.broadcast(sl), "lhs")
+        .join(F.broadcast(sr), "rhs")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "lhs",
+            "rhs",
+            "supp_ab",
+            "supp_lhs",
+            "supp_rhs",
+            conf.cast("long").alias("conf_ppm"),
+            lift.cast("long").alias("lift_ppm"),
+        )
+    )
+
+
 def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type transition counts (behavioral bigrams): for
     each consecutive (ts, event_id)-ordered pair of a user's events,
@@ -1458,6 +1554,150 @@ def ivm_refresh(
             .alias(c)
         )
     return merged.select(*out_cols).where(F.col(count_col) != 0)
+
+
+def audience_overlap(
+    spark: SparkSession,
+    sf_dir: str,
+    bits_per_word: int = 62,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Pairwise audience-overlap matrix via PACKED BITMAPS (round 8):
+    each event_type's distinct-user set becomes (word_idx, 62-bit
+    mask) rows — the roaring-bitmap idea in pure relational form —
+    and every pair's intersection is sum(bit_count(a & b)) over a
+    word-keyed join. 62 bits per word, not 64: DuckDB's BIGINT ``<<``
+    throws on bit 63 (measured) and bit 62 would make the OR'd mask
+    negative; staying at 0..61 keeps every mask positive on both
+    engines.
+
+    Why bitmaps at 100 TB: the exchange after packing is
+    |users|/62 words per group instead of |users| ids — a 64×
+    compression of the set-intersection shuffle with exact (not
+    sketched) answers; KMV/HLL cover the approximate regime, this
+    covers the exact one. Jaccard ships as the integer-div ppm key
+    (float rule).
+
+    Plan: one distinct over (type, user), one partial-aggregated
+    bit_or groupBy, a word-keyed self-join of word tables (a < b on
+    the type), and a per-pair sum — nothing user-id-sized leaves the
+    packing stage."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    ).distinct()
+    shift = F.expr(
+        f"shiftleft(cast(1 as bigint), "
+        f"cast(pmod(user_id, {bits_per_word}) as int))"
+    )
+    words = ev.select(
+        "event_type",
+        F.expr(f"user_id div {bits_per_word}").alias("word_idx"),
+        shift.alias("_bit"),
+    ).groupBy("event_type", "word_idx").agg(
+        F.bit_or("_bit").alias("mask")
+    )
+    totals = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("mask")).alias("n_users")
+    )
+    a = words.select(
+        F.col("event_type").alias("g_a"), "word_idx",
+        F.col("mask").alias("mask_a"),
+    )
+    b = words.select(
+        F.col("event_type").alias("g_b"), "word_idx",
+        F.col("mask").alias("mask_b"),
+    )
+    inter = (
+        a.join(b, "word_idx")
+        .where(F.col("g_a") < F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(
+            F.sum(
+                F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
+            ).alias("n_common")
+        )
+    )
+    ta = totals.select(
+        F.col("event_type").alias("g_a"), F.col("n_users").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("event_type").alias("g_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(ta), "g_a")
+        .join(F.broadcast(tb), "g_b")
+        .select(
+            "g_a",
+            "g_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (F.col("n_a") + F.col("n_b") - F.col("n_common")).alias(
+                "n_union"
+            ),
+            F.expr(
+                f"cast(n_common * {scale} div "
+                "(n_a + n_b - n_common) as bigint)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    vals: list[str],
+) -> DataFrame:
+    """Diff two materialized snapshots into a typed change set — the
+    INVERSE of ``ivm_refresh`` (round 8): where the refresh applies a
+    CDC delta to a view, this derives the delta by comparing state
+    versions, the primitive behind snapshot-based CDC extraction,
+    anti-entropy repair, and table-format incremental reads when no
+    change log exists.
+
+    Emits one row per changed key: op 'I' (only in ``new``), 'D'
+    (only in ``old``), 'U' (present in both with any ``vals``
+    difference; identical rows drop out). Value columns come out as
+    ``old_<v>`` / ``new_<v>`` pairs (null on the absent side).
+
+    Plan: ONE full-outer join keyed on the group — both inputs are
+    snapshot-sized (views, not facts), presence is tracked by
+    indicator literals so legitimately-NULL measures never
+    misclassify, and the unchanged-row filter pushes below the
+    projection. At 100 TB the snapshots co-partition on the key, so
+    the join is the only exchange."""
+    o = old.select(
+        *keys,
+        F.lit(1).alias("_in_old"),
+        *[F.col(v).alias(f"old_{v}") for v in vals],
+    )
+    n = new.select(
+        *keys,
+        F.lit(1).alias("_in_new"),
+        *[F.col(v).alias(f"new_{v}") for v in vals],
+    )
+    j = o.join(n, keys, "full_outer")
+    changed = functools.reduce(
+        lambda a, b: a | b,
+        [
+            ~F.col(f"old_{v}").eqNullSafe(F.col(f"new_{v}"))
+            for v in vals
+        ],
+    )
+    op = (
+        F.when(F.col("_in_old").isNull(), F.lit("I"))
+        .when(F.col("_in_new").isNull(), F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+    return j.select(
+        *keys,
+        op.alias("op"),
+        *[F.col(f"old_{v}") for v in vals],
+        *[F.col(f"new_{v}") for v in vals],
+    ).where(
+        F.col("op").isin("I", "D") | changed
+    )
 
 
 _IVM_FIXTURE_CACHE: dict = {}

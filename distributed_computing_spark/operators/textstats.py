@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from distributed_computing_spark.functions.text import (
     LANG_LEXICONS,
+    TOKEN_SPLIT_RE,
     bpe_ish_token_count,
     fingerprint,
     punct_ratio,
@@ -220,6 +221,73 @@ def bigram_counts(spark: SparkSession, sf_dir: str, min_count: int = 20) -> Data
         sh.groupBy(F.col("shingle").alias("bigram"))
         .agg(F.count("*").alias("cnt"))
         .where(F.col("cnt") >= min_count)
+    )
+
+
+def bigram_pmi(
+    spark: SparkSession,
+    sf_dir: str,
+    min_count: int = 15,
+    k: int = 40,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Collocation discovery (round 8): top-k bigrams by pointwise
+    mutual information with a minimum-support floor — the classic
+    phrase-detection statistic (Church & Hanks 1990) over the corpus.
+
+    Float-free ranking (the quantized-rank rule): PMI's exp-scale
+    ratio p(xy)/(p(x)p(y)) = n_xy·N² / (N_bi·n_x·n_y) ranks
+    identically to PMI itself (log is monotone), so the gate key is
+    ``pmi_ppm = (n_xy·N²·10^6) div (N_bi·n_x·n_y)`` — exact integer
+    arithmetic through DECIMAL(38,0) on both engines (HUGEINT in the
+    oracle); worst case ~1e30 stays inside both ranges.
+
+    Plan: one tokenize scan feeds both the unigram and the
+    zipped-slice bigram aggregates; totals are 1-row aggs; unigram
+    counts re-attach by broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.col("text"), TOKEN_SPLIT_RE), lambda t: t != ""
+    )
+    t = docs.select(toks.alias("_t"))
+    ln = F.greatest(F.size("_t") - 1, F.lit(0))
+    pairs = t.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("_t"), F.lit(1), ln).alias("x"),
+                F.slice(F.col("_t"), F.lit(2), ln).alias("y"),
+            )
+        ).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    uni = t.select(F.explode("_t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n_tok = uni.agg(F.sum("c").alias("n"))
+    bi = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy"))
+    n_bi = bi.agg(F.sum("n_xy").alias("nb"))
+    cx = uni.select(F.col("w").alias("x"), F.col("c").alias("n_x"))
+    cy = uni.select(F.col("w").alias("y"), F.col("c").alias("n_y"))
+    pmi = F.expr(
+        f"cast(n_xy as decimal(38,0)) * cast(n as decimal(38,0)) * "
+        f"cast(n as decimal(38,0)) * {scale} div "
+        "(cast(nb as decimal(38,0)) * cast(n_x as decimal(38,0)) * "
+        "cast(n_y as decimal(38,0)))"
+    )
+    return (
+        bi.where(F.col("n_xy") >= min_count)
+        .join(F.broadcast(cx), "x")
+        .join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            F.concat_ws(" ", "x", "y").alias("bigram"),
+            F.col("n_xy"),
+            F.col("n_x"),
+            F.col("n_y"),
+            pmi.cast("long").alias("pmi_ppm"),
+        )
+        .orderBy(F.col("pmi_ppm").desc(), F.col("bigram"))
+        .limit(k)
     )
 
 

@@ -4073,6 +4073,190 @@ FROM r WHERE rnk <= 64
 ORDER BY g_a, g_b, rnk"""
 
 
+# Round 8: association rules — the confidence/lift half of
+# frequent-itemset mining on top of the bounded per-basket pair join.
+# Integer-scaled (ppm) ranking keys keep the gate float-free.
+def association_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.analytics import (
+        association_rules,
+    )
+
+    return association_rules(spark, sf_dir, min_count=3).orderBy(
+        "lhs", "rhs"
+    )
+
+
+QUERIES["association_rules"] = association_rules_q
+ORACLES["association_rules"] = """
+WITH li AS (SELECT l_orderkey, l_partkey AS item FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+supp AS MATERIALIZED (
+  SELECT item, count(DISTINCT l_orderkey) AS supp FROM li GROUP BY item),
+pairs AS MATERIALIZED (
+  SELECT a.item AS a, b.item AS b,
+         count(DISTINCT a.l_orderkey) AS supp_ab
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 3),
+rules AS (
+  SELECT a AS lhs, b AS rhs, supp_ab FROM pairs
+  UNION ALL SELECT b AS lhs, a AS rhs, supp_ab FROM pairs)
+SELECT r.lhs, r.rhs, CAST(r.supp_ab AS BIGINT) AS supp_ab,
+       CAST(sl.supp AS BIGINT) AS supp_lhs,
+       CAST(sr.supp AS BIGINT) AS supp_rhs,
+       CAST((r.supp_ab::HUGEINT * 1000000) // sl.supp AS BIGINT)
+         AS conf_ppm,
+       CAST((r.supp_ab::HUGEINT * n.n_orders * 1000000)
+            // (sl.supp::HUGEINT * sr.supp) AS BIGINT) AS lift_ppm
+FROM rules r
+JOIN supp sl ON sl.item = r.lhs
+JOIN supp sr ON sr.item = r.rhs
+CROSS JOIN n
+ORDER BY lhs, rhs"""
+
+
+# Round 8: snapshot-diff CDC extraction — the INVERSE of ivm_refresh:
+# derive the typed change set (I/U/D) by comparing two materialized
+# state versions when no change log exists. State = per-customer
+# trailing-180-day OPEN-order summary, whose membership can DROP, so
+# all three ops fire (I=256 / D=250 / U=81 at sf0.01).
+def customer_state_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff the customer open-order state at 1998-01-01 vs 1998-08-01
+    into I/U/D rows via analytics.snapshot_diff (full-outer on the
+    key, indicator-tracked presence, unchanged rows drop)."""
+    from distributed_computing_spark.operators.analytics import (
+        snapshot_diff,
+    )
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select("o_custkey", "o_orderdate")
+    )
+
+    def snap(cutoff: str) -> DataFrame:
+        lo = F.date_sub(F.lit(cutoff).cast("timestamp"), 180)
+        return (
+            o.where(
+                (F.col("o_orderdate") > lo)
+                & (F.col("o_orderdate") <= F.lit(cutoff))
+            )
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_open"),
+                # NTZ has no direct long cast; session tz is pinned UTC
+                # so the TIMESTAMP hop preserves the wall-clock epoch
+                F.max(
+                    F.col("o_orderdate").cast("timestamp").cast("long")
+                ).alias("last_sec"),
+            )
+        )
+
+    return snapshot_diff(
+        snap("1998-01-01"), snap("1998-08-01"),
+        ["o_custkey"], ["n_open", "last_sec"],
+    ).orderBy("o_custkey")
+
+
+QUERIES["customer_state_cdc"] = customer_state_cdc
+ORACLES["customer_state_cdc"] = """
+WITH o AS (SELECT o_custkey, o_orderdate FROM orders
+           WHERE o_orderstatus = 'O'),
+s1 AS (
+  SELECT o_custkey, count(*) AS n_open,
+         max(epoch_us(o_orderdate) // 1000000) AS last_sec
+  FROM o
+  WHERE o_orderdate > TIMESTAMP '1998-01-01' - INTERVAL 180 DAY
+    AND o_orderdate <= TIMESTAMP '1998-01-01'
+  GROUP BY 1),
+s2 AS (
+  SELECT o_custkey, count(*) AS n_open,
+         max(epoch_us(o_orderdate) // 1000000) AS last_sec
+  FROM o
+  WHERE o_orderdate > TIMESTAMP '1998-08-01' - INTERVAL 180 DAY
+    AND o_orderdate <= TIMESTAMP '1998-08-01'
+  GROUP BY 1)
+SELECT COALESCE(s1.o_custkey, s2.o_custkey) AS o_custkey,
+       CASE WHEN s1.o_custkey IS NULL THEN 'I'
+            WHEN s2.o_custkey IS NULL THEN 'D'
+            ELSE 'U' END AS op,
+       CAST(s1.n_open AS BIGINT) AS old_n_open,
+       CAST(s1.last_sec AS BIGINT) AS old_last_sec,
+       CAST(s2.n_open AS BIGINT) AS new_n_open,
+       CAST(s2.last_sec AS BIGINT) AS new_last_sec
+FROM s1 FULL JOIN s2 ON s1.o_custkey = s2.o_custkey
+WHERE s1.o_custkey IS NULL OR s2.o_custkey IS NULL
+   OR s1.n_open <> s2.n_open OR s1.last_sec <> s2.last_sec
+ORDER BY o_custkey"""
+
+
+# Round 8: PMI collocations — float-free via the monotone-rank trick
+# (log dropped; the ratio ranks identically in exact integers).
+from distributed_computing_spark.operators.textstats import (  # noqa: E402
+    bigram_pmi,
+)
+
+QUERIES["bigram_pmi"] = bigram_pmi
+ORACLES["bigram_pmi"] = f"""
+WITH t AS (SELECT {_TOKENS} AS toks FROM documents),
+u AS (SELECT unnest(toks) AS w FROM t),
+cu AS MATERIALIZED (SELECT w, count(*) AS c FROM u GROUP BY 1),
+nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cu),
+b AS (SELECT unnest(toks[1:greatest(len(toks) - 1, 0)]) AS x,
+             unnest(toks[2:len(toks)]) AS y
+      FROM t),
+cb AS MATERIALIZED (SELECT x, y, count(*) AS n_xy FROM b GROUP BY 1, 2),
+nb AS (SELECT CAST(sum(n_xy) AS BIGINT) AS nb FROM cb)
+SELECT cb.x || ' ' || cb.y AS bigram,
+       CAST(cb.n_xy AS BIGINT) AS n_xy,
+       CAST(cx.c AS BIGINT) AS n_x,
+       CAST(cy.c AS BIGINT) AS n_y,
+       CAST((cb.n_xy::HUGEINT * nt.n * nt.n * 1000000)
+            // (nb.nb::HUGEINT * cx.c * cy.c) AS BIGINT) AS pmi_ppm
+FROM cb
+JOIN cu cx ON cx.w = cb.x
+JOIN cu cy ON cy.w = cb.y
+CROSS JOIN nt CROSS JOIN nb
+WHERE cb.n_xy >= 15
+ORDER BY pmi_ppm DESC, bigram
+LIMIT 40"""
+
+
+# Round 8: exact audience overlap via packed 62-bit bitmaps — the
+# word-keyed exchange is |users|/62 the size of an id exchange; the
+# KMV pair sketches are this matrix's approximate twin.
+def audience_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.analytics import (
+        audience_overlap,
+    )
+
+    return audience_overlap(spark, sf_dir).orderBy("g_a", "g_b")
+
+
+QUERIES["audience_overlap"] = audience_overlap_q
+ORACLES["audience_overlap"] = """
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+w AS MATERIALIZED (
+  SELECT event_type, user_id // 62 AS word_idx,
+         bit_or(1::BIGINT << CAST(user_id % 62 AS INT)) AS mask
+  FROM du GROUP BY 1, 2),
+t AS (SELECT event_type, CAST(sum(bit_count(mask)) AS BIGINT) AS n_users
+      FROM w GROUP BY 1),
+i AS (
+  SELECT a.event_type AS g_a, b.event_type AS g_b,
+         CAST(sum(bit_count(a.mask & b.mask)) AS BIGINT) AS n_common
+  FROM w a JOIN w b ON a.word_idx = b.word_idx
+       AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT i.g_a, i.g_b, ta.n_users AS n_a, tb.n_users AS n_b, i.n_common,
+       ta.n_users + tb.n_users - i.n_common AS n_union,
+       CAST((i.n_common * 1000000)
+            // (ta.n_users + tb.n_users - i.n_common) AS BIGINT)
+         AS jaccard_ppm
+FROM i JOIN t ta ON ta.event_type = i.g_a
+JOIN t tb ON tb.event_type = i.g_b
+ORDER BY g_a, g_b"""
+
+
 # Round 8: ADOPT the measured layout winner (VERDICT r7 item 5) — the
 # Hilbert layout now backs a scan-pruning gated query, not just the
 # cell-histogram arithmetic. Distinct probe window from the Morton twin

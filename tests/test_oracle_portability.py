@@ -169,6 +169,7 @@ def test_kmeans_trace_oracles_consistent_with_main_chain():
 _AUDITED_FLOORDIV = [
     # epoch_us(ts) on the testdata's post-1970 timestamps is positive.
     r"epoch_us\([a-z]?\.?\w*\(?ts\)?\)? // 1000000",
+    r"epoch_us\(o_orderdate\) // 1000000",
     r"epoch_us\(ts\) // 1000000 // 21600",
     # (x - min(x)) and (max - min) spans are non-negative by construction.
     r"\(\(user_id - \(SELECT min\(user_id\)",
@@ -201,6 +202,14 @@ _AUDITED_FLOORDIV = [
     # kmeans centroid update: sign-explicit guarded forms only.
     r"WHEN s\.sx >= 0 THEN CAST\(s\.sx // s\.n AS BIGINT\)",
     r"ELSE CAST\(-\(\(-s\.sx\) // s\.n\) AS BIGINT\)",
+    # association rules: supports and order counts are non-negative.
+    r"supp_ab::HUGEINT \* 1000000\) // sl\.supp",
+    r"\* 1000000\)\s+// \(sl\.supp::HUGEINT \* sr\.supp\)",
+    # bigram PMI: token/bigram counts are non-negative.
+    r"\* 1000000\)\s+// \(nb\.nb::HUGEINT \* cx\.c \* cy\.c\)",
+    # audience overlap: user_id and popcounts are non-negative.
+    r"user_id // 62",
+    r"\* 1000000\)\s+// \(ta\.n_users \+ tb\.n_users - i\.n_common\)",
 ]
 
 

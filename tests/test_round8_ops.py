@@ -1,0 +1,149 @@
+"""Round-8 operators: snapshot-diff CDC extraction, association rules,
+packed-bitmap audience overlap, PMI collocations. The sf0.01 oracle
+gate covers the registry queries end-to-end; these tests pin the
+OPERATOR contracts on small synthetic inputs where the expected answer
+is computable by hand (the _py_kmeans discipline)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_snapshot_diff_classifies_i_u_d_and_drops_unchanged(spark):
+    from distributed_computing_spark.operators.analytics import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 200), (3, 30, 300), (4, None, 400)],
+        "k int, n int, v int",
+    )
+    new = spark.createDataFrame(
+        [(2, 20, 200), (3, 31, 300), (4, None, 400), (5, 50, 500)],
+        "k int, n int, v int",
+    )
+    got = {
+        r["k"]: (r["op"], r["old_n"], r["new_n"], r["old_v"], r["new_v"])
+        for r in snapshot_diff(old, new, ["k"], ["n", "v"]).collect()
+    }
+    # 1 deleted, 3 updated, 5 inserted; 2 unchanged drops; 4 has a NULL
+    # measure on both sides — eqNullSafe must treat it as unchanged
+    assert got == {
+        1: ("D", 10, None, 100, None),
+        3: ("U", 30, 31, 300, 300),
+        5: ("I", None, 50, None, 500),
+    }
+
+
+def test_snapshot_diff_null_transition_is_update(spark):
+    from distributed_computing_spark.operators.analytics import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "k int, n int")
+    new = spark.createDataFrame([(1, 7)], "k int, n int")
+    rows = snapshot_diff(old, new, ["k"], ["n"]).collect()
+    assert [(r["op"], r["old_n"], r["new_n"]) for r in rows] == [
+        ("U", None, 7)
+    ]
+
+
+def test_audience_overlap_matches_naive_set_arithmetic(spark, sf_dir):
+    """The packed-bitmap intersection equals exact COUNT(DISTINCT) set
+    arithmetic computed the naive way on the same table."""
+    from distributed_computing_spark.operators.analytics import (
+        audience_overlap,
+    )
+
+    got = {
+        (r["g_a"], r["g_b"]): (
+            r["n_a"], r["n_b"], r["n_common"], r["n_union"],
+            r["jaccard_ppm"],
+        )
+        for r in audience_overlap(spark, sf_dir).collect()
+    }
+    from distributed_computing_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sets: dict[str, set] = {}
+    for r in ev.select("event_type", "user_id").distinct().collect():
+        sets.setdefault(r["event_type"], set()).add(r["user_id"])
+    types = sorted(sets)
+    want = {}
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            common = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if common == 0 and not (sets[a] and sets[b]):
+                continue
+            want[(a, b)] = (
+                len(sets[a]), len(sets[b]), common, union,
+                common * 10**6 // union,
+            )
+    # bitmap pairs only exist where the types share at least one word;
+    # with sf0.001's dense user ids every pair shares words
+    assert got == {k: v for k, v in want.items() if k in got}
+    assert len(got) == len(want)
+
+
+def test_association_rules_confidence_and_lift_math(spark, tmp_path, sf_dir):
+    """Hand-checkable baskets: rules' ppm keys equal exact integer
+    division of the support counts."""
+    import os
+    import shutil
+
+    from distributed_computing_spark.operators.analytics import (
+        association_rules,
+    )
+
+    # baskets: {1,2} x3, {1,3} x1, {2,3} x1  -> pair (1,2) supp 3
+    rows = []
+    ok = 0
+    for _ in range(3):
+        rows += [(ok, 1), (ok, 2)]
+        ok += 1
+    rows += [(ok, 1), (ok, 3)]
+    ok += 1
+    rows += [(ok, 2), (ok, 3)]
+    ok += 1
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    li.write.parquet(os.path.join(d, "lineitem.parquet"))
+    # association_rules loads via catalog: copy nothing else needed
+    out = {
+        (r["lhs"], r["rhs"]): (
+            r["supp_ab"], r["supp_lhs"], r["supp_rhs"],
+            r["conf_ppm"], r["lift_ppm"],
+        )
+        for r in association_rules(spark, d, min_count=3).collect()
+    }
+    # N=5 baskets; supp(1)=4, supp(2)=4, supp_ab=3
+    assert out == {
+        (1, 2): (3, 4, 4, 3 * 10**6 // 4, 3 * 5 * 10**6 // 16),
+        (2, 1): (3, 4, 4, 3 * 10**6 // 4, 3 * 5 * 10**6 // 16),
+    }
+
+
+def test_bigram_pmi_ranks_collocations_first(spark, sf_dir):
+    """PMI's defining property on the gated output: the ranking key is
+    exactly the integer-scaled independence ratio, recomputable from
+    the emitted counts and corpus totals."""
+    from distributed_computing_spark.operators.textstats import bigram_pmi
+    from distributed_computing_spark.functions.text import TOKEN_SPLIT_RE
+    from distributed_computing_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.col("text"), TOKEN_SPLIT_RE), lambda t: t != ""
+    )
+    n_tok = docs.select(F.explode(toks).alias("w")).count()
+    n_bi = docs.select(
+        (F.greatest(F.size(toks) - 1, F.lit(0))).alias("m")
+    ).agg(F.sum("m")).collect()[0][0]
+    rows = bigram_pmi(spark, sf_dir, min_count=2, k=10).collect()
+    assert rows, "no bigrams above the support floor at this sf"
+    ppm = [r["pmi_ppm"] for r in rows]
+    assert ppm == sorted(ppm, reverse=True)
+    for r in rows:
+        expect = (
+            r["n_xy"] * n_tok * n_tok * 10**6
+            // (n_bi * r["n_x"] * r["n_y"])
+        )
+        assert r["pmi_ppm"] == expect
