@@ -1585,17 +1585,39 @@ def audience_overlap(
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "user_id"
     ).distinct()
+    words = bitmap_words(ev, "event_type", "user_id", bits_per_word)
+    return overlap_matrix(words, scale)
+
+
+def bitmap_words(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    bits_per_word: int = 62,
+) -> DataFrame:
+    """Pack a (group, id) relation into (group, word_idx, mask) bitmap
+    words via a bit_or aggregate. bit_or is IDEMPOTENT, so duplicate
+    (group, id) arrivals don't need a distinct — which is exactly what
+    makes this packing streamable (stream_audience_overlap maintains
+    the words as streaming agg state with no dedup operator)."""
     shift = F.expr(
         f"shiftleft(cast(1 as bigint), "
-        f"cast(pmod(user_id, {bits_per_word}) as int))"
+        f"cast(pmod({id_col}, {bits_per_word}) as int))"
     )
-    words = ev.select(
-        "event_type",
-        F.expr(f"user_id div {bits_per_word}").alias("word_idx"),
-        shift.alias("_bit"),
-    ).groupBy("event_type", "word_idx").agg(
-        F.bit_or("_bit").alias("mask")
+    return (
+        df.select(
+            F.col(group_col).alias("event_type"),
+            F.expr(f"{id_col} div {bits_per_word}").alias("word_idx"),
+            shift.alias("_bit"),
+        )
+        .groupBy("event_type", "word_idx")
+        .agg(F.bit_or("_bit").alias("mask"))
     )
+
+
+def overlap_matrix(words: DataFrame, scale: int = 10**6) -> DataFrame:
+    """Pairwise exact set-overlap matrix from packed bitmap words (see
+    audience_overlap for the full contract)."""
     totals = words.groupBy("event_type").agg(
         F.sum(F.bit_count("mask")).alias("n_users")
     )
@@ -1640,6 +1662,81 @@ def audience_overlap(
                 "(n_a + n_b - n_common) as bigint)"
             ).alias("jaccard_ppm"),
         )
+    )
+
+
+def user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (round 8): the
+    gaps-and-islands classic — distinct active epoch-days, island id =
+    day − row_number (constant within a consecutive run), then
+    per-island lengths roll up to (n_active_days, n_streaks,
+    longest_streak). One shuffle on user_id serves both the ordering
+    window and the aggregates; day arithmetic is integer end-to-end
+    (epoch seconds div 86400 — the dup-spans diagonal trick applied to
+    calendar time)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.expr("cast(ts as long) div 86400").alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn(
+        "isl", F.col("day") - F.row_number().over(w)
+    )
+    streaks = isl.groupBy("user_id", "isl").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+    )
+
+
+def event_trend_slopes(
+    spark: SparkSession, sf_dir: str, scale: int = 10**6
+) -> DataFrame:
+    """Per-group OLS trend slope (round 8), integer-exact: for each
+    event_type, the least-squares slope of floor(value·100) against
+    epoch seconds, shipped as
+    ``slope_num = n·Σxy − Σx·Σy`` over ``slope_den = n·Σx² − (Σx)²``
+    plus the truncating quotient ``slope_ppm = slope_num·10^6 / den``
+    (cents per million seconds). All sums ride DECIMAL(38,0) — per-row
+    x² ≈ 2.3e18 would overflow a summed BIGINT within rows (ANSI
+    throws), and the n·Σxy-scale terms reach ~1e24. The numerator can
+    be NEGATIVE (falling trends), so the oracle divides
+    sign-explicitly (the kmeans r7 CASE) and Spark uses decimal
+    ``div`` — truncation on both engines, any version.
+
+    Plan: one partial-aggregated groupBy carrying five decimal sums;
+    the slope algebra is a scalar projection on k rows."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    pts = ev.select(
+        "event_type",
+        F.col("ts").cast("long").alias("x"),
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x").cast(dec) * F.col("x").cast(dec))).alias("sxx"),
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_points"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "slope_num"
+        ),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "slope_den"
+        ),
+        F.expr(
+            f"cast((n * sxy - sx * sy) * {scale} div "
+            "(n * sxx - sx * sx) as bigint)"
+        ).alias("slope_ppm"),
     )
 
 

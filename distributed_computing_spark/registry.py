@@ -4232,6 +4232,40 @@ def audience_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audience_overlap(spark, sf_dir).orderBy("g_a", "g_b")
 
 
+def stream_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bitmap words maintained as STREAMING aggregation state
+    (bit_or is idempotent AND distributive, so the micro-batched
+    replay needs no dedup operator and its final state equals the
+    batch packing bit-for-bit); the pair matrix is computed from the
+    final state and gated by the batch oracle — the stream_cms_counts
+    motion applied to exact bitmaps. State store holds one row per
+    (type, word): bounded by the id range, not the event count."""
+    from distributed_computing_spark.operators.analytics import (
+        bitmap_words,
+        overlap_matrix,
+    )
+    from distributed_computing_spark.streaming.runner import (
+        run_to_batch,
+        stream_table,
+    )
+
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    sdf = stream_table(spark, ev.select("event_type", "user_id"))
+    words = run_to_batch(
+        bitmap_words(sdf, "event_type", "user_id"), spark
+    )
+    # flush the final state to parquet before the pair SELF-join: the
+    # memory-sink view cannot be self-joined (Spark INTERNAL_ERROR,
+    # conflicting references on the streaming View), and a state
+    # flush-to-storage is the production handoff anyway
+    out = tempfile.mkdtemp(prefix="dcs_bitmap_state_")
+    words.write.mode("overwrite").parquet(out)
+    return overlap_matrix(spark.read.parquet(out)).orderBy("g_a", "g_b")
+
+
+QUERIES["stream_audience_overlap"] = stream_audience_overlap
 QUERIES["audience_overlap"] = audience_overlap_q
 ORACLES["audience_overlap"] = """
 WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
@@ -4255,6 +4289,59 @@ SELECT i.g_a, i.g_b, ta.n_users AS n_a, tb.n_users AS n_b, i.n_common,
 FROM i JOIN t ta ON ta.event_type = i.g_a
 JOIN t tb ON tb.event_type = i.g_b
 ORDER BY g_a, g_b"""
+# the streaming replay must equal the batch packing bit-for-bit, so
+# the batch oracle gates the streaming execution path
+ORACLES["stream_audience_overlap"] = ORACLES["audience_overlap"]
+
+
+# Round 8: gaps-and-islands daily streaks + grouped integer-exact OLS.
+def user_streaks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.analytics import user_streaks
+
+    return user_streaks(spark, sf_dir).orderBy("user_id")
+
+
+QUERIES["user_streaks"] = user_streaks_q
+ORACLES["user_streaks"] = """
+WITH d AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 1000000 // 86400 AS day
+           FROM events),
+r AS (SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id
+                                      ORDER BY day) AS isl
+      FROM d),
+s AS (SELECT user_id, isl, count(*) AS len FROM r GROUP BY 1, 2)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS longest_streak
+FROM s GROUP BY user_id ORDER BY user_id"""
+
+
+def event_trend_slopes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.analytics import (
+        event_trend_slopes,
+    )
+
+    return event_trend_slopes(spark, sf_dir).orderBy("event_type")
+
+
+QUERIES["event_trend_slopes"] = event_trend_slopes_q
+ORACLES["event_trend_slopes"] = """
+WITH p AS (SELECT event_type, epoch_us(ts) // 1000000 AS x,
+                  CAST(floor(value * 100) AS BIGINT) AS y
+           FROM events),
+s AS (SELECT event_type, count(*)::HUGEINT AS n,
+             sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+             sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx
+      FROM p GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n_points,
+       CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
+       CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS slope_den,
+       CAST(CASE WHEN (n * sxy - sx * sy) >= 0
+            THEN ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+            ELSE -(((sx * sy - n * sxy) * 1000000) // (n * sxx - sx * sx))
+            END AS BIGINT) AS slope_ppm
+FROM s ORDER BY event_type"""
 
 
 # Round 8: ADOPT the measured layout winner (VERDICT r7 item 5) — the

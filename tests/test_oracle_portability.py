@@ -210,6 +210,12 @@ _AUDITED_FLOORDIV = [
     # audience overlap: user_id and popcounts are non-negative.
     r"user_id // 62",
     r"\* 1000000\)\s+// \(ta\.n_users \+ tb\.n_users - i\.n_common\)",
+    # user streaks: epoch-day arithmetic on post-1970 timestamps.
+    r"epoch_us\(ts\) // 1000000 // 86400",
+    # trend slopes: sign-explicit CASE — both branches' dividends are
+    # non-negative by construction (the kmeans r7 guarded form).
+    r"THEN \(\(n \* sxy - sx \* sy\) \* 1000000\) // \(n \* sxx - sx \* sx\)",
+    r"ELSE -\(\(\(sx \* sy - n \* sxy\) \* 1000000\) // \(n \* sxx - sx \* sx\)\)",
 ]
 
 

@@ -121,6 +121,74 @@ def test_association_rules_confidence_and_lift_math(spark, tmp_path, sf_dir):
     }
 
 
+def test_user_streaks_islands_math(spark, sf_dir):
+    """Cross-check gaps-and-islands against a pure-Python fold over the
+    same distinct-day sets."""
+    from distributed_computing_spark.operators.analytics import user_streaks
+    from distributed_computing_spark.sources.catalog import load_table
+
+    got = {
+        r["user_id"]: (
+            r["n_active_days"], r["n_streaks"], r["longest_streak"]
+        )
+        for r in user_streaks(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    days: dict[int, set] = {}
+    for r in ev.select(
+        "user_id", F.expr("cast(ts as long) div 86400").alias("d")
+    ).collect():
+        days.setdefault(r["user_id"], set()).add(r["d"])
+    for uid, ds in days.items():
+        sd = sorted(ds)
+        streaks, cur = [], 1
+        for a, b in zip(sd, sd[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        assert got[uid] == (len(sd), len(streaks), max(streaks)), uid
+    assert set(got) == set(days)
+
+
+def test_event_trend_slopes_recovers_planted_line(spark, tmp_path):
+    """A perfectly linear planted series must yield the exact slope in
+    cents-per-million-seconds, for positive AND negative trends."""
+    import os
+
+    from distributed_computing_spark.operators.analytics import (
+        event_trend_slopes,
+    )
+
+    rows = []
+    t0 = 1_700_000_000
+    for i in range(100):
+        # quarter-valued series are binary-exact, so floor(value*100)
+        # is the intended cents (3.03*100 would floor to 302 — the
+        # quantization contract, not a bug); slopes: +75 / -50 c/s
+        rows.append(("up", t0 + i, (300 + 3 * i) / 4.0))
+        rows.append(("down", t0 + i, (1000 - 2 * i) / 4.0))
+    df = spark.createDataFrame(rows, "event_type string, sec long, value double")
+    ev = df.select(
+        "event_type",
+        F.timestamp_seconds("sec").alias("ts"),
+        "value",
+        F.lit(1).alias("event_id"),
+        F.lit(1).alias("user_id"),
+        F.lit("{}").alias("props"),
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    ev.write.parquet(os.path.join(d, "events.parquet"))
+    got = {
+        r["event_type"]: r["slope_ppm"]
+        for r in event_trend_slopes(spark, d).collect()
+    }
+    assert got == {"up": 75 * 10**6, "down": -50 * 10**6}
+
+
 def test_bigram_pmi_ranks_collocations_first(spark, sf_dir):
     """PMI's defining property on the gated output: the ranking key is
     exactly the integer-scaled independence ratio, recomputable from
