@@ -490,6 +490,62 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_strict(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    window_s: int = 86400 * 7,
+) -> DataFrame:
+    """STRICT sequential funnel (round 8): greedy earliest-completion
+    matching — t1 = the user's first A, t2 = the first B strictly
+    AFTER t1, t3 = the first C strictly after t2 — plus a completion
+    deadline (t3 − t1 <= window_s). funnel_conversion's first-touch
+    comparison admits a click that precedes a LATER view; this is the
+    MATCH_RECOGNIZE semantics, still without a self-join: each chained
+    "first after" is an unordered window-min over the user partition
+    conditioned on the previous window's result, so all three levels
+    ride ONE user-keyed exchange (Catalyst stacks the Window operators
+    on the same partitioning — no re-shuffle between levels)."""
+    a, b, c = steps
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("long").alias("sec")
+    )
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == a, F.col("sec"))).over(w)
+    lv1 = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == b) & (F.col("sec") > F.col("t1")),
+            F.col("sec"),
+        )
+    ).over(w)
+    lv2 = lv1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == c) & (F.col("sec") > F.col("t2")),
+            F.col("sec"),
+        )
+    ).over(w)
+    per_user = (
+        lv2.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(
+            F.first("t1").alias("t1"),
+            F.first("t2").alias("t2"),
+            F.first("t3").alias("t3"),
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("t1").isNotNull().cast("long")).alias("n_step1"),
+        F.sum(F.col("t2").isNotNull().cast("long")).alias("n_step2"),
+        F.sum(F.col("t3").isNotNull().cast("long")).alias("n_step3"),
+        F.sum(
+            (F.col("t3") - F.col("t1") <= window_s).cast("long")
+        ).alias("n_within_window"),
+    )
+
+
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of `orders` (the pre-ingest sanity pass a
     pipeline runs on every new source): per-column nulls, distincts,

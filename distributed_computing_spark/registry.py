@@ -4344,6 +4344,45 @@ SELECT event_type, CAST(n AS BIGINT) AS n_points,
 FROM s ORDER BY event_type"""
 
 
+# Round 8: strict sequential funnel (greedy earliest-completion with a
+# deadline) — the MATCH_RECOGNIZE semantics funnel_conversion's
+# first-touch comparison doesn't give.
+def funnel_strict_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.analytics import funnel_strict
+
+    return funnel_strict(spark, sf_dir)
+
+
+QUERIES["funnel_strict"] = funnel_strict_q
+ORACLES["funnel_strict"] = """
+WITH e AS (SELECT user_id, event_type,
+                  epoch_us(ts) // 1000000 AS sec
+           FROM events),
+s1 AS (SELECT user_id,
+              min(CASE WHEN event_type = 'view' THEN sec END) AS t1
+       FROM e GROUP BY 1),
+s2 AS (SELECT e.user_id, s1.t1,
+              min(CASE WHEN e.event_type = 'click' AND e.sec > s1.t1
+                       THEN e.sec END) AS t2
+       FROM e JOIN s1 ON e.user_id = s1.user_id
+       GROUP BY 1, 2),
+s3 AS (SELECT e.user_id, s2.t1, s2.t2,
+              min(CASE WHEN e.event_type = 'purchase' AND e.sec > s2.t2
+                       THEN e.sec END) AS t3
+       FROM e JOIN s2 ON e.user_id = s2.user_id
+       GROUP BY 1, 2, 3)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_step1,
+       CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_step2,
+       CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_step3,
+       CAST(sum(CASE WHEN t3 - t1 <= 604800 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_within_window
+FROM s3"""
+
+
 # Round 8: ADOPT the measured layout winner (VERDICT r7 item 5) — the
 # Hilbert layout now backs a scan-pruning gated query, not just the
 # cell-histogram arithmetic. Distinct probe window from the Morton twin
@@ -4358,68 +4397,60 @@ ORACLES["hilbert_events_scan"] = hilbert_scan_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
-# Driver-gate window rotation (round 7 — VERDICT r6 item 3)
+# Driver-gate window rotation (round 8 — VERDICT r7 item 2)
 # ---------------------------------------------------------------------------
-# Staleness-driven (the driver gates the FIRST 50 entries). After r6
-# the stalest cohort is the r4-gated remainder that round 6 displaced
-# plus the two r3-green leftovers; round 7 adds 8 never-gated queries
-# and changed 4 (kmeans's oracle fix MUST be proven in-window per the
-# VERDICT done-criterion; cms/stream_cms got the pre-agg rewrite;
-# kv_effective_ops got the narrow projection). 13 low-risk r4
-# relational-suite entries don't fit and are round 8's first picks:
-# bool_aggregates, corr_stats, lang_long_format, order_running_totals,
-# price_outliers, pricing_summary, priority_cube, priority_rollup,
-# regex_extraction, scalar_functions, string_functions,
-# source_lang_pivot, token_array_ops, revenue_percentiles and the
-# rows-only approx_percentiles (evicted late for the
-# stream_blocklist_matches / hilbert_cells slots).
-_R7_WINDOW = [
-    # new in round 7 (never driver-gated)
-    "ivm_customer_revenue", "multimodal_mp3_decode",
-    "blocklist_phrase_matches", "phrase_search_index",
-    "kmv_pair_sketches", "edit1_customer_pairs", "hll_nation_rollup",
-    "parquet_profile", "stream_blocklist_matches", "hilbert_cells",
-    # changed in round 7 (must re-prove under the driver)
-    "kmeans_embeddings", "cms_word_counts", "stream_cms_counts",
-    "kv_effective_ops",
-    # last driver row r3 (both)
-    "train_test_split", "value_histogram",
-    # last driver row r4 (stalest 36 of 49; the VERDICT-named set —
-    # exact_dedup, events_windowed, asof/range joins, the kv family,
-    # neardup clusters/canonical, ngram_jaccard_pairs,
-    # regional_revenue_bucketed — all included)
-    "approx_distinct_users", "asof_attribution",
-    "bpe_encode_stats", "bpe_merges", "events_json_extract",
-    "events_windowed", "exact_dedup", "frequent_items",
-    "funnel_conversion", "inverted_index", "kv_changes", "kv_get",
-    "kv_snapshot", "kv_state", "mapreduce_wordcount",
-    "multimodal_png_decode", "neardup_canonical", "neardup_clusters",
-    "ngram_jaccard_pairs", "order_percentiles", "range_join_views",
-    "regional_revenue", "regional_revenue_bucketed",
-    "revenue_by_segment",
-    "rolling_weekly_revenue", "semi_anti_orders", "set_ops",
-    "shard_census", "shard_routing", "table_profile", "tiered_rollup",
-    "top_orders", "user_event_profile", "user_sessions",
+# Staleness-driven (the driver gates the FIRST 50 entries): 16 round-8
+# never-gated queries (the 6 kmeans driver-bisect traces MUST sit in
+# this window per VERDICT r7 item 1b, plus the 10 new operators), the 3
+# round-8-changed queries (kmeans_embeddings's non-negative shift
+# changed its semantics; the generic multimodal decode kernels now
+# sniff-dispatch), the VERDICT-named 15-entry r4-stale cohort, and the
+# first 16 of the r5-stale set (alphabetical; the remaining 33 r5
+# entries are round 9's first picks: lang_id, leakage_safe_split,
+# lsh_topk_exact, minhash_incremental, minhash_lsh_exact,
+# minhash_neardup, multimodal_jpeg_decode, pack_chunks,
+# priority_grouping_sets, quality_calibration, quality_scores,
+# repetition_scores, sample_by_lang_exact, shingle_novelty,
+# simhash_exact, simhash_neardup, stopword_discovery, the stream_*
+# r5 family, text_stats, tfidf_top_terms, top_docs_per_lang,
+# unigram_logprob, user_retention, word_count_top10).
+_R8_WINDOW = [
+    # new in round 8 (never driver-gated)
+    "kmeans_trace_c0", "kmeans_trace_c1", "kmeans_trace_c2",
+    "kmeans_trace_c3", "kmeans_trace_c4", "kmeans_trace_a1",
+    "ivm_customer_refresh", "hilbert_events_scan", "association_rules",
+    "customer_state_cdc", "bigram_pmi", "audience_overlap",
+    "stream_audience_overlap", "user_streaks", "event_trend_slopes",
+    "funnel_strict",
+    # changed in round 8 (must re-prove under the driver)
+    "kmeans_embeddings", "multimodal_decode", "multimodal_audio",
+    # last driver row r4 (the VERDICT-named stalest cohort, complete)
+    "approx_percentiles", "bool_aggregates", "corr_stats",
+    "lang_long_format", "order_running_totals", "price_outliers",
+    "pricing_summary", "priority_cube", "priority_rollup",
+    "regex_extraction", "revenue_percentiles", "scalar_functions",
+    "source_lang_pivot", "string_functions", "token_array_ops",
+    # last driver row r5 (stalest-next, alphabetical first 17)
+    "bigram_counts", "build_vocab", "chunk_docs", "corpus_pipeline",
+    "corpus_summary", "cosine_topk", "customer_scd2",
+    "customer_upsert", "decontaminate", "embedding_neardup",
+    "encode_docs", "event_anomalies", "fingerprints",
+    "ivf_topk_exact", "kv_replay_hotkey", "lang_entropy_by_source",
 ]
-assert len(_R7_WINDOW) == 50 and len(set(_R7_WINDOW)) == 50
-QUERIES = {name: QUERIES[name] for name in _R7_WINDOW} | {
-    k: v for k, v in QUERIES.items() if k not in set(_R7_WINDOW)
+assert len(_R8_WINDOW) == 50 and len(set(_R8_WINDOW)) == 50
+QUERIES = {name: QUERIES[name] for name in _R8_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R8_WINDOW)
 }
 
 # Every never-driver-gated query MUST sit inside the first-50 window —
 # this file-end block is the last statement touching QUERIES, and this
 # guard fails loudly if a future registration lands below it.
-_R7_NEW = [
-    "ivm_customer_revenue", "multimodal_mp3_decode",
-    "blocklist_phrase_matches", "phrase_search_index",
-    "kmv_pair_sketches", "edit1_customer_pairs", "hll_nation_rollup",
-    "parquet_profile", "stream_blocklist_matches", "hilbert_cells",
-]
+_R8_NEW = _R8_WINDOW[:16]
 _order = list(QUERIES)
-for _q in _R7_NEW:
+for _q in _R8_NEW:
     if _order.index(_q) >= 50:
         raise RuntimeError(
-            f"round-7 query {_q!r} fell outside the driver's first-50 "
-            "gate window — keep the _R7_WINDOW block at the END of "
+            f"round-8 query {_q!r} fell outside the driver's first-50 "
+            "gate window — keep the _R8_WINDOW block at the END of "
             "registry.py and add new registrations to it"
         )

@@ -104,6 +104,39 @@ def test_weak_list_rides_the_tail_and_survives_shedding():
     assert out["crossover"]["weak"] == {"word_count_top10": 7.0}
 
 
+def test_fine_shed_stages_keep_recorded_echo():
+    """Round 8: when the line is modestly over budget, the weak cap and
+    integer headline timings shed BEFORE the recorded echo is dropped
+    wholesale."""
+    import json
+
+    import bench
+
+    payload = _payload(with_queries=True)
+    payload["queries"] = {f"q{i:02d}_long_name": 1.2345 for i in range(50)}
+    payload["crossover"]["queries"].update(
+        {f"weak{i}": {"spark_s": 9.0, "duckdb_s": 1.0} for i in range(14)}
+    )
+    payload["crossover"]["recorded_echo"] = {
+        "dup_spans": {"R50": [59.7, 270.2]}
+    }
+    saved = bench._TAIL_BUDGET
+    # budget forces the fine stages but is generous enough to keep the
+    # recorded echo once they've fired
+    bench._TAIL_BUDGET = 1250
+    try:
+        out = bench._compact_for_tail(payload)
+    finally:
+        bench._TAIL_BUDGET = saved
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= 1250
+    assert out["crossover"]["recorded"] == {"dup_spans": {"R50": [59.7, 270.2]}}
+    assert len(out["crossover"]["weak"]) == 10
+    assert all(isinstance(v, int) for v in out["queries"].values())
+    # caller untouched (the ADVICE r5 purity rule)
+    assert all(isinstance(v, float) for v in payload["queries"].values())
+
+
 def test_recorded_echo_takes_precedence_and_fits():
     """Round 6: the curated `recorded_echo` subset (not the full tier
     tables) rides stdout next to a 40-query headline, and the line

@@ -506,3 +506,51 @@ def test_fastss_candidate_exchange_is_id_and_hash_only(spark):
     plan = _plan(df)
     assert "xxhash64" in plan, plan
     assert "levenshtein" in plan, plan
+
+
+def test_association_rules_supports_broadcast_totals_once(spark):
+    """Round 8: the supports and the 1-row basket total attach by
+    BROADCAST (item-count / 1-row sized), and the basket self-join
+    + the two aggregates are the only hash exchanges — nothing
+    pair-sized re-shuffles for the rule expansion (explode, not
+    unionAll, so the pair subtree is evaluated once)."""
+    df = QUERIES["association_rules"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3  # sl, sr, n_orders
+    assert "Generate explode" in plan or "explode" in plan
+    # hash exchanges: basket co-location, the two countDistinct
+    # aggregates (2 exchanges each: expand->partial->final), and the
+    # n_orders distinct — bounded, never pair-cardinality re-shuffles
+    assert count_exchanges(df, "hashpartitioning") <= 8, plan
+
+
+def test_audience_overlap_joins_on_words_and_broadcasts_totals(spark):
+    """Round 8: the intersection join is keyed on word_idx (the packed
+    exchange — n_users/62 rows per group), totals attach by broadcast,
+    and the packing groupBy partial-aggregates map-side."""
+    df = QUERIES["audience_overlap"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # ta, tb
+    assert "bit_or" in plan and "bit_count" in plan
+    tree = operator_tree(df)
+    assert tree.count("HashAggregate") >= 4  # partial+final pack & sums
+
+
+def test_snapshot_diff_is_one_full_outer_join(spark):
+    """Round 8: the CDC extract is ONE full-outer join of two
+    snapshot-sized aggregates — no second pass, no union of three
+    per-op subplans."""
+    df = QUERIES["customer_state_cdc"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("SortMergeJoin FullOuter") == 1, plan
+    assert "Union" not in operator_tree(df)
+
+
+def test_funnel_strict_single_user_exchange(spark):
+    """Round 8: the three chained first-after-first levels are stacked
+    Window operators over ONE user-keyed exchange, and the per-user
+    rollup reuses that partitioning — no re-shuffle between levels."""
+    df = QUERIES["funnel_strict"](spark, SF_DIR)
+    assert count_exchanges(df, "hashpartitioning") == 1, _plan(df)
+    tree = operator_tree(df)
+    assert tree.count("Window") == 3

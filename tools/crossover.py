@@ -59,6 +59,13 @@ DEFAULT_QUERIES = [
     # round-7: the Aho-Corasick phrase blocklist — flat automaton scan
     # vs the single-node positional join (flips to a Spark win at R100)
     "blocklist_phrase_matches",
+    # round-8: the packed-bitmap overlap (events-sized — user count and
+    # word table grow with R), the basket rule mining (lineitem-sized
+    # countDistinct pair expansion), and the PMI collocation pass
+    # (documents-sized double tokenize + two aggregates).
+    "audience_overlap",
+    "association_rules",
+    "bigram_pmi",
 ]
 
 # The clustering tier (VERDICT r3 item 1) is measured OFFLINE with
