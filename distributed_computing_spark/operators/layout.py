@@ -358,6 +358,45 @@ def parquet_footer_profile(spark: SparkSession, paths: list[str]) -> DataFrame:
     )
 
 
+def compaction_plan(
+    profile: DataFrame, target_bytes: int = 128 << 20
+) -> DataFrame:
+    """Small-file compaction planner (round 8) — the ACTION on top of
+    the footer profiler: assign files, in name order, to merge bins of
+    ~``target_bytes`` compressed (bin id = cumulative-bytes-before div
+    target — the pack_chunks rule applied to files), emitting one row
+    per bin with its file span. A lakehouse OPTIMIZE/compaction job
+    executes the plan by rewriting each multi-file bin.
+
+    Scale note: the input is METADATA-sized (one row per
+    (file, row_group, column) from footers — ~1e6 files even at
+    100 TB), so the global name-ordered running sum is a deliberate
+    single-partition window over file-count rows, not a data-sized
+    sort; the profiler's footer scan stays the distributed part.
+    """
+    files = profile.groupBy("file_name").agg(
+        F.sum("compressed_bytes").alias("bytes")
+    )
+    binned = files.withColumn(
+        "bin",
+        F.expr(
+            "cast(coalesce(sum(bytes) over (order by file_name rows "
+            "between unbounded preceding and 1 preceding), 0) "
+            f"div {int(target_bytes)} as int)"
+        ),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").alias("total_bytes"),
+            F.min("file_name").alias("first_file"),
+            F.max("file_name").alias("last_file"),
+        )
+        .orderBy("bin")
+    )
+
+
 # --- Hilbert curve (round-7): the locality upgrade over Morton -------------
 
 

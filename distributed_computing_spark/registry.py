@@ -4018,6 +4018,32 @@ def parquet_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["parquet_profile"] = parquet_profile
 
 
+# Round 8: the ACTION on the footer profiler — a compaction plan
+# (name-ordered bin packing of compressed file bytes toward a target).
+# Rows-only for the same reason as parquet_profile (static oracle SQL
+# cannot carry the runtime data path); the exact pytest twin recomputes
+# the plan from DuckDB's parquet_metadata() (test_layout).
+def compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from distributed_computing_spark.operators.layout import (
+        compaction_plan,
+        parquet_footer_profile,
+    )
+
+    paths = [
+        os.path.join(sf_dir, f"{t}.parquet")
+        for t in ("lineitem", "orders", "events", "documents")
+    ]
+    # a deliberately small target so multi-file bins exist at test SFs
+    return compaction_plan(
+        parquet_footer_profile(spark, paths), target_bytes=1 << 20
+    )
+
+
+QUERIES["compaction_plan"] = compaction_plan_q
+
+
 # Round 7: FastSS deletion-neighborhood similarity join — general
 # Levenshtein<=1 pairs INCLUDING insert/delete (the equal-length
 # pigeonhole of fuzzy_customer_match can't reach those). Oracle is the
@@ -4399,14 +4425,15 @@ ORACLES["hilbert_events_scan"] = hilbert_scan_oracle_sql()
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 8 — VERDICT r7 item 2)
 # ---------------------------------------------------------------------------
-# Staleness-driven (the driver gates the FIRST 50 entries): 16 round-8
+# Staleness-driven (the driver gates the FIRST 50 entries): 17 round-8
 # never-gated queries (the 6 kmeans driver-bisect traces MUST sit in
-# this window per VERDICT r7 item 1b, plus the 10 new operators), the 3
+# this window per VERDICT r7 item 1b, plus the 11 new operators), the 3
 # round-8-changed queries (kmeans_embeddings's non-negative shift
 # changed its semantics; the generic multimodal decode kernels now
 # sniff-dispatch), the VERDICT-named 15-entry r4-stale cohort, and the
-# first 16 of the r5-stale set (alphabetical; the remaining 33 r5
-# entries are round 9's first picks: lang_id, leakage_safe_split,
+# first 15 of the r5-stale set (alphabetical; the remaining 34 r5
+# entries are round 9's first picks: lang_entropy_by_source, lang_id,
+# leakage_safe_split,
 # lsh_topk_exact, minhash_incremental, minhash_lsh_exact,
 # minhash_neardup, multimodal_jpeg_decode, pack_chunks,
 # priority_grouping_sets, quality_calibration, quality_scores,
@@ -4421,7 +4448,7 @@ _R8_WINDOW = [
     "ivm_customer_refresh", "hilbert_events_scan", "association_rules",
     "customer_state_cdc", "bigram_pmi", "audience_overlap",
     "stream_audience_overlap", "user_streaks", "event_trend_slopes",
-    "funnel_strict",
+    "funnel_strict", "compaction_plan",
     # changed in round 8 (must re-prove under the driver)
     "kmeans_embeddings", "multimodal_decode", "multimodal_audio",
     # last driver row r4 (the VERDICT-named stalest cohort, complete)
@@ -4435,7 +4462,7 @@ _R8_WINDOW = [
     "corpus_summary", "cosine_topk", "customer_scd2",
     "customer_upsert", "decontaminate", "embedding_neardup",
     "encode_docs", "event_anomalies", "fingerprints",
-    "ivf_topk_exact", "kv_replay_hotkey", "lang_entropy_by_source",
+    "ivf_topk_exact", "kv_replay_hotkey",
 ]
 assert len(_R8_WINDOW) == 50 and len(set(_R8_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R8_WINDOW} | {
@@ -4445,7 +4472,7 @@ QUERIES = {name: QUERIES[name] for name in _R8_WINDOW} | {
 # Every never-driver-gated query MUST sit inside the first-50 window —
 # this file-end block is the last statement touching QUERIES, and this
 # guard fails loudly if a future registration lands below it.
-_R8_NEW = _R8_WINDOW[:16]
+_R8_NEW = _R8_WINDOW[:17]
 _order = list(QUERIES)
 for _q in _R8_NEW:
     if _order.index(_q) >= 50:

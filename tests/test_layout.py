@@ -178,6 +178,57 @@ def test_footer_profile_matches_duckdb_parquet_metadata(spark):
     assert got == want and len(got) > 0
 
 
+def test_compaction_plan_matches_duckdb_metadata_twin(spark):
+    """Rows-only registry entry's exact twin (the parquet_profile
+    motion): the bin assignment recomputed from DuckDB's
+    parquet_metadata() + a pure-Python name-ordered packing fold must
+    equal the operator's output exactly."""
+    import os
+
+    import duckdb
+
+    from distributed_computing_spark.operators.layout import (
+        compaction_plan,
+        parquet_footer_profile,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    tables = ("lineitem", "orders", "events", "documents")
+    paths = [os.path.join(sf_dir, f"{t}.parquet") for t in tables]
+    target = 1 << 20
+    got = {
+        r["bin"]: (
+            r["n_files"], r["total_bytes"], r["first_file"], r["last_file"]
+        )
+        for r in compaction_plan(
+            parquet_footer_profile(spark, paths), target_bytes=target
+        ).collect()
+    }
+    con = duckdb.connect()
+    sizes = {}
+    for p in paths:
+        for (s,) in con.execute(
+            f"SELECT sum(total_compressed_size) FROM parquet_metadata('{p}')"
+        ).fetchall():
+            sizes[os.path.basename(p)] = int(s)
+    want: dict[int, list] = {}
+    cum = 0
+    for name in sorted(sizes):
+        b = cum // target
+        want.setdefault(b, []).append((name, sizes[name]))
+        cum += sizes[name]
+    expect = {
+        b: (
+            len(fs),
+            sum(x for _, x in fs),
+            min(n for n, _ in fs),
+            max(n for n, _ in fs),
+        )
+        for b, fs in want.items()
+    }
+    assert got == expect and len(got) >= 2
+
+
 def test_footer_profile_rejects_empty_paths(spark):
     """ADVICE r7: schemaless createDataFrame([]) / repartition(0) fail
     unhelpfully — an empty path list must raise a clear ValueError."""
