@@ -242,28 +242,53 @@ def bigram_pmi(
     arithmetic through DECIMAL(38,0) on both engines (HUGEINT in the
     oracle); worst case ~1e30 stays inside both ranges.
 
-    Plan: one tokenize scan feeds both the unigram and the
-    zipped-slice bigram aggregates; totals are 1-row aggs; unigram
-    counts re-attach by broadcast."""
+    Plan (round-8 fusion — the explode-family lesson yet again): ONE
+    Arrow pass tokenizes and C-dict-counts unigrams AND bigrams per
+    partition (the arrays_zip/slice/explode draft measured 63 s at the
+    R50 tier vs DuckDB's 0.4 s — interpreted array slicing over 50 M
+    tokens; the fused pass exchanges only per-partition partial
+    counts). The gram-count aggregate persists once and feeds both
+    branches (Catalyst re-evaluates shared subtrees otherwise);
+    totals are 1-row aggs; unigram counts re-attach by broadcast."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from distributed_computing_spark.caching import track_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.col("text"), TOKEN_SPLIT_RE), lambda t: t != ""
+    pat = re.compile("[A-Za-z0-9]+")
+
+    def count_grams(batches):
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for pdf in batches:
+            for text in pdf["text"]:
+                toks = pat.findall(text)
+                uni.update(toks)
+                bi.update(zip(toks, toks[1:]))
+        yield pd.DataFrame(
+            {
+                "x": [w for w in uni] + [a for a, _ in bi],
+                "y": [None] * len(uni) + [b for _, b in bi],
+                "cnt": [c for c in uni.values()] + list(bi.values()),
+            }
+        )
+
+    grams = track_persist(
+        docs.select("text")
+        .mapInPandas(count_grams, schema="x string, y string, cnt long")
+        .groupBy("x", "y")
+        .agg(F.sum("cnt").alias("cnt"))
     )
-    t = docs.select(toks.alias("_t"))
-    ln = F.greatest(F.size("_t") - 1, F.lit(0))
-    pairs = t.select(
-        F.explode(
-            F.arrays_zip(
-                F.slice(F.col("_t"), F.lit(1), ln).alias("x"),
-                F.slice(F.col("_t"), F.lit(2), ln).alias("y"),
-            )
-        ).alias("p")
-    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
-    uni = t.select(F.explode("_t").alias("w")).groupBy("w").agg(
-        F.count(F.lit(1)).alias("c")
+    uni = grams.where(F.col("y").isNull()).select(
+        F.col("x").alias("w"), F.col("cnt").alias("c")
+    )
+    bi = grams.where(F.col("y").isNotNull()).select(
+        "x", "y", F.col("cnt").alias("n_xy")
     )
     n_tok = uni.agg(F.sum("c").alias("n"))
-    bi = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy"))
     n_bi = bi.agg(F.sum("n_xy").alias("nb"))
     cx = uni.select(F.col("w").alias("x"), F.col("c").alias("n_x"))
     cy = uni.select(F.col("w").alias("y"), F.col("c").alias("n_y"))

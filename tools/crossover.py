@@ -370,6 +370,39 @@ RECORDED_R8_TIERS: dict = {
         "R10": {"spark_s": 9.85, "duckdb_s": 399.6, "ratio": 0.025,
                 "n_names": 150000},
     },
+    # round-8 operator tiers (full replicas; _ev = events-only R200).
+    # bigram_pmi: the fused-Arrow rewrite (the 63-s explode draft is the
+    # recorded dead end in BASELINE.md) is FLAT 4.8->3.8 s while the
+    # single-node side grows -> converging (R~600 extrapolated).
+    "bigram_pmi": {
+        "R50": {"spark_s": 4.76, "duckdb_s": 0.38, "ratio": 12.5},
+        "R100": {"spark_s": 3.77, "duckdb_s": 0.63, "ratio": 6.0},
+    },
+    # association_rules: the pair expansion works BOTH engines (closest
+    # new cell to parity); pre-distinct basket + plain-count partial agg
+    # cut R100 33.7 -> 25.9 s (countDistinct expand removed).
+    "association_rules": {
+        "R50": {"spark_s": 17.41, "duckdb_s": 7.58, "ratio": 2.3},
+        "R100": {"spark_s": 25.86, "duckdb_s": 9.51, "ratio": 2.7},
+    },
+    # events-family small absolutes (Spark near-flat while the
+    # single-node side grows with the event count):
+    "audience_overlap": {
+        "R50": {"spark_s": 3.0, "duckdb_s": 0.14, "ratio": 20.9},
+        "R200": {"spark_s": 3.6, "duckdb_s": 0.33, "ratio": 10.8},
+    },
+    "user_streaks": {
+        "R50": {"spark_s": 2.67, "duckdb_s": 0.42, "ratio": 6.4},
+        "R200": {"spark_s": 5.9, "duckdb_s": 0.61, "ratio": 9.7},
+    },
+    "event_trend_slopes": {
+        "R50": {"spark_s": 1.42, "duckdb_s": 0.07, "ratio": 20.6},
+        "R200": {"spark_s": 2.14, "duckdb_s": 0.23, "ratio": 9.5},
+    },
+    "funnel_strict": {
+        "R50": {"spark_s": 1.91, "duckdb_s": 0.33, "ratio": 5.7},
+        "R200": {"spark_s": 3.12, "duckdb_s": 0.83, "ratio": 3.8},
+    },
 }
 
 # The stdout-echo subset of the recorded tiers: the bench's compact
