@@ -3266,6 +3266,25 @@ QUERIES["kmeans_trace_a1"] = kmeans_trace_a1
 ORACLES["kmeans_trace_a1"] = kmeans_trace_assign_sql(1, k=8)
 
 
+def kmeans_trace_a5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FINAL assignment (vec_id, cluster, dist — all BIGINT): if every
+    centroid/assignment trace is green but kmeans_embeddings stays
+    red, the divergence is isolated to the final n_members/wss
+    aggregate — and wss is the output's only DECIMAL column, making
+    decimal value-hashing the prime suspect."""
+    from distributed_computing_spark.operators.similarity import (
+        kmeans_quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _c = kmeans_quantized(emb, k=8, n_iter=5)
+    return assigned.select("vec_id", "cluster", "dist").orderBy("vec_id")
+
+
+QUERIES["kmeans_trace_a5"] = kmeans_trace_a5
+ORACLES["kmeans_trace_a5"] = kmeans_trace_assign_sql(5, k=8)
+
+
 
 
 # Round 6: the dedup ACTION — rewrite docs with duplicated spans cut
@@ -4425,15 +4444,15 @@ ORACLES["hilbert_events_scan"] = hilbert_scan_oracle_sql()
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 8 — VERDICT r7 item 2)
 # ---------------------------------------------------------------------------
-# Staleness-driven (the driver gates the FIRST 50 entries): 17 round-8
-# never-gated queries (the 6 kmeans driver-bisect traces MUST sit in
+# Staleness-driven (the driver gates the FIRST 50 entries): 18 round-8
+# never-gated queries (the 7 kmeans driver-bisect traces MUST sit in
 # this window per VERDICT r7 item 1b, plus the 11 new operators), the 3
 # round-8-changed queries (kmeans_embeddings's non-negative shift
 # changed its semantics; the generic multimodal decode kernels now
 # sniff-dispatch), the VERDICT-named 15-entry r4-stale cohort, and the
-# first 15 of the r5-stale set (alphabetical; the remaining 34 r5
-# entries are round 9's first picks: lang_entropy_by_source, lang_id,
-# leakage_safe_split,
+# first 14 of the r5-stale set (alphabetical; the remaining 35 r5
+# entries are round 9's first picks: kv_replay_hotkey,
+# lang_entropy_by_source, lang_id, leakage_safe_split,
 # lsh_topk_exact, minhash_incremental, minhash_lsh_exact,
 # minhash_neardup, multimodal_jpeg_decode, pack_chunks,
 # priority_grouping_sets, quality_calibration, quality_scores,
@@ -4445,6 +4464,7 @@ _R8_WINDOW = [
     # new in round 8 (never driver-gated)
     "kmeans_trace_c0", "kmeans_trace_c1", "kmeans_trace_c2",
     "kmeans_trace_c3", "kmeans_trace_c4", "kmeans_trace_a1",
+    "kmeans_trace_a5",
     "ivm_customer_refresh", "hilbert_events_scan", "association_rules",
     "customer_state_cdc", "bigram_pmi", "audience_overlap",
     "stream_audience_overlap", "user_streaks", "event_trend_slopes",
@@ -4462,7 +4482,7 @@ _R8_WINDOW = [
     "corpus_summary", "cosine_topk", "customer_scd2",
     "customer_upsert", "decontaminate", "embedding_neardup",
     "encode_docs", "event_anomalies", "fingerprints",
-    "ivf_topk_exact", "kv_replay_hotkey",
+    "ivf_topk_exact",
 ]
 assert len(_R8_WINDOW) == 50 and len(set(_R8_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R8_WINDOW} | {
@@ -4472,7 +4492,7 @@ QUERIES = {name: QUERIES[name] for name in _R8_WINDOW} | {
 # Every never-driver-gated query MUST sit inside the first-50 window —
 # this file-end block is the last statement touching QUERIES, and this
 # guard fails loudly if a future registration lands below it.
-_R8_NEW = _R8_WINDOW[:17]
+_R8_NEW = _R8_WINDOW[:18]
 _order = list(QUERIES)
 for _q in _R8_NEW:
     if _order.index(_q) >= 50:

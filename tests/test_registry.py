@@ -30,6 +30,10 @@ ROWS_ONLY = {
     # runtime parquet path; its exact DuckDB parquet_metadata() twin is
     # test_layout.test_footer_profile_matches_duckdb_parquet_metadata
     "parquet_profile",
+    # round 8: the compaction planner shares the same runtime-path
+    # constraint; exact twin:
+    # test_layout.test_compaction_plan_matches_duckdb_metadata_twin
+    "compaction_plan",
     # bpe_merges / bpe_encode_stats graduated OUT of this set in round 4:
     # the 24-round merge loop unrolls into generated MATERIALIZED CTEs
     # (registry._bpe_merges_oracle_sql), so both are strictly gated now.
