@@ -4428,6 +4428,108 @@ SELECT CAST(count(*) AS BIGINT) AS n_users,
 FROM s3"""
 
 
+# Round 8: connected components as a FIRST-CLASS graph op (the
+# transitive closure neardup_clusters runs on the similarity graph,
+# exposed by name on the co-purchase graph: nodes = every part in
+# lineitem, edges = support>=3 co-purchase pairs; singletons keep
+# their own label).
+def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation to fixpoint over the co-purchase graph —
+    (part_id, cluster_id = smallest part in the component). Reuses
+    dedup.neardup_clusters' iterative engine: broadcast-free
+    edge⋈label join per round, driver holds only loop control."""
+    from distributed_computing_spark.operators.analytics import (
+        copurchase_pairs,
+    )
+    from distributed_computing_spark.operators.dedup import neardup_clusters
+
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = li.select(F.col("l_partkey").alias("part_id")).distinct()
+    pairs = copurchase_pairs(spark, sf_dir, min_count=3)
+    return neardup_clusters(parts, pairs, id_col="part_id").orderBy(
+        "part_id"
+    )
+
+
+QUERIES["copurchase_components"] = copurchase_components
+ORACLES["copurchase_components"] = (
+    "WITH RECURSIVE pairs AS MATERIALIZED ("
+    + ORACLES["copurchase_pairs"]
+    + """),
+nodes AS (SELECT DISTINCT l_partkey AS id FROM lineitem),
+e AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+reach(n, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.n)
+SELECT n AS part_id, min(r) AS cluster_id FROM reach GROUP BY n
+ORDER BY part_id"""
+)
+
+
+# Round 8: time-weighted average (TWAP) — the telemetry/financial
+# resampling statistic events_ohlc doesn't give: each observation
+# weighs by its holding time until the next one, all integer (cents ×
+# seconds; the quotient is a non-negative integer division).
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type time-weighted average value over the observed span:
+    one event-type-keyed exchange serves the lead() window; the
+    value·dt products sum as DECIMAL(38,0) (20M-row replicas push a
+    long sum near 2^63)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.col("ts").cast("long").alias("sec"),
+        F.floor(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("sec", "event_id")
+    iv = ev.withColumn("next_sec", F.lead("sec").over(w)).where(
+        F.col("next_sec").isNotNull()
+    )
+    sums = iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("next_sec") - F.col("sec")).alias("span_s"),
+        F.sum(
+            (
+                F.col("v_cents").cast("decimal(38,0)")
+                * (F.col("next_sec") - F.col("sec")).cast("decimal(38,0)")
+            )
+        ).alias("vt_sum"),
+    )
+    return sums.select(
+        "event_type",
+        "n_intervals",
+        "span_s",
+        F.col("vt_sum").cast("decimal(38,0)").alias("vt_sum"),
+        F.expr("cast(vt_sum div cast(span_s as decimal(38,0)) as bigint)")
+        .alias("twap_cents"),
+    ).orderBy("event_type")
+
+
+QUERIES["events_twap"] = events_twap
+ORACLES["events_twap"] = """
+WITH p AS (
+  SELECT event_type,
+         epoch_us(ts) // 1000000 AS sec,
+         CAST(floor(value * 100) AS BIGINT) AS v_cents,
+         lead(epoch_us(ts) // 1000000)
+           OVER (PARTITION BY event_type
+                 ORDER BY epoch_us(ts) // 1000000, event_id) AS next_sec
+  FROM events),
+s AS (
+  SELECT event_type, count(*) AS n_intervals,
+         sum(next_sec - sec) AS span_s,
+         sum(v_cents::HUGEINT * (next_sec - sec)) AS vt_sum
+  FROM p WHERE next_sec IS NOT NULL GROUP BY 1)
+SELECT event_type, CAST(n_intervals AS BIGINT) AS n_intervals,
+       CAST(span_s AS BIGINT) AS span_s,
+       CAST(vt_sum AS DECIMAL(38,0)) AS vt_sum,
+       CAST(vt_sum // span_s::HUGEINT AS BIGINT) AS twap_cents
+FROM s ORDER BY event_type"""
+
+
 # Round 8: ADOPT the measured layout winner (VERDICT r7 item 5) — the
 # Hilbert layout now backs a scan-pruning gated query, not just the
 # cell-histogram arithmetic. Distinct probe window from the Morton twin
@@ -4444,14 +4546,15 @@ ORACLES["hilbert_events_scan"] = hilbert_scan_oracle_sql()
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 8 — VERDICT r7 item 2)
 # ---------------------------------------------------------------------------
-# Staleness-driven (the driver gates the FIRST 50 entries): 18 round-8
+# Staleness-driven (the driver gates the FIRST 50 entries): 20 round-8
 # never-gated queries (the 7 kmeans driver-bisect traces MUST sit in
-# this window per VERDICT r7 item 1b, plus the 11 new operators), the 3
+# this window per VERDICT r7 item 1b, plus the 13 new operators), the 3
 # round-8-changed queries (kmeans_embeddings's non-negative shift
 # changed its semantics; the generic multimodal decode kernels now
 # sniff-dispatch), the VERDICT-named 15-entry r4-stale cohort, and the
-# first 14 of the r5-stale set (alphabetical; the remaining 35 r5
-# entries are round 9's first picks: kv_replay_hotkey,
+# first 12 of the r5-stale set (alphabetical; the remaining 37 r5
+# entries are round 9's first picks: fingerprints, ivf_topk_exact,
+# kv_replay_hotkey,
 # lang_entropy_by_source, lang_id, leakage_safe_split,
 # lsh_topk_exact, minhash_incremental, minhash_lsh_exact,
 # minhash_neardup, multimodal_jpeg_decode, pack_chunks,
@@ -4468,7 +4571,8 @@ _R8_WINDOW = [
     "ivm_customer_refresh", "hilbert_events_scan", "association_rules",
     "customer_state_cdc", "bigram_pmi", "audience_overlap",
     "stream_audience_overlap", "user_streaks", "event_trend_slopes",
-    "funnel_strict", "compaction_plan",
+    "funnel_strict", "compaction_plan", "copurchase_components",
+    "events_twap",
     # changed in round 8 (must re-prove under the driver)
     "kmeans_embeddings", "multimodal_decode", "multimodal_audio",
     # last driver row r4 (the VERDICT-named stalest cohort, complete)
@@ -4481,8 +4585,7 @@ _R8_WINDOW = [
     "bigram_counts", "build_vocab", "chunk_docs", "corpus_pipeline",
     "corpus_summary", "cosine_topk", "customer_scd2",
     "customer_upsert", "decontaminate", "embedding_neardup",
-    "encode_docs", "event_anomalies", "fingerprints",
-    "ivf_topk_exact",
+    "encode_docs", "event_anomalies",
 ]
 assert len(_R8_WINDOW) == 50 and len(set(_R8_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R8_WINDOW} | {
@@ -4492,7 +4595,7 @@ QUERIES = {name: QUERIES[name] for name in _R8_WINDOW} | {
 # Every never-driver-gated query MUST sit inside the first-50 window —
 # this file-end block is the last statement touching QUERIES, and this
 # guard fails loudly if a future registration lands below it.
-_R8_NEW = _R8_WINDOW[:18]
+_R8_NEW = _R8_WINDOW[:20]
 _order = list(QUERIES)
 for _q in _R8_NEW:
     if _order.index(_q) >= 50:

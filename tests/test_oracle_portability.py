@@ -212,6 +212,8 @@ _AUDITED_FLOORDIV = [
     r"\* 1000000\)\s+// \(ta\.n_users \+ tb\.n_users - i\.n_common\)",
     # user streaks: epoch-day arithmetic on post-1970 timestamps.
     r"epoch_us\(ts\) // 1000000 // 86400",
+    # TWAP: value·dt products and spans are non-negative.
+    r"vt_sum // span_s::HUGEINT",
     # trend slopes: sign-explicit CASE — both branches' dividends are
     # non-negative by construction (the kmeans r7 guarded form).
     r"THEN \(\(n \* sxy - sx \* sy\) \* 1000000\) // \(n \* sxx - sx \* sx\)",
