@@ -121,6 +121,53 @@ def test_association_rules_confidence_and_lift_math(spark, tmp_path, sf_dir):
     }
 
 
+def test_snapshot_diff_apply_reconstructs_new_state(spark):
+    """Algebraic completeness (hypothesis): for arbitrary old/new
+    states, replaying the emitted I/U/D rows over the old state
+    reconstructs the new state EXACTLY — no change lost, none
+    fabricated. This is the property a CDC consumer depends on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from distributed_computing_spark.operators.analytics import snapshot_diff
+
+    state = st.dictionaries(
+        st.integers(0, 14),
+        st.tuples(
+            st.one_of(st.none(), st.integers(-5, 5)),
+            st.integers(0, 3),
+        ),
+        max_size=10,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(old=state, new=state)
+    def check(old, new):
+        o = spark.createDataFrame(
+            [(k, a, b) for k, (a, b) in old.items()] or [(None, None, None)],
+            "k int, n int, v int",
+        ).where(F.col("k").isNotNull())
+        n = spark.createDataFrame(
+            [(k, a, b) for k, (a, b) in new.items()] or [(None, None, None)],
+            "k int, n int, v int",
+        ).where(F.col("k").isNotNull())
+        rows = snapshot_diff(o, n, ["k"], ["n", "v"]).collect()
+        replay = dict(old)
+        for r in rows:
+            if r["op"] == "D":
+                assert r["k"] in replay
+                del replay[r["k"]]
+            else:
+                if r["op"] == "U":
+                    assert replay[r["k"]] == (r["old_n"], r["old_v"])
+                else:
+                    assert r["k"] not in replay
+                replay[r["k"]] = (r["new_n"], r["new_v"])
+        assert replay == new
+
+    check()
+
+
 def test_user_streaks_islands_math(spark, sf_dir):
     """Cross-check gaps-and-islands against a pure-Python fold over the
     same distinct-day sets."""
