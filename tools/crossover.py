@@ -403,6 +403,15 @@ RECORDED_R8_TIERS: dict = {
         "R50": {"spark_s": 1.91, "duckdb_s": 0.33, "ratio": 5.7},
         "R200": {"spark_s": 3.12, "duckdb_s": 0.83, "ratio": 3.8},
     },
+    # CC on the replicated co-purchase graph: support counts multiply
+    # with R so the graph densifies, and the single-node RECURSIVE
+    # reach CTE (|component| x |nodes| row blow-up) did not finish in
+    # 570 s where Spark's min-label propagation converges in rounds
+    # bounded by the component diameter — the neardup_clusters DNF
+    # shape on a second graph. duckdb_s null = DNF (>570 s).
+    "copurchase_components": {
+        "R20": {"spark_s": 20.65, "duckdb_s": None, "ratio": None},
+    },
 }
 
 # The stdout-echo subset of the recorded tiers: the bench's compact
@@ -428,8 +437,11 @@ RECORDED_ECHO_KEYS: dict[str, tuple[str, ...]] = {
     # RECORDED_R7_TIERS / BASELINE.md)
     "ivm_customer_refresh": ("R100",),
     # round-8: the FastSS slope endpoint (150k names: Spark flat 9.9 s
-    # vs quadratic 399.6 s; full slope in RECORDED_R8_TIERS)
+    # vs quadratic 399.6 s; full slope in RECORDED_R8_TIERS) and the
+    # second recursive-closure DNF (CC on the densified co-purchase
+    # graph: Spark 20.6 s, single-node reach CTE >570 s)
     "edit1_customer_pairs": ("R10",),
+    "copurchase_components": ("R20",),
 }
 
 # Fact tables are replicated with remapped keys; everything else copied.
