@@ -411,6 +411,10 @@ RECORDED_R8_TIERS: dict = {
     # shape on a second graph. duckdb_s null = DNF (>570 s).
     "copurchase_components": {
         "R20": {"spark_s": 20.65, "duckdb_s": None, "ratio": None},
+        # Spark-only (DuckDB DNF-by-implication past the R20 blow-up):
+        # the propagation is FLAT across 2.5x data — rounds are bounded
+        # by component diameter, per-round joins scale out.
+        "R50": {"spark_s": 19.54, "duckdb_s": None, "ratio": None},
     },
 }
 
