@@ -1646,9 +1646,13 @@ def audience_overlap(
     bit_or groupBy, a word-keyed self-join of word tables (a < b on
     the type), and a per-pair sum — nothing user-id-sized leaves the
     packing stage."""
+    # NO distinct: bit_or is idempotent, so duplicate (type, user)
+    # events fold into the same mask bit — the pre-pack distinct the
+    # round-8 draft carried was a full extra exchange of (type, user)
+    # rows for nothing (the streaming twin never had it)
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "user_id"
-    ).distinct()
+    )
     words = bitmap_words(ev, "event_type", "user_id", bits_per_word)
     return overlap_matrix(words, scale)
 

@@ -387,9 +387,14 @@ RECORDED_R8_TIERS: dict = {
     },
     # events-family small absolutes (Spark near-flat while the
     # single-node side grows with the event count):
+    # (re-measured after dropping the redundant pre-pack distinct —
+    # bit_or is idempotent; the plan now shuffles ONLY word-sized rows.
+    # Wall-clock is scan-bound at these tiers, so the cells moved only
+    # within the variance band; the structural win is the shuffle-byte
+    # shape at scale.)
     "audience_overlap": {
-        "R50": {"spark_s": 3.0, "duckdb_s": 0.14, "ratio": 20.9},
-        "R200": {"spark_s": 3.6, "duckdb_s": 0.33, "ratio": 10.8},
+        "R50": {"spark_s": 3.44, "duckdb_s": 0.15, "ratio": 23.0},
+        "R200": {"spark_s": 4.2, "duckdb_s": 0.33, "ratio": 12.7},
     },
     "user_streaks": {
         "R50": {"spark_s": 2.67, "duckdb_s": 0.42, "ratio": 6.4},
