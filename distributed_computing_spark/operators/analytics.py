@@ -1667,7 +1667,13 @@ def bitmap_words(
     words via a bit_or aggregate. bit_or is IDEMPOTENT, so duplicate
     (group, id) arrivals don't need a distinct — which is exactly what
     makes this packing streamable (stream_audience_overlap maintains
-    the words as streaming agg state with no dedup operator)."""
+    the words as streaming agg state with no dedup operator).
+
+    Contract: ids must be NON-NEGATIVE — `div` truncates toward zero,
+    so a negative id's (word_idx, bit) pairing would collide with a
+    positive id's (e.g. -5 and +57 both land on word 0 bit 57). The
+    shared test tables' ids satisfy this; re-base ids first if a
+    source doesn't."""
     shift = F.expr(
         f"shiftleft(cast(1 as bigint), "
         f"cast(pmod({id_col}, {bits_per_word}) as int))"
@@ -1832,6 +1838,12 @@ def snapshot_diff(
     misclassify, and the unchanged-row filter pushes below the
     projection. At 100 TB the snapshots co-partition on the key, so
     the join is the only exchange."""
+    if not vals:
+        raise ValueError(
+            "snapshot_diff: need at least one value column (with no "
+            "measures there is no 'U' to detect — diff the key sets "
+            "with exceptAll instead)"
+        )
     o = old.select(
         *keys,
         F.lit(1).alias("_in_old"),
