@@ -236,6 +236,85 @@ def test_event_trend_slopes_recovers_planted_line(spark, tmp_path):
     assert got == {"up": 75 * 10**6, "down": -50 * 10**6}
 
 
+def test_funnel_strict_matches_python_greedy_matcher(spark, sf_dir):
+    """The stacked window-min chain equals a pure-Python greedy
+    earliest-completion matcher over the same events."""
+    from distributed_computing_spark.operators.analytics import funnel_strict
+    from distributed_computing_spark.sources.catalog import load_table
+
+    row = funnel_strict(spark, sf_dir, window_s=86400 * 7).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    by_user: dict[int, list] = {}
+    for r in ev.select(
+        "user_id", "event_type", F.col("ts").cast("long").alias("sec")
+    ).collect():
+        by_user.setdefault(r["user_id"], []).append(
+            (r["sec"], r["event_type"])
+        )
+    n1 = n2 = n3 = nw = 0
+    for evs in by_user.values():
+        t1 = min((s for s, t in evs if t == "view"), default=None)
+        if t1 is None:
+            continue
+        n1 += 1
+        t2 = min(
+            (s for s, t in evs if t == "click" and s > t1), default=None
+        )
+        if t2 is None:
+            continue
+        n2 += 1
+        t3 = min(
+            (s for s, t in evs if t == "purchase" and s > t2), default=None
+        )
+        if t3 is None:
+            continue
+        n3 += 1
+        if t3 - t1 <= 86400 * 7:
+            nw += 1
+    assert (
+        row["n_users"], row["n_step1"], row["n_step2"],
+        row["n_step3"], row["n_within_window"],
+    ) == (len(by_user), n1, n2, n3, nw)
+
+
+def test_events_twap_matches_python_fold(spark, sf_dir):
+    """TWAP sums equal a pure-Python fold over the type-sorted events
+    (integer cents x holding seconds, truncating quotient)."""
+    import math
+
+    from distributed_computing_spark.registry import QUERIES
+    from distributed_computing_spark.sources.catalog import load_table
+
+    got = {
+        r["event_type"]: (
+            r["n_intervals"], r["span_s"], int(r["vt_sum"]),
+            r["twap_cents"],
+        )
+        for r in QUERIES["events_twap"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    by_type: dict[str, list] = {}
+    for r in ev.select(
+        "event_type", "event_id", F.col("ts").cast("long").alias("sec"),
+        "value",
+    ).collect():
+        by_type.setdefault(r["event_type"], []).append(
+            (r["sec"], r["event_id"], math.floor(r["value"] * 100))
+        )
+    for t, rows in by_type.items():
+        rows.sort()
+        n = span = vt = 0
+        for (s, _, v), (s2, _, _) in zip(rows, rows[1:]):
+            n += 1
+            span += s2 - s
+            vt += v * (s2 - s)
+        if n == 0:
+            assert t not in got
+            continue
+        assert got[t] == (n, span, vt, vt // span), t
+    assert set(got) == {t for t, rows in by_type.items() if len(rows) > 1}
+
+
 def test_bigram_pmi_ranks_collocations_first(spark, sf_dir):
     """PMI's defining property on the gated output: the ranking key is
     exactly the integer-scaled independence ratio, recomputable from
