@@ -1689,6 +1689,61 @@ def bitmap_words(
     )
 
 
+def sliding_audience(
+    spark: SparkSession,
+    sf_dir: str,
+    window_days: int = 7,
+    bits_per_word: int = 62,
+) -> DataFrame:
+    """EXACT trailing-N-day distinct users per event_type and day
+    (round 8) — the sliding COUNT(DISTINCT) that normally forces a
+    re-scan per window, done in O(bitmap words): pack each day's users
+    into 62-bit words (idempotent bit_or — no distinct), replicate
+    each day-word to the N end-days it covers (explode of a 7-element
+    sequence — bounded fan-out over the COMPACT word table, never the
+    events), bit_or per (type, end-day, word), popcount-sum. Every
+    exchange after the first carries word rows, not user ids; the
+    approximate twin of this shape is the HLL rollup, this is the
+    exact one.
+
+    Same non-negative-id contract as bitmap_words."""
+    ev = load_table(spark, sf_dir, "events")
+    shift = F.expr(
+        f"shiftleft(cast(1 as bigint), "
+        f"cast(pmod(user_id, {bits_per_word}) as int))"
+    )
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("cast(ts as long) div 86400").alias("day"),
+            F.expr(f"user_id div {bits_per_word}").alias("w"),
+            shift.alias("_bit"),
+        )
+        .groupBy("event_type", "day", "w")
+        .agg(F.bit_or("_bit").alias("mask"))
+    )
+    max_day = daily.agg(F.max("day").alias("md"))
+    cov = daily.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (window_days - 1))
+        ).alias("day_end"),
+        "w",
+        "mask",
+    )
+    wnd = (
+        cov.crossJoin(F.broadcast(max_day))
+        .where(F.col("day_end") <= F.col("md"))
+        .groupBy("event_type", "day_end", "w")
+        .agg(F.bit_or("mask").alias("m7"))
+    )
+    return (
+        wnd.groupBy("event_type", "day_end")
+        .agg(F.sum(F.bit_count("m7")).alias("n_users_7d"))
+        .orderBy("event_type", "day_end")
+    )
+
+
 def overlap_matrix(words: DataFrame, scale: int = 10**6) -> DataFrame:
     """Pairwise exact set-overlap matrix from packed bitmap words (see
     audience_overlap for the full contract)."""

@@ -4530,6 +4530,38 @@ SELECT event_type, CAST(n_intervals AS BIGINT) AS n_intervals,
 FROM s ORDER BY event_type"""
 
 
+# Round 8: exact sliding-window distinct via bitmap coverage — the
+# trailing-7-day audience per type/day in O(words), never a per-window
+# rescan (HLL rollup is the approximate twin).
+def sliding_audience_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.analytics import (
+        sliding_audience,
+    )
+
+    return sliding_audience(spark, sf_dir, window_days=7)
+
+
+QUERIES["sliding_audience_7d"] = sliding_audience_7d
+ORACLES["sliding_audience_7d"] = """
+WITH d AS (
+  SELECT event_type,
+         epoch_us(ts) // 1000000 // 86400 AS day,
+         user_id // 62 AS w,
+         bit_or(1::BIGINT << CAST(user_id % 62 AS INT)) AS mask
+  FROM events GROUP BY 1, 2, 3),
+mx AS (SELECT max(day) AS md FROM d),
+cov AS (
+  SELECT event_type, unnest(range(day, day + 7)) AS day_end, w, mask
+  FROM d),
+wnd AS (
+  SELECT event_type, day_end, w, bit_or(mask) AS m7
+  FROM cov, mx WHERE day_end <= mx.md
+  GROUP BY 1, 2, 3)
+SELECT event_type, CAST(day_end AS BIGINT) AS day_end,
+       CAST(sum(bit_count(m7)) AS BIGINT) AS n_users_7d
+FROM wnd GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 # Round 8: ADOPT the measured layout winner (VERDICT r7 item 5) — the
 # Hilbert layout now backs a scan-pruning gated query, not just the
 # cell-histogram arithmetic. Distinct probe window from the Morton twin
@@ -4546,15 +4578,15 @@ ORACLES["hilbert_events_scan"] = hilbert_scan_oracle_sql()
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 8 — VERDICT r7 item 2)
 # ---------------------------------------------------------------------------
-# Staleness-driven (the driver gates the FIRST 50 entries): 20 round-8
+# Staleness-driven (the driver gates the FIRST 50 entries): 21 round-8
 # never-gated queries (the 7 kmeans driver-bisect traces MUST sit in
-# this window per VERDICT r7 item 1b, plus the 13 new operators), the 3
+# this window per VERDICT r7 item 1b, plus the 14 new operators), the 3
 # round-8-changed queries (kmeans_embeddings's non-negative shift
 # changed its semantics; the generic multimodal decode kernels now
 # sniff-dispatch), the VERDICT-named 15-entry r4-stale cohort, and the
-# first 12 of the r5-stale set (alphabetical; the remaining 37 r5
-# entries are round 9's first picks: fingerprints, ivf_topk_exact,
-# kv_replay_hotkey,
+# first 11 of the r5-stale set (alphabetical; the remaining 38 r5
+# entries are round 9's first picks: event_anomalies, fingerprints,
+# ivf_topk_exact, kv_replay_hotkey,
 # lang_entropy_by_source, lang_id, leakage_safe_split,
 # lsh_topk_exact, minhash_incremental, minhash_lsh_exact,
 # minhash_neardup, multimodal_jpeg_decode, pack_chunks,
@@ -4572,7 +4604,7 @@ _R8_WINDOW = [
     "customer_state_cdc", "bigram_pmi", "audience_overlap",
     "stream_audience_overlap", "user_streaks", "event_trend_slopes",
     "funnel_strict", "compaction_plan", "copurchase_components",
-    "events_twap",
+    "events_twap", "sliding_audience_7d",
     # changed in round 8 (must re-prove under the driver)
     "kmeans_embeddings", "multimodal_decode", "multimodal_audio",
     # last driver row r4 (the VERDICT-named stalest cohort, complete)
@@ -4585,7 +4617,7 @@ _R8_WINDOW = [
     "bigram_counts", "build_vocab", "chunk_docs", "corpus_pipeline",
     "corpus_summary", "cosine_topk", "customer_scd2",
     "customer_upsert", "decontaminate", "embedding_neardup",
-    "encode_docs", "event_anomalies",
+    "encode_docs",
 ]
 assert len(_R8_WINDOW) == 50 and len(set(_R8_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R8_WINDOW} | {
@@ -4595,7 +4627,7 @@ QUERIES = {name: QUERIES[name] for name in _R8_WINDOW} | {
 # Every never-driver-gated query MUST sit inside the first-50 window —
 # this file-end block is the last statement touching QUERIES, and this
 # guard fails loudly if a future registration lands below it.
-_R8_NEW = _R8_WINDOW[:20]
+_R8_NEW = _R8_WINDOW[:21]
 _order = list(QUERIES)
 for _q in _R8_NEW:
     if _order.index(_q) >= 50:

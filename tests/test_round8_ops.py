@@ -82,6 +82,38 @@ def test_audience_overlap_matches_naive_set_arithmetic(spark, sf_dir):
     assert len(got) == len(want)
 
 
+def test_sliding_audience_matches_naive_trailing_distinct(spark, sf_dir):
+    """The bitmap-coverage sliding distinct equals the naive
+    per-(type, end-day) trailing-7-day set union."""
+    from distributed_computing_spark.operators.analytics import (
+        sliding_audience,
+    )
+    from distributed_computing_spark.sources.catalog import load_table
+
+    got = {
+        (r["event_type"], r["day_end"]): r["n_users_7d"]
+        for r in sliding_audience(spark, sf_dir, window_days=7).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    days: dict[tuple, set] = {}
+    for r in ev.select(
+        "event_type", F.expr("cast(ts as long) div 86400").alias("d"),
+        "user_id",
+    ).collect():
+        days.setdefault((r["event_type"], r["d"]), set()).add(r["user_id"])
+    md = max(d for _, d in days)
+    # union of the trailing window's day sets, for every (type, end-day)
+    # some window day of which has data
+    want = {}
+    keys = {(t, de) for (t, d) in days for de in range(d, min(d + 7, md + 1))}
+    for (t, de) in keys:
+        u: set = set()
+        for k in range(de - 6, de + 1):
+            u |= days.get((t, k), set())
+        want[(t, de)] = len(u)
+    assert got == want
+
+
 def test_association_rules_confidence_and_lift_math(spark, tmp_path, sf_dir):
     """Hand-checkable baskets: rules' ppm keys equal exact integer
     division of the support counts."""
