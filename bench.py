@@ -231,6 +231,10 @@ def _compact_for_tail(payload: dict) -> dict:
                 xo["weak"] = dict(
                     sorted(weak.items(), key=lambda kv: -kv[1])
                 )
+                # VERDICT r8 item 3: the shed loop may cap `weak` at
+                # its 10 worst cells — record the TOTAL count so a
+                # capped tail never reads as the full list.
+                xo["n_weak_total"] = len(weak)
             xo["queries"] = {
                 k: [r2(v["spark_s"]), r2(v["duckdb_s"])]
                 for k, v in xo["queries"].items()

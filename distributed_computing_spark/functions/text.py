@@ -17,6 +17,12 @@ from pyspark.sql import functions as F
 
 # Same class in Spark (Java regex) and DuckDB (RE2): safe for oracles.
 TOKEN_SPLIT_RE = "[^A-Za-z0-9]+"
+# The findall complement of TOKEN_SPLIT_RE (DERIVED, so the two
+# tokenizer spellings cannot drift — ADVICE r8): Python re callers
+# (bigram_pmi's fused gram counter) match tokens with this instead of
+# redefining the class locally.
+TOKEN_MATCH_RE = TOKEN_SPLIT_RE.replace("[^", "[", 1)
+assert TOKEN_MATCH_RE == "[A-Za-z0-9]+"
 
 # Tiny per-language stopword sets for the n-gram/lexicon lang-id
 # heuristic. Deterministic and SQL-expressible on both engines.

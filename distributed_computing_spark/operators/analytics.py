@@ -540,8 +540,12 @@ def funnel_strict(
         F.sum(F.col("t1").isNotNull().cast("long")).alias("n_step1"),
         F.sum(F.col("t2").isNotNull().cast("long")).alias("n_step2"),
         F.sum(F.col("t3").isNotNull().cast("long")).alias("n_step3"),
+        # WHEN/OTHERWISE(0), not a nullable-bool cast: with zero
+        # completers a sum of all-NULLs is NULL while the oracle's
+        # CASE ... ELSE 0 sums to 0 (ADVICE r8) — this form matches the
+        # oracle exactly in every case incl. the empty input.
         F.sum(
-            (F.col("t3") - F.col("t1") <= window_s).cast("long")
+            F.when(F.col("t3") - F.col("t1") <= window_s, 1).otherwise(0)
         ).alias("n_within_window"),
     )
 
@@ -1673,20 +1677,28 @@ def bitmap_words(
     so a negative id's (word_idx, bit) pairing would collide with a
     positive id's (e.g. -5 and +57 both land on word 0 bit 57). The
     shared test tables' ids satisfy this; re-base ids first if a
-    source doesn't."""
+    source doesn't. The group column keeps the CALLER's name (ADVICE
+    r8: the draft hardcoded "event_type", silently mislabeling any
+    other group column)."""
     shift = F.expr(
         f"shiftleft(cast(1 as bigint), "
         f"cast(pmod({id_col}, {bits_per_word}) as int))"
     )
     return (
         df.select(
-            F.col(group_col).alias("event_type"),
+            group_col,
             F.expr(f"{id_col} div {bits_per_word}").alias("word_idx"),
             shift.alias("_bit"),
         )
-        .groupBy("event_type", "word_idx")
+        .groupBy(group_col, "word_idx")
         .agg(F.bit_or("_bit").alias("mask"))
     )
+
+
+# Absolute fan-out cap for sliding_audience's day-replication (VERDICT
+# r8 item 5b): each word row exchanges window_days times, so the bound
+# is an explicit contract, not a silent cost cliff.
+MAX_SLIDING_WINDOW_DAYS = 31
 
 
 def sliding_audience(
@@ -1706,7 +1718,23 @@ def sliding_audience(
     approximate twin of this shape is the HLL rollup, this is the
     exact one.
 
-    Same non-negative-id contract as bitmap_words."""
+    Same non-negative-id contract as bitmap_words.
+
+    Cost bound (VERDICT r8): the coverage explode replicates each
+    day-word ``window_days`` times before the second bit_or, so the
+    exchanged volume is window_days × the compact word table — fine at
+    a week, a 90-day window multiplies the word table 90×. The cap is
+    CODE, not prose: windows past ``MAX_SLIDING_WINDOW_DAYS`` raise,
+    pointing at the windowed HLL rollup (hll_register_sketch /
+    hll_nation_rollup's merge path), whose state is O(registers) per
+    window regardless of width."""
+    if window_days < 1 or window_days > MAX_SLIDING_WINDOW_DAYS:
+        raise ValueError(
+            f"sliding_audience: window_days={window_days} outside "
+            f"[1, {MAX_SLIDING_WINDOW_DAYS}] — the day-fan-out "
+            "replicates the word table window_days times; use the HLL "
+            "register rollup for wide windows"
+        )
     ev = load_table(spark, sf_dir, "events")
     shift = F.expr(
         f"shiftleft(cast(1 as bigint), "
@@ -1744,18 +1772,21 @@ def sliding_audience(
     )
 
 
-def overlap_matrix(words: DataFrame, scale: int = 10**6) -> DataFrame:
+def overlap_matrix(
+    words: DataFrame, scale: int = 10**6, group_col: str = "event_type"
+) -> DataFrame:
     """Pairwise exact set-overlap matrix from packed bitmap words (see
-    audience_overlap for the full contract)."""
-    totals = words.groupBy("event_type").agg(
+    audience_overlap for the full contract); ``group_col`` names the
+    words table's group column (ADVICE r8 — no hardcoded name)."""
+    totals = words.groupBy(group_col).agg(
         F.sum(F.bit_count("mask")).alias("n_users")
     )
     a = words.select(
-        F.col("event_type").alias("g_a"), "word_idx",
+        F.col(group_col).alias("g_a"), "word_idx",
         F.col("mask").alias("mask_a"),
     )
     b = words.select(
-        F.col("event_type").alias("g_b"), "word_idx",
+        F.col(group_col).alias("g_b"), "word_idx",
         F.col("mask").alias("mask_b"),
     )
     inter = (
@@ -1769,10 +1800,10 @@ def overlap_matrix(words: DataFrame, scale: int = 10**6) -> DataFrame:
         )
     )
     ta = totals.select(
-        F.col("event_type").alias("g_a"), F.col("n_users").alias("n_a")
+        F.col(group_col).alias("g_a"), F.col("n_users").alias("n_a")
     )
     tb = totals.select(
-        F.col("event_type").alias("g_b"), F.col("n_users").alias("n_b")
+        F.col(group_col).alias("g_b"), F.col("n_users").alias("n_b")
     )
     return (
         inter.join(F.broadcast(ta), "g_a")
@@ -1832,10 +1863,17 @@ def event_trend_slopes(
     plus the truncating quotient ``slope_ppm = slope_num·10^6 / den``
     (cents per million seconds). All sums ride DECIMAL(38,0) — per-row
     x² ≈ 2.3e18 would overflow a summed BIGINT within rows (ANSI
-    throws), and the n·Σxy-scale terms reach ~1e24. The numerator can
-    be NEGATIVE (falling trends), so the oracle divides
-    sign-explicitly (the kmeans r7 CASE) and Spark uses decimal
-    ``div`` — truncation on both engines, any version.
+    throws; x·y gets the same both-operands-first cast, ADVICE r8 —
+    x ≈ 9e8 would overflow a BIGINT product at |y| ≥ ~1e10), and the
+    n·Σxy-scale terms reach ~1e24. The numerator can be NEGATIVE
+    (falling trends), so the oracle divides sign-explicitly (the
+    kmeans r7 CASE) and Spark uses decimal ``div`` — truncation on
+    both engines, any version. A degenerate group (all events on one
+    epoch second) zeroes the denominator: the quotient guards it with
+    NULL on both engines (ADVICE r8) instead of an ANSI throw. The
+    num/den columns SHIP as canonical digit strings — DECIMAL final
+    columns value-hash differently in the driver environment (VERDICT
+    r8 item 1), and they exceed any provable BIGINT bound.
 
     Plan: one partial-aggregated groupBy carrying five decimal sums;
     the slope algebra is a scalar projection on k rows."""
@@ -1850,21 +1888,22 @@ def event_trend_slopes(
         F.count(F.lit(1)).cast(dec).alias("n"),
         F.sum(F.col("x").cast(dec)).alias("sx"),
         F.sum(F.col("y").cast(dec)).alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x").cast(dec) * F.col("y").cast(dec))).alias("sxy"),
         F.sum((F.col("x").cast(dec) * F.col("x").cast(dec))).alias("sxx"),
     )
     return sums.select(
         "event_type",
         F.col("n").cast("long").alias("n_points"),
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
-            "slope_num"
-        ),
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
-            "slope_den"
-        ),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("string")
+        .alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("string")
+        .alias("slope_den"),
         F.expr(
+            "case when (n * sxx - sx * sx) > 0 then "
             f"cast((n * sxy - sx * sy) * {scale} div "
-            "(n * sxx - sx * sx) as bigint)"
+            "(n * sxx - sx * sx) as bigint) end"
         ).alias("slope_ppm"),
     )
 
@@ -2058,4 +2097,210 @@ def equidepth_histogram(
             F.min("_v").alias("lo"),
             F.max("_v").alias("hi"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: rank statistics, digit-distribution audit, co-purchase cosine,
+# SCD2 point-in-time lookup
+# ---------------------------------------------------------------------------
+
+
+def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Spearman rank correlation between l_quantity and
+    l_extendedprice (round 9) — the monotone-association statistic a
+    data-quality pass wants where Pearson is distorted by heavy tails.
+
+    Integer-exact via the d² form over MIN-RANKS: both engines' RANK()
+    assigns identical min-ranks to ties, d = rank_q − rank_p,
+    ``rho_ppm = 10^6 − (6·Σd²·10^6) div (n·(n²−1))`` — the classic
+    1 − 6Σd²/(n(n²−1)) quantized to ppm with truncating integer
+    division on both engines. (With ties the d² form is a deterministic
+    tie-aware VARIANT of Spearman's rho, not the tie-corrected Pearson
+    form — the contract is the statistic's exact definition, same on
+    both engines.) Σd² can reach n³ (~2.4e17 at sf0.1, past 2^63 at
+    replica scale within the ·10^6 product), so it sums as
+    DECIMAL(38,0) and SHIPS as the canonical digit string (the
+    decimal-purge rule); rho_ppm stays a provably-bounded BIGINT
+    (|rho_ppm| <= 2·10^6 by construction). Degenerate groups (n < 2,
+    where n(n²−1)=0) yield NULL, never an ANSI throw.
+
+    Plan: ONE exchange on l_returnflag serves both rank windows AND
+    the final aggregate (same partitioning expression); everything
+    after the scan is integer window/agg arithmetic in codegen."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_quantity") * 100).cast("long").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+    )
+    wq = Window.partitionBy("l_returnflag").orderBy("q")
+    wp = Window.partitionBy("l_returnflag").orderBy("p")
+    ranked = li.select(
+        "l_returnflag",
+        F.rank().over(wq).alias("rq"),
+        F.rank().over(wp).alias("rp"),
+    )
+    dec = "decimal(38,0)"
+    sums = ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (
+                (F.col("rq") - F.col("rp")).cast(dec)
+                * (F.col("rq") - F.col("rp")).cast(dec)
+            )
+        ).alias("sum_d2"),
+    )
+    return sums.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.col("sum_d2").cast("string").alias("sum_d2"),
+        F.expr(
+            "case when n >= 2 then cast(1000000 - "
+            "(6 * sum_d2 * 1000000) div "
+            "(cast(n as decimal(38,0)) * (cast(n as decimal(38,0)) * "
+            "cast(n as decimal(38,0)) - 1)) as bigint) end"
+        ).alias("rho_ppm"),
+    )
+
+
+# Benford expected first-digit frequencies in ppm: floor(log10(1+1/d)
+# * 1e6), precomputed once in Python and embedded as LITERALS in both
+# engines' plans — no float log10 ever executes engine-side, so the
+# gate compares pure integers.
+BENFORD_PPM = {d: int((__import__("math").log10(1 + 1 / d)) * 10**6) for d in range(1, 10)}
+
+
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of o_totalprice vs
+    Benford's law (round 9) — the fraud/data-quality screen: per digit
+    1-9, the observed count, observed frequency in ppm (truncating
+    integer division), and the signed deviation from the Benford
+    expectation (embedded integer constants, see BENFORD_PPM).
+
+    The first digit comes from the DIGIT STRING of the exact cent
+    value (substr of a BIGINT's decimal rendering — identical on both
+    engines; no float log10 in the digit extraction). One partial-
+    aggregated groupBy on 9 keys; the total joins back as a broadcast
+    1-row aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    digits = orders.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    ).where(F.col("digit") >= 1)
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    total = counts.agg(F.sum("n_orders").alias("n_total"))
+    expected = F.create_map(
+        *[x for d, ppm in BENFORD_PPM.items() for x in (F.lit(d), F.lit(ppm))]
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_orders",
+            F.expr("cast(n_orders * 1000000 div n_total as bigint)").alias(
+                "observed_ppm"
+            ),
+            (
+                F.expr("cast(n_orders * 1000000 div n_total as bigint)")
+                - expected[F.col("digit")]
+            ).alias("deviation_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+def copurchase_cosine(
+    spark: SparkSession,
+    sf_dir: str,
+    min_count: int = 3,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Item-item cosine similarity over co-purchase baskets (round 9) —
+    the classic neighborhood-based recommender statistic:
+    cos(a,b) = supp_ab / sqrt(supp_a · supp_b), shipped float-free as
+    the monotone square ``cos2_ppm = supp_ab²·10^6 div (supp_a·supp_b)``
+    (the quantized-rank rule — sqrt is monotone, so ranking by cos² is
+    ranking by cosine). supp_ab²·10^6 <= (supp)²·10^6 stays under 2^63
+    for supports below ~3e6 co-orders; the product rides DECIMAL and
+    the output is a provably-bounded BIGINT (cos <= 1 so cos2_ppm <=
+    10^6).
+
+    Plan: reuses copurchase_pairs' per-basket bounded self-join (ONE
+    order-keyed exchange, a<b canonicalization); per-part supports are
+    a separate small aggregate broadcast back onto the pair table."""
+    pairs = copurchase_pairs(spark, sf_dir, min_count=min_count)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.countDistinct("l_orderkey").alias("supp")
+    )
+    sa = supp.select(F.col("pk").alias("a"), F.col("supp").alias("supp_a"))
+    sb = supp.select(F.col("pk").alias("b"), F.col("supp").alias("supp_b"))
+    return (
+        pairs.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .select(
+            "a",
+            "b",
+            F.col("n_orders").alias("supp_ab"),
+            "supp_a",
+            "supp_b",
+            F.expr(
+                f"cast(cast(n_orders as decimal(38,0)) * n_orders * {scale} "
+                "div (cast(supp_a as decimal(38,0)) * supp_b) as bigint)"
+            ).alias("cos2_ppm"),
+        )
+    )
+
+
+def scd2_pointintime(
+    spark: SparkSession, sf_dir: str, n_versions: int = 3
+) -> DataFrame:
+    """Point-in-time lookup against a type-2 dimension (round 9): each
+    order probes the customer SCD2 history AT a version (probe_v = 1 +
+    o_orderkey % n_versions, a deterministic stand-in for a
+    transaction-time column) and takes the attribute row valid THEN —
+    ``valid_from <= v AND (valid_to IS NULL OR valid_to > v)``. This is
+    the temporal-join half of the SCD2 story: customer_scd2 builds the
+    history, this consumes it the way a backfill or late-arriving-fact
+    pipeline does. Rolled up to (probe_v, segment_at_time) counts +
+    exact-decimal revenue (summed as DECIMAL, rounded while exact —
+    the customer_upsert float rule).
+
+    Plan: the history is dimension-sized, so the lookup is ONE
+    BROADCAST hash join on c_custkey with the validity range as a
+    residual filter — no shuffle of the fact side, the 100 TB shape.
+    Validity windows within a key never overlap (scd2_apply closes
+    before it appends), so the join is at-most-one-row per probe and
+    needs no tie-break."""
+    from distributed_computing_spark.registry import customer_scd2
+
+    dim = customer_scd2(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        (1 + F.col("o_orderkey") % n_versions).alias("probe_v"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    hit = orders.join(
+        F.broadcast(dim),
+        on=[
+            orders["c_custkey"] == dim["c_custkey"],
+            dim["valid_from"] <= orders["probe_v"],
+            dim["valid_to"].isNull() | (dim["valid_to"] > orders["probe_v"]),
+        ],
+    )
+    return (
+        hit.groupBy("probe_v", "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").cast("decimal(38,2)").alias("_rev"),
+        )
+        .select(
+            "probe_v",
+            "segment",
+            "n_orders",
+            F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
+        )
+        .orderBy("probe_v", "segment")
     )

@@ -27,7 +27,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 BLOB_SCHEMA = (
@@ -814,4 +814,204 @@ def decode_audio_mp3(blobs: DataFrame) -> DataFrame:
         schema="blob_id long, n_frames int, bitrate_kbps int, "
         "sample_rate int, total_bytes long, n_samples long, "
         "peak long, gg0 int",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: perceptual-hash image near-dup (the dedup family crossed with
+# the real-codec path)
+# ---------------------------------------------------------------------------
+
+# dHash geometry: an (HASH_W+1) x HASH_H integer point-sample grid gives
+# HASH_W horizontal comparisons per row = 56 bits — deliberately < 62 so
+# the packed hash is a positive BIGINT everywhere (the bitmap_words
+# bit-63 rule) and band arithmetic never touches the sign bit.
+DHASH_W = 8
+DHASH_H = 7
+DHASH_BITS = DHASH_W * DHASH_H  # 56
+DHASH_BAND_BITS = 8
+DHASH_N_BANDS = DHASH_BITS // DHASH_BAND_BITS  # 7
+
+
+def dhash_py(img: "np.ndarray") -> int:
+    """Pure-int dHash of an RGB uint8 array: integer-luma grayscale
+    (r·299 + g·587 + b·114, no division needed — scaling by a positive
+    constant preserves every comparison), point-sampled on the
+    (DHASH_W+1) x DHASH_H grid at positions floor(i·W/(W+1 cols)) (the
+    exact-integer stand-in for area resampling — deterministic, no
+    float resize), bit = left > right, packed row-major LSB-first.
+    Shared by the distributed operator and the pure-Python test twin —
+    ONE definition, so the two cannot drift."""
+    h, w = img.shape[0], img.shape[1]
+    lum = (
+        img[..., 0].astype(np.int64) * 299
+        + img[..., 1].astype(np.int64) * 587
+        + img[..., 2].astype(np.int64) * 114
+    )
+    xs = [(i * w) // (DHASH_W + 1) for i in range(DHASH_W + 1)]
+    ys = [(j * h) // DHASH_H for j in range(DHASH_H)]
+    out = 0
+    bit = 0
+    for y in ys:
+        for i in range(DHASH_W):
+            if lum[y, xs[i]] > lum[y, xs[i + 1]]:
+                out |= 1 << bit
+            bit += 1
+    return out
+
+
+def textured_blobs(docs: DataFrame, group_size: int = 20) -> DataFrame:
+    """Textured 16x16 BMP blob table over ``documents`` with PLANTED
+    near-duplicates: docs sharing ``seed = doc_id // group_size``
+    render the same MULTIPLICATIVELY seed-dependent gradient
+    (px[y,x,c] = (x·y·(1 + seed%9) + x·(3 + seed%5) + y·(5 + seed%7)
+    + 11c + 37·seed) % 256 — the seed changes the gradient DIRECTIONS,
+    not just a constant brightness offset, which dHash's pairwise
+    comparisons would be blind to), and each member flips ONE pixel at
+    a member-dependent position — so same-seed docs are NEAR-duplicates
+    (a few dHash bits apart), never byte-duplicates, and distinct
+    seeds produce genuinely different textures. ``group_size`` is
+    CONSTANT in the doc count, so the planted pair volume stays LINEAR
+    in corpus size (a fixed pattern count would make classes — and the
+    pair output — grow quadratically with the corpus). Payloads are
+    genuine BMPs from the pure-numpy encoder; the decode side re-parses
+    the real byte stream."""
+    from distributed_computing_spark.functions.codecs import encode_bmp
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, datas = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ids.append(did)
+                datas.append(encode_bmp(textured_pixels(did, group_size)))
+            yield pd.DataFrame(
+                {"blob_id": pd.array(ids, dtype="int64"), "data": datas}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="blob_id long, data binary"
+    )
+
+
+def textured_pixels(did: int, group_size: int = 20) -> "np.ndarray":
+    """The pure pixel function behind ``textured_blobs`` — module-level
+    so the pytest twin replays the EXACT same images (one definition,
+    no drift)."""
+    y, x = np.mgrid[0:16, 0:16]
+    xl, yl = x.astype(np.int64), y.astype(np.int64)
+    seed = did // group_size
+    base = (
+        xl * yl * (1 + seed % 9)
+        + xl * (3 + seed % 5)
+        + yl * (5 + seed % 7)
+        + 37 * seed
+    )
+    px = np.zeros((16, 16, 3), np.uint8)
+    for c in range(3):
+        px[..., c] = ((base + 11 * c) % 256).astype(np.uint8)
+    pos = did % group_size
+    py, pxx = (pos * 5) % 16, (pos * 11) % 16
+    px[py, pxx] = (px[py, pxx].astype(np.int64) + 128) % 256
+    return px
+
+
+def dhash_images(blobs: DataFrame) -> DataFrame:
+    """Perceptual hash per image blob: REAL decode (magic-byte sniff →
+    the repo's pure-numpy codecs; unknown formats hit the deterministic
+    fake at 16x16) then the 56-bit integer dHash — the whole Arrow
+    batch emits (blob_id, dhash BIGINT), so everything downstream of
+    the Python stage is id+hash-sized."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                dhash_py(_decode_rgb_any(bytes(d), 16, 16))
+                for d in pdf["data"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "blob_id": pdf["blob_id"],
+                    "dhash": pd.array(hashes, dtype="int64"),
+                }
+            )
+
+    return blobs.select("blob_id", "data").mapInPandas(
+        run, schema="blob_id long, dhash long"
+    )
+
+
+def image_neardup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 4,
+    max_bucket: int = 1_000,
+) -> DataFrame:
+    """Hamming near-dup join over perceptual hashes via PIGEONHOLE
+    banding (the FastSS/MinHash discipline applied to image hashes):
+    split the 56-bit dHash into 7 bands of 8 bits — any pair within
+    Hamming distance <= 6 shares at least one unchanged band, so a
+    band-keyed equi-join generates ALL candidates for max_hamming <= 6
+    (asserted) with no all-pairs comparison; xor+bit_count verifies
+    exactly. Candidate exchanges carry (band key, id, 56-bit hash) —
+    nothing image-sized leaves the hashing stage.
+
+    ``max_bucket`` is the ABSOLUTE fan-out cap (CLAUDE.md rule:
+    relative caps don't survive scale-up): a band value shared by more
+    than max_bucket images — a giant exact-dup class or a degenerate
+    flat-image band — is dropped from candidate generation rather than
+    exploding |bucket|² (the ngram max_posting / minhash max_bucket
+    template; exact-dup classes are the hash-groupBy dedup's job)."""
+    if max_hamming >= DHASH_N_BANDS:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > {DHASH_N_BANDS} bands: "
+            "the pigeonhole guarantee only covers "
+            f"hamming <= {DHASH_N_BANDS - 1}"
+        )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright(F.col("dhash"), i * DHASH_BAND_BITS)
+                .bitwiseAND(F.lit((1 << DHASH_BAND_BITS) - 1))
+                .alias("band_val"),
+            )
+            for i in range(DHASH_N_BANDS)
+        ]
+    )
+    banded = hashes.select(
+        "blob_id", "dhash", F.explode(bands).alias("bd")
+    ).select("blob_id", "dhash", "bd.band_idx", "bd.band_val")
+    sized = banded.withColumn(
+        "_bn",
+        F.count(F.lit(1)).over(
+            Window.partitionBy("band_idx", "band_val")
+        ),
+    ).where(F.col("_bn") <= max_bucket)
+    a = sized.select(
+        "band_idx",
+        "band_val",
+        F.col("blob_id").alias("a"),
+        F.col("dhash").alias("ha"),
+    )
+    b = sized.select(
+        "band_idx",
+        "band_val",
+        F.col("blob_id").alias("b"),
+        F.col("dhash").alias("hb"),
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "a",
+            "b",
+            F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
     )

@@ -861,14 +861,23 @@ def kmeans_oracle_sql(
 ) -> str:
     """Generated unrolled-CTE oracle for ``kmeans_embeddings``: each
     Lloyd round is one assignment CTE + one centroid CTE (see
-    ``_kmeans_cte_parts`` for the non-negative-shift contract)."""
+    ``_kmeans_cte_parts`` for the non-negative-shift contract).
+
+    ``wss`` ships as the CANONICAL DIGIT STRING, not DECIMAL: the
+    round-8 driver bisect proved DECIMAL(38,0) final columns value-hash
+    differently in the driver environment than in both local engines
+    (every all-BIGINT trace green, the decimal aggregate red — VERDICT
+    r8 item 1). The sum itself still rides HUGEINT/DECIMAL internally
+    (replica tiers push it past 2^63, so BIGINT output is not safely
+    bounded); non-negative integers render identically on both
+    engines."""
     parts = _kmeans_cte_parts(k, n_iter, scale, last_centroid=n_iter - 1)
     return (
         "WITH "
         + ",\n".join(parts)
         + f"""
 SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
-       CAST(sum(dist) AS DECIMAL(38, 0)) AS wss
+       CAST(CAST(sum(dist) AS HUGEINT) AS VARCHAR) AS wss
 FROM a{n_iter} GROUP BY cluster ORDER BY cluster"""
     )
 

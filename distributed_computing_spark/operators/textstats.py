@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from distributed_computing_spark.functions.text import (
     LANG_LEXICONS,
-    TOKEN_SPLIT_RE,
+    TOKEN_MATCH_RE,
     bpe_ish_token_count,
     fingerprint,
     punct_ratio,
@@ -230,6 +230,7 @@ def bigram_pmi(
     min_count: int = 15,
     k: int = 40,
     scale: int = 10**6,
+    max_broadcast_vocab: int = 2_000_000,
 ) -> DataFrame:
     """Collocation discovery (round 8): top-k bigrams by pointwise
     mutual information with a minimum-support floor — the classic
@@ -249,7 +250,12 @@ def bigram_pmi(
     tokens; the fused pass exchanges only per-partition partial
     counts). The gram-count aggregate persists once and feeds both
     branches (Catalyst re-evaluates shared subtrees otherwise);
-    totals are 1-row aggs; unigram counts re-attach by broadcast."""
+    totals are 1-row aggs; unigram counts re-attach by BROADCAST only
+    while the distinct vocabulary stays under ``max_broadcast_vocab``
+    (VERDICT r8 item 5a — a web-scale vocab must not be collected to
+    every executor); past the cap the re-attach falls back to a
+    shuffle join on the token, the max_posting absolute-cap rule
+    applied to broadcasting."""
     import re
     from collections import Counter
 
@@ -258,7 +264,7 @@ def bigram_pmi(
     from distributed_computing_spark.caching import track_persist
 
     docs = load_table(spark, sf_dir, "documents")
-    pat = re.compile("[A-Za-z0-9]+")
+    pat = re.compile(TOKEN_MATCH_RE)
 
     def count_grams(batches):
         uni: Counter = Counter()
@@ -298,10 +304,15 @@ def bigram_pmi(
         "(cast(nb as decimal(38,0)) * cast(n_x as decimal(38,0)) * "
         "cast(n_y as decimal(38,0)))"
     )
+    # Size gate on the unigram re-attach: grams is persisted, so this
+    # count is a cache-served bounded aggregate, not an extra scan.
+    vocab_fits = uni.count() <= max_broadcast_vocab
+    cx = F.broadcast(cx) if vocab_fits else cx
+    cy = F.broadcast(cy) if vocab_fits else cy
     return (
         bi.where(F.col("n_xy") >= min_count)
-        .join(F.broadcast(cx), "x")
-        .join(F.broadcast(cy), "y")
+        .join(cx, "x")
+        .join(cy, "y")
         .crossJoin(F.broadcast(n_tok))
         .crossJoin(F.broadcast(n_bi))
         .select(

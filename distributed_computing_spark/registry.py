@@ -3177,8 +3177,13 @@ FROM r GROUP BY register ORDER BY register"""
 # Round 6: integer-exact Lloyd's k-means over quantized embeddings
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5 Lloyd rounds, k=8, deterministic lowest-id seeding; cluster
-    sizes + within-cluster squared distance (integer-exact, summed as
-    DECIMAL for the overflow-free cross-engine compare)."""
+    sizes + within-cluster squared distance. The sum rides DECIMAL
+    internally (replica tiers push it past 2^63) but SHIPS as the
+    canonical digit string: the round-8 driver bisect isolated
+    DECIMAL(38,0) final columns as the driver's value-hash divergence
+    (VERDICT r8 item 1 — every all-BIGINT trace green, the decimal
+    aggregate red), and a non-negative integer's digit string renders
+    identically on both engines."""
     from distributed_computing_spark.operators.similarity import (
         kmeans_quantized,
     )
@@ -3189,7 +3194,9 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.sum(F.col("dist").cast("decimal(38,0)")).alias("wss"),
+            F.sum(F.col("dist").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("wss"),
         )
         .orderBy("cluster")
     )
@@ -3203,75 +3210,26 @@ QUERIES["kmeans_embeddings"] = kmeans_embeddings
 ORACLES["kmeans_embeddings"] = kmeans_oracle_sql(k=8, n_iter=5)
 
 
-# Round 8: kmeans driver-bisect trace queries (VERDICT r7 item 1b).
-# kmeans_embeddings was hash-red in the r6 AND r7 driver windows while
-# every local gate (both engines, both SFs) is green, and round 7
-# falsified the division-semantics root cause.  These queries expose
-# each Lloyd round's intermediate state under the driver's own gate:
-# c{t} = the k×d centroid table after t updates, a1 = the full first
-# assignment.  Each oracle is a strict prefix of the kmeans_embeddings
-# CTE chain (tests/test_oracle_portability.py proves prefix
-# consistency), so the first red row localizes the divergent step with
-# zero local reproduction.  Driver state is k·d longs — bounded.
-def _kmeans_trace_centroids(t: int):
-    def _q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from distributed_computing_spark.operators.similarity import (
-            kmeans_quantized,
-        )
-
-        emb = load_table(spark, sf_dir, "embeddings")
-        _assigned, _c, trace = kmeans_quantized(
-            emb, k=8, n_iter=t + 1, return_trace=True
-        )
-        rows = [
-            (j, d, trace[t][j][d])
-            for j in sorted(trace[t])
-            for d in range(len(trace[t][j]))
-        ]
-        return spark.createDataFrame(
-            rows, "cluster int, dim int, cx long"
-        ).orderBy("cluster", "dim")
-
-    _q.__doc__ = (
-        f"Centroid table after {t} Lloyd update(s) — driver-bisect "
-        "trace for the kmeans_embeddings red row."
-    )
-    return _q
-
-
+# Round 9 (VERDICT r8 item 2): the round-8 driver-bisect trace
+# scaffolding (kmeans_trace_c0..c4, a1) is RETIRED — it conclusively
+# localized the kmeans red to DECIMAL value-hashing (fixed above by the
+# canonical-digit-string wss) and the prefix-consistency property lives
+# on in tests/test_oracle_portability.py, so the six extra registry
+# entries would only burn driver-window slots every rotation.
+# kmeans_trace_a5 stays as the STANDING all-BIGINT control: the full
+# final assignment next to the decimal-free aggregate separates any
+# future kmeans red into computation vs representation on sight.
 from distributed_computing_spark.operators.similarity import (  # noqa: E402
     kmeans_trace_assign_sql,
-    kmeans_trace_centroid_sql,
 )
-
-for _t in range(5):
-    QUERIES[f"kmeans_trace_c{_t}"] = _kmeans_trace_centroids(_t)
-    ORACLES[f"kmeans_trace_c{_t}"] = kmeans_trace_centroid_sql(_t, k=8)
-
-
-def kmeans_trace_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-round assignment (vec_id, cluster, dist) vs the seed
-    centroids — splits assignment-step vs centroid-update divergence
-    in the kmeans driver bisect."""
-    from distributed_computing_spark.operators.similarity import (
-        kmeans_quantized,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    assigned, _c = kmeans_quantized(emb, k=8, n_iter=1)
-    return assigned.select("vec_id", "cluster", "dist").orderBy("vec_id")
-
-
-QUERIES["kmeans_trace_a1"] = kmeans_trace_a1
-ORACLES["kmeans_trace_a1"] = kmeans_trace_assign_sql(1, k=8)
 
 
 def kmeans_trace_a5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FINAL assignment (vec_id, cluster, dist — all BIGINT): if every
-    centroid/assignment trace is green but kmeans_embeddings stays
-    red, the divergence is isolated to the final n_members/wss
-    aggregate — and wss is the output's only DECIMAL column, making
-    decimal value-hashing the prime suspect."""
+    """FINAL assignment (vec_id, cluster, dist — all BIGINT): the
+    standing control for kmeans_embeddings — green here + red there
+    would isolate a divergence to the final aggregate's value
+    representation rather than the Lloyd computation (the round-8
+    bisect's conclusion, kept testable)."""
     from distributed_computing_spark.operators.similarity import (
         kmeans_quantized,
     )
@@ -4380,9 +4338,10 @@ s AS (SELECT event_type, count(*)::HUGEINT AS n,
              sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx
       FROM p GROUP BY 1)
 SELECT event_type, CAST(n AS BIGINT) AS n_points,
-       CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
-       CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS slope_den,
-       CAST(CASE WHEN (n * sxy - sx * sy) >= 0
+       CAST(n * sxy - sx * sy AS VARCHAR) AS slope_num,
+       CAST(n * sxx - sx * sx AS VARCHAR) AS slope_den,
+       CAST(CASE WHEN (n * sxx - sx * sx) <= 0 THEN NULL
+            WHEN (n * sxy - sx * sy) >= 0
             THEN ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
             ELSE -(((sx * sy - n * sxy) * 1000000) // (n * sxx - sx * sx))
             END AS BIGINT) AS slope_ppm
@@ -4475,7 +4434,11 @@ def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type time-weighted average value over the observed span:
     one event-type-keyed exchange serves the lead() window; the
     value·dt products sum as DECIMAL(38,0) (20M-row replicas push a
-    long sum near 2^63)."""
+    long sum near 2^63) but SHIP as the canonical digit string —
+    DECIMAL final columns value-hash differently in the driver
+    environment (VERDICT r8 item 1). The twap quotient guards the
+    zero-span group (every event of a type on one second — ADVICE r8):
+    NULL on both engines instead of an ANSI divide-by-zero throw."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -4502,9 +4465,11 @@ def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_intervals",
         "span_s",
-        F.col("vt_sum").cast("decimal(38,0)").alias("vt_sum"),
-        F.expr("cast(vt_sum div cast(span_s as decimal(38,0)) as bigint)")
-        .alias("twap_cents"),
+        F.col("vt_sum").cast("string").alias("vt_sum"),
+        F.expr(
+            "case when span_s > 0 then "
+            "cast(vt_sum div cast(span_s as decimal(38,0)) as bigint) end"
+        ).alias("twap_cents"),
     ).orderBy("event_type")
 
 
@@ -4525,8 +4490,9 @@ s AS (
   FROM p WHERE next_sec IS NOT NULL GROUP BY 1)
 SELECT event_type, CAST(n_intervals AS BIGINT) AS n_intervals,
        CAST(span_s AS BIGINT) AS span_s,
-       CAST(vt_sum AS DECIMAL(38,0)) AS vt_sum,
-       CAST(vt_sum // span_s::HUGEINT AS BIGINT) AS twap_cents
+       CAST(CAST(vt_sum AS HUGEINT) AS VARCHAR) AS vt_sum,
+       CASE WHEN span_s > 0
+            THEN CAST(vt_sum // span_s::HUGEINT AS BIGINT) END AS twap_cents
 FROM s ORDER BY event_type"""
 
 
@@ -4576,63 +4542,389 @@ ORACLES["hilbert_events_scan"] = hilbert_scan_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
-# Driver-gate window rotation (round 8 — VERDICT r7 item 2)
+# Round 9: rank statistics, Benford audit, co-purchase cosine, SCD2
+# point-in-time, and three decorrelation-shaped relational classics
 # ---------------------------------------------------------------------------
-# Staleness-driven (the driver gates the FIRST 50 entries): 21 round-8
-# never-gated queries (the 7 kmeans driver-bisect traces MUST sit in
-# this window per VERDICT r7 item 1b, plus the 14 new operators), the 3
-# round-8-changed queries (kmeans_embeddings's non-negative shift
-# changed its semantics; the generic multimodal decode kernels now
-# sniff-dispatch), the VERDICT-named 15-entry r4-stale cohort, and the
-# first 11 of the r5-stale set (alphabetical; the remaining 38 r5
-# entries are round 9's first picks: event_anomalies, fingerprints,
-# ivf_topk_exact, kv_replay_hotkey,
-# lang_entropy_by_source, lang_id, leakage_safe_split,
-# lsh_topk_exact, minhash_incremental, minhash_lsh_exact,
-# minhash_neardup, multimodal_jpeg_decode, pack_chunks,
-# priority_grouping_sets, quality_calibration, quality_scores,
-# repetition_scores, sample_by_lang_exact, shingle_novelty,
-# simhash_exact, simhash_neardup, stopword_discovery, the stream_*
-# r5 family, text_stats, tfidf_top_terms, top_docs_per_lang,
-# unigram_logprob, user_retention, word_count_top10).
-_R8_WINDOW = [
-    # new in round 8 (never driver-gated)
-    "kmeans_trace_c0", "kmeans_trace_c1", "kmeans_trace_c2",
-    "kmeans_trace_c3", "kmeans_trace_c4", "kmeans_trace_a1",
+
+
+def spearman_qty_price_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.analytics import (
+        spearman_qty_price,
+    )
+
+    return spearman_qty_price(spark, sf_dir).orderBy("l_returnflag")
+
+
+QUERIES["spearman_qty_price"] = spearman_qty_price_q
+ORACLES["spearman_qty_price"] = """
+WITH r AS (
+  SELECT l_returnflag,
+         rank() OVER (PARTITION BY l_returnflag
+                      ORDER BY CAST(floor(l_quantity * 100) AS BIGINT)) AS rq,
+         rank() OVER (PARTITION BY l_returnflag
+                      ORDER BY CAST(floor(l_extendedprice * 100) AS BIGINT))
+           AS rp
+  FROM lineitem),
+s AS (
+  SELECT l_returnflag, count(*)::HUGEINT AS n,
+         sum((rq - rp)::HUGEINT * (rq - rp)) AS sum_d2
+  FROM r GROUP BY 1)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       CAST(sum_d2 AS VARCHAR) AS sum_d2,
+       CAST(CASE WHEN n >= 2 THEN
+              1000000 - (6 * sum_d2 * 1000000) // (n * (n * n - 1))
+            END AS BIGINT) AS rho_ppm
+FROM s ORDER BY l_returnflag"""
+
+
+def benford_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.analytics import benford_audit
+
+    return benford_audit(spark, sf_dir)
+
+
+def _benford_oracle_sql() -> str:
+    from distributed_computing_spark.operators.analytics import BENFORD_PPM
+
+    cases = " ".join(
+        f"WHEN {d} THEN {ppm}" for d, ppm in BENFORD_PPM.items()
+    )
+    return f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders),
+c AS (SELECT digit, count(*) AS n_orders FROM d WHERE digit >= 1 GROUP BY 1),
+t AS (SELECT sum(n_orders) AS n_total FROM c)
+SELECT digit, CAST(n_orders AS BIGINT) AS n_orders,
+       CAST((n_orders * 1000000) // n_total AS BIGINT) AS observed_ppm,
+       CAST((n_orders * 1000000) // n_total
+            - (CASE digit {cases} END) AS BIGINT) AS deviation_ppm
+FROM c, t ORDER BY digit"""
+
+
+QUERIES["benford_audit"] = benford_audit_q
+ORACLES["benford_audit"] = _benford_oracle_sql()
+
+
+def copurchase_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.analytics import (
+        copurchase_cosine,
+    )
+
+    return copurchase_cosine(spark, sf_dir, min_count=3).orderBy("a", "b")
+
+
+QUERIES["copurchase_cosine"] = copurchase_cosine_q
+ORACLES["copurchase_cosine"] = (
+    "WITH pairs AS MATERIALIZED ("
+    + ORACLES["copurchase_pairs"]
+    + """),
+supp AS MATERIALIZED (
+  SELECT l_partkey AS pk, count(DISTINCT l_orderkey) AS supp
+  FROM lineitem GROUP BY 1)
+SELECT p.a, p.b, p.n_orders AS supp_ab,
+       sa.supp AS supp_a, sb.supp AS supp_b,
+       CAST((p.n_orders::HUGEINT * p.n_orders * 1000000)
+            // (sa.supp::HUGEINT * sb.supp) AS BIGINT) AS cos2_ppm
+FROM pairs p JOIN supp sa ON sa.pk = p.a JOIN supp sb ON sb.pk = p.b
+ORDER BY p.a, p.b"""
+)
+
+
+def scd2_pointintime_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.analytics import (
+        scd2_pointintime,
+    )
+
+    return scd2_pointintime(spark, sf_dir)
+
+
+QUERIES["scd2_pointintime"] = scd2_pointintime_q
+# The oracle rebuilds the same two-version SCD2 history in closed form
+# (the customer_scd2 oracle's CASE logic) and probes it with the same
+# validity predicate — an independent derivation, not a shared CTE.
+ORACLES["scd2_pointintime"] = """
+WITH active AS (SELECT o_custkey AS c_custkey FROM orders
+                GROUP BY 1 HAVING count(*) >= 12),
+hist AS (
+  -- v1 rows: original segment; closed at 2 if upgraded, else at 3 if
+  -- churned, else open
+  SELECT c.c_custkey, c.c_mktsegment AS segment, 1 AS valid_from,
+         CASE WHEN a.c_custkey IS NOT NULL THEN 2
+              WHEN c.c_custkey % 7 = 0 THEN 3 END AS valid_to
+  FROM customer c LEFT JOIN active a ON c.c_custkey = a.c_custkey
+  UNION ALL
+  -- v2 rows: upgraded customers; closed at 3 if churned
+  SELECT c_custkey, 'UPGRADED', 2,
+         CASE WHEN c_custkey % 7 = 0 THEN 3 END
+  FROM active
+  UNION ALL
+  -- v3 rows: churned customers
+  SELECT c_custkey, 'CHURNED', 3, NULL
+  FROM customer WHERE c_custkey % 7 = 0),
+probe AS (
+  SELECT o_custkey AS c_custkey, 1 + o_orderkey % 3 AS probe_v,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders)
+SELECT p.probe_v, h.segment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(CAST(sum(p.price) AS DECIMAL(38,2)), 2) AS DOUBLE)
+         AS revenue
+FROM probe p JOIN hist h
+  ON h.c_custkey = p.c_custkey
+ AND h.valid_from <= p.probe_v
+ AND (h.valid_to IS NULL OR h.valid_to > p.probe_v)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped decorrelation (round 9): revenue from lineitems
+    whose quantity is below 20% of the PER-PART average — the classic
+    correlated scalar subquery, decorrelated into a per-part aggregate
+    joined back to the fact. The threshold compares exactly in
+    integers: qty < 0.2·avg ⇔ 5·qty_cents·n_i < sum_qty_cents (strict
+    inequality, no division). Revenue sums as exact DECIMAL cents and
+    rounds while exact (the customer_upsert rule).
+
+    Plan: the per-part (sum, count) aggregate partial-aggregates
+    map-side, and the join back to lineitem shuffles BOTH sides on
+    l_partkey — co-partitioned, the 100 TB shape (at warehouse scale
+    the part-filtered fraction broadcasts instead; here the filter
+    keeps ~1/5 of parts so the exchange is the honest plan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brands = part.where(F.col("p_brand").isin("Brand#1", "Brand#2")).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    q = li.select(
+        "l_partkey",
+        F.floor(F.col("l_quantity") * 100).cast("long").alias("qc"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    ).join(brands, "l_partkey", "left_semi")
+    per_part = q.groupBy("l_partkey").agg(
+        F.sum("qc").alias("sum_qc"), F.count(F.lit(1)).alias("n_li")
+    )
+    return (
+        q.join(per_part, "l_partkey")
+        .where(F.lit(5) * F.col("qc") * F.col("n_li") < F.col("sum_qc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.round(F.sum("price").cast("decimal(38,2)"), 2)
+            .cast("double")
+            .alias("small_qty_revenue"),
+        )
+    )
+
+
+QUERIES["small_qty_revenue"] = small_qty_revenue
+ORACLES["small_qty_revenue"] = """
+WITH q AS (
+  SELECT l.l_partkey,
+         CAST(floor(l.l_quantity * 100) AS BIGINT) AS qc,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS price
+  FROM lineitem l
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_brand IN ('Brand#1', 'Brand#2'))),
+pp AS (SELECT l_partkey, sum(qc) AS sum_qc, count(*) AS n_li
+       FROM q GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_small,
+       CAST(round(CAST(sum(q.price) AS DECIMAL(38,2)), 2) AS DOUBLE)
+         AS small_qty_revenue
+FROM q JOIN pp ON q.l_partkey = pp.l_partkey
+WHERE 5 * q.qc * pp.n_li < pp.sum_qc"""
+
+
+def large_volume_orders(
+    spark: SparkSession, sf_dir: str, min_qty_cents: int = 30_000
+) -> DataFrame:
+    """TPC-H Q18-shaped HAVING join (round 9): orders whose total
+    quantity exceeds a threshold, with their customer and priority —
+    aggregate-then-join, the "large volume customer" report. Quantity
+    compares in exact cents; the qualifying-order set is tiny, so the
+    join back to orders/customer BROADCASTS it (plan-asserted shape:
+    fact aggregates first, dimensions attach to the survivors)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias(
+                "qty_cents"
+            )
+        )
+        .where(F.col("qty_cents") > min_qty_cents)
+    )
+    return (
+        orders.join(
+            F.broadcast(big),
+            orders["o_orderkey"] == big["l_orderkey"],
+        )
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "o_orderkey",
+            "c_name",
+            "o_orderpriority",
+            "qty_cents",
+        )
+        .orderBy(F.col("qty_cents").desc(), "o_orderkey")
+    )
+
+
+QUERIES["large_volume_orders"] = large_volume_orders
+ORACLES["large_volume_orders"] = """
+WITH big AS (
+  SELECT l_orderkey,
+         sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS qty_cents
+  FROM lineitem GROUP BY 1 HAVING qty_cents > 30000)
+SELECT o.o_orderkey, c.c_name, o.o_orderpriority, b.qty_cents
+FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY b.qty_cents DESC, o.o_orderkey"""
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped conditional-aggregate ratio (round 9): the
+    share of revenue from promo-class parts per ship-month, as an
+    integer ppm of exact cent sums (two DECIMAL sums in ONE pass —
+    no float division under the gate; the CASE folds into the partial
+    aggregate so only (month, 2 sums) rows exchange). Part class
+    attaches by BROADCAST (dimension-sized)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pclass = part.select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_type").startswith("PROMO").alias("is_promo"),
+    )
+    j = li.join(F.broadcast(pclass), "l_partkey").select(
+        F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"),
+        "is_promo",
+        (
+            F.floor(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+        ).alias("cents"),
+    )
+    agg = j.groupBy("ship_month").agg(
+        F.sum(F.when(F.col("is_promo"), F.col("cents")).otherwise(F.lit(0).cast("decimal(38,0)"))).alias(
+            "promo_cents"
+        ),
+        F.sum("cents").alias("total_cents"),
+    )
+    return agg.select(
+        "ship_month",
+        F.col("promo_cents").cast("string").alias("promo_cents"),
+        F.col("total_cents").cast("string").alias("total_cents"),
+        F.expr(
+            "case when total_cents > 0 then "
+            "cast(promo_cents * 1000000 div total_cents as bigint) end"
+        ).alias("promo_ppm"),
+    ).orderBy("ship_month")
+
+
+QUERIES["promo_revenue_share"] = promo_revenue_share
+ORACLES["promo_revenue_share"] = """
+WITH j AS (
+  SELECT CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS ship_month,
+         p.p_type LIKE 'PROMO%' AS is_promo,
+         CAST(floor(l.l_extendedprice * 100) AS HUGEINT) AS cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+a AS (
+  SELECT ship_month,
+         sum(CASE WHEN is_promo THEN cents ELSE 0 END) AS promo_cents,
+         sum(cents) AS total_cents
+  FROM j GROUP BY 1)
+SELECT ship_month,
+       CAST(promo_cents AS VARCHAR) AS promo_cents,
+       CAST(total_cents AS VARCHAR) AS total_cents,
+       CAST(CASE WHEN total_cents > 0
+            THEN (promo_cents * 1000000) // total_cents END AS BIGINT)
+         AS promo_ppm
+FROM a ORDER BY ship_month"""
+
+
+def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup (round 9): real-codec BMP blobs
+    with planted one-pixel near-duplicates → 56-bit integer dHash →
+    pigeonhole band join → exact Hamming verify. The dedup family's
+    banded-candidate discipline applied to the multimodal column.
+    ROWS-ONLY under the driver (the decode can't run in SQL); the
+    EXACT twin is tests/test_multimodal.py's pure-Python dHash replay
+    (shared dhash_py definition — one tokenizer, so to speak), which
+    asserts the full pair set at sf0.001."""
+    from distributed_computing_spark.operators.multimodal import (
+        dhash_images,
+        image_neardup_pairs,
+        textured_blobs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = dhash_images(textured_blobs(docs))
+    return image_neardup_pairs(hashes, max_hamming=4).orderBy("a", "b")
+
+
+QUERIES["image_dhash_neardup"] = image_dhash_neardup
+
+
+# ---------------------------------------------------------------------------
+# Driver-gate window rotation (round 9 — VERDICT r8 items 1, 2, 6)
+# ---------------------------------------------------------------------------
+# Staleness-driven (the driver gates the FIRST 50 entries). Fixed
+# inclusions per VERDICT r8: the three former decimal-red queries
+# (kmeans_embeddings, events_twap, event_trend_slopes — final schemas
+# now decimal-free, must re-prove green) plus kmeans_trace_a5 as the
+# standing all-BIGINT control; the round-9-changed funnel_strict
+# (null-safe n_within_window) and bigram_pmi (vocab-broadcast size
+# gate). Then every round-9 addition, and the stalest cohort: the 38
+# r5-stale entries VERDICT r8 item 6 names (28 batch + the 10-query
+# stream_* r5 family). Remaining slots go to the oldest r6-gated
+# entries; the rest of the r6 cohort is round 10's first pick.
+_R9_WINDOW = [
+    # round-9 fixed inclusions (decimal purge re-proof + control)
+    "kmeans_embeddings", "events_twap", "event_trend_slopes",
     "kmeans_trace_a5",
-    "ivm_customer_refresh", "hilbert_events_scan", "association_rules",
-    "customer_state_cdc", "bigram_pmi", "audience_overlap",
-    "stream_audience_overlap", "user_streaks", "event_trend_slopes",
-    "funnel_strict", "compaction_plan", "copurchase_components",
-    "events_twap", "sliding_audience_7d",
-    # changed in round 8 (must re-prove under the driver)
-    "kmeans_embeddings", "multimodal_decode", "multimodal_audio",
-    # last driver row r4 (the VERDICT-named stalest cohort, complete)
-    "approx_percentiles", "bool_aggregates", "corr_stats",
-    "lang_long_format", "order_running_totals", "price_outliers",
-    "pricing_summary", "priority_cube", "priority_rollup",
-    "regex_extraction", "revenue_percentiles", "scalar_functions",
-    "source_lang_pivot", "string_functions", "token_array_ops",
-    # last driver row r5 (stalest-next, alphabetical first 17)
-    "bigram_counts", "build_vocab", "chunk_docs", "corpus_pipeline",
-    "corpus_summary", "cosine_topk", "customer_scd2",
-    "customer_upsert", "decontaminate", "embedding_neardup",
-    "encode_docs",
+    # changed in round 9 (must re-prove under the driver)
+    "funnel_strict", "bigram_pmi",
+    # new in round 9 (never driver-gated)
+    "spearman_qty_price", "benford_audit", "copurchase_cosine",
+    "scd2_pointintime", "small_qty_revenue", "large_volume_orders",
+    "promo_revenue_share", "image_dhash_neardup",
+    # last driver row r5 — batch cohort (VERDICT r8 item 6; text_stats
+    # and word_count_top10 defer to round 10 — both golden-/column-
+    # arithmetic-stable and locally gated every round — to make room
+    # for the round-9 additions)
+    "event_anomalies", "fingerprints", "ivf_topk_exact",
+    "kv_replay_hotkey", "lang_entropy_by_source", "lang_id",
+    "leakage_safe_split", "lsh_topk_exact", "minhash_incremental",
+    "minhash_lsh_exact", "minhash_neardup", "multimodal_jpeg_decode",
+    "pack_chunks", "priority_grouping_sets", "quality_calibration",
+    "quality_scores", "repetition_scores", "sample_by_lang_exact",
+    "shingle_novelty", "simhash_exact", "simhash_neardup",
+    "stopword_discovery", "tfidf_top_terms",
+    "top_docs_per_lang", "unigram_logprob", "user_retention",
+    # last driver row r5 — the stream_* family
+    "stream_sessions", "stream_sliding", "stream_windowed",
+    "stream_config_poll", "stream_curated_ingest", "stream_dedup_ops",
+    "stream_enriched", "stream_kv_state", "stream_kv_stateful",
+    "stream_stream_join",
 ]
-assert len(_R8_WINDOW) == 50 and len(set(_R8_WINDOW)) == 50
-QUERIES = {name: QUERIES[name] for name in _R8_WINDOW} | {
-    k: v for k, v in QUERIES.items() if k not in set(_R8_WINDOW)
+assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
+QUERIES = {name: QUERIES[name] for name in _R9_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R9_WINDOW)
 }
 
 # Every never-driver-gated query MUST sit inside the first-50 window —
 # this file-end block is the last statement touching QUERIES, and this
 # guard fails loudly if a future registration lands below it.
-_R8_NEW = _R8_WINDOW[:21]
+_R9_NEW = [
+    "spearman_qty_price", "benford_audit", "copurchase_cosine",
+    "scd2_pointintime", "small_qty_revenue", "large_volume_orders",
+    "promo_revenue_share", "image_dhash_neardup",
+]
 _order = list(QUERIES)
-for _q in _R8_NEW:
+for _q in _R9_NEW:
     if _order.index(_q) >= 50:
         raise RuntimeError(
-            f"round-8 query {_q!r} fell outside the driver's first-50 "
-            "gate window — keep the _R8_WINDOW block at the END of "
+            f"round-9 query {_q!r} fell outside the driver's first-50 "
+            "gate window — keep the _R9_WINDOW block at the END of "
             "registry.py and add new registrations to it"
         )

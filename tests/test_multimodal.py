@@ -892,3 +892,67 @@ def test_gif_decode_query_matches_closed_form(spark):
         assert r["mean_r"] == ((d * 7) % 256 + (d * 11) % 256) / 2
         assert r["mean_g"] == ((d * 13) % 256 + (d * 17) % 256) / 2
         assert r["mean_b"] == ((d * 29) % 256 + (d * 23) % 256) / 2
+
+
+# ---------------------------------------------------------------------------
+# Round 9: perceptual-hash image near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_image_dhash_neardup_matches_python_twin(spark):
+    """EXACT twin of the rows-only gated query: a pure-Python replay —
+    same pixel function (textured_pixels), same dhash_py, brute-force
+    all-pairs Hamming — must produce the identical pair set the banded
+    Spark plan emits (pigeonhole completeness + verify correctness in
+    one assertion), and the planted same-seed near-dups must be in it."""
+    import duckdb
+
+    from distributed_computing_spark.registry import QUERIES
+    from distributed_computing_spark.operators.multimodal import (
+        dhash_py,
+        textured_pixels,
+    )
+    from tests.conftest import SF_DIR
+
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in QUERIES["image_dhash_neardup"](spark, SF_DIR).collect()
+    }
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+    ]
+    hashes = {d: dhash_py(textured_pixels(d)) for d in ids}
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin(hashes[a] ^ hashes[b]).count("1")
+            if ham <= 4:
+                want.add((a, b, ham))
+    assert got == want
+    assert want, "planted near-duplicates must produce at least one pair"
+    # at least one SAME-SEED planted pair survives the threshold
+    assert any(a // 20 == b // 20 for a, b, _ in want)
+
+
+def test_image_neardup_pigeonhole_contract(spark):
+    """max_hamming beyond the band guarantee raises; an over-sized
+    band bucket (here: many identical hashes) is dropped by the
+    ABSOLUTE cap rather than exploding |bucket|^2."""
+    import pytest
+
+    from distributed_computing_spark.operators.multimodal import (
+        image_neardup_pairs,
+    )
+
+    hashes = spark.createDataFrame(
+        [(i, 12345) for i in range(10)], "blob_id long, dhash long"
+    )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        image_neardup_pairs(hashes, max_hamming=7)
+    # 10 identical hashes, cap 5: every band bucket has 10 members ->
+    # all dropped, no pairs; cap 100 admits all 45 zero-distance pairs
+    assert image_neardup_pairs(hashes, max_bucket=5).count() == 0
+    assert image_neardup_pairs(hashes, max_bucket=100).count() == 45

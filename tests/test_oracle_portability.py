@@ -144,9 +144,11 @@ def test_kmeans_trace_oracles_consistent_with_main_chain():
     con = _synthetic_embeddings_con()
     main = con.execute(kmeans_oracle_sql(k=4, n_iter=3)).fetchall()
     a3 = kmeans_trace_assign_sql(3, k=4)
+    # wss ships as the canonical digit string since round 9 (the
+    # decimal purge) — mirror it here so prefix consistency stays exact
     agg = con.execute(
         f"WITH t AS ({a3}) SELECT cluster, CAST(count(*) AS BIGINT), "
-        "CAST(sum(dist) AS DECIMAL(38,0)) FROM t "
+        "CAST(CAST(sum(dist) AS HUGEINT) AS VARCHAR) FROM t "
         "GROUP BY cluster ORDER BY cluster"
     ).fetchall()
     assert agg == main

@@ -554,3 +554,66 @@ def test_funnel_strict_single_user_exchange(spark):
     assert count_exchanges(df, "hashpartitioning") == 1, _plan(df)
     tree = operator_tree(df)
     assert tree.count("Window") == 3
+
+
+def test_spearman_single_returnflag_exchange(spark):
+    """Round 9: both rank windows and the final aggregate share the
+    l_returnflag hash partitioning — ONE exchange end-to-end (the
+    orderBy adds a rangepartitioning, counted separately)."""
+    from distributed_computing_spark.operators.analytics import (
+        spearman_qty_price,
+    )
+
+    df = spearman_qty_price(spark, SF_DIR)
+    assert count_exchanges(df, "hashpartitioning") == 1, _plan(df)
+    assert operator_tree(df).count("Window") == 2
+
+
+def test_promo_share_broadcasts_part_class_one_exchange(spark):
+    """Round 9: the part-class dimension attaches by broadcast and the
+    CASE folds into the partial aggregate — the only hash exchange is
+    the per-month rollup."""
+    df = QUERIES["promo_revenue_share"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert count_exchanges(df, "hashpartitioning") == 1, plan
+
+
+def test_large_volume_orders_broadcasts_qualifying_set(spark):
+    """Round 9: aggregate-then-join — the tiny qualifying-order set
+    broadcasts onto orders (never the other way round)."""
+    plan = _plan(QUERIES["large_volume_orders"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scd2_pointintime_lookup_is_broadcast(spark):
+    """Round 9: the SCD2 history is dimension-sized — the point-in-time
+    lookup broadcasts it with the validity range as a residual join
+    condition; the fact side never shuffles before the rollup."""
+    plan = _plan(QUERIES["scd2_pointintime"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_image_neardup_candidate_exchange_is_id_and_hash_only(spark):
+    """Round 9: the band join exchanges (band key, blob_id, 56-bit
+    dhash) — no pixel or binary column survives past the Arrow hashing
+    stage."""
+    from distributed_computing_spark.operators.multimodal import (
+        dhash_images,
+        image_neardup_pairs,
+        textured_blobs,
+    )
+    from distributed_computing_spark.sources.catalog import load_table
+
+    import re
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = image_neardup_pairs(dhash_images(textured_blobs(docs)))
+    plan = _plan(df)
+    # every hash exchange carries only band/id/hash columns — the
+    # binary 'data' column dies inside the Arrow hashing stage
+    parts = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    assert parts, plan
+    for cols in parts:
+        assert "data" not in cols, plan

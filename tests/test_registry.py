@@ -34,6 +34,10 @@ ROWS_ONLY = {
     # constraint; exact twin:
     # test_layout.test_compaction_plan_matches_duckdb_metadata_twin
     "compaction_plan",
+    # round 9: perceptual-hash image near-dup — the decode step can't
+    # run in SQL; exact twin:
+    # test_multimodal.test_image_dhash_neardup_matches_python_twin
+    "image_dhash_neardup",
     # bpe_merges / bpe_encode_stats graduated OUT of this set in round 4:
     # the 24-round merge loop unrolls into generated MATERIALIZED CTEs
     # (registry._bpe_merges_oracle_sql), so both are strictly gated now.
@@ -47,6 +51,44 @@ def test_every_oracle_has_a_query_and_vice_versa_documented():
         assert callable(fn), name
     for name, sql in ORACLES.items():
         assert isinstance(sql, str) and sql.strip(), name
+
+
+def test_no_decimal_type_in_any_gated_output_schema(spark, sf_dir):
+    """VERDICT r8 item 1: the round-8 driver bisect proved DECIMAL
+    final columns value-hash differently in the driver environment
+    than in both local engines (all-BIGINT traces green, the decimal
+    aggregates the only reds across eight rounds). DECIMAL stays legal
+    INTERNALLY (overflow-free sums under ANSI); a gated query's OUTPUT
+    schema must be decimal-free — ship a provably-bounded BIGINT or
+    the canonical digit string (the bigram_pmi / kmeans wss pattern).
+    Builds every registry query at sf0.001 and walks its schema."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+    from distributed_computing_spark.caching import release_tracked
+
+    def has_decimal(dt):
+        if isinstance(dt, DecimalType):
+            return True
+        if isinstance(dt, StructType):
+            return any(has_decimal(f.dataType) for f in dt.fields)
+        if isinstance(dt, ArrayType):
+            return has_decimal(dt.elementType)
+        if isinstance(dt, MapType):
+            return has_decimal(dt.keyType) or has_decimal(dt.valueType)
+        return False
+
+    offenders = []
+    for name, fn in QUERIES.items():
+        try:
+            schema = fn(spark, sf_dir).schema
+        finally:
+            release_tracked()
+        if has_decimal(schema):
+            offenders.append((name, schema.simpleString()))
+    assert not offenders, (
+        "gated queries with DecimalType in their FINAL schema (cast to "
+        f"a bounded BIGINT or a digit string): {offenders}"
+    )
 
 
 def test_every_oracle_parses_in_duckdb():

@@ -1,0 +1,239 @@
+"""Round-9 contracts: the decimal purge's guard rails and the two
+scale caps VERDICT r8 item 5 turned from prose into code."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def test_bigram_pmi_vocab_cap_falls_back_to_shuffle_join(spark):
+    """VERDICT r8 item 5a: above max_broadcast_vocab the unigram
+    re-attach must stop broadcasting (a web-scale vocabulary cannot be
+    collected to every executor) and the fallback must be
+    answer-identical — the max_posting absolute-cap rule applied to
+    broadcasting."""
+    from distributed_computing_spark.caching import release_tracked
+    from distributed_computing_spark.operators.textstats import bigram_pmi
+    from distributed_computing_spark.plans.inspect import physical_plan
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        fast = bigram_pmi(spark, SF_DIR, min_count=2, k=15)
+        fast_rows = [tuple(r) for r in fast.collect()]
+        # Catalyst's own auto-broadcast correctly re-broadcasts a
+        # genuinely tiny vocab even without the hint — disable it so
+        # the plan shows what the cap buys at scale (estimate-driven
+        # auto-broadcast is size-guarded on its own; the cap removes
+        # the UNCONDITIONAL hint).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        slow = bigram_pmi(
+            spark, SF_DIR, min_count=2, k=15, max_broadcast_vocab=1
+        )
+        plan = physical_plan(slow)
+        # the token-keyed unigram joins shuffle instead of broadcasting
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert fast_rows == [tuple(r) for r in slow.collect()]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        release_tracked()
+
+
+def test_sliding_audience_window_days_cap(spark):
+    """VERDICT r8 item 5b: the day-fan-out replicates the word table
+    window_days times — out-of-bound windows raise (pointing at the
+    HLL rollup) instead of silently exploding the exchange."""
+    from distributed_computing_spark.operators.analytics import (
+        MAX_SLIDING_WINDOW_DAYS,
+        sliding_audience,
+    )
+
+    with pytest.raises(ValueError, match="HLL"):
+        sliding_audience(spark, SF_DIR, window_days=MAX_SLIDING_WINDOW_DAYS + 1)
+    with pytest.raises(ValueError, match="window_days"):
+        sliding_audience(spark, SF_DIR, window_days=0)
+
+
+def test_funnel_strict_zero_completers_is_zero_not_null(spark):
+    """ADVICE r8: with no user completing the final step the
+    within-window count must be 0 (the oracle's CASE ... ELSE 0), not
+    a NULL sum-of-nulls."""
+    from distributed_computing_spark.operators.analytics import funnel_strict
+
+    row = funnel_strict(
+        spark, SF_DIR, steps=("view", "click", "no_such_event_type")
+    ).collect()[0]
+    assert row["n_step3"] == 0
+    assert row["n_within_window"] == 0
+
+
+def test_event_trend_slopes_degenerate_group_is_null_not_throw(spark, tmp_path):
+    """ADVICE r8: a group whose events all share one epoch second
+    zeroes the OLS denominator — the quotient must be NULL on both
+    engines, never an ANSI divide-by-zero throw; and x·y rides the
+    decimal cast on BOTH operands (y beyond ~1e10 would overflow the
+    BIGINT product with epoch-scale x)."""
+    import datetime
+
+    from distributed_computing_spark.operators.analytics import (
+        event_trend_slopes,
+    )
+
+    d = str(tmp_path / "sf")
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # 'flat': three events on ONE second -> slope_den = 0
+        (1, 101, "flat", t0, 1.0),
+        (2, 102, "flat", t0, 2.0),
+        (3, 103, "flat", t0, 3.0),
+        # 'big': y ~ 2e10 cents; x*y in BIGINT would overflow ANSI
+        (4, 104, "big", t0, 2.0e8),
+        (5, 105, "big", t0 + datetime.timedelta(seconds=100), 3.0e8),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {
+        r["event_type"]: r for r in event_trend_slopes(spark, d).collect()
+    }
+    assert out["flat"]["slope_den"] == "0"
+    assert out["flat"]["slope_ppm"] is None
+    # exact OLS on the planted pair: slope = 1e10 cents / 100 s
+    assert out["big"]["slope_ppm"] == 10**8 * 10**6
+    # two points: n*Σx² − (Σx)² = (x2 − x1)²
+    assert out["big"]["slope_den"] == str(100**2)
+
+
+def test_events_twap_zero_span_group_is_null_not_throw(spark, tmp_path):
+    """ADVICE r8's twin guard: a type whose observed span is zero (all
+    events on one second) yields twap_cents NULL, not a throw."""
+    import datetime
+
+    from distributed_computing_spark.registry import QUERIES
+
+    d = str(tmp_path / "sf")
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 101, "zero", t0, 1.0),
+        (2, 102, "zero", t0, 2.0),
+        (3, 103, "ok", t0, 5.0),
+        (4, 104, "ok", t0 + datetime.timedelta(seconds=10), 7.0),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["event_type"]: r for r in QUERIES["events_twap"](spark, d).collect()}
+    assert out["zero"]["span_s"] == 0 and out["zero"]["twap_cents"] is None
+    assert out["zero"]["vt_sum"] == "0"
+    # 500 cents held 10 s over a 10 s span
+    assert out["ok"]["twap_cents"] == 500 and out["ok"]["vt_sum"] == "5000"
+
+
+def test_bitmap_words_keeps_caller_group_column(spark):
+    """ADVICE r8: bitmap_words must not hardcode 'event_type' — a
+    caller's group column name survives packing and overlap_matrix
+    accepts it by name."""
+    from distributed_computing_spark.operators.analytics import (
+        bitmap_words,
+        overlap_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [("g1", 0), ("g1", 63), ("g2", 63), ("g2", 200)],
+        "grp string, member_id long",
+    )
+    words = bitmap_words(df, "grp", "member_id")
+    assert words.columns == ["grp", "word_idx", "mask"]
+    m = {
+        (r["g_a"], r["g_b"]): r["n_common"]
+        for r in overlap_matrix(words, group_col="grp").collect()
+    }
+    assert m == {("g1", "g2"): 1}
+
+
+def test_spearman_planted_monotone_groups(spark, tmp_path):
+    """Perfectly concordant ranks give rho_ppm = +10^6, perfectly
+    reversed ranks give exactly -10^6 (Σd² = n(n²−1)/3 divides
+    evenly), and a single-row group is NULL (degenerate guard)."""
+    from distributed_computing_spark.operators.analytics import (
+        spearman_qty_price,
+    )
+    import datetime
+
+    d = str(tmp_path / "sf")
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # group A: price rises with quantity (concordant, no ties)
+    for i in range(6):
+        rows.append((1, 100 + i, 1, 1, 1.0 + i, 10.0 + i, 0.0, 0.0, "A", "O", t0))
+    # group B: price falls as quantity rises (reversed)
+    for i in range(5):
+        rows.append((2, 200 + i, 1, 1, 1.0 + i, 99.0 - i, 0.0, 0.0, "B", "O", t0))
+    # group C: one row (n < 2 -> NULL)
+    rows.append((3, 300, 1, 1, 5.0, 5.0, 0.0, 0.0, "C", "O", t0))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    out = {
+        r["l_returnflag"]: r
+        for r in spearman_qty_price(spark, d).collect()
+    }
+    assert out["A"]["rho_ppm"] == 10**6 and out["A"]["sum_d2"] == "0"
+    assert out["B"]["rho_ppm"] == -(10**6)
+    assert out["C"]["rho_ppm"] is None
+    assert out["C"]["n_rows"] == 1
+
+
+def test_benford_constants_and_ppm_sum(spark):
+    """The embedded Benford expectations are the real log10 constants
+    (they sum to ~10^6) and observed_ppm sums to within 9 ppm of 10^6
+    (9 truncating divisions)."""
+    from distributed_computing_spark.operators.analytics import (
+        BENFORD_PPM,
+        benford_audit,
+    )
+
+    assert sum(BENFORD_PPM.values()) in range(10**6 - 9, 10**6 + 1)
+    assert BENFORD_PPM[1] == 301029  # floor(log10(2) * 1e6)
+    rows = benford_audit(spark, SF_DIR).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    total_ppm = sum(r["observed_ppm"] for r in rows)
+    assert 10**6 - 9 <= total_ppm <= 10**6
+    for r in rows:
+        exp = BENFORD_PPM[r["digit"]]
+        assert r["deviation_ppm"] == r["observed_ppm"] - exp
+
+
+def test_copurchase_cosine_bounded_and_consistent(spark):
+    """cos² in ppm is bounded by 10^6 and consistent with the pair /
+    support counts it ships."""
+    from distributed_computing_spark.registry import QUERIES
+
+    rows = QUERIES["copurchase_cosine"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["cos2_ppm"] <= 10**6
+        assert r["supp_ab"] <= min(r["supp_a"], r["supp_b"])
+        assert (
+            r["cos2_ppm"]
+            == r["supp_ab"] * r["supp_ab"] * 10**6 // (r["supp_a"] * r["supp_b"])
+        )
+
+
+def test_scd2_pointintime_covers_every_order_exactly_once(spark):
+    """The validity windows partition version-time per key (scd2_apply
+    closes before it appends), so every (order, probe) hits EXACTLY one
+    dimension row: per-version order counts must sum to the order
+    count."""
+    from distributed_computing_spark.registry import QUERIES
+    from distributed_computing_spark.sources.catalog import load_table
+
+    rows = QUERIES["scd2_pointintime"](spark, SF_DIR).collect()
+    n_orders = load_table(spark, SF_DIR, "orders").count()
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    assert {r["probe_v"] for r in rows} == {1, 2, 3}
