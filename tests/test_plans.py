@@ -617,3 +617,10 @@ def test_image_neardup_candidate_exchange_is_id_and_hash_only(spark):
     assert parts, plan
     for cols in parts:
         assert "data" not in cols, plan
+
+
+def test_event_mode_value_compiles_to_window_group_limit(spark):
+    """Round 9: the argmax-per-group rank filter prunes map-side via
+    WindowGroupLimit — no self-join, no full sort of the count table."""
+    plan = _plan(QUERIES["event_mode_value"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan

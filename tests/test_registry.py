@@ -38,6 +38,10 @@ ROWS_ONLY = {
     # run in SQL; exact twin:
     # test_multimodal.test_image_dhash_neardup_matches_python_twin
     "image_dhash_neardup",
+    # round 9: dHash on ingest (stateless streaming Arrow map) — no SQL
+    # decode; exact twin:
+    # test_streaming.test_stream_dhash_ingest_equals_batch
+    "stream_dhash_ingest",
     # bpe_merges / bpe_encode_stats graduated OUT of this set in round 4:
     # the 24-round merge loop unrolls into generated MATERIALIZED CTEs
     # (registry._bpe_merges_oracle_sql), so both are strictly gated now.

@@ -709,3 +709,28 @@ def test_stateful_fold_restart_recovers_per_key_state(spark, tmp_path):
         assert got2[k].startswith(got1[k]) or any(
             op == "put" and key == k for _, _, _, op, key, _ in second
         )
+
+
+def test_stream_dhash_ingest_equals_batch(spark):
+    """Round 9 (exact twin of the rows-only gated query): the
+    stateless decode+dHash Arrow map is deterministic per row, so the
+    micro-batched streaming replay must equal the batch hashing
+    bit-for-bit — every blob_id present, every hash identical."""
+    from distributed_computing_spark.operators.multimodal import (
+        dhash_images,
+        textured_blobs,
+    )
+    from distributed_computing_spark.registry import QUERIES
+    from distributed_computing_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    got = {
+        r["blob_id"]: r["dhash"]
+        for r in QUERIES["stream_dhash_ingest"](spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents")
+    want = {
+        r["blob_id"]: r["dhash"]
+        for r in dhash_images(textured_blobs(docs)).collect()
+    }
+    assert got == want and len(got) > 0

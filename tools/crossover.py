@@ -66,6 +66,15 @@ DEFAULT_QUERIES = [
     "audience_overlap",
     "association_rules",
     "bigram_pmi",
+    # round-9: the rank-window statistic (two windows, one exchange,
+    # lineitem-sized), the basket cosine (pair expansion + support
+    # re-attach), and the conditional-decimal promo share (dim join +
+    # month rollup). scd2_pointintime stays headline-only (its oracle
+    # rebuilds the dimension history closed-form — dominated by that,
+    # not the probe); image_dhash_neardup has no SQL side.
+    "spearman_qty_price",
+    "copurchase_cosine",
+    "promo_revenue_share",
 ]
 
 # The clustering tier (VERDICT r3 item 1) is measured OFFLINE with
@@ -423,6 +432,24 @@ RECORDED_R8_TIERS: dict = {
     },
 }
 
+# Round-9 slope closures (VERDICT r8 item 4): the two new >2x cells
+# get their converging tails. Both Spark sides are FLAT engine-floor
+# absolutes (scan + exchange machinery) while the single-node side
+# grows with the fact table — ratios fall monotonically; extrapolated
+# crossings sit past the reachable replica tiers (bigram_pmi ~R800,
+# audience_overlap ~R2500), so the cells close as overhead-floor with
+# a measured slope, the events_windowed precedent.
+RECORDED_R9_TIERS: dict = {
+    "bigram_pmi": {
+        # documents-only replica (_do), 1.0 M docs at R200
+        "R200": {"spark_s": 5.54, "duckdb_s": 1.125, "ratio": 4.9},
+    },
+    "audience_overlap": {
+        # events-only replica (_ev), 50 M events at R500
+        "R500": {"spark_s": 5.15, "duckdb_s": 0.896, "ratio": 5.7},
+    },
+}
+
 # The stdout-echo subset of the recorded tiers: the bench's compact
 # line must fit the driver's 2000-char tail capture alongside 40
 # headline timings, so only the CURRENT round's slope tiers plus the
@@ -451,6 +478,10 @@ RECORDED_ECHO_KEYS: dict[str, tuple[str, ...]] = {
     # graph: Spark 20.6 s, single-node reach CTE >570 s)
     "edit1_customer_pairs": ("R10",),
     "copurchase_components": ("R20",),
+    # round-9: the two VERDICT-r8-item-4 slope closures (converging
+    # tails; full context in BASELINE.md)
+    "bigram_pmi": ("R200",),
+    "audience_overlap": ("R500",),
 }
 
 # Fact tables are replicated with remapped keys; everything else copied.
@@ -737,6 +768,7 @@ def run_crossover(
         "r6_tier_recorded": RECORDED_R6_TIERS,
         "r7_tier_recorded": RECORDED_R7_TIERS,
         "r8_tier_recorded": RECORDED_R8_TIERS,
+        "r9_tier_recorded": RECORDED_R9_TIERS,
         "recorded_echo": _recorded_echo(),
     }
 
@@ -750,6 +782,7 @@ def _recorded_echo() -> dict:
         **RECORDED_R6_TIERS,
         **RECORDED_R7_TIERS,
         **RECORDED_R8_TIERS,
+        **RECORDED_R9_TIERS,
     }
     return {
         fam: {
