@@ -1734,9 +1734,9 @@ def sliding_audience(
     exchanged volume is window_days × the compact word table — fine at
     a week, a 90-day window multiplies the word table 90×. The cap is
     CODE, not prose: windows past ``MAX_SLIDING_WINDOW_DAYS`` raise,
-    pointing at the windowed HLL rollup (hll_register_sketch /
-    hll_nation_rollup's merge path), whose state is O(registers) per
-    window regardless of width."""
+    pointing at ``sliding_audience_hll`` (the windowed register
+    rollup, gated as sliding_audience_hll_90d), whose replicated rows
+    are O(m registers) per type/day regardless of user count."""
     if window_days < 1 or window_days > MAX_SLIDING_WINDOW_DAYS:
         raise ValueError(
             f"sliding_audience: window_days={window_days} outside "
@@ -2312,4 +2312,77 @@ def scd2_pointintime(
             F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
         )
         .orderBy("probe_v", "segment")
+    )
+
+
+def sliding_audience_hll(
+    spark: SparkSession,
+    sf_dir: str,
+    window_days: int = 90,
+    m: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Trailing-N-day audience per event_type via WINDOWED HLL REGISTER
+    ROLLUP (round 9) — the wide-window path sliding_audience's
+    MAX_SLIDING_WINDOW_DAYS cap points at: the exact bitmap fan-out
+    costs window_days × the WORD table (users/62 rows per day), while
+    this costs window_days × the REGISTER table (<= m rows per
+    type/day, a CONSTANT) — a 90-day window replicates at most
+    types·m·days tiny rows regardless of user count, because HLL merge
+    is elementwise max and max is distributive over the day coverage.
+
+    Gated output is the merged sketch's INTEGER digest per (type,
+    day_end): registers hit, Σmax_rank, max max_rank — deterministic
+    on both engines (the md5_hash60 register family); the float
+    cardinality estimate stays client-side (float rule), bounded
+    against the exact bitmap count in tests at a window where both are
+    computable."""
+    from distributed_computing_spark.operators.dedup import md5_hash60
+
+    if m & (m - 1) != 0:
+        raise ValueError("m must be a power of two")
+    bits = 60 - (m.bit_length() - 1)
+    ev = load_table(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        F.expr("cast(ts as long) div 86400").alias("day"),
+        md5_hash60(F.col("user_id").cast("string"), seed).alias("_h"),
+    )
+    rest = F.expr(f"_h div {m}")
+    rank = F.when(rest == 0, F.lit(bits + 1)).otherwise(
+        F.lit(bits + 1) - F.length(F.bin(rest))
+    )
+    daily = (
+        hashed.select(
+            "event_type",
+            "day",
+            F.pmod(F.col("_h"), F.lit(m)).alias("register"),
+            rank.cast("long").alias("rank"),
+        )
+        .groupBy("event_type", "day", "register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    max_day = daily.agg(F.max("day").alias("md"))
+    cov = daily.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (window_days - 1))
+        ).alias("day_end"),
+        "register",
+        "max_rank",
+    )
+    wnd = (
+        cov.crossJoin(F.broadcast(max_day))
+        .where(F.col("day_end") <= F.col("md"))
+        .groupBy("event_type", "day_end", "register")
+        .agg(F.max("max_rank").alias("mr"))
+    )
+    return (
+        wnd.groupBy("event_type", "day_end")
+        .agg(
+            F.count(F.lit(1)).alias("n_registers"),
+            F.sum("mr").alias("sum_rank"),
+            F.max("mr").alias("max_rank"),
+        )
+        .orderBy("event_type", "day_end")
     )

@@ -4946,6 +4946,39 @@ SELECT event_type, v_cents AS mode_cents, CAST(n AS BIGINT) AS n
 FROM r WHERE rk = 1 ORDER BY event_type"""
 
 
+def sliding_audience_hll_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.analytics import (
+        sliding_audience_hll,
+    )
+
+    return sliding_audience_hll(spark, sf_dir, window_days=90)
+
+
+QUERIES["sliding_audience_hll_90d"] = sliding_audience_hll_90d
+ORACLES["sliding_audience_hll_90d"] = """
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#0'), 1, 15))::BIGINT
+           AS h
+  FROM events),
+d AS (
+  SELECT event_type, day, h % 64 AS register,
+         max(CASE WHEN h // 64 = 0 THEN 55
+                  ELSE 55 - length(bin(h // 64)) END) AS max_rank
+  FROM h GROUP BY 1, 2, 3),
+mx AS (SELECT max(day) AS md FROM d),
+cov AS (SELECT event_type, unnest(range(day, day + 90)) AS day_end,
+               register, max_rank
+        FROM d),
+w AS (SELECT event_type, day_end, register, max(max_rank) AS mr
+      FROM cov, mx WHERE day_end <= mx.md GROUP BY 1, 2, 3)
+SELECT event_type, CAST(day_end AS BIGINT) AS day_end,
+       CAST(count(*) AS BIGINT) AS n_registers,
+       CAST(sum(mr) AS BIGINT) AS sum_rank,
+       CAST(max(mr) AS BIGINT) AS max_rank
+FROM w GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 # Round 9: perceptual hashing ON INGEST — the stream_blocklist motion
 # applied to the multimodal column: decode + dHash is a STATELESS
 # Arrow map (mapInPandas runs unchanged under Structured Streaming),
@@ -4997,11 +5030,13 @@ _R9_WINDOW = [
     "scd2_pointintime", "small_qty_revenue", "large_volume_orders",
     "promo_revenue_share", "image_dhash_neardup", "event_dark_gaps",
     "event_mode_value", "stream_dhash_ingest",
-    # last driver row r5 — batch cohort (VERDICT r8 item 6; five defer
+    "sliding_audience_hll_90d",
+    # last driver row r5 — batch cohort (VERDICT r8 item 6; six defer
     # to round 10 to make room for the round-9 additions —
     # text_stats, word_count_top10, stopword_discovery,
-    # top_docs_per_lang, unigram_logprob: all column-arithmetic- or
-    # golden-stable and locally gated every round)
+    # top_docs_per_lang, unigram_logprob, tfidf_top_terms: all
+    # column-arithmetic- or golden-stable and locally gated every
+    # round)
     "event_anomalies", "fingerprints", "ivf_topk_exact",
     "kv_replay_hotkey", "lang_entropy_by_source", "lang_id",
     "leakage_safe_split", "lsh_topk_exact", "minhash_incremental",
@@ -5009,7 +5044,7 @@ _R9_WINDOW = [
     "pack_chunks", "priority_grouping_sets", "quality_calibration",
     "quality_scores", "repetition_scores", "sample_by_lang_exact",
     "shingle_novelty", "simhash_exact", "simhash_neardup",
-    "tfidf_top_terms", "user_retention",
+    "user_retention",
     # last driver row r5 — the stream_* family
     "stream_sessions", "stream_sliding", "stream_windowed",
     "stream_config_poll", "stream_curated_ingest", "stream_dedup_ops",
@@ -5029,6 +5064,7 @@ _R9_NEW = [
     "scd2_pointintime", "small_qty_revenue", "large_volume_orders",
     "promo_revenue_share", "image_dhash_neardup", "event_dark_gaps",
     "event_mode_value", "stream_dhash_ingest",
+    "sliding_audience_hll_90d",
 ]
 _order = list(QUERIES)
 for _q in _R9_NEW:

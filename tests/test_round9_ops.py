@@ -237,3 +237,45 @@ def test_scd2_pointintime_covers_every_order_exactly_once(spark):
     n_orders = load_table(spark, SF_DIR, "orders").count()
     assert sum(r["n_orders"] for r in rows) == n_orders
     assert {r["probe_v"] for r in rows} == {1, 2, 3}
+
+
+def test_sliding_hll_full_window_equals_global_sketch(spark):
+    """Distributivity of the windowed rollup: with a window covering
+    the whole span, the last day_end's digest must equal the global
+    per-type register sketch's digest exactly (merge = elementwise
+    max); and every digest respects the m=64 register bound."""
+    import pyspark.sql.functions as F
+
+    from distributed_computing_spark.operators.analytics import (
+        hll_group_registers,
+        sliding_audience_hll,
+    )
+    from distributed_computing_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    lo, hi = ev.select(
+        F.expr("min(cast(ts as long) div 86400)"),
+        F.expr("max(cast(ts as long) div 86400)"),
+    ).collect()[0]
+    span = int(hi) - int(lo) + 1
+    rows = sliding_audience_hll(spark, SF_DIR, window_days=span).collect()
+    for r in rows:
+        assert 1 <= r["n_registers"] <= 64
+        assert r["max_rank"] <= 55
+    last = {
+        r["event_type"]: (r["n_registers"], r["sum_rank"], r["max_rank"])
+        for r in rows
+        if r["day_end"] == int(hi)
+    }
+    glob = (
+        hll_group_registers(ev, "event_type", "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("max_rank").alias("s"),
+            F.max("max_rank").alias("m"),
+        )
+        .collect()
+    )
+    want = {r["event_type"]: (r["n"], r["s"], r["m"]) for r in glob}
+    assert last == want
