@@ -874,30 +874,76 @@ def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def basket_pair_counts(
+    items: DataFrame,
+    min_count: int = 3,
+    order_col: str = "l_orderkey",
+    item_col: str = "item",
+) -> DataFrame:
+    """Per-basket pair supports (a < b, a/b = items co-occurring in an
+    order, n_orders = baskets containing both) via a FUSED Arrow pass
+    (round 9): group items per basket, then one mapInPandas emits
+    per-partition PARTIAL pair counts from a C dict — the
+    explode-family lesson's 6th confirmation, this time against a
+    self-JOIN: the per-order equi-join fan-out (items² rows through
+    the join operator, then a second exchange of every pair
+    occurrence) measured 11.0 s warm at R20 where this pass runs
+    6.6 s bit-identically (BASELINE.md). The pair fan-out never
+    leaves the Python stage — only (a, b, partial n) rows exchange,
+    pre-combined within each partition.
+
+    Scale contract: per-basket work is C(k,2) — the same bound the
+    join plan pays — and the partial-count dict is bounded per batch
+    by the distinct-pair count, the classic map-side-combine shape."""
+    from collections import Counter
+
+    import pandas as pd
+
+    def count_pairs(batches):
+        c: Counter = Counter()
+        for pdf in batches:
+            for its in pdf["_its"]:
+                s = sorted(set(its))
+                for i in range(len(s)):
+                    ai = s[i]
+                    for j in range(i + 1, len(s)):
+                        c[(ai, s[j])] += 1
+        yield pd.DataFrame(
+            {
+                "a": [k[0] for k in c],
+                "b": [k[1] for k in c],
+                "n": list(c.values()),
+            }
+        )
+
+    baskets = items.groupBy(order_col).agg(
+        F.collect_set(item_col).alias("_its")
+    )
+    return (
+        baskets.select("_its")
+        .mapInPandas(count_pairs, "a long, b long, n long")
+        .groupBy("a", "b")
+        .agg(F.sum("n").alias("n_orders"))
+        .where(F.col("n_orders") >= min_count)
+    )
+
+
 def copurchase_pairs(spark: SparkSession, sf_dir: str, min_count: int = 3) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing in the same
     order, counted across orders (the candidate-generation half of
     frequent-itemset mining).
 
-    The self-join is keyed on l_orderkey, so the pair fan-out is
-    per-order (~items² within one basket), never cross-order — the
-    same bounded-blocking discipline as the LSH bucket joins. One
-    shuffle co-locates each order's lines; the a < b guard halves the
-    pairs and canonicalizes them. ``n_orders`` counts DISTINCT orders
-    (a part listed on several lines of one order contributes one),
-    which is what basket-support means.
-    """
+    Round-9 re-plan: the original per-order self-join (one l_orderkey
+    shuffle, a < b guard, per-pair countDistinct) measured 11.0 s warm
+    at R20 vs the fused Arrow pair counter's 6.6 s (bit-identical —
+    BASELINE.md); ``basket_pair_counts`` is now the shared engine for
+    this, association_rules, and copurchase_cosine. ``n_orders``
+    counts DISTINCT orders (collect_set dedups within a basket), which
+    is what basket-support means."""
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", F.col("l_partkey").alias("a")
+        "l_orderkey", F.col("l_partkey").alias("item")
     )
-    rb = li.select("l_orderkey", F.col("a").alias("b"))
-    return (
-        li.join(rb, "l_orderkey")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
-        .where(F.col("n_orders") >= min_count)
-    )
+    return basket_pair_counts(li, min_count=min_count)
 
 
 def association_rules(
@@ -922,31 +968,22 @@ def association_rules(
     Overflow audit: supp_ab·N·10^6 <= |lineitem|²·10^6 — cast through
     DECIMAL(38,0) and divide there, landing back in BIGINT.
     """
-    from distributed_computing_spark.caching import track_persist
-
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", F.col("l_partkey").alias("item")
     )
-    # distinct (order, item) FIRST: a part on several lines of one order
-    # must count once, and distincting before the pair join turns every
-    # downstream countDistinct into a plain count — which PARTIAL-
-    # aggregates map-side, unlike countDistinct's expand machinery
-    # (measured R100: 33.7 s with per-pair countDistinct). The basket
-    # table is persisted: three branches (n, supports, pairs) would
-    # otherwise re-evaluate the distinct (the subtree-reuse rule).
-    basket = track_persist(li.distinct())
-    n_orders = basket.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_orders")
+    # Round-9 re-plan: the pair supports come from the shared fused
+    # Arrow counter (basket_pair_counts — collect_set dedups within a
+    # basket, so downstream counts are plain sums that partial-
+    # aggregate; the r8 draft's per-pair countDistinct Expand measured
+    # 33.7 s at R100, the join plan 11.0 s at R20, the fused pass
+    # 6.6 s). Item supports and N are separate cheap scans of the
+    # projection — no shared subtree left to persist.
+    pairs = basket_pair_counts(li, min_count=min_count).withColumnRenamed(
+        "n_orders", "supp_ab"
     )
-    supp = basket.groupBy("item").agg(F.count(F.lit(1)).alias("supp"))
-    a_side = basket.select("l_orderkey", F.col("item").alias("a"))
-    b_side = basket.select("l_orderkey", F.col("item").alias("b"))
-    pairs = (
-        a_side.join(b_side, "l_orderkey")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("supp_ab"))
-        .where(F.col("supp_ab") >= min_count)
+    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    supp = li.distinct().groupBy("item").agg(
+        F.count(F.lit(1)).alias("supp")
     )
     # both rule directions from ONE pair evaluation (the r6
     # explode-an-array lesson: never unionAll two selects of the same
@@ -2115,6 +2152,75 @@ def equidepth_histogram(
 # ---------------------------------------------------------------------------
 
 
+def grouped_min_rank(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    out_col: str,
+    pre_buckets: int = 256,
+    bounds: tuple[int, int] | None = None,
+    stats_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-group MIN-RANK (SQL ``rank()`` semantics) WITHOUT the
+    few-partitions window skew (round 9): ``rank() over (partition by
+    g order by v)`` sorts each group in ONE task — with 3 groups and
+    40 M rows each, three tasks do all the work (measured: spearman's
+    draft window plan ran 25.9 s at R20 vs DuckDB's 5.3 s). The
+    two-level decomposition (the orders_equidepth discipline applied
+    to grouped ranking): bucket by value range, count per (g, bucket),
+    prefix-sum the TINY count table into bucket offsets (broadcast
+    back), then rank WITHIN (g, bucket) — parallelism becomes
+    groups × buckets. Exact for min-rank because equal values always
+    share a bucket: local rank() counts in-bucket smaller values, the
+    offset counts prior buckets' rows.
+
+    Cost shape: one bounded min/max collect, one row exchange on
+    (g, bucket), one window over groups×buckets partitions. Appends
+    ``out_col`` to df's columns.
+
+    Composition contract: chaining two rankings makes the second
+    call's count/offset branch re-evaluate the first call's window
+    (the CLAUDE.md shared-subtree rule) — pass ``stats_df`` (any
+    DataFrame with the same (group, val) ROWS, e.g. the pre-ranking
+    base table) and ``bounds`` so the offset tables derive from cheap
+    base-scan aggregates instead (spearman_qty_price is the worked
+    example)."""
+    stats = stats_df if stats_df is not None else df
+    if bounds is None:
+        b = stats.agg(
+            F.min(val_col).alias("lo"), F.max(val_col).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        if b["n"] == 0:
+            return df.withColumn(out_col, F.lit(None).cast("long"))
+        bounds = (int(b["lo"]), int(b["hi"]))
+    lo, hi = bounds
+    width = max(1, (hi - lo) // pre_buckets + 1)
+    bucket = F.expr(f"({val_col} - {lo}L) div {width}L")
+    counts = (
+        stats.select(group_col, bucket.alias("_gb"))
+        .groupBy(group_col, "_gb")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_gb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        group_col,
+        "_gb",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_rank = Window.partitionBy(group_col, "_gb").orderBy(val_col)
+    return (
+        df.withColumn("_gb", bucket)
+        .join(F.broadcast(offsets), [group_col, "_gb"])
+        .withColumn(out_col, F.col("_off") + F.rank().over(w_rank))
+        .drop("_gb", "_off")
+    )
+
+
 def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-returnflag Spearman rank correlation between l_quantity and
     l_extendedprice (round 9) — the monotone-association statistic a
@@ -2134,23 +2240,40 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|rho_ppm| <= 2·10^6 by construction). Degenerate groups (n < 2,
     where n(n²−1)=0) yield NULL, never an ANSI throw.
 
-    Plan: ONE exchange on l_returnflag serves both rank windows AND
-    the final aggregate (same partitioning expression); everything
-    after the scan is integer window/agg arithmetic in codegen."""
+    Plan (round-9 re-plan, measured): the draft ranked with two
+    ``partition by l_returnflag`` windows — 3 groups ⇒ 3 sort tasks
+    own all 12 M rows at R20 (25.9 s vs DuckDB 5.3 s, a real skew
+    cliff, not engine overhead). Both ranks now come from
+    ``grouped_min_rank``'s two-level bucketed decomposition
+    (groups × 256 buckets of parallelism; bit-identical min-ranks,
+    gate-proven), with ONE bounds collect and base-table offset scans
+    shared across the two rankings — R20 measured 25.9 → ~7 s
+    (RECORDED_R9_TIERS). The oracle keeps the plain rank() window
+    (single-node engines parallelize their own sorts)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
-        "l_orderkey",
-        "l_linenumber",
         F.floor(F.col("l_quantity") * 100).cast("long").alias("q"),
         F.floor(F.col("l_extendedprice") * 100).cast("long").alias("p"),
     )
-    wq = Window.partitionBy("l_returnflag").orderBy("q")
-    wp = Window.partitionBy("l_returnflag").orderBy("p")
-    ranked = li.select(
-        "l_returnflag",
-        F.rank().over(wq).alias("rq"),
-        F.rank().over(wp).alias("rp"),
+    # ONE bounded collect serves both rankings' bucket bounds, and both
+    # offset tables derive from base-table scans (stats_df) — without
+    # this the second ranking's count branch re-evaluates the first
+    # ranking's window (shared-subtree rule).
+    b = li.agg(
+        F.min("q").alias("qlo"), F.max("q").alias("qhi"),
+        F.min("p").alias("plo"), F.max("p").alias("phi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if b["n"] == 0:
+        raise ValueError("empty lineitem input")
+    ranked = grouped_min_rank(
+        li, "l_returnflag", "q", "rq",
+        bounds=(int(b["qlo"]), int(b["qhi"])), stats_df=li,
     )
+    ranked = grouped_min_rank(
+        ranked, "l_returnflag", "p", "rp",
+        bounds=(int(b["plo"]), int(b["phi"])), stats_df=li,
+    ).select("l_returnflag", "rq", "rp")
     dec = "decimal(38,0)"
     sums = ranked.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2236,16 +2359,19 @@ def copurchase_cosine(
     the output is a provably-bounded BIGINT (cos <= 1 so cos2_ppm <=
     10^6).
 
-    Plan: reuses copurchase_pairs' per-basket bounded self-join (ONE
-    order-keyed exchange, a<b canonicalization); per-part supports are
-    a separate small aggregate broadcast back onto the pair table."""
-    pairs = copurchase_pairs(spark, sf_dir, min_count=min_count)
-    li = load_table(spark, sf_dir, "lineitem")
-    supp = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.countDistinct("l_orderkey").alias("supp")
+    Plan (round-9 re-plan): pair supports from the shared fused Arrow
+    counter (basket_pair_counts — the join plan measured 11.0 s warm
+    at R20, the fused pass 6.6 s, bit-identical); item supports are
+    one distinct+count scan attached by broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_partkey").alias("item")
     )
-    sa = supp.select(F.col("pk").alias("a"), F.col("supp").alias("supp_a"))
-    sb = supp.select(F.col("pk").alias("b"), F.col("supp").alias("supp_b"))
+    pairs = basket_pair_counts(li, min_count=min_count)
+    supp = li.distinct().groupBy("item").agg(
+        F.count(F.lit(1)).alias("supp")
+    )
+    sa = supp.select(F.col("item").alias("a"), F.col("supp").alias("supp_a"))
+    sb = supp.select(F.col("item").alias("b"), F.col("supp").alias("supp_b"))
     return (
         pairs.join(F.broadcast(sa), "a")
         .join(F.broadcast(sb), "b")

@@ -5023,28 +5023,34 @@ _R9_WINDOW = [
     # round-9 fixed inclusions (decimal purge re-proof + control)
     "kmeans_embeddings", "events_twap", "event_trend_slopes",
     "kmeans_trace_a5",
-    # changed in round 9 (must re-prove under the driver)
-    "funnel_strict", "bigram_pmi",
+    # changed in round 9 (must re-prove under the driver): funnel's
+    # null-safe sum, bigram's vocab gate, and the basket-family re-plan
+    # (fused Arrow pair counter shared by pairs/rules/cosine — also
+    # feeds copurchase_components; copurchase_pairs sits in the stale
+    # cohort below)
+    "funnel_strict", "bigram_pmi", "association_rules",
+    "copurchase_components", "copurchase_pairs",
     # new in round 9 (never driver-gated)
     "spearman_qty_price", "benford_audit", "copurchase_cosine",
     "scd2_pointintime", "small_qty_revenue", "large_volume_orders",
     "promo_revenue_share", "image_dhash_neardup", "event_dark_gaps",
     "event_mode_value", "stream_dhash_ingest",
     "sliding_audience_hll_90d",
-    # last driver row r5 — batch cohort (VERDICT r8 item 6; six defer
-    # to round 10 to make room for the round-9 additions —
-    # text_stats, word_count_top10, stopword_discovery,
-    # top_docs_per_lang, unigram_logprob, tfidf_top_terms: all
-    # column-arithmetic- or golden-stable and locally gated every
-    # round)
+    # last driver row r5 — batch cohort (VERDICT r8 item 6; nine
+    # defer to round 10 to make room for the round-9 additions and
+    # changed-query re-proofs — text_stats, word_count_top10,
+    # stopword_discovery, top_docs_per_lang, unigram_logprob,
+    # tfidf_top_terms, minhash_neardup, simhash_neardup (both
+    # rows-only; their oracle-exact twins stay in-window),
+    # repetition_scores: all column-arithmetic-, golden- or
+    # twin-covered and locally gated every round)
     "event_anomalies", "fingerprints", "ivf_topk_exact",
     "kv_replay_hotkey", "lang_entropy_by_source", "lang_id",
     "leakage_safe_split", "lsh_topk_exact", "minhash_incremental",
-    "minhash_lsh_exact", "minhash_neardup", "multimodal_jpeg_decode",
+    "minhash_lsh_exact", "multimodal_jpeg_decode",
     "pack_chunks", "priority_grouping_sets", "quality_calibration",
-    "quality_scores", "repetition_scores", "sample_by_lang_exact",
-    "shingle_novelty", "simhash_exact", "simhash_neardup",
-    "user_retention",
+    "quality_scores", "sample_by_lang_exact",
+    "shingle_novelty", "simhash_exact", "user_retention",
     # last driver row r5 — the stream_* family
     "stream_sessions", "stream_sliding", "stream_windowed",
     "stream_config_poll", "stream_curated_ingest", "stream_dedup_ops",

@@ -448,6 +448,22 @@ RECORDED_R9_TIERS: dict = {
         # events-only replica (_ev), 50 M events at R500
         "R500": {"spark_s": 5.15, "duckdb_s": 0.896, "ratio": 5.7},
     },
+    # spearman draft (bare-group rank windows: 3 sort tasks own 12 M
+    # rows) vs the adopted two-level bucketed ranking — the skew-cliff
+    # fix, measured in one session (BASELINE.md "Round-9 re-plans").
+    "spearman_qty_price": {
+        "R20_draft": {"spark_s": 25.91, "duckdb_s": 5.27, "ratio": 4.9},
+        "R20": {"spark_s": 11.0, "duckdb_s": 5.3, "ratio": 2.1},
+    },
+    # basket pair join vs the fused Arrow pair counter (alternating
+    # warm probe, same session: join 11.0 s / fused 6.6 s,
+    # bit-identical) — the explode-family lesson's 6th confirmation,
+    # adopted for copurchase_pairs / association_rules /
+    # copurchase_cosine.
+    "copurchase_pairs": {
+        "R20_join": {"spark_s": 11.0, "duckdb_s": 2.1, "ratio": 5.2},
+        "R20": {"spark_s": 6.6, "duckdb_s": 2.1, "ratio": 3.1},
+    },
 }
 
 # The stdout-echo subset of the recorded tiers: the bench's compact
