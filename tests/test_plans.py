@@ -631,3 +631,15 @@ def test_event_mode_value_compiles_to_window_group_limit(spark):
     WindowGroupLimit — no self-join, no full sort of the count table."""
     plan = _plan(QUERIES["event_mode_value"](spark, SF_DIR))
     assert "WindowGroupLimit" in plan
+
+
+def test_basket_pair_counts_exchanges_only_partial_pairs(spark):
+    """Round 9: the pair fan-out happens inside the Arrow stage — the
+    only row-sized exchange feeds the basket groupBy, and what leaves
+    the Python stage is pre-combined (a, b, partial n) rows that
+    partial-aggregate again before the final exchange."""
+    plan = _plan(QUERIES["copurchase_pairs"](spark, SF_DIR))
+    assert "MapInPandas" in plan
+    assert "partial_sum" in plan
+    # no join operator anywhere — the self-join plan is gone
+    assert "Join" not in operator_tree(QUERIES["copurchase_pairs"](spark, SF_DIR))
