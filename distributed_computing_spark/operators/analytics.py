@@ -2441,28 +2441,18 @@ def scd2_pointintime(
     )
 
 
-def sliding_audience_hll(
+def sliding_hll_registers(
     spark: SparkSession,
     sf_dir: str,
     window_days: int = 90,
     m: int = 64,
     seed: int = 0,
 ) -> DataFrame:
-    """Trailing-N-day audience per event_type via WINDOWED HLL REGISTER
-    ROLLUP (round 9) — the wide-window path sliding_audience's
-    MAX_SLIDING_WINDOW_DAYS cap points at: the exact bitmap fan-out
-    costs window_days × the WORD table (users/62 rows per day), while
-    this costs window_days × the REGISTER table (<= m rows per
-    type/day, a CONSTANT) — a 90-day window replicates at most
-    types·m·days tiny rows regardless of user count, because HLL merge
-    is elementwise max and max is distributive over the day coverage.
-
-    Gated output is the merged sketch's INTEGER digest per (type,
-    day_end): registers hit, Σmax_rank, max max_rank — deterministic
-    on both engines (the md5_hash60 register family); the float
-    cardinality estimate stays client-side (float rule), bounded
-    against the exact bitmap count in tests at a window where both are
-    computable."""
+    """The merged trailing-window register table behind
+    ``sliding_audience_hll``: (event_type, day_end, register, mr) —
+    exposed so the client-side cardinality estimate (and its
+    error-bound test against the exact bitmap count) can read the full
+    sketch, while the GATED query ships only the integer digest."""
     from distributed_computing_spark.operators.dedup import md5_hash60
 
     if m & (m - 1) != 0:
@@ -2497,12 +2487,54 @@ def sliding_audience_hll(
         "register",
         "max_rank",
     )
-    wnd = (
+    return (
         cov.crossJoin(F.broadcast(max_day))
         .where(F.col("day_end") <= F.col("md"))
         .groupBy("event_type", "day_end", "register")
         .agg(F.max("max_rank").alias("mr"))
     )
+
+
+def hll_estimate(registers: dict[int, int], m: int = 64) -> float:
+    """Client-side HLL cardinality estimate from a {register: max_rank}
+    dict (float stays OUT of any gated output — the float rule): the
+    classic harmonic-mean form with the small-range linear-counting
+    correction. Used by tests to bound the windowed rollup's error
+    against the exact bitmap count."""
+    import math
+
+    alpha = 0.709  # m = 64
+    s = sum(2.0 ** -registers.get(j, 0) for j in range(m))
+    est = alpha * m * m / s
+    zeros = m - len(registers)
+    if est <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return est
+
+
+def sliding_audience_hll(
+    spark: SparkSession,
+    sf_dir: str,
+    window_days: int = 90,
+    m: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Trailing-N-day audience per event_type via WINDOWED HLL REGISTER
+    ROLLUP (round 9) — the wide-window path sliding_audience's
+    MAX_SLIDING_WINDOW_DAYS cap points at: the exact bitmap fan-out
+    costs window_days × the WORD table (users/62 rows per day), while
+    this costs window_days × the REGISTER table (<= m rows per
+    type/day, a CONSTANT) — a 90-day window replicates at most
+    types·m·days tiny rows regardless of user count, because HLL merge
+    is elementwise max and max is distributive over the day coverage.
+
+    Gated output is the merged sketch's INTEGER digest per (type,
+    day_end): registers hit, Σmax_rank, max max_rank — deterministic
+    on both engines (the md5_hash60 register family); the float
+    cardinality estimate stays client-side (float rule), bounded
+    against the exact bitmap count in tests at a window where both are
+    computable."""
+    wnd = sliding_hll_registers(spark, sf_dir, window_days, m, seed)
     return (
         wnd.groupBy("event_type", "day_end")
         .agg(
@@ -2512,3 +2544,74 @@ def sliding_audience_hll(
         )
         .orderBy("event_type", "day_end")
     )
+
+
+def weighted_median_price(
+    spark: SparkSession, sf_dir: str, pre_buckets: int = 256
+) -> DataFrame:
+    """Exact GROUPED WEIGHTED MEDIAN without a per-group sort (round
+    9): per o_orderpriority, the lower weighted median of the order's
+    exact cent price, weighted by the order's lineitem count — the
+    smallest v with 2·cumweight(v) >= W. ``percentile()`` needs a
+    per-group sort that lands each group in one task (the spearman
+    skew cliff); this is the two-level decomposition applied to a
+    CUMULATIVE threshold: (1) per-(group, value) weight sums, (2) a
+    TINY (group, bucket) weight table, prefix-summed and broadcast,
+    locates each group's crossing bucket, (3) only the crossing
+    bucket's values (one bucket per group) are cumulated locally.
+    Every full-data exchange is a partial-aggregated groupBy; the only
+    window over row data is confined to one bucket per group.
+
+    Output is integer-exact: (priority, w_total, median_cents)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    wts = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("wt")
+    )
+    rows = orders.join(wts, "o_orderkey").select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        "wt",
+    )
+    vw = rows.groupBy("g", "v").agg(F.sum("wt").alias("wt"))
+    b = vw.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    lo, hi = int(b["lo"]), int(b["hi"])
+    width = max(1, (hi - lo) // pre_buckets + 1)
+    vb = vw.withColumn("_b", F.expr(f"(v - {lo}L) div {width}L"))
+    bw = vb.groupBy("g", "_b").agg(F.sum("wt").alias("bw"))
+    w_off = (
+        Window.partitionBy("g")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("g")
+    pre = bw.select(
+        "g",
+        "_b",
+        F.coalesce(F.sum("bw").over(w_off), F.lit(0)).alias("cum_before"),
+        (F.coalesce(F.sum("bw").over(w_off), F.lit(0)) + F.col("bw")).alias(
+            "cum_incl"
+        ),
+        F.sum("bw").over(w_tot).alias("w_total"),
+    )
+    # the crossing bucket: first bucket whose inclusive cum reaches the
+    # half-weight threshold (tiny table: groups x buckets)
+    crossing = pre.where(
+        (2 * F.col("cum_incl") >= F.col("w_total"))
+        & (2 * F.col("cum_before") < F.col("w_total"))
+    ).select("g", "_b", "cum_before", "w_total")
+    w_local = Window.partitionBy("g").orderBy("v")
+    local = (
+        vb.join(F.broadcast(crossing), ["g", "_b"])
+        .withColumn(
+            "cum", F.col("cum_before") + F.sum("wt").over(w_local)
+        )
+        .where(2 * F.col("cum") >= F.col("w_total"))
+        .groupBy("g", "w_total")
+        .agg(F.min("v").alias("median_cents"))
+    )
+    return local.select(
+        F.col("g").alias("priority"),
+        "w_total",
+        "median_cents",
+    ).orderBy("priority")

@@ -266,3 +266,73 @@ def client_fold_check(ops: DataFrame) -> DataFrame:
         )
     )
     return replay(ops).join(appends, "key", "left")
+
+
+def merkle_digests(
+    state: DataFrame,
+    n_buckets: int = 256,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Anti-entropy bucket digests of a KV state (round 9): bucket =
+    md5_hash60(key) mod n_buckets, digest = bit_xor of a 60-bit row
+    hash over (key, value) — XOR is commutative/associative with
+    identity 0, so the digest is order-independent, PARTIAL-aggregates
+    map-side, and never overflows (stays < 2^60). Two replicas (or two
+    versions) of a 100 TB state compare by exchanging n_buckets
+    digest rows each; only diverged buckets need a drill-down — the
+    Merkle-tree/anti-entropy repair primitive (Dynamo-style read
+    repair; the reference's shard-migration verification analog,
+    shardkv/server.go's per-shard state handoff).
+
+    Cross-engine exact: the md5_hash60 family reproduces bit-for-bit
+    in DuckDB SQL, so the digest table itself sits under the strict
+    hash gate."""
+    from distributed_computing_spark.operators.dedup import md5_hash60
+
+    row_hash = md5_hash60(
+        F.concat_ws("|", F.col(key_col), F.col(value_col)), 1
+    )
+    return (
+        state.select(
+            F.pmod(md5_hash60(F.col(key_col), 0), F.lit(n_buckets)).alias(
+                "bucket"
+            ),
+            row_hash.alias("_rh"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(_rh)").alias("digest"),
+        )
+    )
+
+
+def merkle_diff(
+    state_a: DataFrame, state_b: DataFrame, n_buckets: int = 256
+) -> DataFrame:
+    """Diverged-bucket report between two KV states: full-outer join
+    of the two digest tables on bucket; a bucket appears iff its count
+    OR digest differs (absent side coalesces to the empty digest 0).
+    The exchange is 2·n_buckets digest rows regardless of state size."""
+    da = merkle_digests(state_a, n_buckets).select(
+        "bucket",
+        F.col("n_rows").alias("n_a"),
+        F.col("digest").alias("digest_a"),
+    )
+    db = merkle_digests(state_b, n_buckets).select(
+        "bucket",
+        F.col("n_rows").alias("n_b"),
+        F.col("digest").alias("digest_b"),
+    )
+    j = da.join(db, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        F.coalesce("digest_a", F.lit(0)).alias("digest_a"),
+        F.coalesce("digest_b", F.lit(0)).alias("digest_b"),
+    )
+    return j.where(
+        (F.col("n_a") != F.col("n_b"))
+        | (F.col("digest_a") != F.col("digest_b"))
+    )

@@ -5006,6 +5006,114 @@ def stream_dhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["stream_dhash_ingest"] = stream_dhash_ingest
 
 
+def kv_merkle_diff(spark: SparkSession, sf_dir: str, n_buckets: int = 64) -> DataFrame:
+    """Anti-entropy bucket comparison between two KV state versions
+    (round 9): the state at max_seq/2 vs the full replay — Merkle-
+    style digest tables (md5-bucketed, bit_xor row hashes) compared by
+    a full-outer join on bucket, emitting only DIVERGED buckets. The
+    100 TB story: two replicas compare by exchanging n_buckets digest
+    rows each, never row data (operators/kv.py merkle_digests;
+    reference analog: shard-handoff state verification,
+    shardkv/server.go)."""
+    from distributed_computing_spark.operators.kv import merkle_diff
+
+    half = kv_snapshot(spark, sf_dir)
+    full = kv_state(spark, sf_dir)
+    return (
+        merkle_diff(half, full, n_buckets=n_buckets)
+        .select(
+            "bucket",
+            F.col("n_a").alias("n_half"),
+            F.col("n_b").alias("n_full"),
+            F.col("digest_a").alias("digest_half"),
+            F.col("digest_b").alias("digest_full"),
+        )
+        .orderBy("bucket")
+    )
+
+
+QUERIES["kv_merkle_diff"] = kv_merkle_diff
+ORACLES["kv_merkle_diff"] = f"""
+WITH {_OPS_CTE},
+{_EFF_CTE},
+lpf AS (
+  SELECT *, max(CASE WHEN op = 'put' THEN seq END)
+              OVER (PARTITION BY "key") AS last_put_seq
+  FROM eff),
+full_state AS (
+  SELECT "key", string_agg("value", '' ORDER BY seq) AS "value"
+  FROM lpf
+  WHERE op IN ('put', 'append') AND seq >= coalesce(last_put_seq, -1)
+  GROUP BY "key"),
+cut AS (SELECT max(seq) // 2 AS half FROM ops),
+ops2 AS (SELECT * FROM ops WHERE seq <= (SELECT half FROM cut)),
+hw2 AS (
+  SELECT *, max(req_id) OVER (
+      PARTITION BY client_id ORDER BY seq
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM ops2),
+eff2 AS (SELECT * FROM hw2 WHERE prev_max IS NULL OR req_id > prev_max),
+lph AS (
+  SELECT *, max(CASE WHEN op = 'put' THEN seq END)
+              OVER (PARTITION BY "key") AS last_put_seq
+  FROM eff2),
+half_state AS (
+  SELECT "key", string_agg("value", '' ORDER BY seq) AS "value"
+  FROM lph
+  WHERE op IN ('put', 'append') AND seq >= coalesce(last_put_seq, -1)
+  GROUP BY "key"),
+da AS (
+  SELECT ('0x' || substr(md5("key" || '#0'), 1, 15))::BIGINT % 64 AS bucket,
+         count(*) AS n,
+         bit_xor(('0x' || substr(md5(("key" || '|' || "value") || '#1'),
+                                 1, 15))::BIGINT) AS dg
+  FROM half_state GROUP BY 1),
+db AS (
+  SELECT ('0x' || substr(md5("key" || '#0'), 1, 15))::BIGINT % 64 AS bucket,
+         count(*) AS n,
+         bit_xor(('0x' || substr(md5(("key" || '|' || "value") || '#1'),
+                                 1, 15))::BIGINT) AS dg
+  FROM full_state GROUP BY 1),
+j AS (
+  SELECT coalesce(da.bucket, db.bucket) AS bucket,
+         coalesce(da.n, 0) AS n_half, coalesce(db.n, 0) AS n_full,
+         coalesce(da.dg, 0) AS digest_half,
+         coalesce(db.dg, 0) AS digest_full
+  FROM da FULL OUTER JOIN db ON da.bucket = db.bucket)
+SELECT bucket, CAST(n_half AS BIGINT) AS n_half,
+       CAST(n_full AS BIGINT) AS n_full, digest_half, digest_full
+FROM j
+WHERE n_half != n_full OR digest_half != digest_full
+ORDER BY bucket"""
+
+
+def weighted_median_price_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.analytics import (
+        weighted_median_price,
+    )
+
+    return weighted_median_price(spark, sf_dir)
+
+
+QUERIES["weighted_median_price"] = weighted_median_price_q
+ORACLES["weighted_median_price"] = """
+WITH w AS (
+  SELECT o.o_orderpriority AS g,
+         CAST(floor(o.o_totalprice * 100) AS BIGINT) AS v,
+         c.wt
+  FROM orders o JOIN (SELECT l_orderkey, count(*) AS wt
+                      FROM lineitem GROUP BY 1) c
+    ON c.l_orderkey = o.o_orderkey),
+vw AS (SELECT g, v, sum(wt) AS wt FROM w GROUP BY 1, 2),
+r AS (SELECT g, v, wt,
+             sum(wt) OVER (PARTITION BY g ORDER BY v) AS cum,
+             sum(wt) OVER (PARTITION BY g) AS tot
+      FROM vw)
+SELECT g AS priority, CAST(tot AS BIGINT) AS w_total,
+       CAST(min(v) AS BIGINT) AS median_cents
+FROM r WHERE 2 * cum >= tot GROUP BY g, tot ORDER BY priority"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 9 — VERDICT r8 items 1, 2, 6)
 # ---------------------------------------------------------------------------
@@ -5035,22 +5143,24 @@ _R9_WINDOW = [
     "scd2_pointintime", "small_qty_revenue", "large_volume_orders",
     "promo_revenue_share", "image_dhash_neardup", "event_dark_gaps",
     "event_mode_value", "stream_dhash_ingest",
-    "sliding_audience_hll_90d",
-    # last driver row r5 — batch cohort (VERDICT r8 item 6; nine
+    "sliding_audience_hll_90d", "kv_merkle_diff",
+    "weighted_median_price",
+    # last driver row r5 — batch cohort (VERDICT r8 item 6; eleven
     # defer to round 10 to make room for the round-9 additions and
     # changed-query re-proofs — text_stats, word_count_top10,
     # stopword_discovery, top_docs_per_lang, unigram_logprob,
     # tfidf_top_terms, minhash_neardup, simhash_neardup (both
     # rows-only; their oracle-exact twins stay in-window),
-    # repetition_scores: all column-arithmetic-, golden- or
-    # twin-covered and locally gated every round)
+    # repetition_scores, quality_calibration, user_retention: all
+    # column-arithmetic-, golden- or twin-covered and locally gated
+    # every round; they are round 10's first picks)
     "event_anomalies", "fingerprints", "ivf_topk_exact",
     "kv_replay_hotkey", "lang_entropy_by_source", "lang_id",
     "leakage_safe_split", "lsh_topk_exact", "minhash_incremental",
     "minhash_lsh_exact", "multimodal_jpeg_decode",
-    "pack_chunks", "priority_grouping_sets", "quality_calibration",
+    "pack_chunks", "priority_grouping_sets",
     "quality_scores", "sample_by_lang_exact",
-    "shingle_novelty", "simhash_exact", "user_retention",
+    "shingle_novelty", "simhash_exact",
     # last driver row r5 — the stream_* family
     "stream_sessions", "stream_sliding", "stream_windowed",
     "stream_config_poll", "stream_curated_ingest", "stream_dedup_ops",
@@ -5070,7 +5180,8 @@ _R9_NEW = [
     "scd2_pointintime", "small_qty_revenue", "large_volume_orders",
     "promo_revenue_share", "image_dhash_neardup", "event_dark_gaps",
     "event_mode_value", "stream_dhash_ingest",
-    "sliding_audience_hll_90d",
+    "sliding_audience_hll_90d", "kv_merkle_diff",
+    "weighted_median_price",
 ]
 _order = list(QUERIES)
 for _q in _R9_NEW:

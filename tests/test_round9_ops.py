@@ -279,3 +279,113 @@ def test_sliding_hll_full_window_equals_global_sketch(spark):
     )
     want = {r["event_type"]: (r["n"], r["s"], r["m"]) for r in glob}
     assert last == want
+
+
+def test_sliding_hll_estimate_tracks_exact_bitmap_count(spark):
+    """The point of the windowed sketch: at a window where BOTH paths
+    are computable (7 days), the client-side HLL estimate from the
+    merged registers must track sliding_audience's EXACT bitmap count
+    within the m=64 error regime (~13% typical; 35% bound leaves
+    slack for small windows)."""
+    from distributed_computing_spark.operators.analytics import (
+        hll_estimate,
+        sliding_audience,
+        sliding_hll_registers,
+    )
+    from tests.conftest import SF_DIR_MID
+
+    # sf0.01: sf0.001's daily audiences are all under the linear-
+    # counting noise floor (n_checked would be 0)
+    exact = {
+        (r["event_type"], r["day_end"]): r["n_users_7d"]
+        for r in sliding_audience(spark, SF_DIR_MID, window_days=7).collect()
+    }
+    regs: dict = {}
+    for r in sliding_hll_registers(spark, SF_DIR_MID, window_days=7).collect():
+        regs.setdefault((r["event_type"], r["day_end"]), {})[
+            r["register"]
+        ] = r["mr"]
+    assert set(regs) == set(exact)
+    n_checked = 0
+    for key, true_n in exact.items():
+        if true_n < 20:
+            continue  # tiny windows: absolute noise dominates
+        est = hll_estimate(regs[key])
+        assert abs(est - true_n) <= 0.35 * true_n, (key, est, true_n)
+        n_checked += 1
+    assert n_checked > 50
+
+
+def test_merkle_diff_detects_single_mutation(spark):
+    """Anti-entropy contract: identical states diff EMPTY; mutating one
+    key's value surfaces exactly that key's bucket (count equal,
+    digest different); a key present on one side only coalesces the
+    absent side to (0, 0)."""
+    from distributed_computing_spark.operators.dedup import md5_hash60
+    from distributed_computing_spark.operators.kv import merkle_diff
+
+    rows = [(str(k), f"v{k}") for k in range(40)]
+    a = spark.createDataFrame(rows, "key string, value string")
+    assert merkle_diff(a, a, n_buckets=16).count() == 0
+
+    mutated = [("7", "CHANGED") if k == "7" else (k, v) for k, v in rows]
+    b = spark.createDataFrame(mutated, "key string, value string")
+    diffs = merkle_diff(a, b, n_buckets=16).collect()
+    assert len(diffs) == 1
+    import pyspark.sql.functions as F
+
+    bucket7 = spark.range(1).select(
+        F.pmod(md5_hash60(F.lit("7"), 0), F.lit(16)).alias("b")
+    ).collect()[0]["b"]
+    assert diffs[0]["bucket"] == bucket7
+    assert diffs[0]["n_a"] == diffs[0]["n_b"]
+    assert diffs[0]["digest_a"] != diffs[0]["digest_b"]
+
+    c = spark.createDataFrame(rows + [("extra", "x")], "key string, value string")
+    d = {r["bucket"]: r for r in merkle_diff(a, c, n_buckets=16).collect()}
+    assert len(d) == 1
+    (only,) = d.values()
+    assert only["n_b"] == only["n_a"] + 1
+
+
+def test_weighted_median_planted_exact(spark, tmp_path):
+    """Lower weighted median on planted data: values 1,2,3 with
+    weights 1,2,1 -> cum(1)=1, cum(2)=3; 2*3 >= 4 first at v=2. And a
+    half-weight boundary: weights 1,1 -> 2*cum(v1)=2 >= 2 picks the
+    LOWER value (the 2*cum >= W definition)."""
+    import datetime
+
+    from distributed_computing_spark.operators.analytics import (
+        weighted_median_price,
+    )
+
+    d = str(tmp_path / "sf")
+    t0 = datetime.datetime(2024, 1, 1)
+    # orders: (key, custkey, status, price, date, priority)
+    orders = [
+        (1, 1, "O", 0.01, t0, "A"), (2, 1, "O", 0.02, t0, "A"),
+        (3, 1, "O", 0.03, t0, "A"),
+        (10, 1, "O", 0.10, t0, "B"), (11, 1, "O", 0.20, t0, "B"),
+    ]
+    # lineitem counts = weights: order2 has 2 lines (weight 2)
+    li = [(1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t0),
+          (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t0),
+          (2, 2, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", t0),
+          (3, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t0),
+          (10, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t0),
+          (11, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t0)]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    out = {r["priority"]: r for r in weighted_median_price(spark, d).collect()}
+    assert out["A"]["w_total"] == 4 and out["A"]["median_cents"] == 2
+    assert out["B"]["w_total"] == 2 and out["B"]["median_cents"] == 10

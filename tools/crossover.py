@@ -450,10 +450,26 @@ RECORDED_R9_TIERS: dict = {
     },
     # spearman draft (bare-group rank windows: 3 sort tasks own 12 M
     # rows) vs the adopted two-level bucketed ranking — the skew-cliff
-    # fix, measured in one session (BASELINE.md "Round-9 re-plans").
+    # fix, measured in one session (BASELINE.md "Round-9 re-plans"),
+    # then the slope: FLIPS to a Spark WIN at R100 (60 M rows — the
+    # single-node per-group sorts grow superlinearly while the
+    # bucketed ranking scales out).
     "spearman_qty_price": {
         "R20_draft": {"spark_s": 25.91, "duckdb_s": 5.27, "ratio": 4.9},
         "R20": {"spark_s": 11.0, "duckdb_s": 5.3, "ratio": 2.1},
+        "R50": {"spark_s": 19.6, "duckdb_s": 18.8, "ratio": 1.05},
+        "R100": {"spark_s": 30.5, "duckdb_s": 39.8, "ratio": 0.77},
+    },
+    # both-engines-linear (the pair expansion costs both — the
+    # association_rules shape) and the small-absolute overhead floor
+    # (the events-family shape, converging 10.7 -> 4.1):
+    "copurchase_cosine": {
+        "R50": {"spark_s": 19.9, "duckdb_s": 5.0, "ratio": 4.0},
+        "R100": {"spark_s": 25.0, "duckdb_s": 6.7, "ratio": 3.7},
+    },
+    "promo_revenue_share": {
+        "R50": {"spark_s": 2.16, "duckdb_s": 0.24, "ratio": 8.9},
+        "R100": {"spark_s": 3.09, "duckdb_s": 0.75, "ratio": 4.1},
     },
     # basket pair join vs the fused Arrow pair counter (alternating
     # warm probe, same session: join 11.0 s / fused 6.6 s,
@@ -495,9 +511,11 @@ RECORDED_ECHO_KEYS: dict[str, tuple[str, ...]] = {
     "edit1_customer_pairs": ("R10",),
     "copurchase_components": ("R20",),
     # round-9: the two VERDICT-r8-item-4 slope closures (converging
-    # tails; full context in BASELINE.md)
+    # tails; full context in BASELINE.md) and the spearman flip (the
+    # skew-cliff fix's slope endpoint: Spark WIN 0.77x at R100)
     "bigram_pmi": ("R200",),
     "audience_overlap": ("R500",),
+    "spearman_qty_price": ("R100",),
 }
 
 # Fact tables are replicated with remapped keys; everything else copied.
