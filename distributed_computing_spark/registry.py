@@ -5007,26 +5007,41 @@ QUERIES["stream_dhash_ingest"] = stream_dhash_ingest
 
 
 def kv_merkle_diff(spark: SparkSession, sf_dir: str, n_buckets: int = 64) -> DataFrame:
-    """Anti-entropy bucket comparison between two KV state versions
-    (round 9): the state at max_seq/2 vs the full replay — Merkle-
-    style digest tables (md5-bucketed, bit_xor row hashes) compared by
-    a full-outer join on bucket, emitting only DIVERGED buckets. The
+    """Anti-entropy bucket comparison between two KV replicas (round
+    9): the replayed state vs a deterministically-CORRUPTED replica
+    (keys ≡ 0 mod 3 carry a trailing '!', keys ≡ 1 mod 3 are missing —
+    the planted divergence a repair pass must localize) — Merkle-style
+    digest tables (md5-bucketed, bit_xor row hashes) compared by a
+    full-outer join on bucket, emitting only DIVERGED buckets. The
     100 TB story: two replicas compare by exchanging n_buckets digest
     rows each, never row data (operators/kv.py merkle_digests;
     reference analog: shard-handoff state verification,
-    shardkv/server.go)."""
+    shardkv/server.go). The divergence is PLANTED rather than derived
+    from a half-log snapshot because the ops adapter's req_id
+    high-water suppression makes the effective log an early prefix —
+    at sf0.1 the half-log state already equals the full state and a
+    snapshot-based diff gates on an empty output."""
     from distributed_computing_spark.operators.kv import merkle_diff
 
-    half = kv_snapshot(spark, sf_dir)
     full = kv_state(spark, sf_dir)
+    key_num = F.col("key").cast("long")
+    corrupted = full.where(F.pmod(key_num, F.lit(3)) != 1).select(
+        "key",
+        F.when(
+            F.pmod(key_num, F.lit(3)) == 0,
+            F.concat(F.col("value"), F.lit("!")),
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
     return (
-        merkle_diff(half, full, n_buckets=n_buckets)
+        merkle_diff(full, corrupted, n_buckets=n_buckets)
         .select(
             "bucket",
-            F.col("n_a").alias("n_half"),
-            F.col("n_b").alias("n_full"),
-            F.col("digest_a").alias("digest_half"),
-            F.col("digest_b").alias("digest_full"),
+            F.col("n_a").alias("n_good"),
+            F.col("n_b").alias("n_corrupt"),
+            F.col("digest_a").alias("digest_good"),
+            F.col("digest_b").alias("digest_corrupt"),
         )
         .orderBy("bucket")
     )
@@ -5045,45 +5060,34 @@ full_state AS (
   FROM lpf
   WHERE op IN ('put', 'append') AND seq >= coalesce(last_put_seq, -1)
   GROUP BY "key"),
-cut AS (SELECT max(seq) // 2 AS half FROM ops),
-ops2 AS (SELECT * FROM ops WHERE seq <= (SELECT half FROM cut)),
-hw2 AS (
-  SELECT *, max(req_id) OVER (
-      PARTITION BY client_id ORDER BY seq
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
-  FROM ops2),
-eff2 AS (SELECT * FROM hw2 WHERE prev_max IS NULL OR req_id > prev_max),
-lph AS (
-  SELECT *, max(CASE WHEN op = 'put' THEN seq END)
-              OVER (PARTITION BY "key") AS last_put_seq
-  FROM eff2),
-half_state AS (
-  SELECT "key", string_agg("value", '' ORDER BY seq) AS "value"
-  FROM lph
-  WHERE op IN ('put', 'append') AND seq >= coalesce(last_put_seq, -1)
-  GROUP BY "key"),
+corrupted AS (
+  SELECT "key",
+         CASE WHEN "key"::BIGINT % 3 = 0 THEN "value" || '!'
+              ELSE "value" END AS "value"
+  FROM full_state WHERE "key"::BIGINT % 3 != 1),
 da AS (
   SELECT ('0x' || substr(md5("key" || '#0'), 1, 15))::BIGINT % 64 AS bucket,
          count(*) AS n,
          bit_xor(('0x' || substr(md5(("key" || '|' || "value") || '#1'),
                                  1, 15))::BIGINT) AS dg
-  FROM half_state GROUP BY 1),
+  FROM full_state GROUP BY 1),
 db AS (
   SELECT ('0x' || substr(md5("key" || '#0'), 1, 15))::BIGINT % 64 AS bucket,
          count(*) AS n,
          bit_xor(('0x' || substr(md5(("key" || '|' || "value") || '#1'),
                                  1, 15))::BIGINT) AS dg
-  FROM full_state GROUP BY 1),
+  FROM corrupted GROUP BY 1),
 j AS (
   SELECT coalesce(da.bucket, db.bucket) AS bucket,
-         coalesce(da.n, 0) AS n_half, coalesce(db.n, 0) AS n_full,
-         coalesce(da.dg, 0) AS digest_half,
-         coalesce(db.dg, 0) AS digest_full
+         coalesce(da.n, 0) AS n_good, coalesce(db.n, 0) AS n_corrupt,
+         coalesce(da.dg, 0) AS digest_good,
+         coalesce(db.dg, 0) AS digest_corrupt
   FROM da FULL OUTER JOIN db ON da.bucket = db.bucket)
-SELECT bucket, CAST(n_half AS BIGINT) AS n_half,
-       CAST(n_full AS BIGINT) AS n_full, digest_half, digest_full
+SELECT bucket, CAST(n_good AS BIGINT) AS n_good,
+       CAST(n_corrupt AS BIGINT) AS n_corrupt, digest_good,
+       digest_corrupt
 FROM j
-WHERE n_half != n_full OR digest_half != digest_full
+WHERE n_good != n_corrupt OR digest_good != digest_corrupt
 ORDER BY bucket"""
 
 

@@ -471,6 +471,15 @@ RECORDED_R9_TIERS: dict = {
         "R50": {"spark_s": 2.16, "duckdb_s": 0.24, "ratio": 8.9},
         "R100": {"spark_s": 3.09, "duckdb_s": 0.75, "ratio": 4.1},
     },
+    # Spark-only throughput (no SQL side exists — the decode runs in
+    # Arrow): 100k -> 250k real BMP encode+decode+dHash+band-join,
+    # near-flat wall clock (~27k images/s at R50; the Python stage is
+    # embarrassingly parallel, the band join exchanges ids+hashes
+    # only).
+    "image_dhash_neardup": {
+        "R20": {"spark_s": 12.5, "duckdb_s": None, "ratio": None},
+        "R50": {"spark_s": 9.3, "duckdb_s": None, "ratio": None},
+    },
     # basket pair join vs the fused Arrow pair counter (alternating
     # warm probe, same session: join 11.0 s / fused 6.6 s,
     # bit-identical) — the explode-family lesson's 6th confirmation,
