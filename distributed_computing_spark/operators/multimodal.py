@@ -1015,3 +1015,106 @@ def image_neardup_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def textured_avi_blobs(
+    docs: DataFrame, n_frames: int = 8, group_size: int = 20
+) -> DataFrame:
+    """Textured 16x16 AVI blobs with PLANTED near-duplicate videos:
+    videos sharing ``seed = doc_id // group_size`` render the same
+    frame sequence (frame f's pixels = textured_pixels(seed·997 +
+    f·31, 1) — content a pure function of (seed, f), so same-seed
+    videos are frame-wise identical) EXCEPT each member overwrites the
+    frame at index ``member % n_frames`` with a member-unique pattern.
+    Two same-seed videos therefore share n_frames−2 frames (n_frames−1
+    when their member slots coincide); cross-seed videos share none —
+    the structure a frame-hash overlap join must recover. Payloads are
+    genuine uncompressed-DIB AVIs (pure-numpy encoder); solid-frame
+    ``avi_blobs`` stays the decode/frame-sample fixture (its dHash
+    would be degenerate — no gradients)."""
+    from distributed_computing_spark.functions.codecs import encode_avi
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, datas = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                seed, member = did // group_size, did % group_size
+                frames = np.stack(
+                    [
+                        textured_pixels(seed * 997 + f * 31, 1)
+                        for f in range(n_frames)
+                    ]
+                )
+                slot = member % n_frames
+                frames[slot] = textured_pixels(
+                    500_000 + seed * 997 + slot * 31 + member, 1
+                )
+                ids.append(did)
+                datas.append(encode_avi(frames))
+            yield pd.DataFrame(
+                {"blob_id": pd.array(ids, dtype="int64"), "data": datas}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="blob_id long, data binary"
+    )
+
+
+def video_frame_hashes(blobs: DataFrame) -> DataFrame:
+    """Per-frame perceptual hashes of video blobs: REAL AVI parse
+    (nested RIFF walk) then the shared integer dHash per frame — the
+    Arrow stage emits (blob_id, frame_idx, dhash), so everything
+    downstream is id+hash-sized."""
+    from distributed_computing_spark.functions.codecs import decode_avi
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bids, idxs, hs = [], [], []
+            for bid, data in zip(pdf["blob_id"], pdf["data"]):
+                frames = decode_avi(bytes(data))
+                for f in range(frames.shape[0]):
+                    bids.append(int(bid))
+                    idxs.append(f)
+                    hs.append(dhash_py(frames[f]))
+            yield pd.DataFrame(
+                {
+                    "blob_id": pd.array(bids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "dhash": pd.array(hs, dtype="int64"),
+                }
+            )
+
+    return blobs.select("blob_id", "data").mapInPandas(
+        run, schema="blob_id long, frame_idx int, dhash long"
+    )
+
+
+def video_neardup_pairs(
+    frame_hashes: DataFrame,
+    min_shared: int = 4,
+    max_bucket: int = 1_000,
+) -> DataFrame:
+    """Video near-dup via FRAME-HASH OVERLAP (round 9): two videos are
+    near-duplicates when they share >= min_shared distinct frame
+    hashes — the standard shot-level video dedup shape (hash each
+    sampled frame, join on exact hash, count agreements). The join is
+    keyed on the 56-bit frame dHash, so candidates are per-hash
+    bounded; ``max_bucket`` is the ABSOLUTE cap on a single hash's
+    posting list (a title card shared by thousands of videos must not
+    explode |bucket|² — the ngram max_posting rule). Exchanges carry
+    (dhash, blob_id) rows only; nothing frame-sized leaves the Arrow
+    stage."""
+    distinct_fh = frame_hashes.select("blob_id", "dhash").distinct()
+    sized = distinct_fh.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("dhash"))
+    ).where(F.col("_n") <= max_bucket)
+    a = sized.select(F.col("dhash"), F.col("blob_id").alias("a"))
+    b = sized.select(F.col("dhash"), F.col("blob_id").alias("b"))
+    return (
+        a.join(b, "dhash")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -5091,6 +5091,26 @@ WHERE n_good != n_corrupt OR digest_good != digest_corrupt
 ORDER BY bucket"""
 
 
+def video_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup via frame-hash overlap (round 9): real AVI parse
+    → per-frame integer dHash → exact-hash join → shared-frame count —
+    the shot-level video dedup over planted same-seed frame sequences.
+    ROWS-ONLY under the driver (no SQL decode); exact twin:
+    tests/test_multimodal.py's pure-Python frame-hash replay."""
+    from distributed_computing_spark.operators.multimodal import (
+        textured_avi_blobs,
+        video_frame_hashes,
+        video_neardup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fh = video_frame_hashes(textured_avi_blobs(docs))
+    return video_neardup_pairs(fh, min_shared=4).orderBy("a", "b")
+
+
+QUERIES["video_dhash_neardup"] = video_dhash_neardup
+
+
 def weighted_median_price_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_computing_spark.operators.analytics import (
         weighted_median_price,
@@ -5148,22 +5168,23 @@ _R9_WINDOW = [
     "promo_revenue_share", "image_dhash_neardup", "event_dark_gaps",
     "event_mode_value", "stream_dhash_ingest",
     "sliding_audience_hll_90d", "kv_merkle_diff",
-    "weighted_median_price",
+    "weighted_median_price", "video_dhash_neardup",
     # last driver row r5 — batch cohort (VERDICT r8 item 6; eleven
     # defer to round 10 to make room for the round-9 additions and
     # changed-query re-proofs — text_stats, word_count_top10,
     # stopword_discovery, top_docs_per_lang, unigram_logprob,
     # tfidf_top_terms, minhash_neardup, simhash_neardup (both
     # rows-only; their oracle-exact twins stay in-window),
-    # repetition_scores, quality_calibration, user_retention: all
-    # column-arithmetic-, golden- or twin-covered and locally gated
-    # every round; they are round 10's first picks)
+    # repetition_scores, quality_calibration, user_retention,
+    # sample_by_lang_exact: all column-arithmetic-, golden- or
+    # twin-covered and locally gated every round; they are round 10's
+    # first picks)
     "event_anomalies", "fingerprints", "ivf_topk_exact",
     "kv_replay_hotkey", "lang_entropy_by_source", "lang_id",
     "leakage_safe_split", "lsh_topk_exact", "minhash_incremental",
     "minhash_lsh_exact", "multimodal_jpeg_decode",
     "pack_chunks", "priority_grouping_sets",
-    "quality_scores", "sample_by_lang_exact",
+    "quality_scores",
     "shingle_novelty", "simhash_exact",
     # last driver row r5 — the stream_* family
     "stream_sessions", "stream_sliding", "stream_windowed",
@@ -5185,7 +5206,7 @@ _R9_NEW = [
     "promo_revenue_share", "image_dhash_neardup", "event_dark_gaps",
     "event_mode_value", "stream_dhash_ingest",
     "sliding_audience_hll_90d", "kv_merkle_diff",
-    "weighted_median_price",
+    "weighted_median_price", "video_dhash_neardup",
 ]
 _order = list(QUERIES)
 for _q in _R9_NEW:

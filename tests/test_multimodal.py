@@ -956,3 +956,59 @@ def test_image_neardup_pigeonhole_contract(spark):
     # all dropped, no pairs; cap 100 admits all 45 zero-distance pairs
     assert image_neardup_pairs(hashes, max_bucket=5).count() == 0
     assert image_neardup_pairs(hashes, max_bucket=100).count() == 45
+
+
+def test_video_dhash_neardup_matches_python_twin(spark):
+    """EXACT twin of the rows-only video near-dup: pure-Python replay
+    (same textured frame function via textured_pixels, same dhash_py,
+    brute-force shared-frame counting) must equal the distributed
+    frame-hash join's pair set — and planted same-seed videos must
+    dominate it (group_size=20, 8 frames, members differ in one slot
+    => same-seed pairs share >= 6 frames)."""
+    import duckdb
+
+    from distributed_computing_spark.registry import QUERIES
+    from distributed_computing_spark.operators.multimodal import (
+        dhash_py,
+        textured_pixels,
+    )
+    from tests.conftest import SF_DIR
+
+    got = {
+        (r["a"], r["b"], r["n_shared"])
+        for r in QUERIES["video_dhash_neardup"](spark, SF_DIR).collect()
+    }
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+    ]
+    n_frames, gs = 8, 20
+
+    def hashes(did):
+        seed, member = did // gs, did % gs
+        hs = [
+            dhash_py(textured_pixels(seed * 997 + f * 31, 1))
+            for f in range(n_frames)
+        ]
+        slot = member % n_frames
+        hs[slot] = dhash_py(
+            textured_pixels(500_000 + seed * 997 + slot * 31 + member, 1)
+        )
+        return set(hs)
+
+    hsets = {d: hashes(d) for d in ids}
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            n = len(hsets[a] & hsets[b])
+            if n >= 4:
+                want.add((a, b, n))
+    assert got == want and want
+    # every same-seed pair is found (shares >= 6 of 8 frames)
+    same_seed = {(a, b) for a, b, _ in want if a // gs == b // gs}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if a // gs == b // gs:
+                assert (a, b) in same_seed

@@ -42,6 +42,9 @@ ROWS_ONLY = {
     # decode; exact twin:
     # test_streaming.test_stream_dhash_ingest_equals_batch
     "stream_dhash_ingest",
+    # round 9: video frame-hash overlap — no SQL decode; exact twin:
+    # test_multimodal.test_video_dhash_neardup_matches_python_twin
+    "video_dhash_neardup",
     # bpe_merges / bpe_encode_stats graduated OUT of this set in round 4:
     # the 24-round merge loop unrolls into generated MATERIALIZED CTEs
     # (registry._bpe_merges_oracle_sql), so both are strictly gated now.
