@@ -284,13 +284,22 @@ def _compact_for_tail(payload: dict) -> dict:
     # the headline timings to integers (the driver-visible signal is
     # which queries are slow, not their second decimal; full precision
     # always lives in .bench_full.json).
-    for drop in ("rows", "queries", "_weak_cap", "_queries_int", "recorded"):
+    # round 9: "_weak_cap5" added between the integer timings and the
+    # recorded drop — at 58 headline timings the line sat 15 chars over
+    # budget and the WHOLE 252-char recorded echo was sacrificed for
+    # it; trimming the weak list 10 -> 5 (n_weak_total keeps the count
+    # honest) is the cheaper cut.
+    for drop in (
+        "rows", "queries", "_weak_cap", "_queries_int", "_weak_cap5",
+        "recorded",
+    ):
         if _len(p) <= _TAIL_BUDGET:
             break
-        if drop == "_weak_cap":
+        if drop in ("_weak_cap", "_weak_cap5"):
             xo2 = p.get("crossover")
             if isinstance(xo2, dict) and isinstance(xo2.get("weak"), dict):
-                xo2["weak"] = dict(list(xo2["weak"].items())[:10])
+                n = 10 if drop == "_weak_cap" else 5
+                xo2["weak"] = dict(list(xo2["weak"].items())[:n])
         elif drop == "_queries_int":
             p["queries"] = {
                 k: int(round(v)) if isinstance(v, float) else v

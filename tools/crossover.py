@@ -498,32 +498,21 @@ RECORDED_R9_TIERS: dict = {
 # hot-key crossover win) ride stdout; every tier lives in
 # .bench_full.json and BASELINE.md.
 RECORDED_ECHO_KEYS: dict[str, tuple[str, ...]] = {
-    # Budgeted against the 41-query sf0.1 headline: the full set must
-    # keep the line <= bench._TAIL_BUDGET or the shed loop drops the
-    # WHOLE recorded section. One slope cell per story: span dedup
-    # (its stats twin and R-other cells live in .bench_full.json),
-    # triangles, the dedup-closure DNF, the KV hot-key crossover win,
-    # and the round-6 kmeans replicated-tier win.
-    "dup_spans": ("R20", "R50"),
-    "copurchase_triangles": ("R50",),
+    # Budgeted against the 58-query sf0.1 headline: the tail line must
+    # stay <= bench._TAIL_BUDGET or the shed loop drops the WHOLE
+    # recorded section (which is exactly what happened to the round-9
+    # first draft of this list — 11 families no longer fit next to 58
+    # timings, and the echo vanished). ONE cell per headline STORY,
+    # hardest-won datums only; every other tier lives in
+    # .bench_full.json and BASELINE.md:
+    #   dedup-closure DNF, the KV hot-key win, the kmeans win, the
+    #   FastSS near-flat endpoint, the second recursive-closure DNF,
+    #   and the round-9 spearman skew-fix flip.
     "neardup_clusters": ("R50",),
     "kv_replay_hotkey": ("R500",),
     "kmeans_embeddings": ("R50",),
-    # round-7: the IVM paying-regime datum (spark_s = flat delta
-    # refresh; the same-engine recompute slope lives in
-    # RECORDED_R7_TIERS / BASELINE.md)
-    "ivm_customer_refresh": ("R100",),
-    # round-8: the FastSS slope endpoint (150k names: Spark flat 9.9 s
-    # vs quadratic 399.6 s; full slope in RECORDED_R8_TIERS) and the
-    # second recursive-closure DNF (CC on the densified co-purchase
-    # graph: Spark 20.6 s, single-node reach CTE >570 s)
     "edit1_customer_pairs": ("R10",),
     "copurchase_components": ("R20",),
-    # round-9: the two VERDICT-r8-item-4 slope closures (converging
-    # tails; full context in BASELINE.md) and the spearman flip (the
-    # skew-cliff fix's slope endpoint: Spark WIN 0.77x at R100)
-    "bigram_pmi": ("R200",),
-    "audience_overlap": ("R500",),
     "spearman_qty_price": ("R100",),
 }
 
