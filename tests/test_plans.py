@@ -643,3 +643,21 @@ def test_basket_pair_counts_exchanges_only_partial_pairs(spark):
     assert "partial_sum" in plan
     # no join operator anywhere — the self-join plan is gone
     assert "Join" not in operator_tree(QUERIES["copurchase_pairs"](spark, SF_DIR))
+
+
+def test_weighted_median_persists_weight_table_once(spark):
+    """Round 9: the (g, v) weight table has three consumers (bounds,
+    bucket sums, crossing-bucket local pass) — the fact join must
+    evaluate ONCE and serve the rest from cache (measured 18.3 s
+    unpersisted vs ~7 s persisted at R100)."""
+    from distributed_computing_spark.caching import release_tracked
+    from distributed_computing_spark.operators.analytics import (
+        weighted_median_price,
+    )
+
+    try:
+        df = weighted_median_price(spark, SF_DIR)
+        assert _plan(df).count("InMemoryTableScan") >= 2, _plan(df)
+        assert df.count() > 0
+    finally:
+        release_tracked()

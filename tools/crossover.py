@@ -471,6 +471,28 @@ RECORDED_R9_TIERS: dict = {
         "R50": {"spark_s": 2.16, "duckdb_s": 0.24, "ratio": 8.9},
         "R100": {"spark_s": 3.09, "duckdb_s": 0.75, "ratio": 4.1},
     },
+    # newest-op R100 cells (one harness run each; the events-family
+    # small absolutes and the weighted-median join floor — see
+    # BASELINE.md "Round-9 newest-op cells" for the decompositions)
+    "benford_audit": {
+        "R100": {"spark_s": 1.42, "duckdb_s": 0.196, "ratio": 7.2},
+    },
+    "event_dark_gaps": {
+        "R100": {"spark_s": 1.26, "duckdb_s": 0.082, "ratio": 15.4},
+    },
+    "event_mode_value": {
+        "R100": {"spark_s": 1.57, "duckdb_s": 0.11, "ratio": 14.3},
+    },
+    "kv_merkle_diff": {
+        "R100": {"spark_s": 5.11, "duckdb_s": 1.21, "ratio": 4.2},
+    },
+    "weighted_median_price": {
+        # draft (vw re-evaluated 3x) 19.7 -> shuffle-hash hint +
+        # track_persist 12.8; remaining floor = ONE 300 M-row lineitem
+        # agg + 30 M join (the kv_effective_ops engine-floor class)
+        "R100_draft": {"spark_s": 19.74, "duckdb_s": 1.63, "ratio": 12.1},
+        "R100": {"spark_s": 12.81, "duckdb_s": 1.47, "ratio": 8.7},
+    },
     # Spark-only throughput (no SQL side exists — the decode runs in
     # Arrow): 100k -> 250k real BMP encode+decode+dHash+band-join,
     # near-flat wall clock (~27k images/s at R50; the Python stage is
