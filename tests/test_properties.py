@@ -334,3 +334,67 @@ def test_jpeg_roundtrip_psnr_hypothesis():
         assert psnr > 24, (h, w, gray, seed, psnr)
 
     check()
+
+
+def test_grouped_min_rank_matches_bruteforce_with_ties(spark):
+    """Property: the two-level bucketed ranking equals the textbook
+    min-rank (1 + count of strictly smaller values in the group) on
+    random tie-heavy data, for several bucket counts — including
+    pre_buckets larger than the value range (degenerate one-value
+    buckets) and 1 (single bucket == the plain window)."""
+    import random
+
+    from distributed_computing_spark.operators.analytics import (
+        grouped_min_rank,
+    )
+
+    rng = random.Random(9)
+    rows = [
+        (rng.choice("abc"), rng.randint(-12, 12), i) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, rid long")
+    want = {}
+    by_g: dict = {}
+    for g, v, rid in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, v, rid in rows:
+        want[rid] = 1 + sum(1 for x in by_g[g] if x < v)
+    for nb in (1, 7, 64, 1000):
+        got = {
+            r["rid"]: r["rk"]
+            for r in grouped_min_rank(
+                df, "g", "v", "rk", pre_buckets=nb
+            ).collect()
+        }
+        assert got == want, f"pre_buckets={nb}"
+
+
+def test_basket_pair_counts_matches_bruteforce(spark):
+    """Property: the fused Arrow pair counter equals the brute-force
+    per-basket C(k,2) count with within-basket dedup, at min_count=1
+    (no survivor filter hides a miscount)."""
+    import itertools
+    import random
+    from collections import Counter
+
+    from distributed_computing_spark.operators.analytics import (
+        basket_pair_counts,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (rng.randint(0, 60), rng.randint(0, 15)) for _ in range(800)
+    ]
+    df = spark.createDataFrame(rows, "l_orderkey long, item long")
+    baskets: dict = {}
+    for o, it in rows:
+        baskets.setdefault(o, set()).add(it)
+    want: Counter = Counter()
+    for its in baskets.values():
+        for a, b in itertools.combinations(sorted(its), 2):
+            want[(a, b)] += 1
+    got = {
+        (r["a"], r["b"]): r["n_orders"]
+        for r in basket_pair_counts(df, min_count=1).collect()
+    }
+    assert got == dict(want)
