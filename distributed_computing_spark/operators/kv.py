@@ -336,3 +336,52 @@ def merkle_diff(
         (F.col("n_a") != F.col("n_b"))
         | (F.col("digest_a") != F.col("digest_b"))
     )
+
+
+def merkle_repair_keys(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    n_buckets: int = 256,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """The anti-entropy DRILL-DOWN (round 9): from the digest-level
+    diff to the concrete repair set — join both states' rows ONLY for
+    diverged buckets (broadcast of the tiny diverged-bucket list
+    prunes each side's scan before any row exchange), then a per-key
+    full-outer compare emits op 'U' (values differ), 'D' (only in a),
+    'I' (only in b). At 100 TB the row exchange is bounded by the
+    diverged fraction, not the state size — digests localize, this
+    fetches."""
+    from distributed_computing_spark.operators.dedup import md5_hash60
+
+    diverged = merkle_diff(state_a, state_b, n_buckets).select("bucket")
+
+    def in_diverged(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket", F.pmod(md5_hash60(F.col(key_col), 0), F.lit(n_buckets))
+        ).join(F.broadcast(diverged), "bucket")
+
+    a = in_diverged(state_a).select(
+        key_col, F.col(value_col).alias("_va"), F.lit(1).alias("_pa")
+    )
+    b = in_diverged(state_b).select(
+        key_col, F.col(value_col).alias("_vb"), F.lit(1).alias("_pb")
+    )
+    j = a.join(b, key_col, "full_outer")
+    return (
+        j.where(
+            F.col("_pa").isNull()
+            | F.col("_pb").isNull()
+            | (F.col("_va") != F.col("_vb"))
+        )
+        .select(
+            key_col,
+            F.when(F.col("_pa").isNull(), F.lit("I"))
+            .when(F.col("_pb").isNull(), F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.col("_va").alias("value_a"),
+            F.col("_vb").alias("value_b"),
+        )
+    )

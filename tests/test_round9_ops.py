@@ -389,3 +389,27 @@ def test_weighted_median_planted_exact(spark, tmp_path):
     out = {r["priority"]: r for r in weighted_median_price(spark, d).collect()}
     assert out["A"]["w_total"] == 4 and out["A"]["median_cents"] == 2
     assert out["B"]["w_total"] == 2 and out["B"]["median_cents"] == 10
+
+
+def test_merkle_repair_keys_recovers_exact_mutation_set(spark):
+    """Drill-down contract: digests localize, the repair pass fetches —
+    the emitted (key, op) set is exactly the planted mutations
+    (changed -> U, deleted -> D, added -> I) and nothing else; keys in
+    clean buckets never reach the row join."""
+    from distributed_computing_spark.operators.kv import merkle_repair_keys
+
+    rows = [(str(k), f"v{k}") for k in range(60)]
+    a = spark.createDataFrame(rows, "key string, value string")
+    mutated = [
+        (k, "X" + v) if int(k) % 10 == 3 else (k, v)
+        for k, v in rows
+        if int(k) % 10 != 7
+    ] + [("999", "new")]
+    b = spark.createDataFrame(mutated, "key string, value string")
+    got = {(r["key"], r["op"]) for r in merkle_repair_keys(a, b, 32).collect()}
+    want = (
+        {(str(k), "U") for k in range(60) if k % 10 == 3}
+        | {(str(k), "D") for k in range(60) if k % 10 == 7}
+        | {("999", "I")}
+    )
+    assert got == want
