@@ -459,6 +459,10 @@ RECORDED_R9_TIERS: dict = {
         "R20": {"spark_s": 11.0, "duckdb_s": 5.3, "ratio": 2.1},
         "R50": {"spark_s": 19.6, "duckdb_s": 18.8, "ratio": 1.05},
         "R100": {"spark_s": 30.5, "duckdb_s": 39.8, "ratio": 0.77},
+        # lineitem-only replica (_li), 120 M rows: the win WIDENS —
+        # single-node per-group sorts grow superlinearly (39.8 ->
+        # 115.2 s for 2x) while the bucketed ranking grows 1.55x.
+        "R200": {"spark_s": 47.4, "duckdb_s": 115.2, "ratio": 0.41},
     },
     # both-engines-linear (the pair expansion costs both — the
     # association_rules shape) and the small-absolute overhead floor
