@@ -506,6 +506,16 @@ RECORDED_R9_TIERS: dict = {
         "R20": {"spark_s": 12.5, "duckdb_s": None, "ratio": None},
         "R50": {"spark_s": 9.3, "duckdb_s": None, "ratio": None},
     },
+    # video: 100k 8-frame AVIs (800k frame hashes) in one pass; the
+    # in-fixture AVI ENCODE dominates the cell (real pipelines read
+    # blobs from storage — the decode+hash+join is the operator).
+    # stream_dhash_ingest: the streaming replay of 100k image blobs.
+    "video_dhash_neardup": {
+        "R20": {"spark_s": 36.9, "duckdb_s": None, "ratio": None},
+    },
+    "stream_dhash_ingest": {
+        "R20": {"spark_s": 3.8, "duckdb_s": None, "ratio": None},
+    },
     # basket pair join vs the fused Arrow pair counter (alternating
     # warm probe, same session: join 11.0 s / fused 6.6 s,
     # bit-identical) — the explode-family lesson's 6th confirmation,
