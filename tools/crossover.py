@@ -463,6 +463,9 @@ RECORDED_R9_TIERS: dict = {
         # single-node per-group sorts grow superlinearly (39.8 ->
         # 115.2 s for 2x) while the bucketed ranking grows 1.55x.
         "R200": {"spark_s": 47.4, "duckdb_s": 115.2, "ratio": 0.41},
+        # 240 M rows: a 5x win (single-node 115 -> 537 s for 2x data;
+        # Spark 2.2x) — the kmeans/kcore slope shape on rank windows.
+        "R400": {"spark_s": 104.4, "duckdb_s": 537.3, "ratio": 0.19},
     },
     # both-engines-linear (the pair expansion costs both — the
     # association_rules shape) and the small-absolute overhead floor
@@ -474,6 +477,10 @@ RECORDED_R9_TIERS: dict = {
         # expansion grows 3.2x for 2x data vs Spark's 1.96x —
         # converging (~R400 extrapolated crossing).
         "R200": {"spark_s": 48.9, "duckdb_s": 21.7, "ratio": 2.25},
+        # 240 M rows: the extrapolation lands — cosine FLIPS to a
+        # Spark win at R400 (zstd shuffle codec; the pair family's
+        # 4th measured flip).
+        "R400": {"spark_s": 94.0, "duckdb_s": 101.3, "ratio": 0.93},
     },
     "promo_revenue_share": {
         "R50": {"spark_s": 2.16, "duckdb_s": 0.24, "ratio": 8.9},
