@@ -2584,7 +2584,26 @@ def weighted_median_price(
     from distributed_computing_spark.caching import track_persist
 
     vw = track_persist(rows.groupBy("g", "v").agg(F.sum("wt").alias("wt")))
+    local = grouped_weighted_median(vw, pre_buckets=pre_buckets)
+    return local.select(
+        F.col("g").alias("priority"),
+        "w_total",
+        F.col("median_v").alias("median_cents"),
+    ).orderBy("priority")
+
+
+def grouped_weighted_median(
+    vw: DataFrame, pre_buckets: int = 256
+) -> DataFrame:
+    """The two-level lower-weighted-median CORE over a pre-aggregated
+    (g, v, wt) table (weighted_median_price's machinery, extracted so
+    robust statistics can call it twice): returns (g, w_total,
+    median_v) where median_v = smallest v with 2·cumweight >= W.
+    Callers should persist ``vw`` if it is expensive — this plan
+    consumes it three times (bounds, bucket sums, crossing pass)."""
     b = vw.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    if b["lo"] is None:
+        raise ValueError("empty input to grouped_weighted_median")
     lo, hi = int(b["lo"]), int(b["hi"])
     width = max(1, (hi - lo) // pre_buckets + 1)
     vb = vw.withColumn("_b", F.expr(f"(v - {lo}L) div {width}L"))
@@ -2611,17 +2630,72 @@ def weighted_median_price(
         & (2 * F.col("cum_before") < F.col("w_total"))
     ).select("g", "_b", "cum_before", "w_total")
     w_local = Window.partitionBy("g").orderBy("v")
-    local = (
+    return (
         vb.join(F.broadcast(crossing), ["g", "_b"])
         .withColumn(
             "cum", F.col("cum_before") + F.sum("wt").over(w_local)
         )
         .where(2 * F.col("cum") >= F.col("w_total"))
         .groupBy("g", "w_total")
-        .agg(F.min("v").alias("median_cents"))
+        .agg(F.min("v").alias("median_v"))
     )
-    return local.select(
-        F.col("g").alias("priority"),
-        "w_total",
-        "median_cents",
-    ).orderBy("priority")
+
+
+def robust_price_outliers(
+    spark: SparkSession, sf_dir: str, k_milli: int = 4448
+) -> DataFrame:
+    """MAD-based ROBUST outlier screen per order status (round 9) —
+    the heavy-tail twin of the z-score ``price_outliers``: median and
+    median-absolute-deviation are breakdown-50% statistics a single
+    corrupt feed can't drag the way it drags mean/stddev. Flags rows
+    with ``1000·|x − med| > k_milli·MAD`` (k_milli = 4448 ≈
+    3·1.4826·1000, the 3σ-equivalent under normality) — all exact
+    integer cents, no float ever compares. Emits per status: n_orders,
+    median_cents, mad_cents, n_outliers.
+
+    Plan: two grouped_weighted_median passes (each the two-level
+    no-global-sort decomposition) over persisted (g, v, count) tables;
+    the medians broadcast back onto the order scan for the deviation
+    pass and the final flag count — the fact never shuffles."""
+    from distributed_computing_spark.caching import track_persist
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        F.col("o_orderstatus").alias("g"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    vw1 = track_persist(
+        c.groupBy("g", "v").agg(F.count(F.lit(1)).alias("wt"))
+    )
+    med = grouped_weighted_median(vw1).select(
+        "g", F.col("median_v").alias("med")
+    )
+    dev = vw1.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v") - F.col("med")).alias("v"), "wt"
+    )
+    vw2 = track_persist(dev.groupBy("g", "v").agg(F.sum("wt").alias("wt")))
+    mad = grouped_weighted_median(vw2).select(
+        "g", F.col("median_v").alias("mad")
+    )
+    flagged = (
+        vw1.join(F.broadcast(med), "g")
+        .join(F.broadcast(mad), "g")
+        .groupBy("g", "med", "mad")
+        .agg(
+            F.sum("wt").alias("n_orders"),
+            F.sum(
+                F.when(
+                    1000 * F.abs(F.col("v") - F.col("med"))
+                    > k_milli * F.col("mad"),
+                    F.col("wt"),
+                ).otherwise(F.lit(0))
+            ).alias("n_outliers"),
+        )
+    )
+    return flagged.select(
+        F.col("g").alias("status"),
+        "n_orders",
+        F.col("med").alias("median_cents"),
+        F.col("mad").alias("mad_cents"),
+        "n_outliers",
+    ).orderBy("status")

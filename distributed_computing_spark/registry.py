@@ -5138,6 +5138,44 @@ SELECT g AS priority, CAST(tot AS BIGINT) AS w_total,
 FROM r WHERE 2 * cum >= tot GROUP BY g, tot ORDER BY priority"""
 
 
+def robust_price_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.analytics import (
+        robust_price_outliers,
+    )
+
+    return robust_price_outliers(spark, sf_dir)
+
+
+QUERIES["robust_price_outliers"] = robust_price_outliers_q
+ORACLES["robust_price_outliers"] = """
+WITH c AS (
+  SELECT o_orderstatus AS g,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders),
+vw1 AS (SELECT g, v, count(*) AS wt FROM c GROUP BY 1, 2),
+r1 AS (SELECT g, v, wt,
+              sum(wt) OVER (PARTITION BY g ORDER BY v) AS cum,
+              sum(wt) OVER (PARTITION BY g) AS tot
+       FROM vw1),
+m1 AS (SELECT g, min(v) AS med FROM r1 WHERE 2 * cum >= tot GROUP BY g),
+d AS (SELECT vw1.g, abs(vw1.v - m1.med) AS v, vw1.wt
+      FROM vw1 JOIN m1 ON vw1.g = m1.g),
+vw2 AS (SELECT g, v, sum(wt) AS wt FROM d GROUP BY 1, 2),
+r2 AS (SELECT g, v, wt,
+              sum(wt) OVER (PARTITION BY g ORDER BY v) AS cum,
+              sum(wt) OVER (PARTITION BY g) AS tot
+       FROM vw2),
+m2 AS (SELECT g, min(v) AS mad FROM r2 WHERE 2 * cum >= tot GROUP BY g)
+SELECT vw1.g AS status,
+       CAST(sum(vw1.wt) AS BIGINT) AS n_orders,
+       CAST(m1.med AS BIGINT) AS median_cents,
+       CAST(m2.mad AS BIGINT) AS mad_cents,
+       CAST(sum(CASE WHEN 1000 * abs(vw1.v - m1.med) > 4448 * m2.mad
+                     THEN vw1.wt ELSE 0 END) AS BIGINT) AS n_outliers
+FROM vw1 JOIN m1 ON vw1.g = m1.g JOIN m2 ON vw1.g = m2.g
+GROUP BY 1, 3, 4 ORDER BY 1"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 9 — VERDICT r8 items 1, 2, 6)
 # ---------------------------------------------------------------------------
@@ -5169,6 +5207,7 @@ _R9_WINDOW = [
     "event_mode_value", "stream_dhash_ingest",
     "sliding_audience_hll_90d", "kv_merkle_diff",
     "weighted_median_price", "video_dhash_neardup",
+    "robust_price_outliers",
     # last driver row r5 — batch cohort (VERDICT r8 item 6; eleven
     # defer to round 10 to make room for the round-9 additions and
     # changed-query re-proofs — text_stats, word_count_top10,
@@ -5176,15 +5215,14 @@ _R9_WINDOW = [
     # tfidf_top_terms, minhash_neardup, simhash_neardup (both
     # rows-only; their oracle-exact twins stay in-window),
     # repetition_scores, quality_calibration, user_retention,
-    # sample_by_lang_exact: all column-arithmetic-, golden- or
-    # twin-covered and locally gated every round; they are round 10's
-    # first picks)
+    # sample_by_lang_exact, quality_scores: all column-arithmetic-,
+    # golden- or twin-covered and locally gated every round; they are
+    # round 10's first picks)
     "event_anomalies", "fingerprints", "ivf_topk_exact",
     "kv_replay_hotkey", "lang_entropy_by_source", "lang_id",
     "leakage_safe_split", "lsh_topk_exact", "minhash_incremental",
     "minhash_lsh_exact", "multimodal_jpeg_decode",
     "pack_chunks", "priority_grouping_sets",
-    "quality_scores",
     "shingle_novelty", "simhash_exact",
     # last driver row r5 — the stream_* family
     "stream_sessions", "stream_sliding", "stream_windowed",
@@ -5207,6 +5245,7 @@ _R9_NEW = [
     "event_mode_value", "stream_dhash_ingest",
     "sliding_audience_hll_90d", "kv_merkle_diff",
     "weighted_median_price", "video_dhash_neardup",
+    "robust_price_outliers",
 ]
 _order = list(QUERIES)
 for _q in _R9_NEW:

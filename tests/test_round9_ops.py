@@ -413,3 +413,40 @@ def test_merkle_repair_keys_recovers_exact_mutation_set(spark):
         | {("999", "I")}
     )
     assert got == want
+
+
+def test_robust_outliers_planted_heavy_tail(spark, tmp_path):
+    """The robust screen's point: a single wild value moves the
+    mean/stddev but not median/MAD — on planted data (five 10.00s, four
+    10.01-10.04s, one 10000.00) the MAD flags exactly the wild row, and
+    median/MAD are the planted integers."""
+    import datetime
+
+    from distributed_computing_spark.operators.analytics import (
+        robust_price_outliers,
+    )
+    from distributed_computing_spark.caching import release_tracked
+
+    d = str(tmp_path / "sf")
+    t0 = datetime.datetime(2024, 1, 1)
+    prices = [10.00] * 4 + [10.01, 10.02, 10.03, 10.04, 10.05, 10000.00]
+    rows = [
+        (i, 1, "O", p, t0, "P") for i, p in enumerate(prices)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    try:
+        out = robust_price_outliers(spark, d).collect()
+    finally:
+        release_tracked()
+    assert len(out) == 1
+    r = out[0]
+    # lower median of [1000x4, 1001..1005, 1000000]: cum(1000)=4 (2*4 <
+    # 10), cum(1001)=5 (2*5 >= 10) -> med=1001. Deviations sorted:
+    # [0, 1x5, 2, 3, 4, 998999] -> MAD (lower) = 1. Flag: 1000*dev >
+    # 4448*1 -> only the wild row.
+    assert r["median_cents"] == 1001 and r["mad_cents"] == 1
+    assert r["n_orders"] == 10 and r["n_outliers"] == 1
