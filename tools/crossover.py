@@ -444,6 +444,12 @@ RECORDED_R9_TIERS: dict = {
         # documents-only replica (_do), 1.0 M docs at R200
         "R200": {"spark_s": 5.54, "duckdb_s": 1.125, "ratio": 4.9},
     },
+    # lineitem-only 240 M rows: the rules pair expansion reaches a
+    # DEAD TIE (2.2 -> 2.7 -> 1.03 across R20/R100/R400 — the same
+    # crossing tier as its cosine sibling).
+    "association_rules": {
+        "R400": {"spark_s": 102.1, "duckdb_s": 99.0, "ratio": 1.03},
+    },
     "audience_overlap": {
         # events-only replica (_ev), 50 M events at R500
         "R500": {"spark_s": 5.15, "duckdb_s": 0.896, "ratio": 5.7},
