@@ -491,6 +491,10 @@ RECORDED_R9_TIERS: dict = {
     "promo_revenue_share": {
         "R50": {"spark_s": 2.16, "duckdb_s": 0.24, "ratio": 8.9},
         "R100": {"spark_s": 3.09, "duckdb_s": 0.75, "ratio": 4.1},
+        # lineitem-only 240 M rows, cold-scan cell: the ratio settles
+        # in the 4-6 band at data-dominated tiers (from 10.7 at R20) —
+        # scan-bound on both sides.
+        "R400": {"spark_s": 11.2, "duckdb_s": 1.92, "ratio": 5.8},
     },
     # newest-op R100 cells (one harness run each; the events-family
     # small absolutes and the weighted-median join floor — see
@@ -513,6 +517,9 @@ RECORDED_R9_TIERS: dict = {
         # agg + 30 M join (the kv_effective_ops engine-floor class)
         "R100_draft": {"spark_s": 19.74, "duckdb_s": 1.63, "ratio": 12.1},
         "R100": {"spark_s": 12.81, "duckdb_s": 1.47, "ratio": 8.7},
+        # orders+lineitem subset replica (_or-li), 30 M orders / 120 M
+        # lineitem: converging 8.7 -> 5.0.
+        "R200": {"spark_s": 17.88, "duckdb_s": 3.58, "ratio": 5.0},
     },
     # Spark-only throughput (no SQL side exists — the decode runs in
     # Arrow): 100k -> 250k real BMP encode+decode+dHash+band-join,
