@@ -2601,9 +2601,26 @@ def grouped_weighted_median(
     median_v) where median_v = smallest v with 2·cumweight >= W.
     Callers should persist ``vw`` if it is expensive — this plan
     consumes it three times (bounds, bucket sums, crossing pass)."""
+    return grouped_weighted_quantile(vw, 500, pre_buckets).select(
+        "g", "w_total", F.col("q_v").alias("median_v")
+    )
+
+
+def grouped_weighted_quantile(
+    vw: DataFrame, q_permille: int = 500, pre_buckets: int = 256
+) -> DataFrame:
+    """Exact lower WEIGHTED QUANTILE per group over a pre-aggregated
+    (g, v, wt) table — the two-level no-global-sort decomposition
+    generalized from the median (q_permille = 500) to any q:
+    ``q_v = smallest v with 1000·cumweight >= q_permille·W`` (all
+    integer comparisons, truncation-free on both engines). The bucket
+    prefix (tiny) locates each group's crossing bucket; only that
+    bucket's values cumulate locally. Returns (g, w_total, q_v)."""
+    if not 0 < q_permille <= 1000:
+        raise ValueError("q_permille must be in (0, 1000]")
     b = vw.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
     if b["lo"] is None:
-        raise ValueError("empty input to grouped_weighted_median")
+        raise ValueError("empty input to grouped_weighted_quantile")
     lo, hi = int(b["lo"]), int(b["hi"])
     width = max(1, (hi - lo) // pre_buckets + 1)
     vb = vw.withColumn("_b", F.expr(f"(v - {lo}L) div {width}L"))
@@ -2624,10 +2641,10 @@ def grouped_weighted_median(
         F.sum("bw").over(w_tot).alias("w_total"),
     )
     # the crossing bucket: first bucket whose inclusive cum reaches the
-    # half-weight threshold (tiny table: groups x buckets)
+    # q-weight threshold (tiny table: groups x buckets)
     crossing = pre.where(
-        (2 * F.col("cum_incl") >= F.col("w_total"))
-        & (2 * F.col("cum_before") < F.col("w_total"))
+        (1000 * F.col("cum_incl") >= q_permille * F.col("w_total"))
+        & (1000 * F.col("cum_before") < q_permille * F.col("w_total"))
     ).select("g", "_b", "cum_before", "w_total")
     w_local = Window.partitionBy("g").orderBy("v")
     return (
@@ -2635,9 +2652,52 @@ def grouped_weighted_median(
         .withColumn(
             "cum", F.col("cum_before") + F.sum("wt").over(w_local)
         )
-        .where(2 * F.col("cum") >= F.col("w_total"))
+        .where(1000 * F.col("cum") >= q_permille * F.col("w_total"))
         .groupBy("g", "w_total")
-        .agg(F.min("v").alias("median_v"))
+        .agg(F.min("v").alias("q_v"))
+    )
+
+
+def order_price_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact grouped P50/P90/P99 (round 9): per o_orderpriority, the
+    lower quantiles of exact cent prices — the exact, no-global-sort
+    counterpart of revenue_percentiles' float ``percentile()`` (whose
+    per-group sort is the spearman skew cliff). One persisted (g, v,
+    count) table serves all three grouped_weighted_quantile passes;
+    each pass's row-data window is confined to one bucket per group."""
+    from distributed_computing_spark.caching import track_persist
+
+    orders = load_table(spark, sf_dir, "orders")
+    vw = track_persist(
+        orders.select(
+            F.col("o_orderpriority").alias("g"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        )
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("wt"))
+    )
+    p50 = grouped_weighted_quantile(vw, 500).select(
+        "g", "w_total", F.col("q_v").alias("p50_cents")
+    )
+    p90 = grouped_weighted_quantile(vw, 900).select(
+        "g", F.col("q_v").alias("p90_cents")
+    )
+    p99 = grouped_weighted_quantile(vw, 990).select(
+        "g", F.col("q_v").alias("p99_cents")
+    )
+    return (
+        p50.join(p90, "g")
+        .join(p99, "g")
+        .select(
+            F.col("g").alias("priority"),
+            F.col("w_total").alias("n_orders"),
+            "p50_cents",
+            "p90_cents",
+            "p99_cents",
+        )
+        .orderBy("priority")
     )
 
 

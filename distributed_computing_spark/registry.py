@@ -5176,6 +5176,35 @@ FROM vw1 JOIN m1 ON vw1.g = m1.g JOIN m2 ON vw1.g = m2.g
 GROUP BY 1, 3, 4 ORDER BY 1"""
 
 
+def order_price_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.analytics import (
+        order_price_quantiles,
+    )
+
+    return order_price_quantiles(spark, sf_dir)
+
+
+QUERIES["order_price_quantiles"] = order_price_quantiles_q
+ORACLES["order_price_quantiles"] = """
+WITH c AS (
+  SELECT o_orderpriority AS g,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders),
+vw AS (SELECT g, v, count(*) AS wt FROM c GROUP BY 1, 2),
+r AS (SELECT g, v, wt,
+             sum(wt) OVER (PARTITION BY g ORDER BY v) AS cum,
+             sum(wt) OVER (PARTITION BY g) AS tot
+      FROM vw)
+SELECT g AS priority, CAST(tot AS BIGINT) AS n_orders,
+       CAST(min(CASE WHEN 1000 * cum >= 500 * tot THEN v END) AS BIGINT)
+         AS p50_cents,
+       CAST(min(CASE WHEN 1000 * cum >= 900 * tot THEN v END) AS BIGINT)
+         AS p90_cents,
+       CAST(min(CASE WHEN 1000 * cum >= 990 * tot THEN v END) AS BIGINT)
+         AS p99_cents
+FROM r GROUP BY 1, tot ORDER BY 1"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 9 — VERDICT r8 items 1, 2, 6)
 # ---------------------------------------------------------------------------
@@ -5207,7 +5236,7 @@ _R9_WINDOW = [
     "event_mode_value", "stream_dhash_ingest",
     "sliding_audience_hll_90d", "kv_merkle_diff",
     "weighted_median_price", "video_dhash_neardup",
-    "robust_price_outliers",
+    "robust_price_outliers", "order_price_quantiles",
     # last driver row r5 — batch cohort (VERDICT r8 item 6; eleven
     # defer to round 10 to make room for the round-9 additions and
     # changed-query re-proofs — text_stats, word_count_top10,
@@ -5215,15 +5244,15 @@ _R9_WINDOW = [
     # tfidf_top_terms, minhash_neardup, simhash_neardup (both
     # rows-only; their oracle-exact twins stay in-window),
     # repetition_scores, quality_calibration, user_retention,
-    # sample_by_lang_exact, quality_scores: all column-arithmetic-,
-    # golden- or twin-covered and locally gated every round; they are
-    # round 10's first picks)
+    # sample_by_lang_exact, quality_scores, shingle_novelty: all
+    # column-arithmetic-, golden- or twin-covered and locally gated
+    # every round; they are round 10's first picks)
     "event_anomalies", "fingerprints", "ivf_topk_exact",
     "kv_replay_hotkey", "lang_entropy_by_source", "lang_id",
     "leakage_safe_split", "lsh_topk_exact", "minhash_incremental",
     "minhash_lsh_exact", "multimodal_jpeg_decode",
     "pack_chunks", "priority_grouping_sets",
-    "shingle_novelty", "simhash_exact",
+    "simhash_exact",
     # last driver row r5 — the stream_* family
     "stream_sessions", "stream_sliding", "stream_windowed",
     "stream_config_poll", "stream_curated_ingest", "stream_dedup_ops",
@@ -5245,7 +5274,7 @@ _R9_NEW = [
     "event_mode_value", "stream_dhash_ingest",
     "sliding_audience_hll_90d", "kv_merkle_diff",
     "weighted_median_price", "video_dhash_neardup",
-    "robust_price_outliers",
+    "robust_price_outliers", "order_price_quantiles",
 ]
 _order = list(QUERIES)
 for _q in _R9_NEW:
