@@ -879,6 +879,7 @@ def basket_pair_counts(
     min_count: int = 3,
     order_col: str = "l_orderkey",
     item_col: str = "item",
+    max_basket: int = 10_000,
 ) -> DataFrame:
     """Per-basket pair supports (a < b, a/b = items co-occurring in an
     order, n_orders = baskets containing both) via a FUSED Arrow pass
@@ -894,7 +895,13 @@ def basket_pair_counts(
 
     Scale contract: per-basket work is C(k,2) — the same bound the
     join plan pays — and the partial-count dict is bounded per batch
-    by the distinct-pair count, the classic map-side-combine shape."""
+    by the distinct-pair count, the classic map-side-combine shape.
+    ``max_basket`` is the ABSOLUTE companion cap every pair-generating
+    guard needs (ADVICE r9; the ngram max_posting / minhash max_bucket
+    rule): a degenerate mega-basket would stall a Python worker on
+    C(k,2) alone, so baskets above the cap are SKIPPED (a >10k-item
+    "basket" is a data artifact, not co-purchase signal) — mirrored in
+    the copurchase_pairs oracle's NOT IN basket-size filter."""
     from collections import Counter
 
     import pandas as pd
@@ -920,7 +927,8 @@ def basket_pair_counts(
         F.collect_set(item_col).alias("_its")
     )
     return (
-        baskets.select("_its")
+        baskets.where(F.size("_its") <= max_basket)
+        .select("_its")
         .mapInPandas(count_pairs, "a long, b long, n long")
         .groupBy("a", "b")
         .agg(F.sum("n").alias("n_orders"))
@@ -2318,9 +2326,21 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row aggregate."""
     orders = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100).cast("long")
-    digits = orders.select(
-        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
-    ).where(F.col("digit") >= 1)
+    # Filter non-positive amounts BEFORE the digit cast (ADVICE r9):
+    # under ANSI mode, cast('-' as int) on a negative amount's leading
+    # sign THROWS before any post-cast filter can drop it — the screen
+    # must degrade to filtering, not fail the job. Mirrored in the
+    # oracle's WHERE.
+    digits = (
+        orders.select(cents.alias("_c"))
+        .where(F.col("_c") >= 1)
+        .select(
+            F.substring(F.col("_c").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .where(F.col("digit") >= 1)
+    )
     counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
     total = counts.agg(F.sum("n_orders").alias("n_total"))
     expected = F.create_map(
@@ -2348,6 +2368,7 @@ def copurchase_cosine(
     sf_dir: str,
     min_count: int = 3,
     scale: int = 10**6,
+    max_broadcast_items: int = 2_000_000,
 ) -> DataFrame:
     """Item-item cosine similarity over co-purchase baskets (round 9) —
     the classic neighborhood-based recommender statistic:
@@ -2362,7 +2383,11 @@ def copurchase_cosine(
     Plan (round-9 re-plan): pair supports from the shared fused Arrow
     counter (basket_pair_counts — the join plan measured 11.0 s warm
     at R20, the fused pass 6.6 s, bit-identical); item supports are
-    one distinct+count scan attached by broadcast."""
+    one distinct+count scan attached by broadcast — gated (ADVICE r9,
+    the bigram_pmi max_broadcast_vocab rule) on an UPPER BOUND that
+    costs no extra scan: distinct items <= |part| and a parquet count
+    is metadata-only, so a web-scale item catalog falls back to a
+    shuffle join instead of collecting to every executor."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", F.col("l_partkey").alias("item")
     )
@@ -2372,9 +2397,14 @@ def copurchase_cosine(
     )
     sa = supp.select(F.col("item").alias("a"), F.col("supp").alias("supp_a"))
     sb = supp.select(F.col("item").alias("b"), F.col("supp").alias("supp_b"))
+    supp_fits = (
+        load_table(spark, sf_dir, "part").count() <= max_broadcast_items
+    )
+    sa = F.broadcast(sa) if supp_fits else sa
+    sb = F.broadcast(sb) if supp_fits else sb
     return (
-        pairs.join(F.broadcast(sa), "a")
-        .join(F.broadcast(sb), "b")
+        pairs.join(sa, "a")
+        .join(sb, "b")
         .select(
             "a",
             "b",

@@ -287,11 +287,32 @@ def merkle_digests(
 
     Cross-engine exact: the md5_hash60 family reproduces bit-for-bit
     in DuckDB SQL, so the digest table itself sits under the strict
-    hash gate."""
+    hash gate.
+
+    Row representation (round 10, ADVICE r9): LENGTH-PREFIXED fields —
+    ``k<len>:<key>|v<len>:<value>`` with NULL values encoded as the
+    distinct marker ``|n`` — so ('a|b','c') never collides with
+    ('a','b|c') and (k, NULL) hashes differently from (k, '') instead
+    of being concat_ws-skipped. Mirrored verbatim in the kv_merkle_diff
+    oracle (registry.py)."""
     from distributed_computing_spark.operators.dedup import md5_hash60
 
     row_hash = md5_hash60(
-        F.concat_ws("|", F.col(key_col), F.col(value_col)), 1
+        F.concat(
+            F.lit("k"),
+            F.length(F.col(key_col)).cast("string"),
+            F.lit(":"),
+            F.col(key_col),
+            F.when(F.col(value_col).isNull(), F.lit("|n")).otherwise(
+                F.concat(
+                    F.lit("|v"),
+                    F.length(F.col(value_col)).cast("string"),
+                    F.lit(":"),
+                    F.col(value_col),
+                )
+            ),
+        ),
+        1,
     )
     return (
         state.select(
@@ -369,11 +390,15 @@ def merkle_repair_keys(
         key_col, F.col(value_col).alias("_vb"), F.lit(1).alias("_pb")
     )
     j = a.join(b, key_col, "full_outer")
+    # Null-safe value compare (ADVICE r9): a plain != evaluates to NULL
+    # when exactly one side's VALUE is NULL (key present on both
+    # replicas, value NULL on one) and the where-clause would drop a
+    # real divergence; eqNullSafe treats NULL as a comparable value.
     return (
         j.where(
             F.col("_pa").isNull()
             | F.col("_pb").isNull()
-            | (F.col("_va") != F.col("_vb"))
+            | ~F.col("_va").eqNullSafe(F.col("_vb"))
         )
         .select(
             key_col,

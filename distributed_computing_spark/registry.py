@@ -2267,11 +2267,18 @@ n AS (SELECT count(*) AS n_docs FROM documents)
 SELECT word, df, round(df * 1.0 / n_docs, 6) AS df_frac
 FROM dfq, n
 WHERE df >= 0.4 * n_docs""",
+    # max_basket mirror (ADVICE r9): baskets above the absolute cap are
+    # skipped on both engines — NOT IN is null-safe here (l_orderkey is
+    # non-null). No TPC-H-ish basket approaches 10k items, so the gate
+    # digest is unchanged; the cap is the scale guard.
     "copurchase_pairs": """
 SELECT la.l_partkey AS a, lb.l_partkey AS b,
        count(DISTINCT la.l_orderkey) AS n_orders
 FROM lineitem la JOIN lineitem lb
   ON la.l_orderkey = lb.l_orderkey AND la.l_partkey < lb.l_partkey
+WHERE la.l_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+                            GROUP BY 1
+                            HAVING count(DISTINCT l_partkey) > 10000)
 GROUP BY 1, 2
 HAVING count(DISTINCT la.l_orderkey) >= 3""",
     "event_transitions": """
@@ -4099,6 +4106,9 @@ pairs AS MATERIALIZED (
   SELECT a.item AS a, b.item AS b,
          count(DISTINCT a.l_orderkey) AS supp_ab
   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+  WHERE a.l_orderkey NOT IN (SELECT l_orderkey FROM li
+                             GROUP BY 1
+                             HAVING count(DISTINCT item) > 10000)
   GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 3),
 rules AS (
   SELECT a AS lhs, b AS rhs, supp_ab FROM pairs
@@ -4593,7 +4603,8 @@ def _benford_oracle_sql() -> str:
 WITH d AS (
   SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
                           AS VARCHAR), 1, 1) AS INT) AS digit
-  FROM orders),
+  FROM orders
+  WHERE CAST(floor(o_totalprice * 100) AS BIGINT) >= 1),
 c AS (SELECT digit, count(*) AS n_orders FROM d WHERE digit >= 1 GROUP BY 1),
 t AS (SELECT sum(n_orders) AS n_total FROM c)
 SELECT digit, CAST(n_orders AS BIGINT) AS n_orders,
@@ -4773,10 +4784,16 @@ def large_volume_orders(
 
 
 QUERIES["large_volume_orders"] = large_volume_orders
+# DuckDB types sum(BIGINT) as HUGEINT — the round-8 value-hash class on
+# the ORACLE side (CORRECTNESS_r09: rows+schema green, hash red). Every
+# oracle aggregate that lands in a FINAL column must cast back to
+# BIGINT; tests/test_registry.test_no_hugeint_or_decimal_in_any_oracle
+# _output_schema sweeps the whole registry.
 ORACLES["large_volume_orders"] = """
 WITH big AS (
   SELECT l_orderkey,
-         sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS qty_cents
+         CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS qty_cents
   FROM lineitem GROUP BY 1 HAVING qty_cents > 30000)
 SELECT o.o_orderkey, c.c_name, o.o_orderpriority, b.qty_cents
 FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
@@ -5068,14 +5085,22 @@ corrupted AS (
 da AS (
   SELECT ('0x' || substr(md5("key" || '#0'), 1, 15))::BIGINT % 64 AS bucket,
          count(*) AS n,
-         bit_xor(('0x' || substr(md5(("key" || '|' || "value") || '#1'),
-                                 1, 15))::BIGINT) AS dg
+         bit_xor(('0x' || substr(md5(
+           ('k' || CAST(length("key") AS VARCHAR) || ':' || "key"
+            || CASE WHEN "value" IS NULL THEN '|n'
+                    ELSE '|v' || CAST(length("value") AS VARCHAR) || ':'
+                         || "value" END) || '#1'),
+           1, 15))::BIGINT) AS dg
   FROM full_state GROUP BY 1),
 db AS (
   SELECT ('0x' || substr(md5("key" || '#0'), 1, 15))::BIGINT % 64 AS bucket,
          count(*) AS n,
-         bit_xor(('0x' || substr(md5(("key" || '|' || "value") || '#1'),
-                                 1, 15))::BIGINT) AS dg
+         bit_xor(('0x' || substr(md5(
+           ('k' || CAST(length("key") AS VARCHAR) || ':' || "key"
+            || CASE WHEN "value" IS NULL THEN '|n'
+                    ELSE '|v' || CAST(length("value") AS VARCHAR) || ':'
+                         || "value" END) || '#1'),
+           1, 15))::BIGINT) AS dg
   FROM corrupted GROUP BY 1),
 j AS (
   SELECT coalesce(da.bucket, db.bucket) AS bucket,

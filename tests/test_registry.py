@@ -98,6 +98,33 @@ def test_no_decimal_type_in_any_gated_output_schema(spark, sf_dir):
     )
 
 
+def test_no_hugeint_or_decimal_in_any_oracle_output_schema():
+    """VERDICT r9 item 1 — the mirror of the Spark-side decimal sweep:
+    DuckDB types ``sum(BIGINT)`` as HUGEINT and ``sum(DECIMAL)`` as a
+    wider DECIMAL, and the driver value-hashes INT128/DECIMAL-
+    represented integers differently from BIGINT (the round-8 bisect;
+    round 9's only red row, large_volume_orders, was exactly this on
+    the ORACLE side — rows+schema green, hash red, invisible to the
+    local str() harness). DESCRIBE every oracle against the sf0.001
+    views and reject HUGEINT/UHUGEINT/DECIMAL in any FINAL column."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    offenders = []
+    for name, sql in ORACLES.items():
+        desc = con.sql(f"DESCRIBE {sql}").fetchall()
+        for col, coltype, *_ in desc:
+            up = coltype.upper()
+            if "HUGEINT" in up or "DECIMAL" in up:
+                offenders.append((name, col, coltype))
+    assert not offenders, (
+        "oracles with HUGEINT/DECIMAL in their FINAL schema (cast the "
+        f"aggregate to BIGINT or a digit string): {offenders}"
+    )
+
+
 def test_every_oracle_parses_in_duckdb():
     """EXPLAIN each oracle against the real parquet schemas — catches
     SQL drift without running the queries."""
