@@ -4864,10 +4864,13 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with planted one-pixel near-duplicates → 56-bit integer dHash →
     pigeonhole band join → exact Hamming verify. The dedup family's
     banded-candidate discipline applied to the multimodal column.
-    ROWS-ONLY under the driver (the decode can't run in SQL); the
-    EXACT twin is tests/test_multimodal.py's pure-Python dHash replay
-    (shared dhash_py definition — one tokenizer, so to speak), which
-    asserts the full pair set at sf0.001."""
+    ORACLE-EXACT since round 10 (VERDICT r9 item 5): the blob
+    generator is closed-form integer algebra, so the oracle derives
+    every expected dHash in SQL (_dhash_core_cte) and replays the
+    band join + Hamming verify — the Spark side still decodes the
+    REAL BMP byte stream, making the gate an independent derivation.
+    The pure-Python twin (tests/test_multimodal.py, shared dhash_py
+    definition) stays as the third leg."""
     from distributed_computing_spark.operators.multimodal import (
         dhash_images,
         image_neardup_pairs,
@@ -4880,6 +4883,81 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["image_dhash_neardup"] = image_dhash_neardup
+
+
+def _dhash_core_cte(src_select: str) -> str:
+    """The dHash CLOSED FORM as SQL CTEs (round 10, VERDICT r9 item 5):
+    ``textured_pixels`` is pure integer arithmetic on (s, pos) and
+    ``dhash_py`` point-samples a fixed (9 x, 7 y) grid — so the
+    expected hash of every planted blob is derivable ENTIRELY in SQL,
+    which graduates image/video near-dup from rows-only to the strict
+    oracle gate with NO fixture side-channel (the decode step stays
+    real on the Spark side; the oracle derives the same 56-bit hash
+    from the generator's algebra — an independent derivation, verified
+    bit-exact against dhash_py in tests/test_multimodal.py).
+
+    ``src_select`` must yield (id, s, pos): one row per image, where
+    s/pos are ``textured_pixels``' seed and flip-position arguments.
+    Grid literals are ``(i*16)//9`` and ``(j*16)//7`` precomputed in
+    Python; luma = r*299 + g*587 + b*114 with channel c = (base+11c)
+    % 256 and the flipped pixel's +128 folded into the modulus; bit
+    (j*8+i) set iff lum[y, xs[i]] > lum[y, xs[i+1]]. The final CAST
+    keeps the sum out of HUGEINT (CLAUDE.md rule)."""
+    return f"""xs(i, x) AS (VALUES (0,0),(1,1),(2,3),(3,5),(4,7),(5,8),
+                   (6,10),(7,12),(8,14)),
+ys(j, y) AS (VALUES (0,0),(1,2),(2,4),(3,6),(4,9),(5,11),(6,13)),
+src AS ({src_select}),
+lb AS (
+  SELECT src.id, ys.j, xs.i,
+         xs.x * ys.y * (1 + src.s % 9) + xs.x * (3 + src.s % 5)
+           + ys.y * (5 + src.s % 7) + 37 * src.s AS b0,
+         CASE WHEN ys.y = (src.pos * 5) % 16 AND xs.x = (src.pos * 11) % 16
+              THEN 128 ELSE 0 END AS fl
+  FROM src, xs, ys),
+lum AS (
+  SELECT id, j, i,
+         ((b0 + fl) % 256) * 299 + ((b0 + 11 + fl) % 256) * 587
+           + ((b0 + 22 + fl) % 256) * 114 AS l
+  FROM lb),
+h AS (
+  SELECT l.id,
+         CAST(sum(CASE WHEN l.l > r.l
+                       THEN CAST(1 AS BIGINT) << (l.j * 8 + l.i)
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS dhash
+  FROM lum l JOIN lum r ON r.id = l.id AND r.j = l.j AND r.i = l.i + 1
+  WHERE l.i < 8
+  GROUP BY 1)"""
+
+
+# Band join + Hamming verify mirrored from multimodal.image_neardup_pairs
+# (7 x 8-bit pigeonhole bands, max_bucket=1000 absolute cap, exact
+# xor+bit_count <= 4).
+ORACLES["image_dhash_neardup"] = (
+    "WITH "
+    + _dhash_core_cte(
+        "SELECT doc_id AS id, doc_id // 20 AS s, doc_id % 20 AS pos "
+        "FROM documents"
+    )
+    + """,
+bd AS (
+  SELECT h.id, h.dhash, b.band_idx,
+         (h.dhash >> (b.band_idx * 8)) & 255 AS band_val
+  FROM h, (VALUES (0),(1),(2),(3),(4),(5),(6)) b(band_idx)),
+sized AS (
+  SELECT id, dhash, band_idx, band_val FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS bn
+    FROM bd)
+  WHERE bn <= 1000),
+cand AS (
+  SELECT DISTINCT a.id AS a, b.id AS b, a.dhash AS ha, b.dhash AS hb
+  FROM sized a JOIN sized b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.id < b.id)
+SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= 4
+ORDER BY a, b"""
+)
 
 
 def event_dark_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5120,8 +5198,10 @@ def video_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup via frame-hash overlap (round 9): real AVI parse
     → per-frame integer dHash → exact-hash join → shared-frame count —
     the shot-level video dedup over planted same-seed frame sequences.
-    ROWS-ONLY under the driver (no SQL decode); exact twin:
-    tests/test_multimodal.py's pure-Python frame-hash replay."""
+    ORACLE-EXACT since round 10: the frame generator is closed-form
+    integer algebra, so the oracle derives every expected frame hash in
+    SQL (_dhash_core_cte) and replays the exact-hash overlap join —
+    the Spark side still parses the REAL AVI byte stream."""
     from distributed_computing_spark.operators.multimodal import (
         textured_avi_blobs,
         video_frame_hashes,
@@ -5134,6 +5214,32 @@ def video_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["video_dhash_neardup"] = video_dhash_neardup
+# Frame s-values mirror textured_avi_blobs: frame f of video v renders
+# textured_pixels(seed*997 + f*31, 1) except the member slot
+# (member % 8), overwritten with the member-unique pattern; group_size
+# 1 means pos = 0 everywhere. id packs (doc_id, frame) as doc_id*8+f.
+ORACLES["video_dhash_neardup"] = (
+    "WITH "
+    + _dhash_core_cte(
+        """SELECT d.doc_id * 8 + t.f AS id,
+         CASE WHEN t.f = (d.doc_id % 20) % 8
+              THEN 500000 + (d.doc_id // 20) * 997 + t.f * 31
+                   + (d.doc_id % 20)
+              ELSE (d.doc_id // 20) * 997 + t.f * 31 END AS s,
+         0 AS pos
+  FROM documents d, range(8) t(f)"""
+    )
+    + """,
+vh AS (SELECT DISTINCT id // 8 AS blob_id, dhash FROM h),
+sized AS (
+  SELECT blob_id, dhash FROM (
+    SELECT *, count(*) OVER (PARTITION BY dhash) AS n FROM vh)
+  WHERE n <= 1000)
+SELECT a.blob_id AS a, b.blob_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+FROM sized a JOIN sized b ON a.dhash = b.dhash AND a.blob_id < b.blob_id
+GROUP BY 1, 2 HAVING count(*) >= 4
+ORDER BY a, b"""
+)
 
 
 def weighted_median_price_q(spark: SparkSession, sf_dir: str) -> DataFrame:

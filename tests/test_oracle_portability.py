@@ -223,6 +223,10 @@ _AUDITED_FLOORDIV = [
     r"\* 1000000\)\s+// \(ta\.n_users \+ tb\.n_users - i\.n_common\)",
     # user streaks: epoch-day arithmetic on post-1970 timestamps.
     r"epoch_us\(ts\) // 1000000 // 86400",
+    # round 10 dHash oracles: doc_id is non-negative in the testdata,
+    # and id = doc_id*8+f packs non-negatives.
+    r"doc_id // 20",
+    r"id // 8",
     # TWAP: value·dt products and spans are non-negative.
     r"vt_sum // span_s::HUGEINT",
     # trend slopes: sign-explicit CASE — both branches' dividends are

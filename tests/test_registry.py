@@ -34,17 +34,15 @@ ROWS_ONLY = {
     # constraint; exact twin:
     # test_layout.test_compaction_plan_matches_duckdb_metadata_twin
     "compaction_plan",
-    # round 9: perceptual-hash image near-dup — the decode step can't
-    # run in SQL; exact twin:
-    # test_multimodal.test_image_dhash_neardup_matches_python_twin
-    "image_dhash_neardup",
     # round 9: dHash on ingest (stateless streaming Arrow map) — no SQL
     # decode; exact twin:
     # test_streaming.test_stream_dhash_ingest_equals_batch
     "stream_dhash_ingest",
-    # round 9: video frame-hash overlap — no SQL decode; exact twin:
-    # test_multimodal.test_video_dhash_neardup_matches_python_twin
-    "video_dhash_neardup",
+    # image_dhash_neardup / video_dhash_neardup graduated OUT of this
+    # set in round 10: the planted-blob generator is closed-form
+    # integer algebra, so the oracle derives the expected hashes in SQL
+    # (registry._dhash_core_cte) — the Spark side still decodes real
+    # bytes.
     # bpe_merges / bpe_encode_stats graduated OUT of this set in round 4:
     # the 24-round merge loop unrolls into generated MATERIALIZED CTEs
     # (registry._bpe_merges_oracle_sql), so both are strictly gated now.
