@@ -2645,9 +2645,33 @@ def grouped_weighted_quantile(
     ``q_v = smallest v with 1000·cumweight >= q_permille·W`` (all
     integer comparisons, truncation-free on both engines). The bucket
     prefix (tiny) locates each group's crossing bucket; only that
-    bucket's values cumulate locally. Returns (g, w_total, q_v)."""
-    if not 0 < q_permille <= 1000:
-        raise ValueError("q_permille must be in (0, 1000]")
+    bucket's values cumulate locally. Returns (g, w_total, q_v).
+
+    Single-q convenience wrapper over the fused multi-q core — one
+    definition, so they cannot drift."""
+    return grouped_weighted_quantiles_multi(
+        vw, [q_permille], pre_buckets
+    ).select("g", "w_total", "q_v")
+
+
+def grouped_weighted_quantiles_multi(
+    vw: DataFrame, qs: list[int], pre_buckets: int = 256
+) -> DataFrame:
+    """ALL requested q-permille quantiles in ONE two-level pass (round
+    10): the bucket-weight prefix table is q-independent, so computing
+    P50/P90/P99 as three separate passes pays the bucket windows and
+    their stage scheduling three times over the same cached weight
+    table — measured 5.3 s of pass overhead vs 4.1 s for the whole
+    15 M-row scan at R100. Here each q picks its crossing bucket from
+    the SAME prefix table (a literal q-array explode over the tiny
+    groups×buckets frame), the crossing list broadcasts once, and the
+    local cumulate windows over (g, q) — within one (g, q) partition
+    every row comes from that q's single crossing bucket, so the
+    per-q semantics are exactly the single-pass definition's.
+    Returns (g, q, w_total, q_v), one row per group per q."""
+    qs = sorted(set(int(q) for q in qs))
+    if not qs or not all(0 < q <= 1000 for q in qs):
+        raise ValueError("each q_permille must be in (0, 1000]")
     b = vw.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
     if b["lo"] is None:
         raise ValueError("empty input to grouped_weighted_quantile")
@@ -2670,20 +2694,24 @@ def grouped_weighted_quantile(
         ),
         F.sum("bw").over(w_tot).alias("w_total"),
     )
-    # the crossing bucket: first bucket whose inclusive cum reaches the
-    # q-weight threshold (tiny table: groups x buckets)
-    crossing = pre.where(
-        (1000 * F.col("cum_incl") >= q_permille * F.col("w_total"))
-        & (1000 * F.col("cum_before") < q_permille * F.col("w_total"))
-    ).select("g", "_b", "cum_before", "w_total")
-    w_local = Window.partitionBy("g").orderBy("v")
+    # each q's crossing bucket: first bucket whose inclusive cum reaches
+    # that q's weight threshold (tiny frame: groups x buckets x |qs|)
+    crossing = (
+        pre.withColumn("q", F.explode(F.array(*[F.lit(q) for q in qs])))
+        .where(
+            (1000 * F.col("cum_incl") >= F.col("q") * F.col("w_total"))
+            & (1000 * F.col("cum_before") < F.col("q") * F.col("w_total"))
+        )
+        .select("g", "_b", "q", "cum_before", "w_total")
+    )
+    w_local = Window.partitionBy("g", "q").orderBy("v")
     return (
         vb.join(F.broadcast(crossing), ["g", "_b"])
         .withColumn(
             "cum", F.col("cum_before") + F.sum("wt").over(w_local)
         )
-        .where(1000 * F.col("cum") >= q_permille * F.col("w_total"))
-        .groupBy("g", "w_total")
+        .where(1000 * F.col("cum") >= F.col("q") * F.col("w_total"))
+        .groupBy("g", "q", "w_total")
         .agg(F.min("v").alias("q_v"))
     )
 
@@ -2695,8 +2723,14 @@ def order_price_quantiles(
     lower quantiles of exact cent prices — the exact, no-global-sort
     counterpart of revenue_percentiles' float ``percentile()`` (whose
     per-group sort is the spearman skew cliff). One persisted (g, v,
-    count) table serves all three grouped_weighted_quantile passes;
-    each pass's row-data window is confined to one bucket per group."""
+    count) table feeds the FUSED multi-q pass (round-10 re-plan: the
+    three separate grouped_weighted_quantile passes paid 5.3 s of
+    bucket-window + scheduling overhead vs 4.1 s for the entire
+    15 M-row scan at R100; grouped_weighted_quantiles_multi computes
+    the shared bucket prefix once and windows the crossing buckets for
+    all three q's in one shot — measured 9.3 → 5.6 s at R100,
+    bit-identical); the row-data window stays confined to one bucket
+    per (group, q)."""
     from distributed_computing_spark.caching import track_persist
 
     orders = load_table(spark, sf_dir, "orders")
@@ -2708,18 +2742,20 @@ def order_price_quantiles(
         .groupBy("g", "v")
         .agg(F.count(F.lit(1)).alias("wt"))
     )
-    p50 = grouped_weighted_quantile(vw, 500).select(
-        "g", "w_total", F.col("q_v").alias("p50_cents")
-    )
-    p90 = grouped_weighted_quantile(vw, 900).select(
-        "g", F.col("q_v").alias("p90_cents")
-    )
-    p99 = grouped_weighted_quantile(vw, 990).select(
-        "g", F.col("q_v").alias("p99_cents")
-    )
+    m = grouped_weighted_quantiles_multi(vw, [500, 900, 990])
     return (
-        p50.join(p90, "g")
-        .join(p99, "g")
+        m.groupBy("g", "w_total")
+        .agg(
+            F.min(F.when(F.col("q") == 500, F.col("q_v"))).alias(
+                "p50_cents"
+            ),
+            F.min(F.when(F.col("q") == 900, F.col("q_v"))).alias(
+                "p90_cents"
+            ),
+            F.min(F.when(F.col("q") == 990, F.col("q_v"))).alias(
+                "p99_cents"
+            ),
+        )
         .select(
             F.col("g").alias("priority"),
             F.col("w_total").alias("n_orders"),

@@ -663,12 +663,14 @@ def test_weighted_median_persists_weight_table_once(spark):
         release_tracked()
 
 
-def test_order_price_quantiles_single_persisted_weight_table(spark):
-    """Round 10 (VERDICT r9 item 3): ONE persisted (g, v, count) table
-    serves all three grouped_weighted_quantile passes — each pass has
-    two cache consumers (bucket sums + crossing-bucket local pass), so
-    the plan must show at least 6 InMemoryTableScans of the SAME cached
-    relation and no second orders aggregation."""
+def test_order_price_quantiles_fused_single_pass(spark):
+    """Round 10 (VERDICT r9 item 3 + the fused re-plan): ONE persisted
+    (g, v, count) table serves the multi-q pass (both its consumers —
+    bucket sums and the crossing-bucket local window — read the cache,
+    never a second orders aggregation), and the three quantiles share
+    ONE bucket-prefix window set instead of three passes: the plan has
+    at most 6 Window nodes (three separate passes showed 3x that) and
+    exactly one partial-aggregated orders scan."""
     from distributed_computing_spark.caching import release_tracked
     from distributed_computing_spark.operators.analytics import (
         order_price_quantiles,
@@ -677,7 +679,8 @@ def test_order_price_quantiles_single_persisted_weight_table(spark):
     try:
         df = order_price_quantiles(spark, SF_DIR)
         plan = _plan(df)
-        assert plan.count("InMemoryTableScan") >= 6, plan
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        assert plan.count("Window") <= 6, plan
         assert df.count() > 0
     finally:
         release_tracked()

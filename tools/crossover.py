@@ -551,6 +551,23 @@ RECORDED_R9_TIERS: dict = {
     },
 }
 
+# Round-10 tier cells (VERDICT r9 items 3-4).
+RECORDED_R10_TIERS: dict = {
+    "order_price_quantiles": {
+        # full sf0.1_x100 replica (15 M orders). The draft ran three
+        # separate grouped_weighted_quantile passes over the cached
+        # weight table — 5.3 s of bucket-window + scheduling overhead
+        # vs 4.1 s for the entire orders scan — so the three q's were
+        # fused into ONE multi-q pass (shared bucket prefix, q-labeled
+        # crossing broadcast): 6.87 -> 5.09 s, bit-identical. The
+        # remaining floor is the 15 M-row scan+groupBy (~4.1 s) — the
+        # kv_effective_ops small-absolute engine-floor class; DuckDB's
+        # 0.24 s rides one window over the same 150 k-row weight table.
+        "R100_draft": {"spark_s": 6.87, "duckdb_s": 0.27, "ratio": 25.4},
+        "R100": {"spark_s": 5.09, "duckdb_s": 0.24, "ratio": 21.3},
+    },
+}
+
 # The stdout-echo subset of the recorded tiers: the bench's compact
 # line must fit the driver's 2000-char tail capture alongside 40
 # headline timings, so only the CURRENT round's slope tiers plus the
@@ -861,6 +878,7 @@ def run_crossover(
         "r7_tier_recorded": RECORDED_R7_TIERS,
         "r8_tier_recorded": RECORDED_R8_TIERS,
         "r9_tier_recorded": RECORDED_R9_TIERS,
+        "r10_tier_recorded": RECORDED_R10_TIERS,
         "recorded_echo": _recorded_echo(),
     }
 
@@ -875,6 +893,7 @@ def _recorded_echo() -> dict:
         **RECORDED_R7_TIERS,
         **RECORDED_R8_TIERS,
         **RECORDED_R9_TIERS,
+        **RECORDED_R10_TIERS,
     }
     return {
         fam: {
