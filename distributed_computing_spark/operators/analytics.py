@@ -2825,3 +2825,37 @@ def robust_price_outliers(
         F.col("mad").alias("mad_cents"),
         "n_outliers",
     ).orderBy("status")
+
+
+def cusum_positive(
+    df: DataFrame, group_col: str, order_col: str, x_col: str
+) -> DataFrame:
+    """Positive-part CUSUM per group — the change-detection recurrence
+    ``s_i = max(0, s_{i-1} + x_i)`` (Page 1954), folded to a CLOSED
+    window form: ``s_i = P_i − min(0, min_{j≤i} P_j)`` where ``P`` is
+    the running prefix sum. Proof sketch: the running min of ``P``
+    records exactly the total the clamp has discarded so far — both
+    sides satisfy the base case and the recurrence by induction, so a
+    non-linear sequential fold becomes TWO stacked window sums over ONE
+    exchange on ``group_col``; no per-group Python state, no iterative
+    job, exact for integer ``x``.
+
+    Scale contract: the input must be a pre-aggregated series table
+    (|groups| × |time buckets| rows, e.g. per-type daily counts), never
+    a raw fact table — a low-cardinality ``group_col`` over fact rows
+    is the round-9 sort-cliff shape (CLAUDE.md); aggregate first, then
+    CUSUM the series.
+
+    Returns ``df`` plus a ``cusum`` column (long).
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = df.withColumn("_cusum_p", F.sum(x_col).over(w).cast("long"))
+    return pre.withColumn(
+        "cusum",
+        F.col("_cusum_p")
+        - F.least(F.min("_cusum_p").over(w), F.lit(0).cast("long")),
+    ).drop("_cusum_p")

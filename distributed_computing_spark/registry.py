@@ -5337,81 +5337,745 @@ FROM r GROUP BY 1, tot ORDER BY 1"""
 
 
 # ---------------------------------------------------------------------------
-# Driver-gate window rotation (round 9 — VERDICT r8 items 1, 2, 6)
+# Round-10 relational shapes: the remaining distinctive TPC-H plan
+# families, adapted to the available star schema (no partsupp /
+# commitdate / phone columns — each query keeps the ORIGINAL relational
+# structure and swaps in available predicates), plus the CUSUM
+# sequential-recurrence family. All exact: revenue rides the DECIMAL
+# 4-decimal product (salted_revenue_join rule) or floor-cents BIGINT;
+# every final column is BIGINT / VARCHAR / TIMESTAMP / exact-rounded
+# DOUBLE; every oracle aggregate casts back to BIGINT (HUGEINT rule).
+# ---------------------------------------------------------------------------
+
+
+def _rev_mc():
+    """Exact revenue in myriacents (1e-4 dollars) as BIGINT:
+    price(2dp) × (1 − discount(2dp)) is an exact 4-decimal DECIMAL, so
+    ×10000 is an exact integer — order-independent sums, no float under
+    the gate (the salted_revenue_join round-4 rule)."""
+    return (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (
+            F.lit(1).cast("decimal(3,2)")
+            - F.col("l_discount").cast("decimal(3,2)")
+        )
+        * 10000
+    ).cast("long")
+
+
+_REV_MC_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) "
+    "* 10000 AS BIGINT)"
+)
+
+
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped two-nation trade flow (round 10): revenue
+    shipped between NATION_1 and NATION_2 in either direction, by
+    (supp_nation, cust_nation, ship_year). Reference analog: the
+    multi-hop join chains of mr/apps (SURVEY §2) generalized to a
+    5-table snowflake.
+
+    Plan: both nation filters apply BEFORE the fact-fact join —
+    supplier+nation broadcast onto lineitem (semi-reduces it to the
+    ~8% shipping from the pair), customer+nation broadcast onto orders
+    (same on the buying side), and only the two REDUCED facts shuffle
+    on o_orderkey (co-partitioned, the 100 TB shape). Revenue sums are
+    exact myriacents BIGINT."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    n = nation.where(F.col("n_name").isin(*pair)).select(
+        "n_nationkey", F.col("n_name")
+    )
+    s = supp.join(
+        F.broadcast(n), supp["s_nationkey"] == n["n_nationkey"]
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    c = cust.join(
+        F.broadcast(n), cust["c_nationkey"] == n["n_nationkey"]
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    o = orders.join(
+        F.broadcast(c), orders["o_custkey"] == c["c_custkey"]
+    ).select("o_orderkey", "cust_nation")
+    l = li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"]).select(
+        "l_orderkey",
+        "supp_nation",
+        F.year("l_shipdate").alias("ship_year"),
+        _rev_mc().alias("rev_mc"),
+    )
+    return (
+        l.hint("shuffle_hash")
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("rev_mc").alias("rev_mc"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+QUERIES["nation_trade_volume"] = nation_trade_volume
+ORACLES["nation_trade_volume"] = f"""
+WITH s AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+           JOIN nation ON n_nationkey = s_nationkey
+           WHERE n_name IN ('NATION_1', 'NATION_2')),
+c AS (SELECT c_custkey, n_name AS cust_nation FROM customer
+      JOIN nation ON n_nationkey = c_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2')),
+o AS (SELECT o_orderkey, cust_nation FROM orders
+      JOIN c ON c_custkey = o_custkey),
+l AS (SELECT l_orderkey, supp_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+             {_REV_MC_SQL} AS rev_mc
+      FROM lineitem JOIN s ON s_suppkey = l_suppkey)
+SELECT supp_nation, cust_nation, ship_year,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(rev_mc) AS BIGINT) AS rev_mc
+FROM l JOIN o ON o.o_orderkey = l.l_orderkey
+WHERE supp_nation <> cust_nation
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+
+def market_share_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share (round 10): within orders placed
+    by AMERICA-region customers, the ppm share of revenue supplied by
+    NATION_6 per order-year — conditional aggregation over a snowflake,
+    the promo_revenue_share division discipline (two exact DECIMAL
+    sums in ONE pass, integer ppm, digit-string totals).
+
+    Plan: supplier flag and customer region both attach by BROADCAST;
+    the only fact-fact exchange is lineitem⋈orders on o_orderkey; the
+    CASE folds into the partial aggregate so only (year, 2 sums) rows
+    leave the map side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    amer = (
+        nation.join(
+            F.broadcast(
+                region.where(F.col("r_name") == "AMERICA").select(
+                    "r_regionkey"
+                )
+            ),
+            nation["n_regionkey"] == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    c = cust.join(
+        F.broadcast(amer), cust["c_nationkey"] == amer["n_nationkey"]
+    ).select("c_custkey")
+    o = orders.join(
+        F.broadcast(c), orders["o_custkey"] == c["c_custkey"], "left_semi"
+    ).select("o_orderkey", F.year("o_orderdate").alias("order_year"))
+    s = supp.join(
+        F.broadcast(
+            nation.where(F.col("n_name") == "NATION_6").select("n_nationkey")
+        ),
+        supp["s_nationkey"] == F.col("n_nationkey"),
+    ).select(F.col("s_suppkey").alias("target_suppkey"))
+    l = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        _rev_mc().cast("decimal(38,0)").alias("rev_mc"),
+    ).join(
+        F.broadcast(s),
+        F.col("l_suppkey") == F.col("target_suppkey"),
+        "left",
+    )
+    agg = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("order_year")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("target_suppkey").isNotNull(), F.col("rev_mc")
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("target_mc"),
+            F.sum("rev_mc").alias("total_mc"),
+        )
+    )
+    return agg.select(
+        "order_year",
+        F.col("target_mc").cast("string").alias("target_mc"),
+        F.col("total_mc").cast("string").alias("total_mc"),
+        F.expr(
+            "case when total_mc > 0 then "
+            "cast(target_mc * 1000000 div total_mc as bigint) end"
+        ).alias("share_ppm"),
+    ).orderBy("order_year")
+
+
+QUERIES["market_share_ppm"] = market_share_ppm
+ORACLES["market_share_ppm"] = f"""
+WITH c AS (SELECT c_custkey FROM customer
+           JOIN nation ON n_nationkey = c_nationkey
+           JOIN region ON r_regionkey = n_regionkey
+           WHERE r_name = 'AMERICA'),
+o AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS order_year
+      FROM orders WHERE o_custkey IN (SELECT c_custkey FROM c)),
+s AS (SELECT s_suppkey FROM supplier JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_6'),
+l AS (SELECT l_orderkey,
+             CAST({_REV_MC_SQL} AS HUGEINT) AS rev_mc,
+             l_suppkey IN (SELECT s_suppkey FROM s) AS is_target
+      FROM lineitem),
+a AS (SELECT order_year,
+             sum(CASE WHEN is_target THEN rev_mc ELSE 0 END) AS target_mc,
+             sum(rev_mc) AS total_mc
+      FROM l JOIN o ON o.o_orderkey = l.l_orderkey GROUP BY 1)
+SELECT order_year,
+       CAST(target_mc AS VARCHAR) AS target_mc,
+       CAST(total_mc AS VARCHAR) AS total_mc,
+       CAST(CASE WHEN total_mc > 0
+            THEN (target_mc * 1000000) // total_mc END AS BIGINT)
+         AS share_ppm
+FROM a ORDER BY order_year"""
+
+
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped profit rollup (round 10): per (supp_nation,
+    ship_year), profit = revenue − cost, with cost approximated as
+    retail-price × whole units (no partsupp table in this schema —
+    the Q9 join chain and negative-capable signed sum are the point).
+    All exact myriacents BIGINT; sums can go NEGATIVE, so no division
+    anywhere (the sign-explicit `//` rule never engages).
+
+    Plan: part and supplier+nation both broadcast onto the lineitem
+    scan; the aggregate partial-combines map-side — ZERO fact-fact
+    exchanges, only (nation, year) rows move."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    s = supp.join(
+        F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"]
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    p = part.select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("cost_c"),
+    )
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "supp_nation",
+            F.year("l_shipdate").alias("ship_year"),
+            (
+                _rev_mc()
+                - F.col("cost_c")
+                * 100
+                * F.floor(F.col("l_quantity")).cast("long")
+            ).alias("profit_mc"),
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "ship_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("profit_mc").alias("profit_mc"),
+        )
+        .orderBy("supp_nation", "ship_year")
+    )
+
+
+QUERIES["product_profit"] = product_profit
+ORACLES["product_profit"] = f"""
+WITH j AS (
+  SELECT n.n_name AS supp_nation,
+         CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+         {_REV_MC_SQL}
+           - CAST(floor(p.p_retailprice * 100) AS BIGINT) * 100
+             * CAST(floor(l.l_quantity) AS BIGINT) AS profit_mc
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey)
+SELECT supp_nation, ship_year,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(profit_mc) AS BIGINT) AS profit_mc
+FROM j GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def custdist_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer distribution (round 10): how many
+    customers placed exactly k qualifying orders — INCLUDING the
+    zero-order customers only an OUTER join preserves (the one TPC-H
+    shape no inner-join query exercises). Qualifying = priority not
+    '4-NOT SPECIFIED' (stand-in for Q13's comment NOT LIKE).
+
+    Plan: orders pre-aggregate to (custkey, n) — partial map-side
+    combine — then LEFT join from customer on c_custkey
+    (co-partitioned at scale); the second aggregate is histogram-sized.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    oc = (
+        orders.where(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        cust.join(oc, cust["c_custkey"] == oc["o_custkey"], "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+QUERIES["custdist_histogram"] = custdist_histogram
+ORACLES["custdist_histogram"] = """
+WITH oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders WHERE o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY 1)
+SELECT coalesce(oc.n_orders, 0) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY custdist DESC, c_count DESC"""
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped tie-safe argmax (round 10): the supplier(s)
+    with MAX revenue over 1998Q1 — the derived-view max shape, kept
+    tie-safe by joining the revenue table back against its own 1-row
+    max (never `ORDER BY LIMIT 1`, which silently drops ties).
+
+    Plan: per-supplier revenue partial-aggregates map-side; the 1-row
+    max BROADCASTS back onto it (a broadcast nested-loop on an equality
+    the optimizer folds); supplier names attach by broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev_mc()).alias("total_rev_mc"))
+    )
+    mx = rev.agg(F.max("total_rev_mc").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev["total_rev_mc"] == mx["mx"])
+        .join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_rev_mc")
+        .orderBy("s_suppkey")
+    )
+
+
+QUERIES["top_supplier_revenue"] = top_supplier_revenue
+ORACLES["top_supplier_revenue"] = f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(sum({_REV_MC_SQL}) AS BIGINT) AS total_rev_mc
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate < TIMESTAMP '1998-04-01'
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, r.total_rev_mc
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev_mc = (SELECT max(total_rev_mc) FROM rev)
+ORDER BY s.s_suppkey"""
+
+
+def parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier census (round 10): distinct suppliers
+    able to ship each (p_type, p_size) class, EXCLUDING suppliers in
+    deficit (s_acctbal < 0 — stand-in for Q16's complaint NOT IN) and
+    the STANDARD type (Q16's brand exclusion). The distinct-count +
+    NOT-IN anti-join shape.
+
+    Plan: part attrs and the (tiny) excluded-supplier set both
+    BROADCAST onto lineitem — the anti-join is a broadcast left-anti,
+    never a shuffle; count_distinct exchanges (type, size, suppkey)
+    partials only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    bad = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = part.where(F.col("p_type") != "STANDARD").select(
+        "p_partkey", "p_type", "p_size"
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(
+            F.broadcast(bad),
+            li["l_suppkey"] == bad["s_suppkey"],
+            "left_anti",
+        )
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_type", "p_size")
+    )
+
+
+QUERIES["parts_supplier_count"] = parts_supplier_count
+ORACLES["parts_supplier_count"] = """
+SELECT p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_type <> 'STANDARD'
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0)
+GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_type, p_size"""
+
+
+def sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped multi-alias exists/not-exists (round 10): on
+    finished multi-supplier orders, the suppliers who were the SOLE
+    source of returned lines — another supplier exists on the order
+    (EXISTS), no other supplier had a return (NOT EXISTS). No
+    commitdate/receiptdate in this schema, so returnflag='R' stands in
+    for the late-delivery predicate; the two-correlated-subquery
+    structure is the point, decorrelated Spark-side into ONE
+    repartition by l_orderkey that serves the (orderkey, suppkey)
+    aggregate AND the per-order window counts (hash(l_orderkey)
+    satisfies both — no self-join, no cache, the fact exchanges
+    exactly once; plan-asserted). A draft persist+self-join pyramid
+    re-exchanged through the AQE-opaque cache; the window form is the
+    same exchange budget with no cache at all. The oracle keeps the
+    literal EXISTS/NOT-EXISTS formulation — an independent
+    derivation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    fo = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    li2 = (
+        li.select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_returnflag") == "R").alias("is_r"),
+        )
+        .join(fo, li["l_orderkey"] == fo["o_orderkey"], "left_semi")
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+    )
+    per_os = li2.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("is_r"), 1).otherwise(0)).alias("has_r")
+    )
+    w = Window.partitionBy("l_orderkey")
+    qual = per_os.withColumn(
+        "n_supp", F.count(F.lit(1)).over(w)
+    ).withColumn("n_r", F.sum("has_r").over(w)).where(
+        (F.col("has_r") == 1) & (F.col("n_supp") > 1) & (F.col("n_r") == 1)
+    )
+    return (
+        qual.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+QUERIES["sole_return_supplier"] = sole_return_supplier
+ORACLES["sole_return_supplier"] = """
+WITH l AS (SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                WHERE o_orderstatus = 'F'))
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM l
+      WHERE l_returnflag = 'R') l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM l l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20"""
+
+
+def sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped dormant-capital report (round 10): customers
+    with above-average positive balance and NO order since 2000-01-01 —
+    the global-scalar-subquery + anti-join shape, by market segment
+    (stand-in for Q22's phone prefix; the recency cutoff replaces
+    Q22's no-orders-at-all predicate, which is empty on this data's
+    ~10-orders-per-customer ratio). The average compares EXACTLY by
+    cross-multiplication: bal·n > Σbal (no float division; sum(double)
+    order-dependence never enters).
+
+    Plan: the 1-row (Σ, n) aggregate broadcasts back onto the customer
+    scan (broadcast nested-loop on the inequality); the anti-join
+    shuffles customer and orders co-partitioned on custkey — at 100 TB
+    both sides are fact-sized, so the shuffle anti-join IS the honest
+    plan (contrast parts_supplier_count's broadcast anti)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cb = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    pos = cb.where(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    eligible = cb.crossJoin(F.broadcast(pos)).where(
+        F.col("bal_cents") * F.col("n") > F.col("s")
+    )
+    return (
+        eligible.join(
+            orders.where(
+                F.col("o_orderdate")
+                >= F.lit("2000-01-01").cast("timestamp")
+            ).select("o_custkey"),
+            eligible["c_custkey"] == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum("bal_cents").alias("bal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+QUERIES["sales_opportunity"] = sales_opportunity
+ORACLES["sales_opportunity"] = """
+WITH cb AS (SELECT c_custkey, c_mktsegment,
+                   CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+            FROM customer),
+pos AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM cb WHERE bal_cents > 0)
+SELECT cb.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(cb.bal_cents) AS BIGINT) AS bal_cents
+FROM cb, pos
+WHERE cb.bal_cents * pos.n > pos.s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = cb.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1 ORDER BY 1"""
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated min (round 10): for each small LARGE
+    part, the supplier(s) offering the MINIMUM observed line price —
+    Q2's `ps_supplycost = (SELECT min ...)` correlated subquery,
+    decorrelated into a per-part min joined back (tie-safe, like the
+    Q15 argmax but per-group). No partsupp table: the offer book is
+    derived from lineitem itself (min extendedprice cents per
+    (part, supplier)).
+
+    Plan: the part filter semi-reduces lineitem by BROADCAST before
+    any aggregate; offers is referenced from two branches
+    (min + join-back) → track_persist; both aggregates and the
+    join-back share the l_partkey hash partitioning (one exchange)."""
+    from distributed_computing_spark.caching import track_persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    pf = part.where(
+        (F.col("p_size") <= 5) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey", "p_brand")
+    offers = track_persist(
+        li.join(
+            F.broadcast(pf.select("p_partkey")),
+            li["l_partkey"] == F.col("p_partkey"),
+            "left_semi",
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "offer_cents"
+            )
+        )
+    )
+    minp = offers.groupBy("l_partkey").agg(
+        F.min("offer_cents").alias("min_cents")
+    )
+    win = offers.join(minp, "l_partkey").where(
+        F.col("offer_cents") == F.col("min_cents")
+    )
+    return (
+        win.join(
+            F.broadcast(pf), win["l_partkey"] == pf["p_partkey"]
+        )
+        .join(F.broadcast(supp), win["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_brand",
+            "s_name",
+            "offer_cents",
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+QUERIES["min_cost_supplier"] = min_cost_supplier
+ORACLES["min_cost_supplier"] = """
+WITH pf AS (SELECT p_partkey, p_brand FROM part
+            WHERE p_size <= 5 AND p_type = 'LARGE'),
+offers AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(min(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS offer_cents
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM pf)
+  GROUP BY 1, 2)
+SELECT o.l_partkey AS p_partkey, pf.p_brand, s.s_name, o.offer_cents
+FROM offers o
+JOIN pf ON pf.p_partkey = o.l_partkey
+JOIN supplier s ON s.s_suppkey = o.l_suppkey
+WHERE o.offer_cents = (SELECT min(o2.offer_cents) FROM offers o2
+                       WHERE o2.l_partkey = o.l_partkey)
+ORDER BY p_partkey, s_name"""
+
+
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection over the event stream (round 10) — a NEW
+    operator family: the sequential recurrence s_i = max(0, s_{i-1} +
+    x_i) (Page 1954), exact in integers, with x_d = c_d·D − S (the
+    cross-multiplied deviation of day d's count from the per-type mean
+    — no division ever). A day drifts when 4·cusum > S (the CUSUM
+    has absorbed a quarter of the type's total volume above trend —
+    fires on real excursions at both gate SFs, not on noise).
+
+    The recurrence folds CLOSED-FORM to prefix-sum − running-min
+    (analytics.cusum_positive), so the whole detector is two stacked
+    window sums over the tiny (type × day) series table — the fact
+    table only ever does ONE partial-aggregating exchange to daily
+    counts. Output per type: drift-day count, peak cusum, first drift
+    day (NULL when none)."""
+    from distributed_computing_spark.operators.analytics import (
+        cusum_positive,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("dd"), F.sum("c").alias("s")
+    )
+    x = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day",
+        (F.col("c") * F.col("dd") - F.col("s")).alias("x"),
+        "s",
+    )
+    cu = cusum_positive(x, "event_type", "day", "x")
+    return (
+        cu.groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(4 * F.col("cusum") > F.col("s"), 1).otherwise(0)
+            ).alias("n_drift_days"),
+            F.max("cusum").alias("max_cusum"),
+            F.min(
+                F.when(4 * F.col("cusum") > F.col("s"), F.col("day"))
+            ).alias("first_drift_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["events_cusum_drift"] = events_cusum_drift
+ORACLES["events_cusum_drift"] = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS dd,
+               CAST(sum(c) AS BIGINT) AS s
+        FROM daily GROUP BY 1),
+x AS (SELECT d.event_type, d.day, d.c * t.dd - t.s AS x, t.s
+      FROM daily d JOIN tot t USING (event_type)),
+pre AS (SELECT *, CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+        FROM x),
+cu AS (SELECT *, p - least(CAST(min(p) OVER (PARTITION BY event_type
+                 ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT),
+                 0) AS cusum
+       FROM pre)
+SELECT event_type,
+       CAST(sum(CASE WHEN 4 * cusum > s THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_drift_days,
+       CAST(max(cusum) AS BIGINT) AS max_cusum,
+       min(CASE WHEN 4 * cusum > s THEN day END) AS first_drift_day
+FROM cu GROUP BY 1 ORDER BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Driver-gate window rotation (round 10 — VERDICT r9 items 1, 2)
 # ---------------------------------------------------------------------------
 # Staleness-driven (the driver gates the FIRST 50 entries). Fixed
-# inclusions per VERDICT r8: the three former decimal-red queries
-# (kmeans_embeddings, events_twap, event_trend_slopes — final schemas
-# now decimal-free, must re-prove green) plus kmeans_trace_a5 as the
-# standing all-BIGINT control; the round-9-changed funnel_strict
-# (null-safe n_within_window) and bigram_pmi (vocab-broadcast size
-# gate). Then every round-9 addition, and the stalest cohort: the 38
-# r5-stale entries VERDICT r8 item 6 names (28 batch + the 10-query
-# stream_* r5 family). Remaining slots go to the oldest r6-gated
-# entries; the rest of the r6 cohort is round 10's first pick.
-_R9_WINDOW = [
-    # round-9 fixed inclusions (decimal purge re-proof + control)
-    "kmeans_embeddings", "events_twap", "event_trend_slopes",
-    "kmeans_trace_a5",
-    # changed in round 9 (must re-prove under the driver): funnel's
-    # null-safe sum, bigram's vocab gate, and the basket-family re-plan
-    # (fused Arrow pair counter shared by pairs/rules/cosine — also
-    # feeds copurchase_components; copurchase_pairs sits in the stale
-    # cohort below)
-    "funnel_strict", "bigram_pmi", "association_rules",
-    "copurchase_components", "copurchase_pairs",
-    # new in round 9 (never driver-gated)
-    "spearman_qty_price", "benford_audit", "copurchase_cosine",
-    "scd2_pointintime", "small_qty_revenue", "large_volume_orders",
-    "promo_revenue_share", "image_dhash_neardup", "event_dark_gaps",
-    "event_mode_value", "stream_dhash_ingest",
-    "sliding_audience_hll_90d", "kv_merkle_diff",
-    "weighted_median_price", "video_dhash_neardup",
-    "robust_price_outliers", "order_price_quantiles",
-    # last driver row r5 — batch cohort (VERDICT r8 item 6; eleven
-    # defer to round 10 to make room for the round-9 additions and
-    # changed-query re-proofs — text_stats, word_count_top10,
-    # stopword_discovery, top_docs_per_lang, unigram_logprob,
-    # tfidf_top_terms, minhash_neardup, simhash_neardup (both
-    # rows-only; their oracle-exact twins stay in-window),
-    # repetition_scores, quality_calibration, user_retention,
-    # sample_by_lang_exact, quality_scores, shingle_novelty: all
-    # column-arithmetic-, golden- or twin-covered and locally gated
-    # every round; they are round 10's first picks)
-    "event_anomalies", "fingerprints", "ivf_topk_exact",
-    "kv_replay_hotkey", "lang_entropy_by_source", "lang_id",
-    "leakage_safe_split", "lsh_topk_exact", "minhash_incremental",
-    "minhash_lsh_exact", "multimodal_jpeg_decode",
-    "pack_chunks", "priority_grouping_sets",
-    "simhash_exact",
-    # last driver row r5 — the stream_* family
-    "stream_sessions", "stream_sliding", "stream_windowed",
-    "stream_config_poll", "stream_curated_ingest", "stream_dedup_ops",
-    "stream_enriched", "stream_kv_state", "stream_kv_stateful",
-    "stream_stream_join",
+# inclusions per VERDICT r9: large_volume_orders (item 1 — the oracle
+# HUGEINT fix must re-prove green under the driver's value hasher);
+# every round-10-CHANGED query (image/video dHash graduated to
+# oracle-exact; the basket family under the new max_basket cap;
+# kv_merkle_diff under length-prefixed row hashing; benford's
+# non-positive filter; the quantile family on the fused multi-q core);
+# all 10 round-10 additions; the full r5-stale cohort item 2 names;
+# and 14 of the r6-stale cohort (the remaining 30 r6-stale entries —
+# see the staleness table in ROADMAP — are round 11's first picks:
+# bigram_logprob, bloom_semi_orders, clean_docs, copurchase_bfs,
+# copurchase_shortest_paths, curated_read_pruned,
+# decayed_user_activity, dq_audit, epoch_shuffle, event_transitions,
+# events_gapfill, events_ohlc, fuzzy_customer_match, ivf_topk,
+# lsh_topk, mixture_sample, multimodal_ann, multimodal_avi_frames,
+# multimodal_bmp_decode, multimodal_features, multimodal_frames,
+# multimodal_real_ann, multimodal_stats, multimodal_wav_decode,
+# prefix_dups, salted_revenue_join, sample_by_lang, source_token_kl,
+# zorder_cells, zorder_events_scan).
+_R10_WINDOW = [
+    # new in round 10 (never driver-gated)
+    "nation_trade_volume", "market_share_ppm", "product_profit",
+    "custdist_histogram", "top_supplier_revenue", "parts_supplier_count",
+    "sole_return_supplier", "sales_opportunity", "min_cost_supplier",
+    "events_cusum_drift",
+    # VERDICT r9 item 1: the oracle-HUGEINT red, fixed — must re-prove
+    "large_volume_orders",
+    # changed in round 10 (must re-prove under the driver)
+    "image_dhash_neardup", "video_dhash_neardup", "copurchase_pairs",
+    "association_rules", "copurchase_cosine", "copurchase_components",
+    "kv_merkle_diff", "benford_audit", "order_price_quantiles",
+    "weighted_median_price", "robust_price_outliers",
+    # last driver row r5 — the full stale cohort (VERDICT r9 item 2)
+    "text_stats", "word_count_top10", "stopword_discovery",
+    "top_docs_per_lang", "unigram_logprob", "tfidf_top_terms",
+    "minhash_neardup", "simhash_neardup", "repetition_scores",
+    "quality_calibration", "user_retention", "sample_by_lang_exact",
+    "quality_scores", "shingle_novelty",
+    # last driver row r6 — stalest 14 of that cohort
+    "dup_spans", "span_dedup_stats", "span_dedup_apply",
+    "copurchase_triangles", "hll_user_registers", "doc_skyline",
+    "weighted_order_sample", "ivm_segment_revenue", "orders_equidepth",
+    "ngram_jaccard_prefix", "copurchase_kcore", "multimodal_gif_decode",
+    "kmv_user_sketches", "pagerank_parts",
 ]
-assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
-QUERIES = {name: QUERIES[name] for name in _R9_WINDOW} | {
-    k: v for k, v in QUERIES.items() if k not in set(_R9_WINDOW)
+assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
+QUERIES = {name: QUERIES[name] for name in _R10_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R10_WINDOW)
 }
 
 # Every never-driver-gated query MUST sit inside the first-50 window —
 # this file-end block is the last statement touching QUERIES, and this
 # guard fails loudly if a future registration lands below it.
-_R9_NEW = [
-    "spearman_qty_price", "benford_audit", "copurchase_cosine",
-    "scd2_pointintime", "small_qty_revenue", "large_volume_orders",
-    "promo_revenue_share", "image_dhash_neardup", "event_dark_gaps",
-    "event_mode_value", "stream_dhash_ingest",
-    "sliding_audience_hll_90d", "kv_merkle_diff",
-    "weighted_median_price", "video_dhash_neardup",
-    "robust_price_outliers", "order_price_quantiles",
+_R10_NEW = [
+    "nation_trade_volume", "market_share_ppm", "product_profit",
+    "custdist_histogram", "top_supplier_revenue", "parts_supplier_count",
+    "sole_return_supplier", "sales_opportunity", "min_cost_supplier",
+    "events_cusum_drift",
 ]
 _order = list(QUERIES)
-for _q in _R9_NEW:
+for _q in _R10_NEW:
     if _order.index(_q) >= 50:
         raise RuntimeError(
-            f"round-9 query {_q!r} fell outside the driver's first-50 "
-            "gate window — keep the _R9_WINDOW block at the END of "
+            f"round-10 query {_q!r} fell outside the driver's first-50 "
+            "gate window — keep the _R10_WINDOW block at the END of "
             "registry.py and add new registrations to it"
         )

@@ -684,3 +684,103 @@ def test_order_price_quantiles_fused_single_pass(spark):
         assert df.count() > 0
     finally:
         release_tracked()
+
+
+def test_product_profit_zero_fact_fact_exchanges(spark):
+    """Round 10 (Q9 shape): part and supplier+nation attach by
+    broadcast and the signed profit sum partial-aggregates map-side —
+    the ONLY hash exchange is the (nation, year) rollup."""
+    df = QUERIES["product_profit"](spark, SF_DIR)
+    tree = operator_tree(df)
+    assert tree.count("BroadcastHashJoin") == 3, tree
+    assert "SortMergeJoin" not in tree
+    assert count_exchanges(df, "hashpartitioning") == 1
+
+
+def test_nation_trade_reduces_both_facts_before_shuffle_join(spark):
+    """Round 10 (Q7 shape): the nation filters apply via broadcast
+    BEFORE the fact-fact join, which is the hinted shuffle-hash on
+    o_orderkey (the regional_revenue precedent) — never a sort-merge."""
+    df = QUERIES["nation_trade_volume"](spark, SF_DIR)
+    tree = operator_tree(df)
+    assert tree.count("ShuffledHashJoin") == 1, tree
+    assert "SortMergeJoin" not in tree
+    assert tree.count("BroadcastHashJoin") >= 3, tree
+
+
+def test_custdist_outer_join_preserved_and_orders_preaggregated(spark):
+    """Round 10 (Q13 shape): the zero-order customers only survive an
+    OUTER join — Catalyst must not rewrite it to inner — and orders
+    pre-aggregate to (custkey, n) before the join (partial combine,
+    plan shows the aggregate under the join input)."""
+    df = QUERIES["custdist_histogram"](spark, SF_DIR)
+    tree = operator_tree(df)
+    assert "LeftOuter" in tree or "RightOuter" in tree, tree
+    assert count_exchanges(df, "hashpartitioning") <= 3
+
+
+def test_parts_supplier_count_anti_join_is_broadcast(spark):
+    """Round 10 (Q16 shape): the excluded-supplier set is tiny — the
+    NOT-IN must compile to a broadcast left-anti, never a shuffle."""
+    tree = operator_tree(QUERIES["parts_supplier_count"](spark, SF_DIR))
+    assert "LeftAnti" in tree, tree
+    anti_line = [l for l in tree.splitlines() if "LeftAnti" in l][0]
+    assert "BroadcastHashJoin" in anti_line, tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_sole_return_one_fact_exchange_serves_agg_and_window(spark):
+    """Round 10 (Q21 shape): hash(l_orderkey) from the single
+    repartition satisfies the (orderkey, suppkey) aggregate AND the
+    per-order window counts — 2 exchanges total (fact + final suppkey
+    rollup), ONE Window node carrying both counts, no cache, no
+    self-join."""
+    df = QUERIES["sole_return_supplier"](spark, SF_DIR)
+    tree = operator_tree(df)
+    assert tree.count("Window") == 1, tree
+    assert "InMemoryTableScan" not in tree
+    assert count_exchanges(df, "hashpartitioning") == 2
+
+
+def test_top_supplier_max_joins_back_by_broadcast(spark):
+    """Round 10 (Q15 shape): the 1-row max broadcasts back onto the
+    per-supplier revenue table (tie-safe argmax — never ORDER BY
+    LIMIT 1)."""
+    tree = operator_tree(QUERIES["top_supplier_revenue"](spark, SF_DIR))
+    assert tree.count("BroadcastHashJoin") >= 2, tree
+    assert "TakeOrdered" not in tree.split("Sort")[0]  # no limit-1 argmax
+
+
+def test_sales_opportunity_scalar_broadcast_and_anti_join(spark):
+    """Round 10 (Q22 shape): the 1-row (Σ, n) aggregate reaches the
+    customer scan as a broadcast nested-loop (inequality condition);
+    the dormancy check is a LEFT ANTI join."""
+    tree = operator_tree(QUERIES["sales_opportunity"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in tree, tree
+    assert "LeftAnti" in tree, tree
+
+
+def test_min_cost_supplier_offer_table_cached_once(spark):
+    """Round 10 (Q2 shape): the offer book is referenced from two
+    branches (per-part min + join-back) — the subtree-reuse rule wants
+    exactly one persisted build read twice."""
+    from distributed_computing_spark.caching import release_tracked
+
+    try:
+        df = QUERIES["min_cost_supplier"](spark, SF_DIR)
+        tree = operator_tree(df)
+        assert tree.count("InMemoryTableScan") == 2, tree
+        assert df.count() > 0
+    finally:
+        release_tracked()
+
+
+def test_cusum_is_two_stacked_windows_over_one_series_exchange(spark):
+    """Round 10: the CUSUM closed form is prefix-sum − running-min —
+    exactly TWO Window nodes over the same (type) partitioning, and
+    every exchange downstream of the daily rollup carries only
+    series-sized rows (types × days)."""
+    df = QUERIES["events_cusum_drift"](spark, SF_DIR)
+    tree = operator_tree(df)
+    assert tree.count("Window") == 2, tree
+    assert count_exchanges(df, "hashpartitioning") <= 4

@@ -268,3 +268,301 @@ def test_grouped_min_rank_adversarial_matches_window_rank(spark):
             ).collect()
         )
         assert got == want, rows[:3]
+
+
+# ---------------------------------------------------------------------------
+# Round-10 new operators: CUSUM recurrence + the TPC-H shape contracts
+# ---------------------------------------------------------------------------
+
+
+def _brute_cusum(xs):
+    """The literal Page recurrence s_i = max(0, s_{i-1} + x_i)."""
+    s, out = 0, []
+    for x in xs:
+        s = max(0, s + x)
+        out.append(s)
+    return out
+
+
+def test_cusum_closed_form_matches_recurrence_adversarial(spark):
+    """The prefix-sum − running-min fold must equal the literal
+    recurrence on every adversarial shape: all-negative (clamp pins to
+    0), all-positive (clamp never fires), alternating resets, a deep
+    trench followed by recovery, zeros, and a single row — per group,
+    with groups interleaved."""
+    from distributed_computing_spark.operators.analytics import cusum_positive
+
+    series = {
+        "neg": [-5, -1, -7, -2],
+        "pos": [3, 1, 4, 1, 5],
+        "alt": [10, -20, 7, -3, -100, 9],
+        "trench": [-1000, 5, 5, 5, -2, 100],
+        "zeros": [0, 0, 0],
+        "one": [42],
+    }
+    rows = [
+        (g, i, x) for g, xs in series.items() for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, "g string, t int, x long")
+    got = {
+        (r["g"], r["t"]): r["cusum"]
+        for r in cusum_positive(df, "g", "t", "x").collect()
+    }
+    for g, xs in series.items():
+        want = _brute_cusum(xs)
+        for i, w in enumerate(want):
+            assert got[(g, i)] == w, (g, i, got[(g, i)], w)
+
+
+def test_cusum_hypothesis_random_series(spark):
+    """Deterministic pseudo-random sweep (no hypothesis engine for the
+    Spark fixture): 20 seeds × 30 steps of signed steps, closed form ==
+    recurrence everywhere."""
+    from distributed_computing_spark.operators.analytics import cusum_positive
+
+    rows = []
+    want = {}
+    for seed in range(20):
+        xs = [((seed * 2654435761 + i * 40503) % 2001) - 1000 for i in range(30)]
+        rows += [(f"s{seed}", i, x) for i, x in enumerate(xs)]
+        for i, w in enumerate(_brute_cusum(xs)):
+            want[(f"s{seed}", i)] = w
+    df = spark.createDataFrame(rows, "g string, t int, x long")
+    got = {
+        (r["g"], r["t"]): r["cusum"]
+        for r in cusum_positive(df, "g", "t", "x").collect()
+    }
+    assert got == want
+
+
+def test_events_cusum_drift_detects_planted_level_shift(spark, tmp_path):
+    """A type whose daily counts jump from 10 to 30 for the last third
+    of the window must drift (4·cusum > S fires inside the shifted
+    region); a flat type must not, and its first_drift_day is NULL."""
+    import datetime
+
+    from distributed_computing_spark.registry import QUERIES
+
+    d = str(tmp_path / "sf")
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(30):
+        n_flat = 10
+        n_shift = 10 if day < 20 else 30
+        for k, (typ, n) in enumerate(
+            [("flat", n_flat), ("shift", n_shift)]
+        ):
+            for j in range(n):
+                eid += 1
+                rows.append(
+                    (
+                        eid,
+                        t0 + datetime.timedelta(days=day, seconds=j + 1),
+                        j,
+                        typ,
+                        1.0,
+                        "{}",
+                    )
+                )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["event_type"]: r for r in QUERIES["events_cusum_drift"](spark, d).collect()}
+    assert out["flat"]["n_drift_days"] == 0
+    assert out["flat"]["first_drift_day"] is None
+    assert out["flat"]["max_cusum"] == 0  # perfectly flat: x ≡ 0
+    assert out["shift"]["n_drift_days"] > 0
+    # drift can only fire inside the shifted region
+    assert out["shift"]["first_drift_day"] >= t0 + datetime.timedelta(days=20)
+
+
+def test_top_supplier_revenue_keeps_ties(spark, tmp_path):
+    """Q15's known trap: two suppliers with the SAME max revenue must
+    BOTH survive (ORDER BY LIMIT 1 would silently drop one)."""
+    import datetime
+
+    from distributed_computing_spark.registry import QUERIES
+
+    d = str(tmp_path / "sf")
+    ship = datetime.datetime(1998, 2, 1)
+    li_rows = [
+        (1, 1, 101, 1, 1.0, 500.00, 0.00, 0.0, "N", "O", ship),
+        (2, 1, 102, 1, 1.0, 500.00, 0.00, 0.0, "N", "O", ship),
+        (3, 1, 103, 1, 1.0, 400.00, 0.00, 0.0, "N", "O", ship),
+    ]
+    spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        [(101, "S101", 0, 0.0), (102, "S102", 0, 0.0), (103, "S103", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).write.mode("overwrite").parquet(f"{d}/supplier.parquet")
+    got = QUERIES["top_supplier_revenue"](spark, d).collect()
+    assert [(r["s_suppkey"], r["total_rev_mc"]) for r in got] == [
+        (101, 5_000_000),
+        (102, 5_000_000),
+    ]
+
+
+def test_custdist_preserves_zero_order_customers(spark, tmp_path):
+    """Q13's point: a customer with NO qualifying orders lands in the
+    c_count=0 bucket — an inner join would erase the row entirely."""
+    import datetime
+
+    from distributed_computing_spark.registry import QUERIES
+
+    d = str(tmp_path / "sf")
+    t0 = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, "c1", 0, 0.0, "AUTO"), (2, "c2", 0, 0.0, "AUTO"), (3, "c3", 0, 0.0, "AUTO")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    o_rows = [
+        (1, 1, "O", 1.0, t0, "1-URGENT"),
+        (2, 1, "O", 1.0, t0, "1-URGENT"),
+        (3, 2, "O", 1.0, t0, "4-NOT SPECIFIED"),  # excluded by the filter
+    ]
+    spark.createDataFrame(
+        o_rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    got = {r["c_count"]: r["custdist"] for r in QUERIES["custdist_histogram"](spark, d).collect()}
+    # customer 1: two qualifying orders; customers 2 and 3: zero
+    assert got == {2: 1, 0: 2}
+
+
+def test_sole_return_supplier_planted_case(spark, tmp_path):
+    """Planted Q21 semantics: supplier A returns on a 2-supplier order
+    where B is clean → A qualifies; on an order where BOTH return,
+    neither qualifies; a single-supplier returned order never
+    qualifies (no other supplier EXISTS)."""
+    import datetime
+
+    from distributed_computing_spark.registry import QUERIES
+
+    d = str(tmp_path / "sf")
+    t0 = datetime.datetime(2024, 1, 1)
+    ship = t0
+    li_rows = [
+        # order 1: A returns, B clean -> A qualifies
+        (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "R", "F", ship),
+        (1, 1, 2, 2, 1.0, 10.0, 0.0, 0.0, "N", "F", ship),
+        # order 2: both return -> neither qualifies
+        (2, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "R", "F", ship),
+        (2, 1, 2, 2, 1.0, 10.0, 0.0, 0.0, "R", "F", ship),
+        # order 3: A alone returns -> no other supplier, not counted
+        (3, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "R", "F", ship),
+        # order 4: non-F status order -> out of scope entirely
+        (4, 1, 2, 1, 1.0, 10.0, 0.0, 0.0, "R", "F", ship),
+    ]
+    spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    o_rows = [
+        (1, 1, "F", 1.0, t0, "1-URGENT"),
+        (2, 1, "F", 1.0, t0, "1-URGENT"),
+        (3, 1, "F", 1.0, t0, "1-URGENT"),
+        (4, 1, "O", 1.0, t0, "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        o_rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(1, "SUPP_A", 0, 0.0), (2, "SUPP_B", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).write.mode("overwrite").parquet(f"{d}/supplier.parquet")
+    got = [(r["s_name"], r["numwait"]) for r in QUERIES["sole_return_supplier"](spark, d).collect()]
+    assert got == [("SUPP_A", 1)]
+
+
+def test_min_cost_supplier_keeps_per_part_ties(spark, tmp_path):
+    """Q2's correlated min is tie-safe PER PART: two suppliers hitting
+    the same minimum for one part both appear; other parts keep their
+    own independent winners."""
+    import datetime
+
+    from distributed_computing_spark.registry import QUERIES
+
+    d = str(tmp_path / "sf")
+    ship = datetime.datetime(2024, 1, 1)
+    li_rows = [
+        (1, 10, 1, 1, 1.0, 100.00, 0.0, 0.0, "N", "O", ship),
+        (2, 10, 2, 1, 1.0, 100.00, 0.0, 0.0, "N", "O", ship),
+        (3, 10, 3, 1, 1.0, 150.00, 0.0, 0.0, "N", "O", ship),
+        (4, 20, 3, 1, 1.0, 75.00, 0.0, 0.0, "N", "O", ship),
+        (5, 20, 1, 1, 1.0, 80.00, 0.0, 0.0, "N", "O", ship),
+    ]
+    spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        [(10, "P10", "Brand#1", "LARGE", 3, 1.0),
+         (20, "P20", "Brand#2", "LARGE", 5, 1.0),
+         (30, "P30", "Brand#3", "LARGE", 50, 1.0)],  # filtered out by size
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(f"{d}/part.parquet")
+    spark.createDataFrame(
+        [(1, "S1", 0, 0.0), (2, "S2", 0, 0.0), (3, "S3", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).write.mode("overwrite").parquet(f"{d}/supplier.parquet")
+    got = [
+        (r["p_partkey"], r["s_name"], r["offer_cents"])
+        for r in QUERIES["min_cost_supplier"](spark, d).collect()
+    ]
+    assert got == [(10, "S1", 10000), (10, "S2", 10000), (20, "S3", 7500)]
+
+
+def test_sales_opportunity_cross_multiplied_threshold(spark, tmp_path):
+    """Q22's average threshold as exact integers: bal·n > Σbal — the
+    boundary customer (exactly average) is EXCLUDED (strict >), and a
+    recently-active customer is excluded by the anti-join even with a
+    high balance."""
+    import datetime
+
+    from distributed_computing_spark.registry import QUERIES
+
+    d = str(tmp_path / "sf")
+    # balances: 10.00, 20.00, 30.00 -> avg 20.00; c2 sits exactly on it
+    spark.createDataFrame(
+        [
+            (1, "c1", 0, 10.00, "A"),
+            (2, "c2", 0, 20.00, "A"),
+            (3, "c3", 0, 30.00, "A"),
+            (4, "c4", 0, 30.00, "B"),  # active recently -> anti-joined away
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        [(1, 4, "O", 1.0, datetime.datetime(2000, 6, 1), "1-URGENT"),
+         (2, 3, "O", 1.0, datetime.datetime(1999, 6, 1), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    got = {
+        r["c_mktsegment"]: (r["n_custs"], r["bal_cents"])
+        for r in QUERIES["sales_opportunity"](spark, d).collect()
+    }
+    # avg of positives = (1000+2000+3000+3000)/4 = 2250 cents:
+    # c3 (3000, old order only) passes; c2 (2000) under; c4 active
+    assert got == {"A": (1, 3000)}
