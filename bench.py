@@ -99,14 +99,6 @@ HEADLINE += [
     "bigram_pmi",
 ]
 
-# The round-8 headline set, frozen (round 9 moved the freeze down here
-# so it now covers the full r8 composition): BENCH_r09+ echoes the
-# subtotal over exactly these queries as `shared_prev_total`, directly
-# comparable to BENCH_r08's headline value — composition growth (new
-# queries joining HEADLINE below) never reads as a regression. New
-# rounds append AFTER this line and move the freeze at round end.
-PREV_ROUND_HEADLINE = tuple(HEADLINE)
-
 # Round-9 additions: rank statistics (one-exchange windows), the SCD2
 # point-in-time broadcast lookup, quantized item-item cosine, the
 # conditional-decimal promo share, and the perceptual-hash image
@@ -119,6 +111,28 @@ HEADLINE += [
     "copurchase_cosine",
     "promo_revenue_share",
     "image_dhash_neardup",
+]
+
+# The round-9 headline set, frozen (round 10 moved the freeze down here
+# so it now covers the full r9 composition): BENCH_r10+ echoes the
+# subtotal over exactly these queries as `shared_prev_total`, directly
+# comparable to BENCH_r09's headline value — composition growth (new
+# queries joining HEADLINE below) never reads as a regression. New
+# rounds append AFTER this line and move the freeze at round end.
+PREV_ROUND_HEADLINE = tuple(HEADLINE)
+
+# Round-10 additions: the new TPC-H plan shapes with distinct physical
+# signatures (two-fact snowflake, outer-join histogram, window-
+# decorrelated exists/not-exists) and the CUSUM series detector.
+# market_share_ppm / product_profit / top_supplier_revenue /
+# parts_supplier_count / sales_opportunity / min_cost_supplier stay
+# gate-only (tail budget — same broadcast-join physics as the measured
+# four).
+HEADLINE += [
+    "nation_trade_volume",
+    "custdist_histogram",
+    "sole_return_supplier",
+    "events_cusum_drift",
 ]
 
 

@@ -2859,3 +2859,149 @@ def cusum_positive(
         F.col("_cusum_p")
         - F.least(F.min("_cusum_p").over(w), F.lit(0).cast("long")),
     ).drop("_cusum_p")
+
+
+MAX_THEILSEN_DAYS = 366
+
+
+def events_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen ROBUST trend per event type (round 10): the median of
+    all pairwise slopes (c_j − c_i)/(day_j − day_i) over the daily
+    count series — breakdown-29% where the OLS event_trend_slopes is
+    breakdown-0 (one corrupt feed day drags a least-squares line but
+    not the slope median). Fully exact: the median PAIR is selected by
+    (float slope, dy, dx) — the float is the same IEEE division of the
+    same two BIGINTs on both engines, ties close under the integer
+    suffix, and equal-key collisions ship equal values — and the
+    output is the pair's exact (med_dy, med_dx); NO integer division
+    ever runs (no engine `//` semantics can enter).
+
+    Scale contract: the pair fan-out is D² PER GROUP over the tiny
+    (type × day) series table — D is bounded IN CODE by
+    MAX_THEILSEN_DAYS (the MAX_SLIDING_WINDOW_DAYS rule); the fact
+    table itself only ever does the one partial-aggregating exchange
+    to daily counts."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n_days = daily.select("day").distinct().count()
+    if n_days > MAX_THEILSEN_DAYS:
+        raise ValueError(
+            f"events_theilsen: {n_days} days exceeds MAX_THEILSEN_DAYS="
+            f"{MAX_THEILSEN_DAYS} — the per-group D² pair fan-out needs "
+            "a coarser time bucket (aggregate to weeks) above this"
+        )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.col("b.c") - F.col("a.c")).alias("dy"),
+        F.datediff(F.col("b.day"), F.col("a.day")).cast("long").alias("dx"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        (F.col("dy").cast("double") / F.col("dx").cast("double")),
+        "dy",
+        "dx",
+    )
+    ranked = pairs.select(
+        "event_type",
+        "dy",
+        "dx",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n_pairs"),
+    )
+    return (
+        ranked.where(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .select(
+            "event_type",
+            "n_pairs",
+            F.col("dy").alias("med_dy"),
+            F.col("dx").alias("med_dx"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation with EXACT quintile thresholds (round 10):
+    recency (days since last order, vs the global max order date),
+    frequency (order count), monetary (exact cent spend) per buying
+    customer; each metric scored 1–5 against its own exact lower
+    P20/P40/P60/P80 — computed by ONE grouped_weighted_quantiles_multi
+    pass with the METRIC NAME as the group (the quantile core's
+    two-level decomposition makes the 3-group shape safe — this is
+    exactly the few-groups input the bare percentile() sort cliff
+    punishes). Scores are tie-stable and integer-exact: score = 1 +
+    #{thresholds strictly below the value} — no ntile (whose ties are
+    ORDER-dependent), no float.
+
+    Output: (r_score, f_score, m_score, n_customers) — the segment
+    histogram."""
+    orders = load_table(spark, sf_dir, "orders")
+    from distributed_computing_spark.caching import track_persist
+
+    ref = orders.agg(F.max("o_orderdate").alias("rd"))
+    cm = track_persist(
+        orders.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("rd"), F.max("o_orderdate"))
+            .cast("long")
+            .alias("r"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "m"
+            ),
+        )
+    )
+    lng = cm.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("R").alias("g"), F.col("r").alias("v")),
+                F.struct(F.lit("F").alias("g"), F.col("f").alias("v")),
+                F.struct(F.lit("M").alias("g"), F.col("m").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.g", "e.v")
+    vw = lng.groupBy("g", "v").agg(F.count(F.lit(1)).alias("wt"))
+    th = grouped_weighted_quantiles_multi(vw, [200, 400, 600, 800]).select(
+        "g", F.col("q_v").alias("t")
+    )
+    # 12-row threshold table -> one broadcast row of per-metric arrays
+    score = lambda col, ts: (  # noqa: E731 — local scoring expression
+        F.lit(1)
+        + F.aggregate(
+            ts,
+            F.lit(0),
+            lambda acc, t: acc + F.when(col > t, 1).otherwise(0),
+        )
+    )
+    thr = (
+        th.groupBy()
+        .pivot("g", ["R", "F", "M"])
+        .agg(F.sort_array(F.collect_list("t")))
+        # Spark resolves column names case-insensitively by default, so
+        # the pivot columns R/F/M would be ambiguous against cm's r/f/m
+        # after the cross join — rename before joining.
+        .select(
+            F.col("R").alias("t_r"),
+            F.col("F").alias("t_f"),
+            F.col("M").alias("t_m"),
+        )
+    )
+    scored = cm.crossJoin(F.broadcast(thr)).select(
+        score(F.col("r"), F.col("t_r")).cast("long").alias("r_score"),
+        score(F.col("f"), F.col("t_f")).cast("long").alias("f_score"),
+        score(F.col("m"), F.col("t_m")).cast("long").alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )

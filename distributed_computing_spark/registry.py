@@ -6009,6 +6009,92 @@ SELECT event_type,
 FROM cu GROUP BY 1 ORDER BY 1"""
 
 
+
+def events_theilsen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust daily-count trend per event type — the
+    breakdown-29% companion of the OLS event_trend_slopes (see
+    analytics.events_theilsen: median pairwise slope, selected by an
+    engine-identical (IEEE slope, dy, dx) order, shipped as the exact
+    integer pair — no division of any kind under the gate)."""
+    from distributed_computing_spark.operators.analytics import (
+        events_theilsen,
+    )
+
+    return events_theilsen(spark, sf_dir)
+
+
+QUERIES["events_theilsen"] = events_theilsen_q
+ORACLES["events_theilsen"] = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+p AS (SELECT a.event_type, (b.c - a.c) AS dy,
+             CAST(date_diff('day', a.day, b.day) AS BIGINT) AS dx
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day),
+r AS (SELECT *,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE), dy, dx)
+               AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_pairs
+      FROM p)
+SELECT event_type, n_pairs, dy AS med_dy, dx AS med_dx
+FROM r WHERE rn = (n_pairs + 1) // 2
+ORDER BY event_type"""
+
+
+def customer_rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation histogram — exact quintile thresholds from ONE
+    grouped_weighted_quantiles_multi pass with the metric name as the
+    group; scores are 1 + #{thresholds strictly below}, tie-stable on
+    both engines (never ntile, whose ties are order-dependent). See
+    analytics.customer_rfm_segments."""
+    from distributed_computing_spark.operators.analytics import (
+        customer_rfm_segments,
+    )
+
+    return customer_rfm_segments(spark, sf_dir)
+
+
+QUERIES["customer_rfm_segments"] = customer_rfm_segments_q
+ORACLES["customer_rfm_segments"] = """
+WITH ref AS (SELECT max(o_orderdate) AS rd FROM orders),
+cm AS (SELECT o_custkey,
+              CAST(date_diff('day', max(o_orderdate),
+                             (SELECT rd FROM ref)) AS BIGINT) AS r,
+              CAST(count(*) AS BIGINT) AS f,
+              CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS m
+       FROM orders GROUP BY 1),
+lng AS (SELECT 'R' AS g, r AS v FROM cm
+        UNION ALL SELECT 'F', f FROM cm
+        UNION ALL SELECT 'M', m FROM cm),
+cw AS (SELECT g, v, CAST(count(*) AS BIGINT) AS wt FROM lng GROUP BY 1, 2),
+rr AS (SELECT g, v, wt,
+              sum(wt) OVER (PARTITION BY g ORDER BY v) AS cum,
+              sum(wt) OVER (PARTITION BY g) AS tot
+       FROM cw),
+th AS (SELECT g, q, min(v) AS t
+       FROM rr CROSS JOIN (SELECT unnest([200, 400, 600, 800]) AS q) qq
+       WHERE 1000 * cum >= q * tot GROUP BY 1, 2),
+sc AS (SELECT cm.o_custkey,
+              CAST(1 + (SELECT count(*) FROM th
+                        WHERE th.g = 'R' AND cm.r > th.t) AS BIGINT)
+                AS r_score,
+              CAST(1 + (SELECT count(*) FROM th
+                        WHERE th.g = 'F' AND cm.f > th.t) AS BIGINT)
+                AS f_score,
+              CAST(1 + (SELECT count(*) FROM th
+                        WHERE th.g = 'M' AND cm.m > th.t) AS BIGINT)
+                AS m_score
+       FROM cm)
+SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_customers
+FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 10 — VERDICT r9 items 1, 2)
 # ---------------------------------------------------------------------------
@@ -6055,7 +6141,9 @@ _R10_WINDOW = [
     "copurchase_triangles", "hll_user_registers", "doc_skyline",
     "weighted_order_sample", "ivm_segment_revenue", "orders_equidepth",
     "ngram_jaccard_prefix", "copurchase_kcore", "multimodal_gif_decode",
-    "kmv_user_sketches", "pagerank_parts",
+    # batch-2 round-10 additions (displace kmv_user_sketches and
+    # pagerank_parts to round 11's first picks)
+    "events_theilsen", "customer_rfm_segments",
 ]
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R10_WINDOW} | {
@@ -6069,7 +6157,7 @@ _R10_NEW = [
     "nation_trade_volume", "market_share_ppm", "product_profit",
     "custdist_histogram", "top_supplier_revenue", "parts_supplier_count",
     "sole_return_supplier", "sales_opportunity", "min_cost_supplier",
-    "events_cusum_drift",
+    "events_cusum_drift", "events_theilsen", "customer_rfm_segments",
 ]
 _order = list(QUERIES)
 for _q in _R10_NEW:

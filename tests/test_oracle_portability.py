@@ -233,6 +233,12 @@ _AUDITED_FLOORDIV = [
     # non-negative by construction (the kmeans r7 guarded form).
     r"THEN \(\(n \* sxy - sx \* sy\) \* 1000000\) // \(n \* sxx - sx \* sx\)",
     r"ELSE -\(\(\(sx \* sy - n \* sxy\) \* 1000000\) // \(n \* sxx - sx \* sx\)\)",
+    # round 10 market share: both sums are HUGEINT sums of floor-cent
+    # revenue of positive prices with discount in [0, 1) — non-negative;
+    # the CASE guards total_mc > 0.
+    r"\(target_mc \* 1000000\) // total_mc",
+    # round 10 Theil–Sen: n_pairs is a window count(*), non-negative.
+    r"\(n_pairs \+ 1\) // 2",
 ]
 
 

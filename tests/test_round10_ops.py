@@ -566,3 +566,116 @@ def test_sales_opportunity_cross_multiplied_threshold(spark, tmp_path):
     # avg of positives = (1000+2000+3000+3000)/4 = 2250 cents:
     # c3 (3000, old order only) passes; c2 (2000) under; c4 active
     assert got == {"A": (1, 3000)}
+
+
+def test_theilsen_linear_trend_exact_and_outlier_robust(spark, tmp_path):
+    """A perfectly linear series (+2/day) has EVERY pairwise slope 2 —
+    the median pair must satisfy dy == 2·dx exactly. Corrupting ONE day
+    (the OLS-breaking case) must not move the Theil–Sen median off the
+    true slope (breakdown 29%)."""
+    import datetime
+
+    from distributed_computing_spark.registry import QUERIES
+
+    d = str(tmp_path / "sf")
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(12):
+        base = 10 + 2 * day
+        counts = {"lin": base, "corrupt": base if day != 6 else 500}
+        for typ, n in counts.items():
+            for j in range(n):
+                eid += 1
+                rows.append(
+                    (eid, t0 + datetime.timedelta(days=day, seconds=j + 1),
+                     j, typ, 1.0, "{}")
+                )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["event_type"]: r for r in QUERIES["events_theilsen"](spark, d).collect()}
+    lin = out["lin"]
+    assert lin["n_pairs"] == 12 * 11 // 2
+    assert lin["med_dy"] == 2 * lin["med_dx"]
+    cor = out["corrupt"]
+    # 11 clean days give C(11,2)=55 exact-slope-2 pairs of 66 total:
+    # the median pair is still on the true line
+    assert cor["med_dy"] == 2 * cor["med_dx"]
+
+
+def test_theilsen_day_cap_raises(spark):
+    """The D² pair fan-out is bounded IN CODE (the absolute-cap rule):
+    a series longer than MAX_THEILSEN_DAYS must raise, not explode."""
+    import datetime
+
+    import pytest
+
+    from distributed_computing_spark.operators import analytics
+
+    t0 = datetime.datetime(2020, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(days=i), 1, "t", 1.0, "{}")
+        for i in range(analytics.MAX_THEILSEN_DAYS + 2)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        with pytest.raises(ValueError, match="MAX_THEILSEN_DAYS"):
+            analytics.events_theilsen(spark, d)
+
+
+def test_rfm_scores_planted_quintiles(spark, tmp_path):
+    """Five customers with frequencies 1..5 (and identical recency and
+    per-order spend) must land in f_score 1..5 respectively: the exact
+    lower-quintile thresholds are 1,2,3,4 and score = 1 + #{t < v}.
+    With all recencies equal, every r_score is 1 (no threshold strictly
+    below); monetary tracks frequency here so m_score == f_score."""
+    import datetime
+
+    from distributed_computing_spark.registry import QUERIES
+
+    d = str(tmp_path / "sf")
+    t0 = datetime.datetime(2024, 1, 5)
+    rows = []
+    ok = 0
+    for cust in range(1, 6):
+        for k in range(cust):  # customer c places c orders, same day
+            ok += 1
+            rows.append((ok, cust, "O", 100.00, t0, "1-URGENT"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    got = {
+        (r["r_score"], r["f_score"], r["m_score"]): r["n_customers"]
+        for r in QUERIES["customer_rfm_segments"](spark, d).collect()
+    }
+    assert got == {(1, s, s): 1 for s in range(1, 6)}
+
+
+def test_rfm_metric_table_cached_once(spark):
+    """The per-customer (r, f, m) table feeds the threshold pass AND
+    the scoring pass — the subtree-reuse rule wants one persisted build
+    read from both branches."""
+    from distributed_computing_spark.caching import release_tracked
+    from distributed_computing_spark.registry import QUERIES
+
+    try:
+        df = QUERIES["customer_rfm_segments"](spark, "/root/testdata/sf0.001")
+        from distributed_computing_spark.plans import physical_plan
+
+        plan = physical_plan(df)
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        assert df.count() > 0
+    finally:
+        release_tracked()

@@ -75,6 +75,16 @@ DEFAULT_QUERIES = [
     "spearman_qty_price",
     "copurchase_cosine",
     "promo_revenue_share",
+    # round-10: the two-fact snowflake (both facts broadcast-reduced
+    # before one shuffle-hash join), the outer-join histogram (orders
+    # pre-agg + left join + second agg), the window-decorrelated Q21
+    # (one lineitem repartition serving aggregate + window counts), and
+    # the CUSUM detector (events-sized daily rollup + two stacked
+    # series windows).
+    "nation_trade_volume",
+    "custdist_histogram",
+    "sole_return_supplier",
+    "events_cusum_drift",
 ]
 
 # The clustering tier (VERDICT r3 item 1) is measured OFFLINE with
