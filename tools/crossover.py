@@ -576,6 +576,55 @@ RECORDED_R10_TIERS: dict = {
         "R100_draft": {"spark_s": 6.87, "duckdb_s": 0.27, "ratio": 25.4},
         "R100": {"spark_s": 5.09, "duckdb_s": 0.24, "ratio": 21.3},
     },
+    # VERDICT r9 item 4: the weighted-median far tier on the
+    # orders+lineitem subset replica (60 M orders ⋈ 240 M lineitem,
+    # zstd, 48g driver — the documented far-tier recipe). The slope
+    # 12.1 (R20) → 8.7 (R100) → 5.0 (R200) lands at NEAR-PARITY: the
+    # single-node side grows 11.8× for the R200→R400 doubling (spill)
+    # while Spark grows 2.7×.
+    "weighted_median_price": {
+        "R400": {"spark_s": 49.0, "duckdb_s": 42.6, "ratio": 1.15},
+    },
+    # Round-10 TPC-H shapes, measured on the same subset replicas
+    # (R100 = 15 M orders ⋈ 60 M lineitem; R400 as above). The Q21
+    # EXISTS/NOT-EXISTS single-node formulation is superlinear in the
+    # per-order fan-out and COLLAPSES at R400 — a 3.7× Spark WIN
+    # (4.3× → 1.86 → 0.27); Spark's window decorrelation stays linear.
+    "sole_return_supplier": {
+        "R20": {"spark_s": 6.0, "duckdb_s": 1.38, "ratio": 4.3},
+        "R100": {"spark_s": 8.61, "duckdb_s": 4.62, "ratio": 1.86},
+        "R400": {"spark_s": 25.2, "duckdb_s": 94.0, "ratio": 0.27},
+    },
+    "nation_trade_volume": {
+        "R20": {"spark_s": 2.63, "duckdb_s": 0.14, "ratio": 19.2},
+        "R100": {"spark_s": 4.30, "duckdb_s": 0.34, "ratio": 12.6},
+        "R400": {"spark_s": 9.30, "duckdb_s": 1.52, "ratio": 6.1},
+    },
+    # small-absolute overhead floors (Spark flat at the scheduler/scan
+    # floor, DuckDB's two-level aggregate near-free at these sizes):
+    "custdist_histogram": {
+        "R100": {"spark_s": 1.42, "duckdb_s": 0.06, "ratio": 23.3},
+    },
+    "market_share_ppm": {
+        "R100": {"spark_s": 7.63, "duckdb_s": 0.59, "ratio": 12.9},
+    },
+    # ROADMAP item 4: the MAD screen's first tier cell (15 M orders).
+    "robust_price_outliers": {
+        "R100": {"spark_s": 7.62, "duckdb_s": 0.93, "ratio": 8.2},
+    },
+    # events-only replicas (the audience_overlap flat-Spark floor
+    # class): Spark rides the one daily-rollup exchange FLAT
+    # (3.5 → 3.9 s for 2.5× data) while the single-node count grows
+    # linearly — converging slopes, crossing extrapolates ~R2000.
+    "events_cusum_drift": {
+        "R20": {"spark_s": 2.48, "duckdb_s": 0.09, "ratio": 28.2},
+        "R200": {"spark_s": 3.53, "duckdb_s": 0.21, "ratio": 16.5},
+        "R500": {"spark_s": 3.90, "duckdb_s": 0.40, "ratio": 9.7},
+    },
+    "events_theilsen": {
+        "R200": {"spark_s": 2.96, "duckdb_s": 0.14, "ratio": 21.0},
+        "R500": {"spark_s": 3.85, "duckdb_s": 0.39, "ratio": 9.9},
+    },
 }
 
 # The stdout-echo subset of the recorded tiers: the bench's compact
@@ -595,12 +644,17 @@ RECORDED_ECHO_KEYS: dict[str, tuple[str, ...]] = {
     #   dedup-closure DNF, the KV hot-key win, the kmeans win, the
     #   FastSS near-flat endpoint, the second recursive-closure DNF,
     #   and the round-9 spearman skew-fix flip.
+    # (round 10: the spearman R100 echo rotates out for the two new
+    # round-10 stories — the Q21 window-decorrelation FLIP and the
+    # weighted-median near-parity endpoint; spearman's full slope
+    # stays in .bench_full.json/BASELINE.md.)
     "neardup_clusters": ("R50",),
     "kv_replay_hotkey": ("R500",),
     "kmeans_embeddings": ("R50",),
     "edit1_customer_pairs": ("R10",),
     "copurchase_components": ("R20",),
-    "spearman_qty_price": ("R100",),
+    "sole_return_supplier": ("R400",),
+    "weighted_median_price": ("R400",),
 }
 
 # Fact tables are replicated with remapped keys; everything else copied.
