@@ -734,3 +734,16 @@ def test_stream_dhash_ingest_equals_batch(spark):
         for r in dhash_images(textured_blobs(docs)).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_cusum_drift_equals_batch(spark):
+    """Round 10: the CUSUM detector over streamed daily counts — the
+    streaming aggregation's final state must reproduce the batch
+    detector exactly (counting is distributive; the detector runs on
+    the flushed state)."""
+    from distributed_computing_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    batch = {tuple(r) for r in QUERIES["events_cusum_drift"](spark, sf).collect()}
+    stream = {tuple(r) for r in QUERIES["stream_cusum_drift"](spark, sf).collect()}
+    assert batch == stream and len(batch) > 0
