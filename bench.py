@@ -243,6 +243,12 @@ def _compact_for_tail(payload: dict) -> dict:
         rec.update(xo.pop("r7_tier_recorded", None) or {})
         rec.update(xo.pop("r8_tier_recorded", None) or {})
         rec.update(xo.pop("r9_tier_recorded", None) or {})
+        # Every recorded-tier table must join this pop list the round it
+        # is born: an un-popped table rides the tail RAW and blows the
+        # 2000-char capture (the round-4 artifact-destruction class —
+        # round 10's first clean bench measured 2784 chars before this
+        # line landed). test_bench_tail pins the budget.
+        rec.update(xo.pop("r10_tier_recorded", None) or {})
         if "queries" in xo:
             # VERDICT r7 item 3: the per-query crossover arrays get shed
             # from the tail when the line outgrows the budget, which in
@@ -303,12 +309,28 @@ def _compact_for_tail(payload: dict) -> dict:
     # budget and the WHOLE 252-char recorded echo was sacrificed for
     # it; trimming the weak list 10 -> 5 (n_weak_total keeps the count
     # honest) is the cheaper cut.
+    # round 10: "_recorded_trim" added before the wholesale recorded
+    # drop — at 62 headline timings the full 7-family echo sat ~200
+    # chars over budget and vanished entirely (first clean r10 bench).
+    # The echo dict is ordered most-important-first (RECORDED_ECHO_KEYS
+    # puts the current round's stories at the head), so trimming
+    # families from the END keeps the newest datums on the tail.
     for drop in (
         "rows", "queries", "_weak_cap", "_queries_int", "_weak_cap5",
-        "recorded",
+        "_recorded_trim", "recorded",
     ):
         if _len(p) <= _TAIL_BUDGET:
             break
+        if drop == "_recorded_trim":
+            xo2 = p.get("crossover")
+            if isinstance(xo2, dict) and isinstance(xo2.get("recorded"), dict):
+                fams = list(xo2["recorded"])
+                while len(fams) > 1 and _len(p) > _TAIL_BUDGET:
+                    xo2["recorded"] = {
+                        f: xo2["recorded"][f] for f in fams[:-1]
+                    }
+                    fams = fams[:-1]
+            continue
         if drop in ("_weak_cap", "_weak_cap5"):
             xo2 = p.get("crossover")
             if isinstance(xo2, dict) and isinstance(xo2.get("weak"), dict):

@@ -185,3 +185,85 @@ def test_recorded_echo_takes_precedence_and_fits():
     # original payload untouched (ADVICE r5 regression)
     assert "recorded_echo" in payload["crossover"]
     assert "dedup_tier_recorded" in payload["crossover"]
+
+
+def test_live_recorded_tables_all_popped_and_line_fits():
+    """Round 10: the first clean bench of the round printed a
+    2784-char line because r10_tier_recorded was missing from the pop
+    list — every recorded table a future round adds must join it. This
+    builds the tail payload from the LIVE module globals (all recorded
+    tables, the real recorded_echo, a full-size headline dict and a
+    live-set-sized crossover queries dict) and pins the budget, so an
+    un-popped table can never reach the driver again."""
+    import bench
+    from tools import crossover as xo_mod
+
+    xo = {
+        "R": 20,
+        "rows": {t: 12_000_000 for t in ("documents", "events", "orders", "lineitem")},
+        "queries": {
+            name: {"spark_s": 12.345, "duckdb_s": 3.456}
+            for name in xo_mod.DEFAULT_QUERIES
+        },
+        "spark_total_s": 137.534,
+        "duckdb_total_s": 157.962,
+        "spark_over_duckdb": 0.871,
+        "dedup_tier_recorded": xo_mod.RECORDED_DEDUP_TIERS,
+        "kv_tier_recorded": xo_mod.RECORDED_KV_TIERS,
+        "r6_tier_recorded": xo_mod.RECORDED_R6_TIERS,
+        "r7_tier_recorded": xo_mod.RECORDED_R7_TIERS,
+        "r8_tier_recorded": xo_mod.RECORDED_R8_TIERS,
+        "r9_tier_recorded": xo_mod.RECORDED_R9_TIERS,
+        "r10_tier_recorded": xo_mod.RECORDED_R10_TIERS,
+        "recorded_echo": xo_mod._recorded_echo(),
+    }
+    payload = {
+        "metric": "headline_queries_total",
+        "value": 164.549,
+        "unit": "sec",
+        "shared_prev_total": 160.748,
+        "queries": {name: 9.876 for name in bench.HEADLINE},
+        "sf": 0.1,
+        "crossover": xo,
+    }
+    out = bench._compact_for_tail(payload)
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= bench._TAIL_BUDGET, len(line)
+    # no raw recorded table may survive into the tail
+    for k in list(out.get("crossover", {})):
+        assert not k.endswith("_tier_recorded"), k
+
+
+def test_recorded_trim_keeps_head_families(spark=None):
+    """Round 10: when the full echo does not fit, families shed from
+    the END — the head (current round's stories) must survive on the
+    tail rather than the whole section vanishing."""
+    import bench
+    from tools import crossover as xo_mod
+
+    xo = {
+        "R": 20,
+        "queries": {
+            name: {"spark_s": 12.345, "duckdb_s": 3.456}
+            for name in xo_mod.DEFAULT_QUERIES
+        },
+        "spark_total_s": 1.0,
+        "duckdb_total_s": 1.0,
+        "spark_over_duckdb": 1.0,
+        "recorded_echo": xo_mod._recorded_echo(),
+    }
+    payload = {
+        "metric": "headline_queries_total",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {name: 9.876 for name in bench.HEADLINE},
+        "sf": 0.1,
+        "crossover": xo,
+    }
+    first_family = next(iter(xo_mod.RECORDED_ECHO_KEYS))
+    out = bench._compact_for_tail(payload)
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= bench._TAIL_BUDGET, len(line)
+    rec = out.get("crossover", {}).get("recorded")
+    assert rec, "recorded echo vanished wholesale — trim stage bypassed"
+    assert first_family in rec

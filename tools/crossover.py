@@ -647,14 +647,16 @@ RECORDED_ECHO_KEYS: dict[str, tuple[str, ...]] = {
     # (round 10: the spearman R100 echo rotates out for the two new
     # round-10 stories — the Q21 window-decorrelation FLIP and the
     # weighted-median near-parity endpoint; spearman's full slope
-    # stays in .bench_full.json/BASELINE.md.)
+    # stays in .bench_full.json/BASELINE.md. ORDER MATTERS: bench's
+    # "_recorded_trim" shed stage drops families from the END, so the
+    # current round's stories lead and the standing datums trail.)
+    "sole_return_supplier": ("R400",),
+    "weighted_median_price": ("R400",),
     "neardup_clusters": ("R50",),
     "kv_replay_hotkey": ("R500",),
     "kmeans_embeddings": ("R50",),
     "edit1_customer_pairs": ("R10",),
     "copurchase_components": ("R20",),
-    "sole_return_supplier": ("R400",),
-    "weighted_median_price": ("R400",),
 }
 
 # Fact tables are replicated with remapped keys; everything else copied.
