@@ -612,6 +612,24 @@ RECORDED_R10_TIERS: dict = {
     "robust_price_outliers": {
         "R100": {"spark_s": 7.62, "duckdb_s": 0.93, "ratio": 8.2},
     },
+    # the remaining round-10 TPC-H shapes, same R100 orders+lineitem
+    # replica — all small-absolute broadcast-join cells (Spark ≤ 6.1 s,
+    # the engine-floor class; same physics as the measured four above):
+    "product_profit": {
+        "R100": {"spark_s": 6.12, "duckdb_s": 0.79, "ratio": 7.8},
+    },
+    "min_cost_supplier": {
+        "R100": {"spark_s": 2.92, "duckdb_s": 0.27, "ratio": 10.7},
+    },
+    "sales_opportunity": {
+        "R100": {"spark_s": 1.81, "duckdb_s": 0.07, "ratio": 27.4},
+    },
+    "top_supplier_revenue": {
+        "R100": {"spark_s": 2.11, "duckdb_s": 0.32, "ratio": 6.7},
+    },
+    "parts_supplier_count": {
+        "R100": {"spark_s": 3.80, "duckdb_s": 0.79, "ratio": 4.8},
+    },
     # events-only replicas (the audience_overlap flat-Spark floor
     # class): Spark rides the one daily-rollup exchange FLAT
     # (3.5 → 3.9 s for 2.5× data) while the single-node count grows
@@ -620,10 +638,16 @@ RECORDED_R10_TIERS: dict = {
         "R20": {"spark_s": 2.48, "duckdb_s": 0.09, "ratio": 28.2},
         "R200": {"spark_s": 3.53, "duckdb_s": 0.21, "ratio": 16.5},
         "R500": {"spark_s": 3.90, "duckdb_s": 0.40, "ratio": 9.7},
+        # R1000 = 100 M events: Spark DEAD FLAT across the R500→R1000
+        # doubling (3.90 → 3.88) — the series detector's cost is the
+        # one daily-rollup exchange, independent of row count at these
+        # tiers; the single-node count grows with the data.
+        "R1000": {"spark_s": 3.88, "duckdb_s": 0.65, "ratio": 6.0},
     },
     "events_theilsen": {
         "R200": {"spark_s": 2.96, "duckdb_s": 0.14, "ratio": 21.0},
         "R500": {"spark_s": 3.85, "duckdb_s": 0.39, "ratio": 9.9},
+        "R1000": {"spark_s": 4.57, "duckdb_s": 0.71, "ratio": 6.4},
     },
 }
 
