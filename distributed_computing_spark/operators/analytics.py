@@ -3005,3 +3005,68 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+def events_dow_anomalies(
+    spark: SparkSession, sf_dir: str, k_milli: int = 4448
+) -> DataFrame:
+    """Seasonality-robust anomaly days (round 10): a Monday is only
+    anomalous against OTHER MONDAYS — per (type, day-of-week) lower
+    median of the daily count (the weekly-seasonal baseline), residual
+    |c − med_dow|, flagged against the per-type MAD of those residuals
+    (``1000·resid > k_milli·MAD``, k = 4448 ≈ 3σ-equivalent — the
+    robust_price_outliers constant). The z-score event_anomalies
+    breaks on weekly rhythm (every weekend flags); this is its
+    breakdown-50% seasonal twin, all exact integers.
+
+    Day-of-week is epoch-day mod 7 on BOTH engines — never the
+    engines' dayofweek() (DuckDB 0-based vs Spark 1-based, the
+    CLAUDE.md gap). Both median passes ride grouped_weighted_median
+    (two-level, no per-group sort); the day-level series table
+    persists once and serves the deviation AND flag passes."""
+    from distributed_computing_spark.caching import track_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    d2 = daily.withColumn(
+        "dow",
+        F.pmod(F.datediff(F.col("day"), F.lit("1970-01-01")), 7).cast(
+            "long"
+        ),
+    )
+    vw1 = (
+        d2.select(
+            F.concat_ws("#", "event_type", "dow").alias("g"),
+            F.col("c").alias("v"),
+        )
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("wt"))
+    )
+    med = grouped_weighted_median(vw1).select(
+        F.split(F.col("g"), "#")[0].alias("event_type"),
+        F.split(F.col("g"), "#")[1].cast("long").alias("dow"),
+        F.col("median_v").alias("med_dow"),
+    )
+    dev = track_persist(
+        d2.join(F.broadcast(med), ["event_type", "dow"]).select(
+            "event_type",
+            "day",
+            "c",
+            "med_dow",
+            F.abs(F.col("c") - F.col("med_dow")).alias("resid"),
+        )
+    )
+    vw2 = dev.select(
+        F.col("event_type").alias("g"), F.col("resid").alias("v")
+    ).groupBy("g", "v").agg(F.count(F.lit(1)).alias("wt"))
+    mad = grouped_weighted_median(vw2).select(
+        F.col("g").alias("event_type"), F.col("median_v").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(1000 * F.col("resid") > k_milli * F.col("mad"))
+        .select("event_type", "day", "c", "med_dow", "resid")
+        .orderBy("event_type", "day")
+    )

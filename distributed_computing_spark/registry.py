@@ -6140,6 +6140,152 @@ ORACLES["stream_cusum_drift"] = ORACLES["events_cusum_drift"]
 
 
 
+
+def segment_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment (round 10): allocate
+    a fixed budget of 10,000 units across market segments proportional
+    to exact revenue cents, INTEGER-EXACTLY — base = floor(U·rev/total)
+    (non-negative operands, so Spark ``div`` and any DuckDB ``//``
+    version agree), and the leftover units go to the largest remainder
+    fractions, compared WITHOUT division as the integer
+    ``U·rev − base·total`` (cross-multiplication again), ties broken
+    by segment name. Σ units == U by construction (tested). The
+    apportionment shape no percentage-rounding query gets right with
+    floats: naive per-row rounding over- or under-shoots the total.
+
+    Plan: one partial-aggregated rollup to |segments| rows; everything
+    after is window work on that tiny frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    u = 10_000
+    rev = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    tot = rev.agg(F.sum("rev_cents").alias("total_cents"))
+    q = rev.crossJoin(F.broadcast(tot)).select(
+        "c_mktsegment",
+        "rev_cents",
+        F.expr(f"{u}L * rev_cents div total_cents").alias("base_units"),
+        (F.lit(u) * F.col("rev_cents")).alias("num"),
+        "total_cents",
+    )
+    w_all = Window.partitionBy()
+    q2 = q.select(
+        "c_mktsegment",
+        "rev_cents",
+        "base_units",
+        (F.col("num") - F.col("base_units") * F.col("total_cents")).alias(
+            "frac_num"
+        ),
+        (F.lit(u) - F.sum("base_units").over(w_all)).alias("n_extra"),
+    )
+    w_rank = Window.partitionBy().orderBy(
+        F.col("frac_num").desc(), "c_mktsegment"
+    )
+    return (
+        q2.withColumn("rk", F.row_number().over(w_rank))
+        .select(
+            "c_mktsegment",
+            "rev_cents",
+            (
+                F.col("base_units")
+                + F.when(F.col("rk") <= F.col("n_extra"), 1).otherwise(0)
+            ).alias("units"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+QUERIES["segment_allocation"] = segment_allocation
+ORACLES["segment_allocation"] = """
+WITH rev AS (
+  SELECT c.c_mktsegment,
+         CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1),
+tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total_cents FROM rev),
+q AS (SELECT r.c_mktsegment, r.rev_cents,
+             (10000 * r.rev_cents) // t.total_cents AS base_units,
+             10000 * r.rev_cents
+               - ((10000 * r.rev_cents) // t.total_cents) * t.total_cents
+               AS frac_num
+      FROM rev r, tot t),
+q2 AS (SELECT *,
+              CAST(10000 - sum(base_units) OVER () AS BIGINT) AS n_extra,
+              row_number() OVER (ORDER BY frac_num DESC, c_mktsegment)
+                AS rk
+       FROM q)
+SELECT c_mktsegment, rev_cents,
+       CAST(base_units + CASE WHEN rk <= n_extra THEN 1 ELSE 0 END
+            AS BIGINT) AS units
+FROM q2 ORDER BY c_mktsegment"""
+
+
+
+
+def events_dow_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality-robust anomaly days — per (type, epoch-day
+    mod 7) median baseline + per-type MAD flag; the seasonal twin of
+    the z-score event_anomalies (see analytics.events_dow_anomalies)."""
+    from distributed_computing_spark.operators.analytics import (
+        events_dow_anomalies,
+    )
+
+    return events_dow_anomalies(spark, sf_dir)
+
+
+QUERIES["events_dow_anomalies"] = events_dow_anomalies_q
+ORACLES["events_dow_anomalies"] = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+d2 AS (SELECT *,
+              CAST(date_diff('day', TIMESTAMP '1970-01-01', day) % 7
+                   AS BIGINT) AS dow
+       FROM daily),
+vw1 AS (SELECT event_type, dow, c AS v, CAST(count(*) AS BIGINT) AS wt
+        FROM d2 GROUP BY 1, 2, 3),
+r1 AS (SELECT *,
+              sum(wt) OVER (PARTITION BY event_type, dow ORDER BY v)
+                AS cum,
+              sum(wt) OVER (PARTITION BY event_type, dow) AS tot
+       FROM vw1),
+med AS (SELECT event_type, dow,
+               CAST(min(CASE WHEN 2 * cum >= tot THEN v END) AS BIGINT)
+                 AS med_dow
+        FROM r1 GROUP BY 1, 2),
+dev AS (SELECT d.event_type, d.day, d.c, m.med_dow,
+               abs(d.c - m.med_dow) AS resid
+        FROM d2 d JOIN med m
+          ON m.event_type = d.event_type AND m.dow = d.dow),
+vw2 AS (SELECT event_type, resid AS v, CAST(count(*) AS BIGINT) AS wt
+        FROM dev GROUP BY 1, 2),
+r2 AS (SELECT *,
+              sum(wt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+              sum(wt) OVER (PARTITION BY event_type) AS tot
+       FROM vw2),
+mad AS (SELECT event_type,
+               CAST(min(CASE WHEN 2 * cum >= tot THEN v END) AS BIGINT)
+                 AS mad
+        FROM r2 GROUP BY 1)
+SELECT d.event_type, d.day, d.c, d.med_dow, d.resid
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+WHERE 1000 * d.resid > 4448 * m.mad
+ORDER BY 1, 2"""
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 10 — VERDICT r9 items 1, 2)
 # ---------------------------------------------------------------------------
@@ -6185,11 +6331,11 @@ _R10_WINDOW = [
     "dup_spans", "span_dedup_stats", "span_dedup_apply",
     "copurchase_triangles", "hll_user_registers", "doc_skyline",
     "weighted_order_sample", "ivm_segment_revenue", "orders_equidepth",
-    "ngram_jaccard_prefix", "copurchase_kcore",
-    # batch-2 round-10 additions (displace kmv_user_sketches,
-    # pagerank_parts and multimodal_gif_decode to round 11's first
-    # picks)
+    # batch-2/3 round-10 additions (displace kmv_user_sketches,
+    # pagerank_parts, multimodal_gif_decode, ngram_jaccard_prefix and
+    # copurchase_kcore to round 11's first picks)
     "events_theilsen", "customer_rfm_segments", "stream_cusum_drift",
+    "segment_allocation", "events_dow_anomalies",
 ]
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R10_WINDOW} | {
@@ -6204,7 +6350,7 @@ _R10_NEW = [
     "custdist_histogram", "top_supplier_revenue", "parts_supplier_count",
     "sole_return_supplier", "sales_opportunity", "min_cost_supplier",
     "events_cusum_drift", "events_theilsen", "customer_rfm_segments",
-    "stream_cusum_drift",
+    "stream_cusum_drift", "segment_allocation", "events_dow_anomalies",
 ]
 _order = list(QUERIES)
 for _q in _R10_NEW:

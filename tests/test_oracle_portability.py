@@ -239,6 +239,8 @@ _AUDITED_FLOORDIV = [
     r"\(target_mc \* 1000000\) // total_mc",
     # round 10 Theil–Sen: n_pairs is a window count(*), non-negative.
     r"\(n_pairs \+ 1\) // 2",
+    # round 10 apportionment: revenue cents of positive order totals.
+    r"\(10000 \* r\.rev_cents\) // t\.total_cents",
 ]
 
 

@@ -679,3 +679,75 @@ def test_rfm_metric_table_cached_once(spark):
         assert df.count() > 0
     finally:
         release_tracked()
+
+
+def test_segment_allocation_sums_to_budget_and_known_case(spark, tmp_path):
+    """Hamilton apportionment: Σ units == 10000 ALWAYS (the property
+    naive per-row rounding breaks), and a hand-checkable case: revenues
+    1/1/1 cents → quotas 3333.33… → bases 3333 with one leftover unit,
+    which goes to the alphabetically first segment (all remainder
+    fractions tie)."""
+    import datetime
+
+    from distributed_computing_spark.registry import QUERIES
+
+    d = str(tmp_path / "sf")
+    t0 = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, "cA", 0, 0.0, "X"), (2, "cB", 0, 0.0, "Y"), (3, "cC", 0, 0.0, "Z")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        [(1, 1, "O", 0.01, t0, "1-URGENT"),
+         (2, 2, "O", 0.01, t0, "1-URGENT"),
+         (3, 3, "O", 0.01, t0, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    got = {r["c_mktsegment"]: r["units"] for r in QUERIES["segment_allocation"](spark, d).collect()}
+    assert got == {"X": 3334, "Y": 3333, "Z": 3333}
+    assert sum(got.values()) == 10_000
+
+    # and on the real table: the budget invariant holds regardless of
+    # the revenue distribution
+    rows = QUERIES["segment_allocation"](spark, "/root/testdata/sf0.001").collect()
+    assert sum(r["units"] for r in rows) == 10_000
+
+
+def test_dow_anomalies_weekly_rhythm_not_flagged_corruption_is(
+    spark, tmp_path
+):
+    """The seasonal point: weekends at DOUBLE volume every week are NOT
+    anomalies (each day matches its own day-of-week median), while one
+    corrupted Wednesday IS — the z-score detector would flag every
+    weekend instead."""
+    import datetime
+
+    from distributed_computing_spark.registry import QUERIES
+
+    d = str(tmp_path / "sf")
+    t0 = datetime.datetime(2024, 1, 1)  # a Monday; epoch-dow anchors it
+    rows = []
+    eid = 0
+    corrupt_day = 16  # a Wednesday (day 16 = 2024-01-17)
+    for day in range(28):
+        dow = (datetime.date(2024, 1, 1) + datetime.timedelta(days=day)).weekday()
+        n = 40 if dow >= 5 else 20  # weekend double volume, every week
+        if day == corrupt_day:
+            n = 200
+        for j in range(n):
+            eid += 1
+            rows.append(
+                (eid, t0 + datetime.timedelta(days=day, seconds=j + 1),
+                 j, "click", 1.0, "{}")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = QUERIES["events_dow_anomalies"](spark, d).collect()
+    assert len(got) == 1
+    assert got[0]["day"] == t0 + datetime.timedelta(days=corrupt_day)
+    assert got[0]["c"] == 200 and got[0]["med_dow"] == 20
