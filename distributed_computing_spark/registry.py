@@ -6327,7 +6327,8 @@ _R10_WINDOW = [
     "minhash_neardup", "simhash_neardup", "repetition_scores",
     "quality_calibration", "user_retention", "sample_by_lang_exact",
     "quality_scores", "shingle_novelty",
-    # last driver row r6 — stalest 14 of that cohort
+    # last driver row r6 — stalest 9 of that cohort (5 more were
+    # displaced by the batch-2/3 additions; see the comment above)
     "dup_spans", "span_dedup_stats", "span_dedup_apply",
     "copurchase_triangles", "hll_user_registers", "doc_skyline",
     "weighted_order_sample", "ivm_segment_revenue", "orders_equidepth",

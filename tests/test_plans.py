@@ -784,3 +784,30 @@ def test_cusum_is_two_stacked_windows_over_one_series_exchange(spark):
     tree = operator_tree(df)
     assert tree.count("Window") == 2, tree
     assert count_exchanges(df, "hashpartitioning") <= 4
+
+
+def test_segment_allocation_one_rollup_then_tiny_windows(spark):
+    """Round 10: one partial-aggregated rollup to |segments| rows; the
+    remainder ranking is window work on that tiny frame — customer
+    attaches by broadcast, never a sort-merge."""
+    df = QUERIES["segment_allocation"](spark, SF_DIR)
+    tree = operator_tree(df)
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree
+    assert count_exchanges(df, "hashpartitioning") <= 2
+
+
+def test_dow_anomalies_medians_broadcast_back_dev_cached_once(spark):
+    """Round 10: both median tables broadcast back onto the day-level
+    series; the deviation table persists once and serves the MAD pass
+    AND the flag join."""
+    from distributed_computing_spark.caching import release_tracked
+
+    try:
+        df = QUERIES["events_dow_anomalies"](spark, SF_DIR)
+        plan = _plan(df)
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        assert "BroadcastHashJoin" in plan
+        assert df.count() > 0
+    finally:
+        release_tracked()
