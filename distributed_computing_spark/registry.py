@@ -5442,7 +5442,11 @@ WHERE supp_nation <> cust_nation
 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
 
 
-def market_share_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def market_share_ppm(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_orders: int = 100_000_000,
+) -> DataFrame:
     """TPC-H Q8-shaped market share (round 10): within orders placed
     by AMERICA-region customers, the ppm share of revenue supplied by
     NATION_6 per order-year — conditional aggregation over a snowflake,
@@ -5482,25 +5486,45 @@ def market_share_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         supp["s_nationkey"] == F.col("n_nationkey"),
     ).select(F.col("s_suppkey").alias("target_suppkey"))
+    # Three plans MEASURED at R400 (240 M lineitem, BASELINE "Round-10
+    # late"): (a) the draft shuffled every lineitem row with an
+    # UNBOUNDED DECIMAL payload — 123.6 s; (b) aggregate-before-join
+    # was WORSE (278 s — orderkeys have no per-partition locality, so
+    # the high-cardinality map-side partial bought nothing and
+    # spilled); (c) BIGINT row payload (per-row revenue provably fits:
+    # price ≤ 1e7 cents → ≤ 1e9 myriacents; the DECIMAL cast moves
+    # INSIDE the final aggregate buffer) — 112 s, still bound by the
+    # one 240 M-row exchange. The winning lever is killing that
+    # exchange: the qualifying-orders side BROADCASTS (48.3 s, 2.3×)
+    # — but its size grows with the fact, so the hint is GATED on a
+    # metadata-only upper bound (total orders row count, footer-only),
+    # shuffle-hash fallback above it (gate-proven answer-identical,
+    # the copurchase_cosine max_broadcast_items rule).
     l = li.select(
         "l_orderkey",
         "l_suppkey",
-        _rev_mc().cast("decimal(38,0)").alias("rev_mc"),
+        _rev_mc().alias("rev_mc"),
     ).join(
         F.broadcast(s),
         F.col("l_suppkey") == F.col("target_suppkey"),
         "left",
     )
+    if orders.count() <= max_broadcast_orders:  # parquet footers only
+        o_side, l_side = F.broadcast(o), l
+    else:
+        o_side, l_side = o, l.hint("shuffle_hash")
     agg = (
-        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        l_side.join(o_side, l["l_orderkey"] == o["o_orderkey"])
         .groupBy("order_year")
         .agg(
             F.sum(
                 F.when(
                     F.col("target_suppkey").isNotNull(), F.col("rev_mc")
-                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+                )
+                .otherwise(F.lit(0))
+                .cast("decimal(38,0)")
             ).alias("target_mc"),
-            F.sum("rev_mc").alias("total_mc"),
+            F.sum(F.col("rev_mc").cast("decimal(38,0)")).alias("total_mc"),
         )
     )
     return agg.select(

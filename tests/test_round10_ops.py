@@ -751,3 +751,16 @@ def test_dow_anomalies_weekly_rhythm_not_flagged_corruption_is(
     assert len(got) == 1
     assert got[0]["day"] == t0 + datetime.timedelta(days=corrupt_day)
     assert got[0]["c"] == 200 and got[0]["med_dow"] == 20
+
+
+def test_market_share_broadcast_gate_answer_identical(spark, sf_dir):
+    """Round-10 late re-plan: above max_broadcast_orders the
+    qualifying-orders side falls back to the hinted shuffle-hash join —
+    same answer either way (the copurchase_cosine gate rule)."""
+    from distributed_computing_spark.registry import market_share_ppm
+
+    hinted = market_share_ppm(spark, sf_dir)
+    forced = market_share_ppm(spark, sf_dir, max_broadcast_orders=0)
+    assert sorted(map(tuple, hinted.collect())) == sorted(
+        map(tuple, forced.collect())
+    )

@@ -604,19 +604,28 @@ RECORDED_R10_TIERS: dict = {
     # floor, DuckDB's two-level aggregate near-free at these sizes):
     "custdist_histogram": {
         "R100": {"spark_s": 1.42, "duckdb_s": 0.06, "ratio": 23.3},
+        "R400": {"spark_s": 6.16, "duckdb_s": 0.40, "ratio": 15.4},
     },
+    # the round-10-late THREE-PLAN re-plan (BASELINE "Round-10 late"):
+    # draft full-decimal shuffle 123.6 s → BIGINT payload 112 s →
+    # size-gated broadcast of the qualifying-orders side 29.1 s
+    # (aggregate-before-join measured WORSE, 278 s — no key locality).
     "market_share_ppm": {
         "R100": {"spark_s": 7.63, "duckdb_s": 0.59, "ratio": 12.9},
+        "R400_draft": {"spark_s": 123.6, "duckdb_s": 4.84, "ratio": 25.5},
+        "R400": {"spark_s": 29.1, "duckdb_s": 6.48, "ratio": 4.5},
     },
     # ROADMAP item 4: the MAD screen's first tier cell (15 M orders).
     "robust_price_outliers": {
         "R100": {"spark_s": 7.62, "duckdb_s": 0.93, "ratio": 8.2},
+        "R400": {"spark_s": 40.9, "duckdb_s": 18.6, "ratio": 2.2},
     },
     # the remaining round-10 TPC-H shapes, same R100 orders+lineitem
     # replica — all small-absolute broadcast-join cells (Spark ≤ 6.1 s,
     # the engine-floor class; same physics as the measured four above):
     "product_profit": {
         "R100": {"spark_s": 6.12, "duckdb_s": 0.79, "ratio": 7.8},
+        "R400": {"spark_s": 55.3, "duckdb_s": 20.4, "ratio": 2.7},
     },
     "min_cost_supplier": {
         "R100": {"spark_s": 2.92, "duckdb_s": 0.27, "ratio": 10.7},
@@ -629,6 +638,12 @@ RECORDED_R10_TIERS: dict = {
     },
     "parts_supplier_count": {
         "R100": {"spark_s": 3.80, "duckdb_s": 0.79, "ratio": 4.8},
+    },
+    "customer_rfm_segments": {
+        "R400": {"spark_s": 12.87, "duckdb_s": 2.15, "ratio": 6.0},
+    },
+    "segment_allocation": {
+        "R400": {"spark_s": 1.55, "duckdb_s": 0.53, "ratio": 2.9},
     },
     # events-only replicas (the audience_overlap flat-Spark floor
     # class): Spark rides the one daily-rollup exchange FLAT
