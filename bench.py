@@ -113,14 +113,6 @@ HEADLINE += [
     "image_dhash_neardup",
 ]
 
-# The round-9 headline set, frozen (round 10 moved the freeze down here
-# so it now covers the full r9 composition): BENCH_r10+ echoes the
-# subtotal over exactly these queries as `shared_prev_total`, directly
-# comparable to BENCH_r09's headline value — composition growth (new
-# queries joining HEADLINE below) never reads as a regression. New
-# rounds append AFTER this line and move the freeze at round end.
-PREV_ROUND_HEADLINE = tuple(HEADLINE)
-
 # Round-10 additions: the new TPC-H plan shapes with distinct physical
 # signatures (two-fact snowflake, outer-join histogram, window-
 # decorrelated exists/not-exists) and the CUSUM series detector.
@@ -133,6 +125,26 @@ HEADLINE += [
     "custdist_histogram",
     "sole_return_supplier",
     "events_cusum_drift",
+]
+
+# The round-10 headline set, frozen (the freeze moves down one round at
+# a time so it always covers the PRIOR round's full composition):
+# BENCH_r11+ echoes the subtotal over exactly these queries as
+# `shared_prev_total`, directly comparable to BENCH_r10's headline
+# value — composition growth (new queries joining HEADLINE below)
+# never reads as a regression. New rounds append AFTER this line and
+# move the freeze at round end.
+PREV_ROUND_HEADLINE = tuple(HEADLINE)
+
+# Round-11 additions: the one-exchange double-granularity aggregate
+# (Q20 shape — partition keys ⊂ group keys, window totals on the same
+# exchange) and the sweep-line interval-concurrency family.
+# important_part_share / promo_mix_revenue stay gate-only (tail
+# budget — same single-exchange rollup / broadcast-join physics as
+# the measured cells).
+HEADLINE += [
+    "dominant_part_suppliers",
+    "session_peak_concurrency",
 ]
 
 

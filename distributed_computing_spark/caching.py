@@ -23,12 +23,27 @@ tracking list and unpersists exactly its own registrations on exit.
 
 from __future__ import annotations
 
+import atexit
 import contextlib
+import shutil
+import tempfile
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+
+
+def session_tmpdir(prefix: str) -> str:
+    """``mkdtemp`` that is removed at interpreter exit (ADVICE r10:
+    every gate/bench invocation of a scratch-dir query leaked one
+    parquet/checkpoint directory in /tmp — the repo already tracks
+    /tmp hygiene for big runs). The directory must outlive the
+    RETURNED DataFrame's lazy reads, so cleanup is process-exit, not
+    eager."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def track_persist(df: DataFrame, storage_level=None) -> DataFrame:

@@ -71,11 +71,16 @@ def revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer is small → Catalyst broadcasts it. Filters push into both
     parquet scans before the join.
     """
+    from distributed_computing_spark.operators.joins import gated_broadcast
+
     t = load_tables(spark, sf_dir)
     return (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            gated_broadcast(t["customer"], t["customer"].count()),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
         .where(F.col("o_orderstatus") != "F")
         .groupBy("c_mktsegment")
         .agg(
@@ -101,11 +106,16 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     5.9 s — ~4 lines/order gives little map-side collapse, so the
     extra exchange outweighs the skinnier join input.)
     """
+    from distributed_computing_spark.operators.joins import gated_broadcast
+
     t = load_tables(spark, sf_dir)
     return (
         t["lineitem"]
         .join(t["orders"].hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            gated_broadcast(t["customer"], t["customer"].count()),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             F.broadcast(t["nation"]),
@@ -196,6 +206,8 @@ def regional_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     different partial-agg order would otherwise diverge from the
     oracle in the last ulp (same fix as salted_revenue_join).
     """
+    from distributed_computing_spark.operators.joins import gated_broadcast
+
     lt, ot = _bucketed_fact_tables(spark, sf_dir)
     t = load_tables(spark, sf_dir)
     rev_dec = F.col("l_extendedprice").cast("decimal(18,2)") * (
@@ -204,7 +216,10 @@ def regional_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.table(lt)
         .join(spark.table(ot).hint("merge"), "o_orderkey")
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            gated_broadcast(t["customer"], t["customer"].count()),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -289,9 +304,14 @@ def revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     order value per market segment. Exact ``percentile`` needs a
     per-group sort — at 100 TB swap in ``approx_percentile``
     (bounded-memory sketch, same call shape)."""
+    from distributed_computing_spark.operators.joins import gated_broadcast
+
     t = load_tables(spark, sf_dir)
     joined = t["orders"].join(
-        F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+        gated_broadcast(
+            t["customer"].select("c_custkey", "c_mktsegment"),
+            t["customer"].count(),
+        ),
         t["orders"].o_custkey == F.col("c_custkey"),
     )
     return joined.groupBy("c_mktsegment").agg(
@@ -2042,7 +2062,7 @@ def ivm_customer_fixture_paths(
     gated `ivm_customer_refresh` plan is refresh-only, the operator
     the paying-regime table (tools/ivm_tier.py) actually times."""
     import os
-    import tempfile
+    from distributed_computing_spark.caching import session_tmpdir
 
     from distributed_computing_spark.sources.catalog import load_table
 
@@ -2063,8 +2083,8 @@ def ivm_customer_fixture_paths(
             .alias("revenue_cents"),
         )
         base_rows = o.where(F.col("o_orderdate") < F.lit(cutoff))
-        view_dir = tempfile.mkdtemp(prefix="dcs_ivm_view_")
-        delta_dir = tempfile.mkdtemp(prefix="dcs_ivm_delta_")
+        view_dir = session_tmpdir(prefix="dcs_ivm_view_")
+        delta_dir = session_tmpdir(prefix="dcs_ivm_delta_")
         base_rows.groupBy("o_custkey").agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("revenue_cents").alias("revenue_cents"),
@@ -2434,21 +2454,29 @@ def scd2_pointintime(
     the customer_upsert float rule).
 
     Plan: the history is dimension-sized, so the lookup is ONE
-    BROADCAST hash join on c_custkey with the validity range as a
-    residual filter — no shuffle of the fact side, the 100 TB shape.
+    size-gated BROADCAST hash join on c_custkey with the validity
+    range as a residual filter — no shuffle of the fact side while the
+    history fits (the dimension still scales with SF, so the gate
+    falls back to a co-partitioned shuffle-hash join above the bound).
     Validity windows within a key never overlap (scd2_apply closes
     before it appends), so the join is at-most-one-row per probe and
     needs no tie-break."""
+    from distributed_computing_spark.operators.joins import gated_broadcast
     from distributed_computing_spark.registry import customer_scd2
 
     dim = customer_scd2(spark, sf_dir)
+    # history rows <= n_versions x |customer| (v1 covers every customer;
+    # upgrade/churn versions are subsets) - a footer-only upper bound
+    n_hist_bound = (
+        load_table(spark, sf_dir, "customer").count() * n_versions
+    )
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("c_custkey"),
         (1 + F.col("o_orderkey") % n_versions).alias("probe_v"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
     )
     hit = orders.join(
-        F.broadcast(dim),
+        gated_broadcast(dim, n_hist_bound),
         on=[
             orders["c_custkey"] == dim["c_custkey"],
             dim["valid_from"] <= orders["probe_v"],
@@ -2846,6 +2874,14 @@ def cusum_positive(
     is the round-9 sort-cliff shape (CLAUDE.md); aggregate first, then
     CUSUM the series.
 
+    Tie contract (ADVICE r10): ``(group_col, order_col)`` must be
+    UNIQUE per row — the window orders by ``order_col`` alone with a
+    ROWS frame, so duplicate order keys within a group make both the
+    prefix sum and the running min depend on an arbitrary tie order.
+    A pre-aggregated series satisfies this by construction (one row
+    per (group, bucket)); callers with duplicate buckets must sum
+    ``x_col`` per bucket first.
+
     Returns ``df`` plus a ``cusum`` column (long).
     """
     w = (
@@ -2864,7 +2900,9 @@ def cusum_positive(
 MAX_THEILSEN_DAYS = 366
 
 
-def events_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_theilsen(
+    spark: SparkSession, sf_dir: str, bucket_days: int | None = None
+) -> DataFrame:
     """Theil–Sen ROBUST trend per event type (round 10): the median of
     all pairwise slopes (c_j − c_i)/(day_j − day_i) over the daily
     count series — breakdown-29% where the OLS event_trend_slopes is
@@ -2877,30 +2915,58 @@ def events_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever runs (no engine `//` semantics can enter).
 
     Scale contract: the pair fan-out is D² PER GROUP over the tiny
-    (type × day) series table — D is bounded IN CODE by
-    MAX_THEILSEN_DAYS (the MAX_SLIDING_WINDOW_DAYS rule); the fact
-    table itself only ever does the one partial-aggregating exchange
-    to daily counts."""
+    (type × bucket) series table. A span past MAX_THEILSEN_DAYS no
+    longer throws (VERDICT r10 item 4): the series AUTO-COARSENS to
+    the smallest 7^k-day bucket whose count fits the cap (weeks, then
+    7-week blocks, ...), counts summing per bucket and ``dx`` staying
+    in exact DAYS (bucket index × bucket_days — a uniform positive
+    scaling, so slope ordering and the median pair are the bucketed
+    series' exact Theil–Sen). ``bucket_days`` forces a width for
+    testing; the ≤366-day daily path is bit-identical to round 10's.
+    The daily rollup PERSISTS once and serves the span probe and both
+    self-join aliases (ADVICE r10: unpersisted it re-scanned the
+    events fact three times)."""
+    from distributed_computing_spark.caching import track_persist
+
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
-    n_days = daily.select("day").distinct().count()
-    if n_days > MAX_THEILSEN_DAYS:
-        raise ValueError(
-            f"events_theilsen: {n_days} days exceeds MAX_THEILSEN_DAYS="
-            f"{MAX_THEILSEN_DAYS} — the per-group D² pair fan-out needs "
-            "a coarser time bucket (aggregate to weeks) above this"
+    daily = track_persist(
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
         )
-    a, b = daily.alias("a"), daily.alias("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn(
+            "d", F.datediff(F.col("day"), F.lit("1970-01-01")).cast("long")
+        )
+    )
+    if bucket_days is None:
+        b0 = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).collect()[0]
+        bucket_days = 1
+        if b0["lo"] is not None:
+            span = int(b0["hi"]) - int(b0["lo"]) + 1
+            while (span + bucket_days - 1) // bucket_days > MAX_THEILSEN_DAYS:
+                bucket_days *= 7
+    if bucket_days == 1:
+        series = daily.select("event_type", F.col("d").alias("x"), "c")
+    else:
+        # floor-aligned bucket index: the numerator is an exact multiple
+        # of bucket_days, so truncating `div` equals floor even if d<0
+        series = daily.groupBy(
+            "event_type",
+            F.expr(
+                f"(d - pmod(d, {bucket_days})) div {bucket_days}"
+            ).alias("x"),
+        ).agg(F.sum("c").alias("c"))
+    a, b = series.alias("a"), series.alias("b")
     pairs = a.join(
         b,
         (F.col("a.event_type") == F.col("b.event_type"))
-        & (F.col("a.day") < F.col("b.day")),
+        & (F.col("a.x") < F.col("b.x")),
     ).select(
         F.col("a.event_type").alias("event_type"),
         (F.col("b.c") - F.col("a.c")).alias("dy"),
-        F.datediff(F.col("b.day"), F.col("a.day")).cast("long").alias("dx"),
+        ((F.col("b.x") - F.col("a.x")) * bucket_days)
+        .cast("long")
+        .alias("dx"),
     )
     w = Window.partitionBy("event_type").orderBy(
         (F.col("dy").cast("double") / F.col("dx").cast("double")),
@@ -3023,30 +3089,37 @@ def events_dow_anomalies(
     engines' dayofweek() (DuckDB 0-based vs Spark 1-based, the
     CLAUDE.md gap). Both median passes ride grouped_weighted_median
     (two-level, no per-group sort); the day-level series table
-    persists once and serves the deviation AND flag passes."""
+    persists once and serves the baseline, deviation AND flag passes.
+    The (type, dow) group rides the median core as a STRUCT key, never
+    a delimiter-joined string (ADVICE r10: a '#'-bearing event_type
+    silently merged two groups while the oracle grouped by the real
+    columns — the merkle delimiter-ambiguity class; adversarial test
+    in test_round11_ops)."""
     from distributed_computing_spark.caching import track_persist
 
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
-    d2 = daily.withColumn(
-        "dow",
-        F.pmod(F.datediff(F.col("day"), F.lit("1970-01-01")), 7).cast(
-            "long"
-        ),
+    d2 = track_persist(
+        daily.withColumn(
+            "dow",
+            F.pmod(F.datediff(F.col("day"), F.lit("1970-01-01")), 7).cast(
+                "long"
+            ),
+        )
     )
     vw1 = (
         d2.select(
-            F.concat_ws("#", "event_type", "dow").alias("g"),
+            F.struct("event_type", "dow").alias("g"),
             F.col("c").alias("v"),
         )
         .groupBy("g", "v")
         .agg(F.count(F.lit(1)).alias("wt"))
     )
     med = grouped_weighted_median(vw1).select(
-        F.split(F.col("g"), "#")[0].alias("event_type"),
-        F.split(F.col("g"), "#")[1].cast("long").alias("dow"),
+        F.col("g")["event_type"].alias("event_type"),
+        F.col("g")["dow"].alias("dow"),
         F.col("median_v").alias("med_dow"),
     )
     dev = track_persist(

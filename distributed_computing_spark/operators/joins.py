@@ -22,6 +22,26 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def gated_broadcast(
+    dim: DataFrame, n_rows: int, max_rows: int = 10_000_000
+) -> DataFrame:
+    """Forced-broadcast of a join side ONLY under a caller-supplied row
+    bound — the repo-wide rule (VERDICT r10 item 1): every
+    ``F.broadcast`` whose child scans an SF-scaling table must carry a
+    size gate, because a fixed FRACTION of a fact or dimension table is
+    a billions-of-rows broadcast at 100×. ``n_rows`` should be a
+    METADATA-ONLY upper bound: a parquet ``count()`` of the source
+    table reads only footers and bounds any filtered projection of it
+    at zero scan cost. Above the cap the side is returned with a
+    shuffle-hash hint, so the join exchanges co-partitioned on the key
+    (no sort legs) instead of collecting to every executor.
+    tests/test_broadcast_gates.py sweeps every registry query's
+    analyzed plan for broadcasts that bypass this rule."""
+    return (
+        F.broadcast(dim) if n_rows <= max_rows else dim.hint("shuffle_hash")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

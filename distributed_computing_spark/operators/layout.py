@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import functools
 import os
-import tempfile
+from distributed_computing_spark.caching import session_tmpdir
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -196,7 +196,7 @@ def _events_layout(spark: SparkSession, sf_dir: str, curve: str = "z"):
     key = (id(spark), sf_dir, _events_source_tag(sf_dir), curve)
     if key not in _LAYOUT_CACHE:
         ev, bounds = _events_bounds(spark, sf_dir)
-        path = tempfile.mkdtemp(prefix=f"dcs_{curve}order_")
+        path = session_tmpdir(prefix=f"dcs_{curve}order_")
         writer = zorder_write if curve == "z" else hilbert_write
         writer(ev, path, "user_id", "ts_sec", bounds)
         _LAYOUT_CACHE[key] = (path, bounds)

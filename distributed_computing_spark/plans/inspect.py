@@ -116,6 +116,79 @@ def count_exchanges(df: DataFrame, kind: str = "hashpartitioning") -> int:
     return n
 
 
+# columns that uniquely identify an SF-scaling table's parquet relation
+# in an analyzed-plan string (region/nation are fixed-size and exempt;
+# part/supplier broadcasts are audited as dimension attachments, per the
+# VERDICT r10 item-1 table list)
+SCALING_TABLE_MARKERS = {
+    "customer": "c_custkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+_REDUCING_NODES = ("Aggregate [", "Deduplicate ", "GlobalLimit ")
+
+
+def ungated_broadcast_tables(df: DataFrame) -> set[str]:
+    """SF-scaling tables reached by a FORCED broadcast with no
+    cardinality-reducing node on the path (round 11 — the repo-wide
+    defense for the VERDICT r10 item-1 class: an unconditional
+    ``F.broadcast`` of a fact-fraction side is a billions-of-rows
+    broadcast at 100×).
+
+    Reads the ANALYZED logical plan, where ``ResolvedHint
+    (strategy=broadcast)`` marks exactly the user's ``F.broadcast`` /
+    ``hint`` sites — never the planner's own size-estimated picks
+    (which would make every join at tiny SF a false positive). For
+    each hint subtree, each scaling-table ``Relation`` leaf is traced
+    up to the hint: if an Aggregate / Deduplicate / GlobalLimit sits
+    on that path, the broadcast side is bounded by group cardinality
+    (the broadcast-of-aggregate pattern — its residual risk is the
+    group key's cardinality, which the per-operator docstrings audit);
+    otherwise the table is reported. Callers compare the result
+    against an allowlist of GATED call sites."""
+    lines = df._jdf.queryExecution().analyzed().toString().split("\n")
+
+    def indent(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+|-"))
+
+    flagged: set[str] = set()
+    for i, line in enumerate(lines):
+        if "ResolvedHint (strategy=broadcast" not in line:
+            continue
+        ind = indent(line)
+        j = i + 1
+        sub: list[str] = []
+        while j < len(lines) and indent(lines[j]) > ind:
+            sub.append(lines[j])
+            j += 1
+        for k, sl in enumerate(sub):
+            if "Relation [" not in sl:
+                continue
+            hit = {
+                t
+                for t, m in SCALING_TABLE_MARKERS.items()
+                if m in sl.split("Relation", 1)[1]
+            }
+            if not hit:
+                continue
+            # walk the leaf's ancestor chain inside the hint subtree
+            reduced = False
+            cur = indent(sub[k])
+            for p in range(k - 1, -1, -1):
+                if indent(sub[p]) < cur:
+                    cur = indent(sub[p])
+                    if any(r in sub[p] for r in _REDUCING_NODES):
+                        reduced = True
+                        break
+            if not reduced:
+                flagged |= hit
+    return flagged
+
+
 def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
     """True if the parquet scan received a pushed filter containing
     ``fragment`` (e.g. "LessThanOrEqual(l_shipdate")."""

@@ -389,12 +389,12 @@ def minhash_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-flow dedup under the gate: even-id docs form the persisted
     signature index, odd-id docs arrive as the new batch (engine-
     specific hashing → rows-only; semantics in tests)."""
-    import tempfile
+    from distributed_computing_spark.caching import session_tmpdir
 
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 2 == 0)
     batch = docs.where(F.col("doc_id") % 2 == 1)
-    path = tempfile.mkdtemp(prefix="dcs_sig_idx_")
+    path = session_tmpdir(prefix="dcs_sig_idx_")
     dedup.minhash_write_signatures(corpus, path)
     return dedup.minhash_incremental_pairs(batch, path, threshold=0.35)
 
@@ -469,7 +469,10 @@ def lsh_topk_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the strict-gated bridge into the approximate ANN family."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
-    return similarity.lsh_topk_exact(emb, queries, k=5, n_planes=4)
+    # footer-only bound: |queries| <= |embeddings| (gate rule, r11)
+    return similarity.lsh_topk_exact(
+        emb, queries, k=5, n_planes=4, n_queries_bound=emb.count()
+    )
 
 
 def _lsh_exact_oracle_sql(k: int = 5, n_planes: int = 4, scale: int = 1000) -> str:
@@ -746,7 +749,9 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
-    return similarity.lsh_topk(emb, queries, k=5)
+    return similarity.lsh_topk(
+        emb, queries, k=5, n_queries_bound=emb.count()
+    )
 
 
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -759,7 +764,9 @@ def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
-    return similarity.ivf_topk(emb, queries, k=5)
+    return similarity.ivf_topk(
+        emb, queries, k=5, n_queries_bound=emb.count()
+    )
 
 
 def ivf_topk_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -768,7 +775,9 @@ def ivf_topk_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery under the strict hash gate."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
-    return similarity.ivf_topk_exact(emb, queries, k=5, n_lists=16, n_probe=4)
+    return similarity.ivf_topk_exact(
+        emb, queries, k=5, n_lists=16, n_probe=4, n_queries_bound=emb.count()
+    )
 
 
 def _ivf_exact_oracle_sql(k: int = 5, n_lists: int = 16, n_probe: int = 4) -> str:
@@ -958,7 +967,7 @@ def stream_kv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq-ordered micro-batches against a persistent state store; final
     state must equal the batch replay oracle exactly (exactly-once
     across batch boundaries is what's under test)."""
-    import tempfile
+    from distributed_computing_spark.caching import session_tmpdir
 
     from distributed_computing_spark.streaming.kv_stream import (
         KVTableStore,
@@ -967,8 +976,8 @@ def stream_kv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_computing_spark.streaming.runner import stream_in_seq_batches
 
     stream = stream_in_seq_batches(spark, _ops(spark, sf_dir), n=3)
-    store = KVTableStore(spark, tempfile.mkdtemp(prefix="dcs_store_"))
-    q = foreach_batch_apply(stream, store, tempfile.mkdtemp(prefix="dcs_ckpt_"))
+    store = KVTableStore(spark, session_tmpdir(prefix="dcs_store_"))
+    q = foreach_batch_apply(stream, store, session_tmpdir(prefix="dcs_ckpt_"))
     q.awaitTermination(300)
     return store.state()
 
@@ -1055,7 +1064,7 @@ def stream_config_poll(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (config_num, gid) routed-op census. The oracle reproduces the
     batch tertiles and the arithmetic gid assignment in SQL.
     """
-    import tempfile
+    from distributed_computing_spark.caching import session_tmpdir
 
     from distributed_computing_spark.streaming.config_poll import (
         ConfigMaster,
@@ -1064,14 +1073,14 @@ def stream_config_poll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_computing_spark.streaming.runner import stream_in_seq_batches
 
     stream = stream_in_seq_batches(spark, _ops(spark, sf_dir), n=3)
-    cfg_dir = tempfile.mkdtemp(prefix="dcs_cfg_")
-    out_dir = tempfile.mkdtemp(prefix="dcs_routed_")
+    cfg_dir = session_tmpdir(prefix="dcs_cfg_")
+    out_dir = session_tmpdir(prefix="dcs_routed_")
     master = ConfigMaster(spark, cfg_dir, max_version=3)
     q = route_stream_by_latest_config(
         stream,
         cfg_dir,
         out_dir,
-        tempfile.mkdtemp(prefix="dcs_ckpt_"),
+        session_tmpdir(prefix="dcs_ckpt_"),
         master=master,
     )
     q.awaitTermination(300)
@@ -1096,15 +1105,15 @@ def stream_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     states directly in SQL. The MinHash tier of the same store stays on
     (rows-only) ingest tests: its xxhash64 family is engine-specific.
     """
-    import tempfile
+    from distributed_computing_spark.caching import session_tmpdir
 
     from distributed_computing_spark.streaming.ingest import CorpusIngestStore
     from distributed_computing_spark.streaming.runner import stream_in_seq_batches
 
     docs = load_table(spark, sf_dir, "documents")
     stream = stream_in_seq_batches(spark, docs, n=3, order_col="doc_id")
-    store = CorpusIngestStore(spark, tempfile.mkdtemp(prefix="dcs_curated_"))
-    ckpt = tempfile.mkdtemp(prefix="dcs_ckpt_")
+    store = CorpusIngestStore(spark, session_tmpdir(prefix="dcs_curated_"))
+    ckpt = session_tmpdir(prefix="dcs_ckpt_")
     q = store.attach(stream, ckpt, curate=True, min_quality=0.5, near_dup=False)
     q.awaitTermination(300)
     return store.corpus().groupBy("lang").agg(
@@ -1139,7 +1148,7 @@ def stream_kv_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3/K4/K5 via the custom-stateful-operator shape: per-client
     applyInPandasWithState dedup chained (through an intermediate sink)
     into the per-key stateful fold. Same oracle as batch replay."""
-    import tempfile
+    from distributed_computing_spark.caching import session_tmpdir
 
     from distributed_computing_spark.streaming.kv_stream import (
         dedup_stream,
@@ -1148,12 +1157,12 @@ def stream_kv_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_computing_spark.streaming.runner import run_to_batch, stream_table
 
     ops = _ops(spark, sf_dir)
-    eff_dir = tempfile.mkdtemp(prefix="dcs_eff_")
+    eff_dir = session_tmpdir(prefix="dcs_eff_")
     q1 = (
         dedup_stream(stream_table(spark, ops))
         .writeStream.format("parquet")
         .option("path", eff_dir)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="dcs_ckpt_"))
+        .option("checkpointLocation", session_tmpdir(prefix="dcs_ckpt_"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
@@ -1317,9 +1326,15 @@ def multimodal_real_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("qr") * F.col("r") + F.col("qg") * F.col("g") + F.col("qb") * F.col("b")
     nq = F.col("qr") * F.col("qr") + F.col("qg") * F.col("qg") + F.col("qb") * F.col("qb")
     nv = F.col("r") * F.col("r") + F.col("g") * F.col("g") + F.col("b") * F.col("b")
+    # every-50th query side still scales with the documents table:
+    # size-gate the broadcast on a footer-only bound (|q| <= |docs|/50
+    # + 1); above it the brute-force product runs as a partitioned
+    # cross join, which cannot OOM (the cosine_topk gate rule, r11)
+    n_q_bound = load_table(spark, sf_dir, "documents").count() // 50 + 1
+    q_side = F.broadcast(q) if n_q_bound <= 2_000_000 else q
     sims = (
         feats.select(F.col("blob_id").alias("nn_id"), "r", "g", "b")
-        .crossJoin(F.broadcast(q))
+        .crossJoin(q_side)
         .where(F.col("q_id") != F.col("nn_id"))
         .select(
             "q_id",
@@ -1368,8 +1383,15 @@ def multimodal_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feats = multimodal.extract_features(_blobs(spark, sf_dir))
     queries = feats.where(F.col("blob_id") % 25 == 0)
+    # footer-only bound: |queries| <= |documents| — never re-runs the
+    # Arrow feature-extraction pass just to count (gate rule, r11)
     return similarity.cosine_topk(
-        feats, queries, k=3, id_col="blob_id", vec_col="embedding"
+        feats,
+        queries,
+        k=3,
+        id_col="blob_id",
+        vec_col="embedding",
+        n_queries_bound=load_table(spark, sf_dir, "documents").count(),
     )
 
 
@@ -3326,12 +3348,15 @@ def ivm_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle RECOMPUTES the effective state directly, so the gate proves
     delta algebra == full recompute."""
     from distributed_computing_spark.operators.analytics import ivm_refresh
+    from distributed_computing_spark.operators.joins import gated_broadcast
 
     cutoff = "1999-01-01"
-    cust = F.broadcast(
-        load_table(spark, sf_dir, "customer").select(
+    cust_tbl = load_table(spark, sf_dir, "customer")
+    cust = gated_broadcast(
+        cust_tbl.select(
             "c_custkey", F.col("c_mktsegment").alias("segment")
-        )
+        ),
+        cust_tbl.count(),  # parquet footers only
     )
     o = (
         load_table(spark, sf_dir, "orders")
@@ -4262,7 +4287,7 @@ def stream_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_table,
     )
 
-    import tempfile
+    from distributed_computing_spark.caching import session_tmpdir
 
     ev = load_table(spark, sf_dir, "events")
     sdf = stream_table(spark, ev.select("event_type", "user_id"))
@@ -4273,7 +4298,7 @@ def stream_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memory-sink view cannot be self-joined (Spark INTERNAL_ERROR,
     # conflicting references on the streaming View), and a state
     # flush-to-storage is the production handoff anyway
-    out = tempfile.mkdtemp(prefix="dcs_bitmap_state_")
+    out = session_tmpdir(prefix="dcs_bitmap_state_")
     words.write.mode("overwrite").parquet(out)
     return overlap_matrix(spark.read.parquet(out)).orderBy("g_a", "g_b")
 
@@ -5370,7 +5395,11 @@ _REV_MC_SQL = (
 )
 
 
-def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+def nation_trade_volume(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_rows: int = 10_000_000,
+) -> DataFrame:
     """TPC-H Q7-shaped two-nation trade flow (round 10): revenue
     shipped between NATION_1 and NATION_2 in either direction, by
     (supp_nation, cust_nation, ship_year). Reference analog: the
@@ -5378,11 +5407,19 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-table snowflake.
 
     Plan: both nation filters apply BEFORE the fact-fact join —
-    supplier+nation broadcast onto lineitem (semi-reduces it to the
-    ~8% shipping from the pair), customer+nation broadcast onto orders
-    (same on the buying side), and only the two REDUCED facts shuffle
-    on o_orderkey (co-partitioned, the 100 TB shape). Revenue sums are
-    exact myriacents BIGINT."""
+    supplier+nation attaches onto lineitem (semi-reduces it to the
+    ~8% shipping from the pair), customer+nation onto orders (same on
+    the buying side), and only the two REDUCED facts shuffle on
+    o_orderkey (co-partitioned, the 100 TB shape). Revenue sums are
+    exact myriacents BIGINT.
+
+    The customer- and supplier-side attachments broadcast ONLY under a
+    metadata-only size gate (VERDICT r10 item 1 — both sides are
+    fixed FRACTIONS of SF-scaling tables, so an unconditional hint is
+    a billions-of-rows broadcast at 100×): the full-table footer row
+    count upper-bounds the filtered side at zero scan cost; above
+    ``max_broadcast_rows`` each falls back to a shuffle-hash join
+    (gate-proven answer-identical, tests/test_broadcast_gates.py)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -5398,10 +5435,19 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = cust.join(
         F.broadcast(n), cust["c_nationkey"] == n["n_nationkey"]
     ).select("c_custkey", F.col("n_name").alias("cust_nation"))
-    o = orders.join(
-        F.broadcast(c), orders["o_custkey"] == c["c_custkey"]
+    # parquet footers only — the full-table count bounds the filtered side
+    cust_fits = cust.count() <= max_broadcast_rows
+    supp_fits = supp.count() <= max_broadcast_rows
+    o = (
+        orders.join(F.broadcast(c), orders["o_custkey"] == c["c_custkey"])
+        if cust_fits
+        else orders.hint("shuffle_hash").join(
+            c, orders["o_custkey"] == c["c_custkey"]
+        )
     ).select("o_orderkey", "cust_nation")
-    l = li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"]).select(
+    s_side = F.broadcast(s) if supp_fits else s
+    li_side = li if supp_fits else li.hint("shuffle_hash")
+    l = li_side.join(s_side, li["l_suppkey"] == s["s_suppkey"]).select(
         "l_orderkey",
         "supp_nation",
         F.year("l_shipdate").alias("ship_year"),
@@ -5445,7 +5491,8 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
 def market_share_ppm(
     spark: SparkSession,
     sf_dir: str,
-    max_broadcast_orders: int = 100_000_000,
+    max_broadcast_orders: int = 20_000_000,
+    max_broadcast_customers: int = 10_000_000,
 ) -> DataFrame:
     """TPC-H Q8-shaped market share (round 10): within orders placed
     by AMERICA-region customers, the ppm share of revenue supplied by
@@ -5453,8 +5500,10 @@ def market_share_ppm(
     the promo_revenue_share division discipline (two exact DECIMAL
     sums in ONE pass, integer ppm, digit-string totals).
 
-    Plan: supplier flag and customer region both attach by BROADCAST;
-    the only fact-fact exchange is lineitem⋈orders on o_orderkey; the
+    Plan: supplier flag and customer region attach by SIZE-GATED
+    broadcast (both scale with SF — see the inline gate comments); the
+    only fact-fact exchange is lineitem⋈orders on o_orderkey, itself
+    killed by a gated broadcast of the qualifying-orders side; the
     CASE folds into the partial aggregate so only (year, 2 sums) rows
     leave the map side."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -5477,8 +5526,18 @@ def market_share_ppm(
     c = cust.join(
         F.broadcast(amer), cust["c_nationkey"] == amer["n_nationkey"]
     ).select("c_custkey")
-    o = orders.join(
-        F.broadcast(c), orders["o_custkey"] == c["c_custkey"], "left_semi"
+    # AMERICA customers are ~1/5 of an SF-scaling table: broadcast only
+    # under a metadata-only bound (full customer footer count), else the
+    # semi join shuffles — the gate class VERDICT r10 item 1 names.
+    cust_fits = cust.count() <= max_broadcast_customers  # footers only
+    o = (
+        orders.join(
+            F.broadcast(c), orders["o_custkey"] == c["c_custkey"], "left_semi"
+        )
+        if cust_fits
+        else orders.hint("shuffle_hash").join(
+            c, orders["o_custkey"] == c["c_custkey"], "left_semi"
+        )
     ).select("o_orderkey", F.year("o_orderdate").alias("order_year"))
     s = supp.join(
         F.broadcast(
@@ -5496,10 +5555,16 @@ def market_share_ppm(
     # INSIDE the final aggregate buffer) — 112 s, still bound by the
     # one 240 M-row exchange. The winning lever is killing that
     # exchange: the qualifying-orders side BROADCASTS (48.3 s, 2.3×)
-    # — but its size grows with the fact, so the hint is GATED on a
-    # metadata-only upper bound (total orders row count, footer-only),
-    # shuffle-hash fallback above it (gate-proven answer-identical,
-    # the copurchase_cosine max_broadcast_items rule).
+    # — but its size grows with the fact, so the hint is GATED on the
+    # QUALIFYING row count (ADVICE r10: the r10 gate bounded only the
+    # TOTAL orders count, so a worst-case region mix could admit a
+    # broadcast 5× the measured envelope). Three bands, cheapest test
+    # first: (a) total footer count <= cap certifies qualifying <=
+    # cap with no scan; (b) a plausibly-close total pays ONE linear
+    # semi-join count of the real qualifying side (never OOMs — a
+    # count, not a collect); (c) a total far above the cap skips the
+    # probe scan entirely and shuffles. Shuffle-hash fallback is
+    # gate-proven answer-identical (tests/test_broadcast_gates.py).
     l = li.select(
         "l_orderkey",
         "l_suppkey",
@@ -5509,7 +5574,14 @@ def market_share_ppm(
         F.col("l_suppkey") == F.col("target_suppkey"),
         "left",
     )
-    if orders.count() <= max_broadcast_orders:  # parquet footers only
+    n_orders_total = orders.count()  # parquet footers only
+    if n_orders_total <= max_broadcast_orders:
+        o_fits = True
+    elif n_orders_total <= 20 * max_broadcast_orders:
+        o_fits = o.count() <= max_broadcast_orders  # one linear scan
+    else:
+        o_fits = False
+    if o_fits:
         o_side, l_side = F.broadcast(o), l
     else:
         o_side, l_side = o, l.hint("shuffle_hash")
@@ -5629,7 +5701,11 @@ SELECT supp_nation, ship_year,
 FROM j GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
-def custdist_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def custdist_histogram(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_custkeys: int = 10_000_000,
+) -> DataFrame:
     """TPC-H Q13-shaped customer distribution (round 10): how many
     customers placed exactly k qualifying orders — INCLUDING the
     zero-order customers only an OUTER join preserves (the one TPC-H
@@ -5637,9 +5713,14 @@ def custdist_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     '4-NOT SPECIFIED' (stand-in for Q13's comment NOT LIKE).
 
     Plan: orders pre-aggregate to (custkey, n) — partial map-side
-    combine — then LEFT join from customer on c_custkey
-    (co-partitioned at scale); the second aggregate is histogram-sized.
-    """
+    combine — then LEFT join from customer on c_custkey. Round 11
+    (VERDICT r10 item 3, the Q18 motion): the aggregate side is
+    bounded by min(|customer|, |orders|) distinct custkeys — a
+    footer-only bound — so under ``max_broadcast_custkeys`` it
+    BROADCASTS into the outer join (BuildRight LeftOuter: the customer
+    scan never shuffles); above the bound both sides shuffle
+    co-partitioned on custkey, the honest 100 TB fallback. The second
+    aggregate is histogram-sized either way."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     oc = (
@@ -5647,8 +5728,12 @@ def custdist_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+    oc_bound = min(cust.count(), orders.count())  # parquet footers only
+    oc_side = (
+        F.broadcast(oc) if oc_bound <= max_broadcast_custkeys else oc
+    )
     return (
-        cust.join(oc, cust["c_custkey"] == oc["o_custkey"], "left")
+        cust.join(oc_side, cust["c_custkey"] == oc["o_custkey"], "left")
         .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
         .groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
@@ -5778,7 +5863,11 @@ def sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_returnflag") == "R").alias("is_r"),
         )
         .join(fo, li["l_orderkey"] == fo["o_orderkey"], "left_semi")
-        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+        # no explicit partition count (VERDICT r10 item 4/8): this is a
+        # JVM window stage, so AQE should size the exchange by bytes —
+        # the defaultParallelism pin is only for Python-bound Arrow
+        # stages (the CLAUDE.md coalescing rule)
+        .repartition("l_orderkey")
     )
     per_os = li2.groupBy("l_orderkey", "l_suppkey").agg(
         F.max(F.when(F.col("is_r"), 1).otherwise(0)).alias("has_r")
@@ -5984,11 +6073,16 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cusum_drift_from_daily(daily: DataFrame) -> DataFrame:
     """The detector over a (event_type, day, c) series table — shared
     by the batch query and the streaming twin (whose daily counts are
-    maintained as a streaming aggregation)."""
+    maintained as a streaming aggregation). ``daily`` persists here:
+    TWO consumers (the per-type totals and the deviation join) would
+    otherwise re-run the upstream rollup — for the batch caller that
+    is a second full events-fact scan (ADVICE r10)."""
+    from distributed_computing_spark.caching import track_persist
     from distributed_computing_spark.operators.analytics import (
         cusum_positive,
     )
 
+    daily = track_persist(daily)
     tot = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("dd"), F.sum("c").alias("s")
     )
@@ -6140,7 +6234,7 @@ def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_table,
     )
 
-    import tempfile
+    from distributed_computing_spark.caching import session_tmpdir
 
     ev = load_table(spark, sf_dir, "events")
     sdf = stream_table(spark, ev.select("event_type", "ts"))
@@ -6154,7 +6248,7 @@ def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-type totals join is a SELF-join of the state, which a
     # memory-sink view cannot express (the stream_audience_overlap
     # lesson) — and a state flush-to-storage is the production handoff
-    out = tempfile.mkdtemp(prefix="dcs_cusum_state_")
+    out = session_tmpdir(prefix="dcs_cusum_state_")
     daily_state.write.mode("overwrite").parquet(out)
     return _cusum_drift_from_daily(spark.read.parquet(out))
 
@@ -6165,7 +6259,11 @@ ORACLES["stream_cusum_drift"] = ORACLES["events_cusum_drift"]
 
 
 
-def segment_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def segment_allocation(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_customers: int = 10_000_000,
+) -> DataFrame:
     """Largest-remainder (Hamilton) apportionment (round 10): allocate
     a fixed budget of 10,000 units across market segments proportional
     to exact revenue cents, INTEGER-EXACTLY — base = floor(U·rev/total)
@@ -6178,14 +6276,25 @@ def segment_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     floats: naive per-row rounding over- or under-shoots the total.
 
     Plan: one partial-aggregated rollup to |segments| rows; everything
-    after is window work on that tiny frame."""
+    after is window work on that tiny frame. The customer dimension
+    attaches to orders by broadcast ONLY under a metadata-only footer
+    row-count gate (VERDICT r10 item 1 — the whole customer table
+    scales with SF); above it the join shuffles co-partitioned on
+    custkey, which at 100 TB is the honest plan."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     u = 10_000
+    seg = cust.select("c_custkey", "c_mktsegment")
+    cust_fits = cust.count() <= max_broadcast_customers  # footers only
     rev = (
-        orders.join(
-            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
-            orders["o_custkey"] == F.col("c_custkey"),
+        (
+            orders.join(
+                F.broadcast(seg), orders["o_custkey"] == F.col("c_custkey")
+            )
+            if cust_fits
+            else orders.hint("shuffle_hash").join(
+                seg, orders["o_custkey"] == F.col("c_custkey")
+            )
         )
         .groupBy("c_mktsegment")
         .agg(
@@ -6194,6 +6303,11 @@ def segment_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # |segments| rows, but TWO consumers (tot, q) — persist so the
+    # fact join runs once (the shared-subtree rule)
+    from distributed_computing_spark.caching import track_persist
+
+    rev = track_persist(rev)
     tot = rev.agg(F.sum("rev_cents").alias("total_cents"))
     q = rev.crossJoin(F.broadcast(tot)).select(
         "c_mktsegment",
@@ -6310,78 +6424,419 @@ ORDER BY 1, 2"""
 
 
 
+
 # ---------------------------------------------------------------------------
-# Driver-gate window rotation (round 10 — VERDICT r9 items 1, 2)
+# Round 11: remaining distinctive TPC-H plan shapes (Q11 / Q19 / Q20)
+# and the interval-concurrency (sweep-line) family
 # ---------------------------------------------------------------------------
-# Staleness-driven (the driver gates the FIRST 50 entries). Fixed
-# inclusions per VERDICT r9: large_volume_orders (item 1 — the oracle
-# HUGEINT fix must re-prove green under the driver's value hasher);
-# every round-10-CHANGED query (image/video dHash graduated to
-# oracle-exact; the basket family under the new max_basket cap;
-# kv_merkle_diff under length-prefixed row hashing; benford's
-# non-positive filter; the quantile family on the fused multi-q core);
-# all 10 round-10 additions; the full r5-stale cohort item 2 names;
-# and 14 of the r6-stale cohort (the remaining 30 r6-stale entries —
-# see the staleness table in ROADMAP — are round 11's first picks:
-# bigram_logprob, bloom_semi_orders, clean_docs, copurchase_bfs,
-# copurchase_shortest_paths, curated_read_pruned,
-# decayed_user_activity, dq_audit, epoch_shuffle, event_transitions,
-# events_gapfill, events_ohlc, fuzzy_customer_match, ivf_topk,
-# lsh_topk, mixture_sample, multimodal_ann, multimodal_avi_frames,
-# multimodal_bmp_decode, multimodal_features, multimodal_frames,
-# multimodal_real_ann, multimodal_stats, multimodal_wav_decode,
-# prefix_dups, salted_revenue_join, sample_by_lang, source_token_kl,
-# zorder_cells, zorder_events_scan).
-_R10_WINDOW = [
-    # new in round 10 (never driver-gated)
-    "nation_trade_volume", "market_share_ppm", "product_profit",
-    "custdist_histogram", "top_supplier_revenue", "parts_supplier_count",
-    "sole_return_supplier", "sales_opportunity", "min_cost_supplier",
-    "events_cusum_drift",
-    # VERDICT r9 item 1: the oracle-HUGEINT red, fixed — must re-prove
-    "large_volume_orders",
-    # changed in round 10 (must re-prove under the driver)
-    "image_dhash_neardup", "video_dhash_neardup", "copurchase_pairs",
-    "association_rules", "copurchase_cosine", "copurchase_components",
-    "kv_merkle_diff", "benford_audit", "order_price_quantiles",
-    "weighted_median_price", "robust_price_outliers",
-    # last driver row r5 — the full stale cohort (VERDICT r9 item 2)
-    "text_stats", "word_count_top10", "stopword_discovery",
-    "top_docs_per_lang", "unigram_logprob", "tfidf_top_terms",
-    "minhash_neardup", "simhash_neardup", "repetition_scores",
-    "quality_calibration", "user_retention", "sample_by_lang_exact",
-    "quality_scores", "shingle_novelty",
-    # last driver row r6 — stalest 9 of that cohort (5 more were
-    # displaced by the batch-2/3 additions; see the comment above)
-    "dup_spans", "span_dedup_stats", "span_dedup_apply",
-    "copurchase_triangles", "hll_user_registers", "doc_skyline",
-    "weighted_order_sample", "ivm_segment_revenue", "orders_equidepth",
-    # batch-2/3 round-10 additions (displace kmv_user_sketches,
-    # pagerank_parts, multimodal_gif_decode, ngram_jaccard_prefix and
-    # copurchase_kcore to round 11's first picks)
-    "events_theilsen", "customer_rfm_segments", "stream_cusum_drift",
-    "segment_allocation", "events_dow_anomalies",
+
+
+def important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped HAVING-vs-global-scalar (round 11): parts whose
+    shipped revenue exceeds 1.5× the average part's — the
+    value-concentration census Q11 runs on partsupp, adapted to this
+    schema's lineitem revenue (measured selectivity 2/29/252 parts at
+    sf0.001/0.01/0.1: nonzero at every gate SF, still a census not a
+    dump). The threshold compares EXACTLY by cross-multiplication
+    (2 · part_mc · n_parts > 3 · total_mc — no division, no float);
+    the reported share is integer ppm via DECIMAL ``div``. Reference analog: the global-aggregate + filter composition
+    of SURVEY §2's A-family, with the scalar riding a 1-row broadcast.
+
+    Plan: ONE partial-aggregating exchange folds the fact to
+    |parts| rows; the (total, n_parts) scalar re-aggregates THAT table
+    (never a second fact scan) and broadcasts back as one row. The
+    per-part rollup persists — two consumers (scalar + filter) would
+    otherwise run the fact aggregate twice (the shared-subtree rule).
+    part_mc stays BIGINT (lineitem/part fan-in is a small constant, so
+    per-part myriacents are far under 2^63 at any SF); products ride
+    DECIMAL(38,0) inside the comparison only."""
+    from distributed_computing_spark.caching import track_persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = track_persist(
+        li.groupBy("l_partkey").agg(F.sum(_rev_mc()).alias("part_mc"))
+    )
+    tot = pr.agg(
+        F.sum(F.col("part_mc").cast("decimal(38,0)")).alias("total_mc"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .where(
+            2 * F.col("part_mc").cast("decimal(38,0)") * F.col("n_parts")
+            > 3 * F.col("total_mc")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "part_mc",
+            F.expr(
+                "cast(cast(part_mc as decimal(38,0)) * 1000000 "
+                "div total_mc as bigint)"
+            ).alias("share_ppm"),
+        )
+        .orderBy(F.col("part_mc").desc(), "p_partkey")
+    )
+
+
+QUERIES["important_part_share"] = important_part_share
+ORACLES["important_part_share"] = f"""
+WITH pr AS (
+  SELECT l_partkey, CAST(sum({_REV_MC_SQL}) AS BIGINT) AS part_mc
+  FROM lineitem GROUP BY 1),
+t AS (SELECT sum(CAST(part_mc AS HUGEINT)) AS total_mc,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM pr)
+SELECT pr.l_partkey AS p_partkey, pr.part_mc,
+       CAST((CAST(pr.part_mc AS HUGEINT) * 1000000) // t.total_mc
+            AS BIGINT) AS share_ppm
+FROM pr, t
+WHERE 2 * CAST(pr.part_mc AS HUGEINT) * t.n_parts > 3 * t.total_mc
+ORDER BY part_mc DESC, p_partkey"""
+
+
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped nested correlated threshold (round 11):
+    suppliers that shipped more than 3× the AVERAGE supplier's share
+    of some part's quantity — Q20's per-(supplier, part) aggregate vs
+    a correlated per-part threshold, decorrelated Spark-side (the
+    literal >50% form is empty on this data's ~26-suppliers-per-part
+    uniformity — measured: 0 rows at every SF; the 3×-average margin
+    keeps the nested-correlated SHAPE with measured selectivity
+    3/360/761 dominant (supplier, part) pairs at sf0.001/0.01/0.1).
+    The comparison is exact integers (q_ps·n_supp > 3·q_p, n_supp =
+    that part's distinct-supplier count — quantities are integral
+    doubles, cast exactly to BIGINT; no division).
+
+    Plan (the sole_return_supplier motion generalized): ONE
+    ``repartition("l_partkey")`` serves BOTH aggregation levels — the
+    (part, supplier) rollup reuses hash(partkey) (partition keys ⊂
+    group keys, Catalyst inserts no new exchange) and the per-part
+    total is a WINDOW over the same partitioning, never a self-join.
+    The fact exchanges exactly once; the supplier rollup and dim
+    attach are |suppliers|-sized. Plan-asserted: 2 hash exchanges,
+    1 Window, 0 InMemoryTableScan (tests/test_plans.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    ps = (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("q").alias("q_ps"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dom = (
+        ps.withColumn("q_p", F.sum("q_ps").over(w))
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .where(F.col("q_ps") * F.col("n_supp") > 3 * F.col("q_p"))
+    )
+    return (
+        dom.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "n_dominant_parts")
+        .orderBy(F.col("n_dominant_parts").desc(), "s_suppkey")
+    )
+
+
+QUERIES["dominant_part_suppliers"] = dominant_part_suppliers
+ORACLES["dominant_part_suppliers"] = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_ps
+  FROM lineitem GROUP BY 1, 2),
+tot AS (SELECT l_partkey, CAST(sum(q_ps) AS BIGINT) AS q_p,
+               CAST(count(*) AS BIGINT) AS n_supp
+        FROM ps GROUP BY 1),
+dom AS (SELECT ps.l_suppkey FROM ps JOIN tot USING (l_partkey)
+        WHERE ps.q_ps * tot.n_supp > 3 * tot.q_p)
+SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS n_dominant_parts
+FROM dom JOIN supplier s ON s.s_suppkey = dom.l_suppkey
+GROUP BY 1, 2 ORDER BY n_dominant_parts DESC, s_suppkey"""
+
+
+def promo_mix_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive multi-predicate scan (round 11):
+    revenue by part type under an OR of per-type conjunction groups
+    (type × quantity band × size band) — the shape whose cross-table
+    disjunction defeats automatic predicate pushdown.
+
+    Plan: Catalyst cannot push any single branch below the join (each
+    references both tables), but the UNION of the branch quantity
+    bands is derivable by hand — the implied conjunct
+    ``l_quantity BETWEEN 1 AND 30`` is added explicitly and reaches
+    the lineitem parquet scan as a PushedFilter (plan-asserted), the
+    manual constraint-strengthening a 100 TB scan needs (a 40% row cut
+    before the join at TPC-H's uniform 1–50 quantity). Part attrs
+    attach by SIZE-GATED broadcast (footer-count bound, the r11 gate
+    rule); sums ride exact DECIMAL and ship digit strings."""
+    from distributed_computing_spark.operators.joins import gated_broadcast
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.where(
+        # on the RAW column so it reaches parquet as a PushedFilter —
+        # a predicate on the cast alias would stay above the scan
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    ).select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        _rev_mc().alias("rev_mc"),
+    )
+    cond = (
+        (
+            (F.col("p_type") == "PROMO")
+            & F.col("qty").between(1, 11)
+            & F.col("p_size").between(1, 25)
+        )
+        | (
+            (F.col("p_type") == "ECONOMY")
+            & F.col("qty").between(10, 20)
+            & F.col("p_size").between(10, 40)
+        )
+        | ((F.col("p_type") == "STANDARD") & F.col("qty").between(20, 30))
+    )
+    return (
+        j.join(
+            gated_broadcast(
+                part.select("p_partkey", "p_type", "p_size"), part.count()
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .where(cond)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("rev_mc").cast("decimal(38,0)")).alias("_rev"),
+        )
+        .select(
+            "p_type",
+            "n_items",
+            F.col("_rev").cast("string").alias("rev_mc"),
+        )
+        .orderBy("p_type")
+    )
+
+
+QUERIES["promo_mix_revenue"] = promo_mix_revenue
+ORACLES["promo_mix_revenue"] = f"""
+WITH j AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         {_REV_MC_SQL} AS rev_mc
+  FROM lineitem WHERE l_quantity BETWEEN 1 AND 30)
+SELECT p.p_type, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(j.rev_mc AS HUGEINT)) AS VARCHAR) AS rev_mc
+FROM j JOIN part p ON p.p_partkey = j.l_partkey
+WHERE (p.p_type = 'PROMO' AND j.qty BETWEEN 1 AND 11
+       AND p.p_size BETWEEN 1 AND 25)
+   OR (p.p_type = 'ECONOMY' AND j.qty BETWEEN 10 AND 20
+       AND p.p_size BETWEEN 10 AND 40)
+   OR (p.p_type = 'STANDARD' AND j.qty BETWEEN 20 AND 30)
+GROUP BY 1 ORDER BY 1"""
+
+
+def session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-concurrency via SWEEP LINE (round 11) — a NEW family:
+    the peak number of simultaneously-open user sessions, the classic
+    max-overlap question (capacity planning, connection-pool sizing)
+    that naive per-minute × per-session join queries answer
+    quadratically. Sessions are ``user_sessions``'s 30-minute-gap
+    definition; a session occupies every minute bucket from its first
+    event's to its last event's.
+
+    Sweep line, all exact integers: each session contributes +1 at its
+    start minute and −1 one past its end minute; concurrency is the
+    running prefix sum over minutes, which changes ONLY at those
+    endpoints — so the maximum over change-points is the true global
+    maximum (piecewise-constant function). Output: every change-minute
+    where the peak is attained.
+
+    Plan: the sessionization window and the (user, session) bounds
+    rollup share ONE exchange on user_id (partition keys ⊂ group
+    keys); endpoint deltas fold to |minutes| rows in a second
+    series-sized exchange; the prefix sum is a single-partition window
+    over the BOUNDED minute series (the time span is fixed — ~43k
+    minutes per month — never fact-sized; the same contract as the
+    CUSUM series windows). The change-point table persists once for
+    the max + filter consumers."""
+    from distributed_computing_spark.caching import track_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.select("user_id", "ts", "event_id").withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = (
+        marked.withColumn(
+            "sid",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min(F.col("ts").cast("long")).alias("t0"),
+            F.max(F.col("ts").cast("long")).alias("t1"),
+        )
+    )
+    deltas = sess.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.expr("t0 div 60").alias("minute"),
+                    F.lit(1).alias("d"),
+                ),
+                F.struct(
+                    F.expr("t1 div 60 + 1").alias("minute"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.minute", "e.d")
+    wseq = Window.orderBy("minute").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    conc = track_persist(
+        deltas.groupBy("minute")
+        .agg(F.sum("d").alias("d"))
+        .withColumn("c", F.sum("d").over(wseq))
+    )
+    mx = conc.agg(F.max("c").alias("mx"))
+    return (
+        conc.join(F.broadcast(mx), conc["c"] == mx["mx"])
+        .select(
+            F.col("minute").alias("minute_epoch"),
+            F.col("c").cast("long").alias("concurrency"),
+        )
+        .orderBy("minute_epoch")
+    )
+
+
+QUERIES["session_peak_concurrency"] = session_peak_concurrency
+ORACLES["session_peak_concurrency"] = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+m AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev IS NULL
+                   OR ((epoch_us(ts) // 1000000)
+                       - (epoch_us(prev) // 1000000)) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM o),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m),
+b AS (SELECT user_id, sid,
+             min(epoch_us(ts) // 1000000) AS t0,
+             max(epoch_us(ts) // 1000000) AS t1
+      FROM s GROUP BY 1, 2),
+d AS (SELECT (t0 // 60) AS minute, 1 AS d FROM b
+      UNION ALL
+      SELECT (t1 // 60) + 1, -1 FROM b),
+r AS (SELECT minute, sum(d) OVER (ORDER BY minute
+                                  ROWS UNBOUNDED PRECEDING) AS conc
+      FROM (SELECT minute, CAST(sum(d) AS BIGINT) AS d
+            FROM d GROUP BY 1))
+SELECT CAST(r.minute AS BIGINT) AS minute_epoch,
+       CAST(r.conc AS BIGINT) AS concurrency
+FROM r WHERE r.conc = (SELECT max(conc) FROM r)
+ORDER BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Driver-gate window rotation (round 11 — VERDICT r10 item 2)
+# ---------------------------------------------------------------------------
+# Staleness-driven (the driver gates the FIRST 50 entries). This
+# window = the full 30-query r6-stale cohort named in round 10's
+# registry comment + the 5 queries displaced from the r10 window
+# (kmv_user_sketches, pagerank_parts, multimodal_gif_decode,
+# ngram_jaccard_prefix, copurchase_kcore) + every round-11-CHANGED
+# query (the broadcast-gate sites: nation_trade_volume,
+# market_share_ppm, segment_allocation, and the older dim-broadcast
+# family revenue_by_segment / regional_revenue /
+# regional_revenue_bucketed / revenue_percentiles / scd2_pointintime /
+# ivm_segment_revenue / lsh_topk_exact / ivf_topk_exact; the theilsen
+# auto-coarsen + persist; the dow-anomalies struct group key; the
+# cusum daily persist; sole_return_supplier's un-pinned repartition).
+# stream_cusum_drift changed only its scratch-dir hygiene (no plan or
+# value change; its detector and oracle are shared with the included
+# events_cusum_drift) and is consciously left out of the 50, as is
+# regional_revenue_bucketed (its change is the SAME audited
+# joins.gated_broadcast call its in-window sibling regional_revenue
+# re-proves; both stay green in the local full gate).
+# custdist_histogram re-enters for its round-11 Q18-motion re-plan
+# (gated aggregate-side broadcast). Four slots go to the round-11
+# additions (important_part_share, dominant_part_suppliers,
+# promo_mix_revenue, session_peak_concurrency — never driver-gated
+# beats re-proving a changed-but-value-identical site), displacing
+# four of the dim-gate riders (revenue_by_segment, regional_revenue,
+# revenue_percentiles, scd2_pointintime) whose sf0.01 plans and
+# values are bit-identical this round: their gates pass at every test
+# SF, and the fallback paths are answer-identity-tested in
+# tests/test_broadcast_gates.py.
+# After this window, no oracle-backed query's latest driver row is
+# older than round 7 except the two unchanged rows-only r6 entries
+# (multimodal_features, sample_by_lang), consciously skipped per the
+# VERDICT r10 item-5 slot rule; their exact pytest twins still run
+# every suite.
+_R11_WINDOW = [
+    # the 30 r6-stale entries (round 10's named first picks)
+    "bigram_logprob", "bloom_semi_orders", "clean_docs",
+    "copurchase_bfs", "copurchase_shortest_paths", "curated_read_pruned",
+    "decayed_user_activity", "dq_audit", "epoch_shuffle",
+    "event_transitions", "events_gapfill", "events_ohlc",
+    "fuzzy_customer_match", "ivf_topk", "lsh_topk", "mixture_sample",
+    "multimodal_ann", "multimodal_avi_frames", "multimodal_bmp_decode",
+    "multimodal_frames", "multimodal_real_ann",
+    "multimodal_stats", "multimodal_wav_decode", "prefix_dups",
+    "salted_revenue_join", "source_token_kl",
+    "zorder_cells", "zorder_events_scan",
+    # r7-stale oracle-backed picks taking the slots of the two
+    # UNCHANGED rows-only r6 entries (multimodal_features,
+    # sample_by_lang — VERDICT r10 item 5: rows-only slots only when
+    # the rows-only query itself changed; lsh/ivf_topk and
+    # multimodal_ann stay because their broadcast gates DID change)
+    "events_windowed", "user_sessions",
+    # displaced from the r10 window by its batch-2/3 additions
+    "kmv_user_sketches", "pagerank_parts", "multimodal_gif_decode",
+    "ngram_jaccard_prefix", "copurchase_kcore",
+    # round-11-changed (must re-prove under the driver)
+    "nation_trade_volume", "market_share_ppm", "segment_allocation",
+    "events_theilsen", "events_dow_anomalies", "events_cusum_drift",
+    "sole_return_supplier", "ivm_segment_revenue", "lsh_topk_exact",
+    "ivf_topk_exact", "custdist_histogram",
+    # round-11 additions (never driver-gated -> must be in the 50)
+    "important_part_share", "dominant_part_suppliers",
+    "promo_mix_revenue", "session_peak_concurrency",
 ]
-assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
-QUERIES = {name: QUERIES[name] for name in _R10_WINDOW} | {
-    k: v for k, v in QUERIES.items() if k not in set(_R10_WINDOW)
+assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
+QUERIES = {name: QUERIES[name] for name in _R11_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R11_WINDOW)
 }
 
 # Every never-driver-gated query MUST sit inside the first-50 window —
 # this file-end block is the last statement touching QUERIES, and this
 # guard fails loudly if a future registration lands below it.
-_R10_NEW = [
-    "nation_trade_volume", "market_share_ppm", "product_profit",
-    "custdist_histogram", "top_supplier_revenue", "parts_supplier_count",
-    "sole_return_supplier", "sales_opportunity", "min_cost_supplier",
-    "events_cusum_drift", "events_theilsen", "customer_rfm_segments",
-    "stream_cusum_drift", "segment_allocation", "events_dow_anomalies",
+_R11_NEW: list[str] = [
+    "important_part_share", "dominant_part_suppliers",
+    "promo_mix_revenue", "session_peak_concurrency",
 ]
 _order = list(QUERIES)
-for _q in _R10_NEW:
+for _q in _R11_NEW:
     if _order.index(_q) >= 50:
         raise RuntimeError(
-            f"round-10 query {_q!r} fell outside the driver's first-50 "
-            "gate window — keep the _R10_WINDOW block at the END of "
+            f"round-11 query {_q!r} fell outside the driver's first-50 "
+            "gate window — keep the _R11_WINDOW block at the END of "
             "registry.py and add new registrations to it"
         )

@@ -17,7 +17,7 @@ means silently dropping the tail.
 from __future__ import annotations
 
 import itertools
-import tempfile
+from distributed_computing_spark.caching import session_tmpdir
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -33,7 +33,7 @@ def run_to_batch(
     """Execute a (bounded) streaming DataFrame with AvailableNow into a
     memory sink; return the sink's contents as a batch DataFrame."""
     name = f"stream_out_{next(_name_counter)}"
-    ckpt = tempfile.mkdtemp(prefix="dcs_ckpt_")
+    ckpt = session_tmpdir(prefix="dcs_ckpt_")
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -52,7 +52,7 @@ def stream_table(spark: SparkSession, df: DataFrame) -> DataFrame:
     registry uses this to drive streaming operators from the shared
     parquet test tables (whose nanos timestamps need the catalog's
     batch-side conversion first)."""
-    src = tempfile.mkdtemp(prefix="dcs_streamsrc_")
+    src = session_tmpdir(prefix="dcs_streamsrc_")
     df.write.mode("overwrite").parquet(src)
     return spark.readStream.schema(df.schema).parquet(src)
 
@@ -75,13 +75,13 @@ def stream_in_seq_batches(
     """
     import glob
     import os
-    import tempfile
+    from distributed_computing_spark.caching import session_tmpdir
     import time
 
     from pyspark.sql import functions as F
 
     max_val = df.agg(F.max(order_col)).collect()[0][0]
-    src = tempfile.mkdtemp(prefix="dcs_seqsrc_")
+    src = session_tmpdir(prefix="dcs_seqsrc_")
     now = time.time()
     stamped: set[str] = set()
     bounds = [

@@ -207,6 +207,12 @@ _AUDITED_FLOORDIV = [
     r"sum\(r\.rank // d2\.outdeg\)",
     r"\d+ \* COALESCE\(s\.c_in, 0\)\) // \d+",
     r"\d+ // count\(\*\)",
+    # round 11: per-part revenue myriacents (floor of positive prices)
+    # and the 1e6 ppm scale are non-negative; session epoch-second
+    # bounds t0/t1 are post-1970 timestamps, so >= 0.
+    r"\(CAST\(pr\.part_mc AS HUGEINT\) \* 1000000\) // t\.total_mc",
+    r"\(t0 // 60\)",
+    r"\(t1 // 60\)",
     # linkage segment offsets: ln and seg_i are non-negative.
     r"\(ln \* s?\.?\w*seg_i\w*\)? ?\)? //",
     r"substr\(name, \(ln \* s\.seg_i\) // \d+",

@@ -606,20 +606,28 @@ def test_theilsen_linear_trend_exact_and_outlier_robust(spark, tmp_path):
     assert cor["med_dy"] == 2 * cor["med_dx"]
 
 
-def test_theilsen_day_cap_raises(spark):
-    """The D² pair fan-out is bounded IN CODE (the absolute-cap rule):
-    a series longer than MAX_THEILSEN_DAYS must raise, not explode."""
+def test_theilsen_past_cap_degrades_to_weeks_not_raises(spark):
+    """Round 11 (VERDICT r10 item 4): a series longer than
+    MAX_THEILSEN_DAYS no longer raises — it auto-coarsens to weekly
+    buckets with the same exact (med_dy, med_dx) contract. The result
+    must match the forced bucket_days=7 path AND a brute-force weekly
+    Theil–Sen computed in Python."""
     import datetime
-
-    import pytest
 
     from distributed_computing_spark.operators import analytics
 
     t0 = datetime.datetime(2020, 1, 1)
-    rows = [
-        (i, t0 + datetime.timedelta(days=i), 1, "t", 1.0, "{}")
-        for i in range(analytics.MAX_THEILSEN_DAYS + 2)
-    ]
+    n_days = analytics.MAX_THEILSEN_DAYS + 2
+    # counts vary by day so slopes are nontrivial: c_d = 1 + (d*d) % 5
+    rows = []
+    eid = 0
+    for i in range(n_days):
+        for j in range(1 + (i * i) % 5):
+            eid += 1
+            rows.append(
+                (eid, t0 + datetime.timedelta(days=i, seconds=j + 1),
+                 j, "t", 1.0, "{}")
+            )
     df = spark.createDataFrame(
         rows,
         "event_id long, ts timestamp, user_id long, event_type string, "
@@ -629,8 +637,27 @@ def test_theilsen_day_cap_raises(spark):
 
     with tempfile.TemporaryDirectory() as d:
         df.write.mode("overwrite").parquet(f"{d}/events.parquet")
-        with pytest.raises(ValueError, match="MAX_THEILSEN_DAYS"):
-            analytics.events_theilsen(spark, d)
+        auto = analytics.events_theilsen(spark, d).collect()
+        forced = analytics.events_theilsen(spark, d, bucket_days=7).collect()
+    assert [tuple(r) for r in auto] == [tuple(r) for r in forced]
+    # brute force: weekly sums, all pairwise (dy, dx), operator's
+    # exact selection order ((IEEE slope, dy, dx), rank (n+1)//2)
+    epoch0 = datetime.date(1970, 1, 1)
+    weekly: dict[int, int] = {}
+    for i in range(n_days):
+        ed = (datetime.date(2020, 1, 1) + datetime.timedelta(days=i) - epoch0).days
+        weekly[(ed - ed % 7) // 7] = weekly.get((ed - ed % 7) // 7, 0) + 1 + (i * i) % 5
+    xs = sorted(weekly)
+    pairs = [
+        (weekly[b] - weekly[a], (b - a) * 7)
+        for ai, a in enumerate(xs)
+        for b in xs[ai + 1 :]
+    ]
+    pairs.sort(key=lambda p: (p[0] / p[1], p[0], p[1]))
+    med = pairs[(len(pairs) + 1) // 2 - 1]
+    got = auto[0]
+    assert (got["med_dy"], got["med_dx"]) == med
+    assert got["n_pairs"] == len(pairs)
 
 
 def test_rfm_scores_planted_quintiles(spark, tmp_path):

@@ -1,0 +1,207 @@
+"""Round-11 operator hardening tests (VERDICT/ADVICE r10 items).
+
+- events_dow_anomalies: the (type, dow) group key rides the median
+  core as a STRUCT — a '#'-bearing event_type must group correctly
+  (the old concat_ws('#') round-trip silently corrupted the baseline
+  while the oracle grouped by real columns: ADVICE r10 item 3).
+- events_theilsen: daily path unchanged (bucket_days=1 ≡ round 10's
+  plan bit-for-bit); weekly coarsening on ≤366-day data equals the
+  daily operator applied to the SAME series pre-aggregated to weeks
+  (the degrade contract, VERDICT r10 item 4).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_dow_anomalies_hash_bearing_event_type_groups_correctly(
+    spark, tmp_path
+):
+    """Adversarial delimiter case: event_type 'click#3' must keep its
+    own (type, dow) baselines. Under the old string key the '#' in the
+    type shifted the split, the med join keyed on a NULL dow, and the
+    corrupted day silently went unflagged."""
+    from distributed_computing_spark.registry import QUERIES
+
+    d = str(tmp_path / "sf")
+    t0 = datetime.datetime(2024, 1, 1)  # a Monday
+    rows = []
+    eid = 0
+    corrupt_day = 16  # a Wednesday
+    for day in range(28):
+        n = 200 if day == corrupt_day else 20
+        for j in range(n):
+            eid += 1
+            rows.append(
+                (eid, t0 + datetime.timedelta(days=day, seconds=j + 1),
+                 j, "click#3", 1.0, "{}")
+            )
+    _write_events(spark, d, rows)
+    got = QUERIES["events_dow_anomalies"](spark, d).collect()
+    assert len(got) == 1
+    assert got[0]["event_type"] == "click#3"
+    assert got[0]["day"] == t0 + datetime.timedelta(days=corrupt_day)
+    assert got[0]["c"] == 200 and got[0]["med_dow"] == 20
+
+
+def test_theilsen_weekly_equals_daily_on_preaggregated_weeks(
+    spark, tmp_path
+):
+    """Degrade contract: forcing bucket_days=7 on a ≤366-day series
+    must equal running the DAILY operator over events whose timestamps
+    are snapped to their week-start day (same weekly sums, dx scaled
+    by 7). Verifies the coarsened path is the exact Theil–Sen of the
+    weekly series, not an approximation."""
+    from distributed_computing_spark.operators import analytics
+
+    d1 = str(tmp_path / "daily")
+    d2 = str(tmp_path / "snapped")
+    t0 = datetime.datetime(2024, 1, 1)
+    epoch0 = datetime.date(1970, 1, 1)
+    rows, snapped = [], []
+    eid = 0
+    for day in range(70):
+        for j in range(1 + (3 * day) % 7):
+            eid += 1
+            ts = t0 + datetime.timedelta(days=day, seconds=j + 1)
+            ed = (ts.date() - epoch0).days
+            week_start = ed - ed % 7
+            snap = datetime.datetime.combine(
+                epoch0 + datetime.timedelta(days=week_start),
+                datetime.time(0, 0, 1),
+            )
+            rows.append((eid, ts, j, "t", 1.0, "{}"))
+            snapped.append((eid, snap, j, "t", 1.0, "{}"))
+    _write_events(spark, d1, rows)
+    _write_events(spark, d2, snapped)
+    weekly = analytics.events_theilsen(spark, d1, bucket_days=7).collect()
+    daily_on_snapped = analytics.events_theilsen(
+        spark, d2, bucket_days=1
+    ).collect()
+    assert len(weekly) == len(daily_on_snapped) == 1
+    w, s = weekly[0], daily_on_snapped[0]
+    assert w["n_pairs"] == s["n_pairs"]
+    assert w["med_dy"] == s["med_dy"]
+    # snapped-daily dx counts days between week-start days = 7·weeks,
+    # identical to the coarsened path's bucket-scaled dx
+    assert w["med_dx"] == s["med_dx"]
+
+
+def test_session_peak_concurrency_matches_bruteforce(spark, tmp_path):
+    """Semantic anchor for the sweep line: on a small synthetic event
+    log, the operator's peak equals a naive per-minute interval count
+    computed in Python (every minute probed, not just change-points)."""
+    from distributed_computing_spark.registry import QUERIES
+
+    d = str(tmp_path / "sf")
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    # users with overlapping multi-event sessions and 30-min gaps
+    specs = [
+        (1, [0, 10, 50]),        # session 0-50min, then gap
+        (1, [200, 210]),         # second session
+        (2, [5, 20]),            # overlaps user 1's first session
+        (3, [8]),                # single-event session
+        (4, [45, 60, 205]),      # two sessions (gap 145 min > 30)
+    ]
+    for uid, minutes in specs:
+        for m in minutes:
+            eid += 1
+            rows.append(
+                (eid, t0 + datetime.timedelta(minutes=m, seconds=1),
+                 uid, "click", 1.0, "{}")
+            )
+    _write_events(spark, d, rows)
+    got = QUERIES["session_peak_concurrency"](spark, d).collect()
+
+    # brute force: rebuild sessions (30-min gap), then count per minute
+    epoch0 = datetime.datetime(1970, 1, 1)
+    by_user: dict[int, list[int]] = {}
+    for _eid, ts, uid, *_ in rows:
+        by_user.setdefault(uid, []).append(int((ts - epoch0).total_seconds()))
+    intervals = []
+    for uid, tss in by_user.items():
+        tss.sort()
+        start = prev = tss[0]
+        for t in tss[1:]:
+            if t - prev > 1800:
+                intervals.append((start // 60, prev // 60))
+                start = t
+            prev = t
+        intervals.append((start // 60, prev // 60))
+    lo = min(i[0] for i in intervals)
+    hi = max(i[1] for i in intervals)
+    conc = {
+        m: sum(1 for a, b in intervals if a <= m <= b)
+        for m in range(lo, hi + 2)
+    }
+    peak = max(conc.values())
+    peak_minutes = sorted(
+        m for m, c in conc.items()
+        if c == peak and (m == lo or conc[m - 1] != c)
+    )
+    assert all(r["concurrency"] == peak for r in got)
+    # operator reports CHANGE-points at the peak; every one must be a
+    # minute where brute force sees the peak newly attained
+    assert [r["minute_epoch"] for r in got] == peak_minutes
+    assert peak == 3  # users 1, 2, 3 overlap in minutes 8-20
+
+
+def test_round11_plan_contracts(spark):
+    """Plan assertions for the round-11 additions (the shuffle-budget
+    discipline, encoded per CLAUDE.md style):
+
+    - dominant_part_suppliers: ONE fact exchange serves the (part,
+      supplier) rollup AND the per-part window (partition keys ⊂ group
+      keys — the sole_return motion); 2 hash exchanges total, no cache.
+    - important_part_share: the per-part rollup is persisted and read
+      by BOTH consumers (scalar + filter) — 2 InMemoryTableScans.
+    - promo_mix_revenue: the hand-derived qty bound reaches the
+      lineitem scan as a PushedFilter; the part attach is a broadcast
+      join (gated, passes at test SF)."""
+    from distributed_computing_spark.caching import release_tracked
+    from distributed_computing_spark.plans import (
+        count_exchanges,
+        has_pushed_filter,
+        operator_tree,
+    )
+    from distributed_computing_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    try:
+        df = QUERIES["dominant_part_suppliers"](spark, SF_DIR)
+        tree = operator_tree(df)
+        assert count_exchanges(df, "hashpartitioning") == 2, tree
+        assert tree.count("Window") == 1, tree
+        assert "InMemoryTableScan" not in tree
+
+        df2 = QUERIES["important_part_share"](spark, SF_DIR)
+        tree2 = operator_tree(df2)
+        assert tree2.count("InMemoryTableScan") == 2, tree2
+        assert df2.count() > 0
+
+        df3 = QUERIES["promo_mix_revenue"](spark, SF_DIR)
+        assert has_pushed_filter(df3, "LessThanOrEqual(l_quantity,30.0)")
+        assert has_pushed_filter(df3, "GreaterThanOrEqual(l_quantity,1.0)")
+        tree3 = operator_tree(df3)
+        assert "BroadcastHashJoin" in tree3, tree3
+
+        df4 = QUERIES["session_peak_concurrency"](spark, SF_DIR)
+        tree4 = operator_tree(df4)
+        # user_id exchange + minute exchange; the single-partition
+        # prefix window is an Exchange SinglePartition, not hash
+        assert count_exchanges(df4, "hashpartitioning") == 2, tree4
+        assert tree4.count("InMemoryTableScan") == 2, tree4
+        assert df4.count() >= 1
+    finally:
+        release_tracked()
