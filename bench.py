@@ -261,6 +261,7 @@ def _compact_for_tail(payload: dict) -> dict:
         # round 10's first clean bench measured 2784 chars before this
         # line landed). test_bench_tail pins the budget.
         rec.update(xo.pop("r10_tier_recorded", None) or {})
+        rec.update(xo.pop("r11_tier_recorded", None) or {})
         if "queries" in xo:
             # VERDICT r7 item 3: the per-query crossover arrays get shed
             # from the tail when the line outgrows the budget, which in

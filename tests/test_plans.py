@@ -745,10 +745,18 @@ def test_sole_return_one_fact_exchange_serves_agg_and_window(spark):
 def test_top_supplier_max_joins_back_by_broadcast(spark):
     """Round 10 (Q15 shape): the 1-row max broadcasts back onto the
     per-supplier revenue table (tie-safe argmax — never ORDER BY
-    LIMIT 1)."""
-    tree = operator_tree(QUERIES["top_supplier_revenue"](spark, SF_DIR))
-    assert tree.count("BroadcastHashJoin") >= 2, tree
-    assert "TakeOrdered" not in tree.split("Sort")[0]  # no limit-1 argmax
+    LIMIT 1). Round 11: the revenue rollup is PERSISTED and read by
+    both consumers — two InMemoryTableScans, one fact scan (the R400
+    probe caught the unpersisted form scanning 240 M rows twice)."""
+    from distributed_computing_spark.caching import release_tracked
+
+    try:
+        tree = operator_tree(QUERIES["top_supplier_revenue"](spark, SF_DIR))
+        assert tree.count("BroadcastHashJoin") >= 2, tree
+        assert "TakeOrdered" not in tree.split("Sort")[0]  # no limit-1 argmax
+        assert tree.count("InMemoryTableScan") == 2, tree
+    finally:
+        release_tracked()
 
 
 def test_sales_opportunity_scalar_broadcast_and_anti_join(spark):
