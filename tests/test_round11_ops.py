@@ -205,3 +205,103 @@ def test_round11_plan_contracts(spark):
         assert df4.count() >= 1
     finally:
         release_tracked()
+
+
+def test_user_burst_rates_one_fact_exchange_and_range_frame(spark, tmp_path):
+    """Plan: ONE repartition(user_id) serves the minute rollup, the
+    RANGE window, and the per-user max (2 hash exchanges total incl.
+    the tiny histogram). Semantics: the frame is RANGE over the minute
+    AXIS — sparse activity outside the trailing 60 minutes must NOT
+    count (the ROWS-frame bug this operator exists to avoid)."""
+    import datetime
+
+    from distributed_computing_spark.plans import count_exchanges
+    from distributed_computing_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    df = QUERIES["user_burst_rates"](spark, SF_DIR)
+    assert count_exchanges(df, "hashpartitioning") == 2
+    assert df.count() >= 1
+
+    # planted: user 1 fires 3 events inside one hour, then 1 event far
+    # later; user 2 fires 4 events spread >60 min apart (a ROWS-59
+    # frame would see all 4 as one window -> max 4; RANGE must say 1)
+    d = str(tmp_path / "sf")
+    t0 = datetime.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    for m in (0, 10, 50, 500):
+        eid += 1
+        rows.append((eid, t0 + datetime.timedelta(minutes=m), 1, "c", 1.0, "{}"))
+    for m in (0, 100, 200, 300):
+        eid += 1
+        rows.append((eid, t0 + datetime.timedelta(minutes=m), 2, "c", 1.0, "{}"))
+    _write_events(spark, d, rows)
+    got = {r["max_rate"]: r["n_users"] for r in QUERIES["user_burst_rates"](spark, d).collect()}
+    assert got == {3: 1, 1: 1}
+
+
+def test_dedup_savings_report_planted_clusters(spark, tmp_path):
+    """Planted: two exact copies + one truncation copy (same first 16
+    tokens, different tail). The exact level sees one 2-cluster; the
+    prefix16 level sees one 3-cluster; redundant chars count every
+    non-kept copy's n_chars."""
+    from distributed_computing_spark.registry import QUERIES
+
+    base = " ".join(f"tok{i}" for i in range(16))
+    rows = [
+        (1, base + " tail one", "en", "web", 100),
+        (2, base + " tail one", "en", "web", 110),   # exact dup of 1
+        (3, base + " different tail entirely", "en", "web", 120),
+        (4, "completely unrelated text body", "en", "web", 50),
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        (r["cluster_kind"], r["n_copies"]): (
+            r["n_clusters"], r["n_redundant_docs"], r["redundant_chars"]
+        )
+        for r in QUERIES["dedup_savings_report"](spark, d).collect()
+    }
+    # exact: {1,2} cluster (keep doc 1, redundant chars 110) + two singletons
+    assert got[("exact", 2)] == (1, 1, 110)
+    assert got[("exact", 1)] == (2, 0, 0)
+    # prefix16: {1,2,3} cluster (keep doc 1, redundant 110+120) + one singleton
+    assert got[("prefix16", 3)] == (1, 2, 230)
+    assert got[("prefix16", 1)] == (1, 0, 0)
+
+
+def test_source_length_quantiles_matches_bruteforce(spark, tmp_path):
+    """The fused multi-q pass on the (source, token-count) shape must
+    equal a brute-force lower-quantile computed in Python."""
+    from distributed_computing_spark.registry import QUERIES
+
+    rows = []
+    did = 0
+    for src, sizes in (("a", [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]), ("b", [5, 5, 5, 7])):
+        for n in sizes:
+            did += 1
+            rows.append((did, " ".join(f"w{i}" for i in range(n)), "en", src, n))
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        (r["source"], r["q_permille"]): r["q_tokens"]
+        for r in QUERIES["source_length_quantiles"](spark, d).collect()
+    }
+
+    def brute(vals, q):
+        vals = sorted(vals)
+        w = len(vals)
+        cum = 0
+        for i, v in enumerate(vals):
+            cum += 1
+            if 1000 * cum >= q * w:
+                return v
+
+    for src, sizes in (("a", [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]), ("b", [5, 5, 5, 7])):
+        for q in (100, 500, 900):
+            assert got[(src, q)] == brute(sizes, q), (src, q)

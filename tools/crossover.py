@@ -724,10 +724,36 @@ RECORDED_R11_TIERS: dict = {
     "promo_mix_revenue": {
         "R400": {"spark_s": 4.09, "duckdb_s": 1.92, "ratio": 2.1},
     },
-    # events-only R500 replica (50 M events): both engines pay the
-    # per-user sessionization window sort; Spark's parallel sort wins.
+    # events-only replicas (R500 = 50 M, R1000 = 100 M events): both
+    # engines pay the per-user sessionization window sort; Spark's
+    # parallel sort wins at both tiers (74/96 then 163/183 — both
+    # sides near-linear, the win holds).
     "session_peak_concurrency": {
         "R500": {"spark_s": 74.0, "duckdb_s": 96.0, "ratio": 0.77},
+        "R1000": {"spark_s": 163.3, "duckdb_s": 183.0, "ratio": 0.89},
+    },
+    # the seasonal-median detector joins the series-family convergence
+    # band (cusum 6.0, theilsen 6.4 at the same tier).
+    "events_dow_anomalies": {
+        "R1000": {"spark_s": 7.80, "duckdb_s": 1.31, "ratio": 6.0},
+    },
+    # round-11 batch 2. The doc-family cells carry the fused-Arrow
+    # re-plans (drafts: dedup_savings 21.1 s via JVM-regex/explode
+    # hashing -> 5.4 s fused; source_length 19.5 s unpersisted ->
+    # 7.6 s -> 3.4 s Arrow token counter): Spark sits FLAT at its
+    # scheduling/Arrow floor across R20 -> R100 (5.4 -> 6.7 and
+    # 3.4 -> 3.1) while the single-node side grows ~3x — converging.
+    "dedup_savings_report": {
+        "R20": {"spark_s": 5.43, "duckdb_s": 0.34, "ratio": 16.1},
+        "R100": {"spark_s": 6.72, "duckdb_s": 0.89, "ratio": 7.6},
+    },
+    "source_length_quantiles": {
+        "R20": {"spark_s": 3.39, "duckdb_s": 0.07, "ratio": 45.7},
+        "R100": {"spark_s": 3.07, "duckdb_s": 0.24, "ratio": 12.9},
+    },
+    "user_burst_rates": {
+        "R20": {"spark_s": 2.37, "duckdb_s": 0.12, "ratio": 19.9},
+        "R1000": {"spark_s": 54.3, "duckdb_s": 48.2, "ratio": 1.13},
     },
 }
 
