@@ -6992,6 +6992,14 @@ def user_burst_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "minute")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    return _burst_hist_from_minutes(pm)
+
+
+def _burst_hist_from_minutes(pm: DataFrame) -> DataFrame:
+    """The RANGE-window detector over a (user_id, minute, c) rollup —
+    shared by the batch query (which feeds it the one-exchange
+    repartitioned aggregate) and the streaming twin (which feeds it
+    the flushed streaming-aggregation state)."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("minute")
@@ -7009,7 +7017,40 @@ def user_burst_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_burst_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-rate detection OVER A STREAM (round 11): the per-user
+    minute-bucket count table is maintained as a STREAMING aggregation
+    (complete mode — state is the active (user, minute) rollup,
+    bounded by users × the stream's minute span, the same
+    series-bounded contract as stream_cusum_drift's types × days), the
+    final state flushes to storage, and the RANGE-window detector runs
+    on the flushed rollup. Gated by the BATCH oracle: the stream's
+    final answer equals user_burst_rates exactly. An ONLINE variant
+    would expire minutes older than the 60-minute horizon per key with
+    a watermark and keep only the running max — same detector, smaller
+    state; the flush form is the one whose final answer is
+    batch-provable under the gate."""
+    from distributed_computing_spark.caching import session_tmpdir
+    from distributed_computing_spark.streaming.runner import (
+        run_to_batch,
+        stream_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sdf = stream_table(spark, ev.select("user_id", "ts"))
+    pm_state = run_to_batch(
+        sdf.groupBy(
+            "user_id", F.expr("cast(ts as long) div 60").alias("minute")
+        ).agg(F.count(F.lit(1)).alias("c")),
+        spark,
+    )
+    out = session_tmpdir(prefix="dcs_burst_state_")
+    pm_state.write.mode("overwrite").parquet(out)
+    return _burst_hist_from_minutes(spark.read.parquet(out))
+
+
 QUERIES["user_burst_rates"] = user_burst_rates
+QUERIES["stream_burst_rates"] = stream_burst_rates
 ORACLES["user_burst_rates"] = """
 WITH pm AS (
   SELECT user_id, (epoch_us(ts) // 1000000) // 60 AS minute,
@@ -7023,6 +7064,7 @@ w AS (SELECT user_id,
 mx AS (SELECT user_id, max(r60) AS max_rate FROM w GROUP BY 1)
 SELECT max_rate, CAST(count(*) AS BIGINT) AS n_users
 FROM mx GROUP BY 1 ORDER BY 1"""
+ORACLES["stream_burst_rates"] = ORACLES["user_burst_rates"]
 
 
 # ---------------------------------------------------------------------------
@@ -7073,12 +7115,12 @@ _R11_WINDOW = [
     "multimodal_stats", "multimodal_wav_decode", "prefix_dups",
     "salted_revenue_join", "source_token_kl",
     "zorder_cells", "zorder_events_scan",
-    # r7-stale oracle-backed picks taking the slots of the two
+    # the two r7-stale oracle-backed picks that took the slots of the
     # UNCHANGED rows-only r6 entries (multimodal_features,
-    # sample_by_lang — VERDICT r10 item 5: rows-only slots only when
-    # the rows-only query itself changed; lsh/ivf_topk and
-    # multimodal_ann stay because their broadcast gates DID change)
-    "events_windowed",
+    # sample_by_lang — VERDICT r10 item 5) later yielded them to the
+    # round-11 additions; both join the r12 first picks (lsh/ivf_topk
+    # and multimodal_ann stay because their broadcast gates DID
+    # change)
     # displaced from the r10 window by its batch-2/3 additions
     "kmv_user_sketches", "pagerank_parts", "multimodal_gif_decode",
     "ngram_jaccard_prefix", "copurchase_kcore",
@@ -7091,7 +7133,7 @@ _R11_WINDOW = [
     "important_part_share", "dominant_part_suppliers",
     "promo_mix_revenue", "session_peak_concurrency",
     "dedup_savings_report", "source_length_quantiles",
-    "user_burst_rates",
+    "user_burst_rates", "stream_burst_rates",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R11_WINDOW} | {
@@ -7105,7 +7147,7 @@ _R11_NEW: list[str] = [
     "important_part_share", "dominant_part_suppliers",
     "promo_mix_revenue", "session_peak_concurrency",
     "dedup_savings_report", "source_length_quantiles",
-    "user_burst_rates",
+    "user_burst_rates", "stream_burst_rates",
 ]
 _order = list(QUERIES)
 for _q in _R11_NEW:

@@ -305,3 +305,14 @@ def test_source_length_quantiles_matches_bruteforce(spark, tmp_path):
     for src, sizes in (("a", [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]), ("b", [5, 5, 5, 7])):
         for q in (100, 500, 900):
             assert got[(src, q)] == brute(sizes, q), (src, q)
+
+
+def test_stream_burst_rates_equals_batch(spark):
+    """The streaming twin's flushed-state detector must equal the
+    batch operator exactly (the stream_cusum_drift contract)."""
+    from distributed_computing_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    batch = QUERIES["user_burst_rates"](spark, SF_DIR).collect()
+    stream = QUERIES["stream_burst_rates"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
