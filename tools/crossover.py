@@ -716,12 +716,15 @@ RECORDED_R11_TIERS: dict = {
     # two-level GROUP BY + join collapses at 240 M rows — a 22.5×
     # Spark WIN, the largest recorded flip in the repo.
     "dominant_part_suppliers": {
+        "R100": {"spark_s": 3.94, "duckdb_s": 7.55, "ratio": 0.52},
         "R400": {"spark_s": 8.54, "duckdb_s": 192.28, "ratio": 0.04},
     },
     "important_part_share": {
+        "R100": {"spark_s": 4.86, "duckdb_s": 0.61, "ratio": 8.0},
         "R400": {"spark_s": 10.34, "duckdb_s": 27.20, "ratio": 0.38},
     },
     "promo_mix_revenue": {
+        "R100": {"spark_s": 2.59, "duckdb_s": 0.60, "ratio": 4.3},
         "R400": {"spark_s": 4.09, "duckdb_s": 1.92, "ratio": 2.1},
     },
     # events-only replicas (R500 = 50 M, R1000 = 100 M events): both
