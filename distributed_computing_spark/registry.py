@@ -7049,6 +7049,84 @@ def stream_burst_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _burst_hist_from_minutes(spark.read.parquet(out))
 
 
+def user_burst_alerts(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: int = 3,
+    horizon_s: int = 3600,
+) -> DataFrame:
+    """Event-level burst ALERTS (round 11): every (user, second) where
+    the trailing-hour INCLUSIVE event count reaches ``threshold`` —
+    the alert feed a rate limiter consumes, where user_burst_rates is
+    the offline histogram. RANGE frame over epoch seconds (peers at
+    the same second count in full, so the definition is row-order
+    free); duplicate (user, t) rows collapse to one alert.
+
+    Plan: one repartition(user_id) serves the RANGE window; the alert
+    set is output-sized. The streaming twin (stream_burst_alerts)
+    reproduces this EXACTLY online with bounded per-user state."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", F.col("ts").cast("long").alias("t")
+    ).repartition("user_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-(horizon_s - 1), 0)
+    )
+    return (
+        e.withColumn("n_events", F.count(F.lit(1)).over(w))
+        .where(F.col("n_events") >= threshold)
+        .select("user_id", "t", "n_events")
+        .distinct()
+        .orderBy("user_id", "t")
+    )
+
+
+def stream_burst_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONLINE twin (round 11): per-user applyInPandasWithState
+    with BOUNDED state — only the trailing-hour timestamp multiset
+    survives per user (evicted as time advances), unlike the
+    flush-pattern stream_burst_rates whose state is the whole series.
+    Replayed as 4 time-ordered micro-batches (the seq-source recipe;
+    epoch seconds are rebased so the n-tile split actually cuts the
+    stream — raw epochs all land in the last n-tile), alerts emitted
+    the moment the window fills. Gated by the BATCH oracle: online ==
+    batch RANGE window exactly (ties handled by whole-group
+    processing; see streaming/burst.py)."""
+    from distributed_computing_spark.streaming.burst import (
+        burst_alert_stream,
+    )
+    from distributed_computing_spark.streaming.runner import (
+        run_to_batch,
+        stream_in_seq_batches,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", F.col("ts").cast("long").alias("t"))
+    t0 = e.agg(F.min("t").alias("m")).collect()[0]["m"] or 0
+    e = e.withColumn("rel", (F.col("t") - F.lit(int(t0))).cast("long"))
+    sdf = stream_in_seq_batches(spark, e, n=4, order_col="rel")
+    out = run_to_batch(
+        burst_alert_stream(sdf.drop("rel")), spark, output_mode="append"
+    )
+    return out.orderBy("user_id", "t")
+
+
+QUERIES["user_burst_alerts"] = user_burst_alerts
+QUERIES["stream_burst_alerts"] = stream_burst_alerts
+ORACLES["user_burst_alerts"] = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t FROM events),
+w AS (SELECT user_id, t,
+             CAST(count(*) OVER (PARTITION BY user_id ORDER BY t
+                   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_events
+      FROM e)
+SELECT DISTINCT user_id, CAST(t AS BIGINT) AS t, n_events
+FROM w WHERE n_events >= 3 ORDER BY 1, 2"""
+ORACLES["stream_burst_alerts"] = ORACLES["user_burst_alerts"]
+
+
 QUERIES["user_burst_rates"] = user_burst_rates
 QUERIES["stream_burst_rates"] = stream_burst_rates
 ORACLES["user_burst_rates"] = """
@@ -7089,7 +7167,12 @@ ORACLES["stream_burst_rates"] = ORACLES["user_burst_rates"]
 # joins.gated_broadcast call its in-window sibling regional_revenue
 # re-proves; both stay green in the local full gate).
 # custdist_histogram re-enters for its round-11 Q18-motion re-plan
-# (gated aggregate-side broadcast). Four slots go to the round-11
+# (gated aggregate-side broadcast). events_cusum_drift and
+# sole_return_supplier — both GREEN in the r10 driver window, both
+# changed this round only by value-identical plan edits (a shared
+# persist; an un-pinned partition count) that the local gate re-proved
+# at BOTH SFs — yield their slots to the burst-alert pair (never
+# driver-gated) and join the r12 first picks. Four slots go to the round-11
 # additions (important_part_share, dominant_part_suppliers,
 # promo_mix_revenue, session_peak_concurrency — never driver-gated
 # beats re-proving a changed-but-value-identical site), displacing
@@ -7126,14 +7209,14 @@ _R11_WINDOW = [
     "ngram_jaccard_prefix", "copurchase_kcore",
     # round-11-changed (must re-prove under the driver)
     "nation_trade_volume", "market_share_ppm", "segment_allocation",
-    "events_theilsen", "events_dow_anomalies", "events_cusum_drift",
-    "sole_return_supplier",
+    "events_theilsen", "events_dow_anomalies",
     "top_supplier_revenue", "custdist_histogram",
     # round-11 additions (never driver-gated -> must be in the 50)
     "important_part_share", "dominant_part_suppliers",
     "promo_mix_revenue", "session_peak_concurrency",
     "dedup_savings_report", "source_length_quantiles",
     "user_burst_rates", "stream_burst_rates",
+    "user_burst_alerts", "stream_burst_alerts",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R11_WINDOW} | {
@@ -7148,6 +7231,7 @@ _R11_NEW: list[str] = [
     "promo_mix_revenue", "session_peak_concurrency",
     "dedup_savings_report", "source_length_quantiles",
     "user_burst_rates", "stream_burst_rates",
+    "user_burst_alerts", "stream_burst_alerts",
 ]
 _order = list(QUERIES)
 for _q in _R11_NEW:

@@ -316,3 +316,68 @@ def test_stream_burst_rates_equals_batch(spark):
     batch = QUERIES["user_burst_rates"](spark, SF_DIR).collect()
     stream = QUERIES["stream_burst_rates"](spark, SF_DIR).collect()
     assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_burst_alerts_ties_eviction_and_stream_equals_batch(spark, tmp_path):
+    """Planted alert scenario exercising the two exactness obligations:
+    equal-timestamp PEERS count toward each other's window (RANGE
+    semantics), and state EVICTS outside the horizon (an event > 1 h
+    later must not see the old burst). The online stream must equal
+    the batch RANGE query row-for-row."""
+    import datetime
+
+    from distributed_computing_spark.registry import QUERIES
+
+    d = str(tmp_path / "sf")
+    t0 = datetime.datetime(2024, 6, 1)
+    rows = []
+    eid = 0
+
+    def ev(uid, seconds):
+        nonlocal eid
+        eid += 1
+        rows.append(
+            (eid, t0 + datetime.timedelta(seconds=seconds), uid, "c", 1.0, "{}")
+        )
+
+    # user 1: three events at the SAME second -> peers alert (n=3)
+    for _ in range(3):
+        ev(1, 100)
+    # user 2: events at 0, 1800, 3599 -> alert n=3 at 3599 (inclusive
+    # window [0, 3599]); then one at 7300 -> everything evicted, no alert
+    ev(2, 0); ev(2, 1800); ev(2, 3599); ev(2, 7300)
+    # user 3: 0, 3600 -> the window [1, 3600] holds only 2 -> no alert
+    ev(3, 0); ev(3, 3600)
+    _write_events(spark, d, rows)
+
+    batch = sorted(map(tuple, QUERIES["user_burst_alerts"](spark, d).collect()))
+    stream = sorted(map(tuple, QUERIES["stream_burst_alerts"](spark, d).collect()))
+    assert batch == stream
+    base = int((t0 - datetime.datetime(1970, 1, 1)).total_seconds())
+    assert batch == [(1, base + 100, 3), (2, base + 3599, 3)]
+
+
+def test_stream_burst_alerts_state_spans_batches(spark, tmp_path):
+    """A burst assembled ACROSS micro-batches: the first two events and
+    the third arrive in different seq-source batches (timestamps span
+    the 4-way n-tile split), so the alert can only come from carried
+    per-user state."""
+    import datetime
+
+    from distributed_computing_spark.registry import QUERIES
+
+    d = str(tmp_path / "sf")
+    t0 = datetime.datetime(2024, 6, 1)
+    rows = []
+    # rel range is [0, 4000] -> n-tile boundaries at 1000/2000/3000:
+    # events at rel 0, 900 (batch 1) and 2500 (batch 3) form the burst
+    # (window [2500-3599 -> clamps to 0] holds all three); a far event
+    # at rel 4000 pins the split width without joining the window...
+    for i, sec in enumerate((0, 900, 2500)):
+        rows.append((i + 1, t0 + datetime.timedelta(seconds=sec), 7, "c", 1.0, "{}"))
+    rows.append((99, t0 + datetime.timedelta(seconds=4000), 8, "c", 1.0, "{}"))
+    _write_events(spark, d, rows)
+    got = sorted(map(tuple, QUERIES["stream_burst_alerts"](spark, d).collect()))
+    base = int((t0 - datetime.datetime(1970, 1, 1)).total_seconds())
+    assert got == [(7, base + 2500, 3)]
+    assert got == sorted(map(tuple, QUERIES["user_burst_alerts"](spark, d).collect()))
