@@ -663,11 +663,20 @@ RECORDED_R10_TIERS: dict = {
         # one daily-rollup exchange, independent of row count at these
         # tiers; the single-node count grows with the data.
         "R1000": {"spark_s": 3.88, "duckdb_s": 0.65, "ratio": 6.0},
+        # R2000 = 200 M events (round 11): the flat regime ends where
+        # the raw scan becomes the dominant term (7.49 warm; the first
+        # cold-page pass read 17.0 — recorded warm per the warm-the-
+        # right-things rule). Convergence continues (6.0 → 5.1); the
+        # crossing lies beyond this box's replica sizes.
+        "R2000": {"spark_s": 7.49, "duckdb_s": 1.46, "ratio": 5.1},
     },
     "events_theilsen": {
         "R200": {"spark_s": 2.96, "duckdb_s": 0.14, "ratio": 21.0},
         "R500": {"spark_s": 3.85, "duckdb_s": 0.39, "ratio": 9.9},
         "R1000": {"spark_s": 4.57, "duckdb_s": 0.71, "ratio": 6.4},
+        # R2000 (round 11): 21.0 → 9.9 → 6.4 → 3.1 — the crossing the
+        # r10 slope extrapolated is nearly realized at 200 M events.
+        "R2000": {"spark_s": 3.22, "duckdb_s": 1.04, "ratio": 3.1},
     },
 }
 
@@ -757,6 +766,9 @@ RECORDED_R11_TIERS: dict = {
     "user_burst_rates": {
         "R20": {"spark_s": 2.37, "duckdb_s": 0.12, "ratio": 19.9},
         "R1000": {"spark_s": 54.3, "duckdb_s": 48.2, "ratio": 1.13},
+        # R2000 (round 11): FLIPS — the single-node per-user RANGE
+        # sort outgrows Spark's parallel form at 200 M events.
+        "R2000": {"spark_s": 93.3, "duckdb_s": 102.4, "ratio": 0.91},
     },
 }
 
