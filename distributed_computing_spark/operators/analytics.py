@@ -3143,3 +3143,190 @@ def events_dow_anomalies(
         .select("event_type", "day", "c", "med_dow", "resid")
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11 (late): exact two-sample distribution drift (Kolmogorov–Smirnov)
+# ---------------------------------------------------------------------------
+
+
+def ks_two_sample_vs_rest(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    pre_buckets: int = 256,
+    max_groups: int = 64,
+) -> DataFrame:
+    """Exact per-group two-sample Kolmogorov–Smirnov statistic: each
+    group's empirical value distribution against the COMPLEMENT (all
+    other rows) — the distribution-drift audit ("did the returned
+    population's prices drift from everything else?") that mean/median
+    deltas miss and a z-test gets wrong on heavy tails.
+
+    Integer-exact: with cumulative counts c_g(v) (rows of group g with
+    value <= v) and C(v) = sum_g c_g(v), the KS numerator for group g
+    is ``d_num = max_v |c_g(v)·n_rest − (C(v) − c_g(v))·n_g|`` and
+    D = d_num / (n_g·n_rest). The sup over the two step CDFs is
+    attained at a data point evaluated inclusively, so the max over
+    distinct values is the exact statistic. d_num rides DECIMAL(38,0)
+    internally (c·n reaches n²/4 — past 2^63 beyond ~R25000) and SHIPS
+    as the canonical digit string; ``ks_ppm = (d_num·10^6) div
+    (n_g·n_rest)`` is a provably-bounded BIGINT (<= 10^6). A
+    single-group input (n_rest = 0) yields NULL ks_ppm, never an ANSI
+    divide error.
+
+    Plan (the grouped_min_rank discipline — no global-sort window):
+    ONE fact exchange builds the distinct-value table with G
+    conditional per-group counts (partial-aggregated map-side); the
+    per-group cumulatives come from range BUCKETS — per-bucket sums
+    aggregate straight off the BASE frame (a second map-side-combined
+    fact scan, consciously cheaper than persisting the distinct-value
+    table — the stats_df motion), prefix-summed into a tiny
+    B×G offset table (window over <= pre_buckets rows) that broadcasts
+    back, then ONE window partitioned by (bucket) accumulates within
+    buckets: parallelism = pre_buckets, never a single-task
+    ORDER BY v window. The final per-group max is a partial-aggregated
+    1-row global aggregate; group fan-out happens on that 1-row frame
+    (explode of G structs — trivially bounded). Exchanged rows after
+    the fact scans carry (v, G longs) only.
+
+    Bounded collects: the group domain (<= max_groups, asserted — this
+    is a LOW-cardinality drift audit by contract) and the (lo, hi, n)
+    bounds row. No reference analog (SURVEY §2.8 — relational/statistic
+    surface beyond the reference's KV model).
+    """
+    tot_rows = (
+        df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    if len(tot_rows) > max_groups:
+        raise ValueError(
+            f"ks_two_sample_vs_rest: {len(tot_rows)} groups exceeds "
+            f"max_groups={max_groups} — this operator fans the group "
+            "domain into per-group count columns and is meant for "
+            "low-cardinality drift audits"
+        )
+    groups = sorted((r[0], int(r["n"])) for r in tot_rows)
+    if not groups:
+        return df.sparkSession.createDataFrame(
+            [],
+            f"{group_col} string, n_group long, n_rest long, "
+            "d_num string, ks_ppm long",
+        )
+    n_tot = sum(n for _, n in groups)
+    b = df.agg(
+        F.min(val_col).alias("lo"), F.max(val_col).alias("hi")
+    ).collect()[0]
+    lo, hi = int(b["lo"]), int(b["hi"])
+    width = max(1, (hi - lo) // pre_buckets + 1)
+    bucket = F.expr(f"({val_col} - {lo}L) div {width}L")
+    gi = list(range(len(groups)))
+    conds = [
+        F.sum(
+            F.when(F.col(group_col) == F.lit(g), 1).otherwise(0)
+        ).cast("long").alias(f"_c{i}")
+        for i, (g, _) in enumerate(groups)
+    ]
+    # fact exchange 1: the distinct-value table with per-group counts
+    vc = (
+        df.select(F.col(val_col).alias("_v"), group_col)
+        .groupBy("_v")
+        .agg(*conds)
+        .withColumn("_kb", F.expr(f"(_v - {lo}L) div {width}L"))
+    )
+    # per-bucket sums straight off the BASE frame (map-side combined;
+    # avoids re-evaluating vc's exchange from two consumers)
+    bconds = [
+        F.sum(
+            F.when(F.col(group_col) == F.lit(g), 1).otherwise(0)
+        ).cast("long").alias(f"_s{i}")
+        for i, (g, _) in enumerate(groups)
+    ]
+    bsums = (
+        df.select(bucket.alias("_kb"), group_col)
+        .groupBy("_kb")
+        .agg(*bconds)
+    )
+    w_off = Window.orderBy("_kb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # over <= pre_buckets rows — tiny by construction
+    offsets = bsums.select(
+        "_kb",
+        *[
+            F.coalesce(F.sum(f"_s{i}").over(w_off), F.lit(0)).alias(
+                f"_o{i}"
+            )
+            for i in gi
+        ],
+    )
+    w_run = Window.partitionBy("_kb").orderBy("_v")
+    cum = vc.join(F.broadcast(offsets), "_kb").select(
+        "_v",
+        *[
+            (F.col(f"_o{i}") + F.sum(F.col(f"_c{i}")).over(w_run)).alias(
+                f"_f{i}"
+            )
+            for i in gi
+        ],
+    )
+    call = functools.reduce(
+        lambda a, b: a + b, [F.col(f"_f{i}") for i in gi]
+    )
+    dec = "decimal(38,0)"
+    diffs = [
+        F.max(
+            F.abs(
+                F.col(f"_f{i}").cast(dec)
+                * F.lit(n_tot - n).cast(dec)
+                - (call - F.col(f"_f{i}")).cast(dec) * F.lit(n).cast(dec)
+            )
+        ).alias(f"_d{i}")
+        for i, (_, n) in enumerate(groups)
+    ]
+    one = cum.agg(*diffs)  # 1 row, G decimal columns
+    rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(g).alias("g"),
+                        F.lit(n).cast("long").alias("n_group"),
+                        F.lit(n_tot - n).cast("long").alias("n_rest"),
+                        F.col(f"_d{i}").alias("_d"),
+                    )
+                    for i, (g, n) in enumerate(groups)
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    return rows.select(
+        F.col("g").alias(group_col),
+        "n_group",
+        "n_rest",
+        F.col("_d").cast("string").alias("d_num"),
+        F.when(
+            F.col("n_rest") > 0,
+            F.expr(
+                "cast((_d * cast(1000000 as decimal(38,0))) div "
+                "(cast(n_group as decimal(38,0)) * "
+                "cast(n_rest as decimal(38,0))) as bigint)"
+            ),
+        ).alias("ks_ppm"),
+    )
+
+
+def ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag price-distribution drift (round 11): the exact
+    two-sample KS statistic of each return flag's l_extendedprice
+    distribution (cents) against all other lineitems — the audit that
+    answers "are returned items priced differently?" with the full-CDF
+    statistic instead of a moment. See ks_two_sample_vs_rest for the
+    exactness argument and the bucketed no-global-sort plan; the
+    returnflag domain (3 values, bounded by the data dictionary) is
+    the bounded group collect."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    )
+    return ks_two_sample_vs_rest(li, "l_returnflag", "v").orderBy(
+        "l_returnflag"
+    )

@@ -694,3 +694,257 @@ def stopword_discovery(
             F.round(F.col("df") / F.col("n_docs"), 6).alias("df_frac"),
         )
     )
+
+
+def vocab_growth(
+    spark: SparkSession, sf_dir: str, n_checkpoints: int = 20
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve (round 11, [EXT] text
+    analysis): at ``n_checkpoints`` doc_id cutoffs, the cumulative
+    corpus size (docs, token occurrences) and cumulative VOCABULARY
+    (distinct tokens seen so far) plus the type–token ratio in ppm —
+    the curve a corpus-curation pass reads to decide whether more of a
+    source still adds vocabulary or only repeats it (Heaps' law:
+    V ≈ K·N^β; the per-checkpoint points make β estimable downstream).
+
+    Exact integers: a token's arrival point is min(doc_id) over the
+    docs containing it, so V(cutoff) = #{tokens: first_doc < cutoff}
+    is exact whatever the partitioning; cutoffs are
+    ``((i+1)·(max_id+1)) div n_checkpoints`` — pure integer arithmetic
+    mirrored in the oracle (non-negative operands). A checkpoint whose
+    cutoff precedes every doc_id drops out on BOTH engines (inner
+    join).
+
+    Plan: ONE fused Arrow tokenize pass (the dedup_savings lesson —
+    JVM regex split is the dominant cost; ``re.ASCII`` pins Python to
+    the Java/RE2 class semantics) emits per doc its DISTINCT tokens as
+    rows PLUS one sentinel row carrying the doc's occurrence count, so
+    the corpus tokenizes exactly once; the pass output persists
+    because two branches consume it (first-occurrence min and doc
+    counts — the shared-subtree rule; payload ≈ the distinct
+    (doc, token) table, the same rows the shuffle carries). The token
+    exchange partial-aggregates min(doc_id) map-side; everything after
+    is n_docs-bounded: first-occurrence counts collapse to
+    (first_doc, n_new), the checkpoint attach is a 20-row broadcast
+    range join, output = n_checkpoints rows.
+    """
+    from distributed_computing_spark.caching import track_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(
+        F.max("doc_id").alias("m"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    if not mx["n"]:
+        raise ValueError("vocab_growth: empty documents table")
+    m = int(mx["m"])
+    cuts = [
+        (i, ((i + 1) * (m + 1)) // n_checkpoints)
+        for i in range(n_checkpoints)
+    ]
+    th = F.broadcast(
+        spark.createDataFrame(cuts, "bucket_i long, thr long")
+    )
+
+    def tokenize_pass(it):
+        import re
+
+        import pandas as pd
+
+        tok = re.compile(r"[A-Za-z0-9]+", re.ASCII)
+        for pdf in it:
+            ids, toks, ns = [], [], []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                ts = tok.findall(t)
+                ids.append(d)
+                toks.append(None)
+                ns.append(len(ts))
+                for w in set(ts):
+                    ids.append(d)
+                    toks.append(w)
+                    ns.append(None)
+            # explicit dtypes (the winnow_pass lesson): an empty batch
+            # must not let pandas infer float64 for long/string columns.
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "token": pd.Series(toks, dtype=object),
+                    "n_tokens": pd.Series(ns, dtype=object),
+                }
+            )
+
+    raw = track_persist(
+        docs.select("doc_id", "text").mapInPandas(
+            tokenize_pass, "doc_id long, token string, n_tokens long"
+        )
+    )
+    new_at = (
+        raw.where(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    vocab = (
+        new_at.join(th, F.col("first_doc") < F.col("thr"))
+        .groupBy("bucket_i")
+        .agg(F.sum("n_new").alias("n_vocab"))
+    )
+    counts = (
+        raw.where(F.col("token").isNull())
+        .select("doc_id", "n_tokens")
+        .join(th, F.col("doc_id") < F.col("thr"))
+        .groupBy("bucket_i", "thr")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_toks"),
+        )
+    )
+    return (
+        counts.join(vocab, "bucket_i", "left")
+        .select(
+            "bucket_i",
+            F.col("thr").alias("doc_cutoff"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_toks").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_vocab"), F.lit(0))
+            .cast("long")
+            .alias("n_vocab"),
+            F.when(
+                F.col("n_toks") > 0,
+                F.expr(
+                    "(coalesce(n_vocab, 0L) * 1000000L) div n_toks"
+                ),
+            ).cast("long").alias("ttr_ppm"),
+        )
+        .orderBy("bucket_i")
+    )
+
+
+WINNOW_K = 4  # tokens per gram
+WINNOW_W = 5  # windows (grams) per winnowing window
+_WINNOW_POS_BITS = 21  # position payload width in the tie-break key
+_WINNOW_POS_MAX = (1 << _WINNOW_POS_BITS) - 1
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (round 11, [EXT] — Schleimer,
+    Wilkerson & Aiken 2003, the MOSS algorithm): per document, hash
+    every WINNOW_K-token gram, slide a WINNOW_W-gram window, and keep
+    the MINIMUM hash of each window (rightmost occurrence on ties) —
+    the selection with the guarantee that any shared run of
+    ≥ W+K−1 tokens between two documents produces at least one shared
+    fingerprint, at ~2/(W+1) the storage of full gram shingling.
+    Reported per source: docs fingerprinted, grams seen, fingerprints
+    kept, distinct fingerprint hashes, and fingerprint density
+    (per-million-grams) — the self-similarity observability a dedup
+    pass reads next to dedup_savings_report.
+
+    Exact both-engines: gram hash = first 10 md5 hex digits (40 bits),
+    and the rightmost-min tie rule is ENCODED IN THE KEY —
+    ``key = h·2^21 + (2^21−1−p)`` — so a plain min() implements it
+    identically in Spark, Python and the oracle's window min;
+    fingerprints are distinct selected keys (hash collisions cannot
+    diverge the engines because both minimize the same keys). Docs
+    with more than 2^21−1 grams are out of contract (raise; the
+    corpus' docs are thousands of tokens).
+
+    Plan: the whole per-document pipeline (tokenize → grams → md5 →
+    winnow) is ONE fused Arrow pass — per-doc SEQUENTIAL logic is
+    exactly what a Generate/window plan does badly (the explode-family
+    lesson; and a JVM plan would need a per-doc window over every gram
+    row), emitting one row per doc (counters + the small distinct-hash
+    array). The pass output persists (two consumers: the per-source
+    counter rollup and the distinct-hash explode — shared-subtree
+    rule; payload is doc-count-sized). Exchanges carry per-source
+    partials and (source, hash) pairs only; output = |sources| rows.
+    """
+    from distributed_computing_spark.caching import track_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    k, w, pos_max = WINNOW_K, WINNOW_W, _WINNOW_POS_MAX
+
+    def winnow_pass(it):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        tok = re.compile(r"[A-Za-z0-9]+", re.ASCII)
+        for pdf in it:
+            srcs, ngs, nfs, hs = [], [], [], []
+            for s, t in zip(pdf["source"], pdf["text"]):
+                toks = tok.findall(t)
+                n = len(toks) - (k - 1)
+                if n < 1:
+                    continue
+                if n > pos_max:
+                    raise ValueError(
+                        f"winnow_fingerprints: {n} grams exceeds the "
+                        f"2^{_WINNOW_POS_BITS}-1 position contract"
+                    )
+                keys = [
+                    int(
+                        hashlib.md5(
+                            " ".join(toks[p - 1 : p - 1 + k]).encode(
+                                "utf-8"
+                            )
+                        ).hexdigest()[:10],
+                        16,
+                    )
+                    * (pos_max + 1)
+                    + (pos_max - p)
+                    for p in range(1, n + 1)
+                ]
+                sel = {
+                    min(keys[p - 1 : p - 1 + w])
+                    for p in range(1, max(1, n - w + 1) + 1)
+                }
+                srcs.append(s)
+                ngs.append(n)
+                nfs.append(len(sel))
+                hs.append(sorted({key // (pos_max + 1) for key in sel}))
+            # explicit dtypes: a batch where every doc has zero grams
+            # yields empty lists, which pandas would otherwise infer as
+            # float64 — Arrow then cannot convert to string/list types.
+            yield pd.DataFrame(
+                {
+                    "source": pd.Series(srcs, dtype=object),
+                    "n_grams": pd.Series(ngs, dtype="int64"),
+                    "n_fp": pd.Series(nfs, dtype="int64"),
+                    "fp_hashes": pd.Series(hs, dtype=object),
+                }
+            )
+
+    per_doc = track_persist(
+        docs.select("source", "text").mapInPandas(
+            winnow_pass,
+            "source string, n_grams long, n_fp long, "
+            "fp_hashes array<long>",
+        )
+    )
+    counters = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").alias("n_grams"),
+        F.sum("n_fp").alias("n_fp"),
+    )
+    distinct_h = (
+        per_doc.select("source", F.explode("fp_hashes").alias("h"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_hashes"))
+    )
+    return (
+        counters.join(distinct_h, "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_fp").cast("long").alias("n_fp"),
+            F.col("n_hashes").cast("long").alias("n_hashes"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.expr("(n_fp * 1000000L) div n_grams"),
+            ).cast("long").alias("fp_pmg"),
+        )
+        .orderBy("source")
+    )

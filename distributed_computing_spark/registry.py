@@ -7146,6 +7146,149 @@ ORACLES["stream_burst_rates"] = ORACLES["user_burst_rates"]
 
 
 # ---------------------------------------------------------------------------
+# Round 11 (late): exact distribution-drift statistic
+# ---------------------------------------------------------------------------
+
+
+def ks_price_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.analytics import (
+        ks_price_drift,
+    )
+
+    return ks_price_drift(spark, sf_dir)
+
+
+QUERIES["ks_price_drift"] = ks_price_drift_q
+# Oracle: the same inclusive-CDF KS numerator via a (distinct value ×
+# group) grid — cumulative per-group counts from a window over the
+# grid, complement cumulative as C(v) − c_g(v). HUGEINT internally;
+# final columns BIGINT / VARCHAR digits (the round-9 oracle-type rule).
+# The `//` operands are non-negative by construction (abs numerator,
+# CASE-guarded positive denominator) — allowlisted in
+# test_oracle_portability.
+ORACLES["ks_price_drift"] = """
+WITH b AS (SELECT l_returnflag AS g,
+                  CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem),
+tot AS (SELECT g, count(*)::HUGEINT AS n FROM b GROUP BY 1),
+nt AS (SELECT sum(n) AS n_tot FROM tot),
+vc AS (SELECT v, g, count(*)::HUGEINT AS c FROM b GROUP BY 1, 2),
+grid AS (SELECT d.v, t.g, t.n
+         FROM (SELECT DISTINCT v FROM b) d CROSS JOIN tot t),
+cum AS (SELECT grid.v, grid.g, grid.n,
+               sum(COALESCE(vc.c, 0)) OVER (
+                 PARTITION BY grid.g ORDER BY grid.v) AS cg
+        FROM grid LEFT JOIN vc ON vc.v = grid.v AND vc.g = grid.g),
+ca AS (SELECT v, g, n, cg, sum(cg) OVER (PARTITION BY v) AS call
+       FROM cum),
+d AS (SELECT g, min(n) AS n_g,
+             max(abs(cg * ((SELECT n_tot FROM nt) - n)
+                     - (call - cg) * n)) AS d_num
+      FROM ca GROUP BY 1)
+SELECT g AS l_returnflag,
+       CAST(n_g AS BIGINT) AS n_group,
+       CAST((SELECT n_tot FROM nt) - n_g AS BIGINT) AS n_rest,
+       CAST(d_num AS VARCHAR) AS d_num,
+       CAST(CASE WHEN n_g > 0 AND (SELECT n_tot FROM nt) > n_g
+            THEN (d_num * 1000000)
+                 // (n_g * ((SELECT n_tot FROM nt) - n_g))
+            END AS BIGINT) AS ks_ppm
+FROM d ORDER BY 1"""
+
+
+def vocab_growth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.textstats import vocab_growth
+
+    return vocab_growth(spark, sf_dir)
+
+
+QUERIES["vocab_growth"] = vocab_growth_q
+# Oracle `//` operands: doc_id / max_id are non-negative testdata ids,
+# vocab and token counts are non-negative with a positive CASE-guarded
+# denominator — allowlisted in test_oracle_portability.
+ORACLES["vocab_growth"] = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+mx AS (SELECT max(doc_id) AS m FROM documents),
+th AS (SELECT CAST(i AS BIGINT) AS bucket_i,
+              ((CAST(i AS BIGINT) + 1) * (m + 1)) // 20 AS thr
+       FROM range(0, 20) r(i), mx),
+tk AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
+fo AS (SELECT tok, min(doc_id) AS first_doc FROM tk GROUP BY 1),
+v AS (SELECT th.bucket_i, count(*)::HUGEINT AS n_vocab
+      FROM th JOIN fo ON fo.first_doc < th.thr GROUP BY 1),
+c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+n AS (SELECT th.bucket_i, th.thr,
+             count(*)::HUGEINT AS n_docs,
+             sum(c.n_tokens)::HUGEINT AS n_toks
+      FROM th JOIN c ON c.doc_id < th.thr GROUP BY 1, 2)
+SELECT n.bucket_i,
+       CAST(n.thr AS BIGINT) AS doc_cutoff,
+       CAST(n.n_docs AS BIGINT) AS n_docs,
+       CAST(n.n_toks AS BIGINT) AS n_tokens,
+       CAST(COALESCE(v.n_vocab, 0) AS BIGINT) AS n_vocab,
+       CAST(CASE WHEN n.n_toks > 0
+            THEN (COALESCE(v.n_vocab, 0) * 1000000) // n.n_toks
+            END AS BIGINT) AS ttr_ppm
+FROM n LEFT JOIN v USING (bucket_i) ORDER BY 1"""
+
+
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    return winnow_fingerprints(spark, sf_dir)
+
+
+QUERIES["winnow_fingerprints"] = winnow_fingerprints_q
+# Oracle: the rightmost-min tie rule rides the key encoding
+# (h·2^21 + (2^21−1−p)) so a plain window min() reproduces the Arrow
+# pass exactly; WHERE-qualification of window STARTS happens in an
+# outer select (a WHERE in the window's own select would remove frame
+# rows). `//` operands: wmin keys and fingerprint/gram counts are
+# non-negative (md5-derived hashes, CASE-guarded denominator) —
+# allowlisted in test_oracle_portability.
+ORACLES["winnow_fingerprints"] = f"""
+WITH t AS (SELECT doc_id, source, {_TOKENS} AS toks FROM documents),
+gl AS (SELECT doc_id, source,
+              list_transform(range(1, greatest(len(toks) - 3, 0) + 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     || ' ' || toks[i+3]) AS grams
+       FROM t),
+g AS (SELECT doc_id, source, len(grams) AS n,
+             unnest(grams) AS gram,
+             generate_subscripts(grams, 1) AS p
+      FROM gl WHERE len(grams) >= 1),
+k AS (SELECT doc_id, source, n, p,
+             ('0x' || substr(md5(gram), 1, 10))::BIGINT * 2097152
+               + (2097151 - p) AS key
+      FROM g),
+w AS (SELECT doc_id, source, n, p,
+             min(key) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN CURRENT ROW
+                            AND 4 FOLLOWING) AS wmin
+      FROM k),
+sel AS (SELECT DISTINCT doc_id, source, wmin
+        FROM w WHERE p <= greatest(1, n - 4)),
+srcg AS (SELECT source, count(*)::HUGEINT AS n_docs,
+                sum(len(grams))::HUGEINT AS n_grams
+         FROM gl WHERE len(grams) >= 1 GROUP BY 1),
+srcf AS (SELECT source, count(*)::HUGEINT AS n_fp,
+                count(DISTINCT wmin // 2097152)::HUGEINT AS n_hashes
+         FROM sel GROUP BY 1)
+SELECT srcg.source,
+       CAST(srcg.n_docs AS BIGINT) AS n_docs,
+       CAST(srcg.n_grams AS BIGINT) AS n_grams,
+       CAST(srcf.n_fp AS BIGINT) AS n_fp,
+       CAST(srcf.n_hashes AS BIGINT) AS n_hashes,
+       CAST(CASE WHEN srcg.n_grams > 0
+            THEN (srcf.n_fp * 1000000) // srcg.n_grams
+            END AS BIGINT) AS fp_pmg
+FROM srcg JOIN srcf ON srcg.source = srcf.source
+ORDER BY 1"""
+
+
+# ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 11 — VERDICT r10 item 2)
 # ---------------------------------------------------------------------------
 # Staleness-driven (the driver gates the FIRST 50 entries). This
@@ -7190,7 +7333,6 @@ _R11_WINDOW = [
     # the 30 r6-stale entries (round 10's named first picks)
     "bigram_logprob", "bloom_semi_orders", "clean_docs",
     "copurchase_bfs", "copurchase_shortest_paths", "curated_read_pruned",
-    "decayed_user_activity", "dq_audit", "epoch_shuffle",
     "event_transitions", "events_gapfill", "events_ohlc",
     "fuzzy_customer_match", "ivf_topk", "lsh_topk", "mixture_sample",
     "multimodal_ann", "multimodal_avi_frames", "multimodal_bmp_decode",
@@ -7217,6 +7359,11 @@ _R11_WINDOW = [
     "dedup_savings_report", "source_length_quantiles",
     "user_burst_rates", "stream_burst_rates",
     "user_burst_alerts", "stream_burst_alerts",
+    # late round-11 additions (never driver-gated -> must be in the
+    # 50; each displaces one unchanged-green r6-stale entry, which
+    # joins the r12 first picks: epoch_shuffle, dq_audit,
+    # decayed_user_activity)
+    "ks_price_drift", "vocab_growth", "winnow_fingerprints",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R11_WINDOW} | {
@@ -7232,6 +7379,7 @@ _R11_NEW: list[str] = [
     "dedup_savings_report", "source_length_quantiles",
     "user_burst_rates", "stream_burst_rates",
     "user_burst_alerts", "stream_burst_alerts",
+    "ks_price_drift", "vocab_growth", "winnow_fingerprints",
 ]
 _order = list(QUERIES)
 for _q in _R11_NEW:

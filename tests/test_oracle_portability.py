@@ -247,6 +247,17 @@ _AUDITED_FLOORDIV = [
     r"\(n_pairs \+ 1\) // 2",
     # round 10 apportionment: revenue cents of positive order totals.
     r"\(10000 \* r\.rev_cents\) // t\.total_cents",
+    # round 11 KS drift: d_num = max(abs(...)) >= 0 and the CASE guards
+    # a strictly-positive denominator (n_g > 0 AND n_tot > n_g).
+    r"\(d_num \* 1000000\)\s+// \(n_g \* \(\(SELECT n_tot FROM nt\) - n_g\)\)",
+    # round 11 vocab growth: doc ids and token/vocab counts are
+    # non-negative; the ttr CASE guards a positive denominator.
+    r"\(\(CAST\(i AS BIGINT\) \+ 1\) \* \(m \+ 1\)\) // 20",
+    r"\(COALESCE\(v\.n_vocab, 0\) \* 1000000\) // n\.n_toks",
+    # round 11 winnowing: keys are md5-derived non-negatives; counts
+    # non-negative with a CASE-guarded positive denominator.
+    r"wmin // 2097152",
+    r"\(srcf\.n_fp \* 1000000\) // srcg\.n_grams",
 ]
 
 

@@ -819,3 +819,19 @@ def test_dow_anomalies_medians_broadcast_back_dev_cached_once(spark):
         assert df.count() > 0
     finally:
         release_tracked()
+
+
+def test_ks_drift_cumulative_window_is_bucket_partitioned(spark):
+    """Round 11 late: the KS cumulative window must partition by the
+    range BUCKET (_kb) — a bare ``ORDER BY v`` window would funnel
+    every distinct value through ONE task (the spearman skew-cliff
+    class). The only unpartitioned window allowed is the offset
+    prefix-sum over the tiny per-bucket count table (<= pre_buckets
+    rows, bounded regardless of data size)."""
+    import re
+
+    df = QUERIES["ks_price_drift"](spark, SF_DIR)
+    plan = _plan(df)
+    assert re.search(r"hashpartitioning\(_kb#\d+", plan), plan
+    # no data-sized window keyed by the bare group column
+    assert not re.search(r"Window.*partitionBy.*l_returnflag", plan)

@@ -381,3 +381,254 @@ def test_stream_burst_alerts_state_spans_batches(spark, tmp_path):
     base = int((t0 - datetime.datetime(1970, 1, 1)).total_seconds())
     assert got == [(7, base + 2500, 3)]
     assert got == sorted(map(tuple, QUERIES["user_burst_alerts"](spark, d).collect()))
+
+
+# ---------------------------------------------------------------------------
+# ks_two_sample_vs_rest (round 11 late): exact KS drift vs brute force
+# ---------------------------------------------------------------------------
+
+
+def _brute_ks(rows):
+    """Brute-force exact two-sample KS (group vs rest) on (g, v) rows:
+    d_num = max over distinct v of |c_g(v)·n_rest − c_rest(v)·n_g|."""
+    from collections import Counter
+
+    groups = sorted({g for g, _ in rows})
+    n = {g: sum(1 for gg, _ in rows if gg == g) for g in groups}
+    n_tot = len(rows)
+    vals = sorted({v for _, v in rows})
+    cnt_all = Counter(v for _, v in rows)
+    out = {}
+    for g in groups:
+        cnt_g = Counter(v for gg, v in rows if gg == g)
+        cg = 0
+        call = 0
+        d = 0
+        for v in vals:
+            cg += cnt_g.get(v, 0)
+            call += cnt_all[v]
+            d = max(d, abs(cg * (n_tot - n[g]) - (call - cg) * n[g]))
+        ks = (
+            (d * 1000000) // (n[g] * (n_tot - n[g]))
+            if n_tot > n[g]
+            else None
+        )
+        out[g] = (n[g], n_tot - n[g], str(d), ks)
+    return out
+
+
+def _run_ks(spark, rows):
+    from distributed_computing_spark.operators.analytics import (
+        ks_two_sample_vs_rest,
+    )
+
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = ks_two_sample_vs_rest(df, "g", "v").collect()
+    return {
+        r["g"]: (r["n_group"], r["n_rest"], r["d_num"], r["ks_ppm"])
+        for r in got
+    }
+
+
+def test_ks_matches_brute_force_with_ties(spark):
+    import random
+
+    rng = random.Random(1107)
+    rows = [
+        (rng.choice("ABC"), rng.randint(-50, 50)) for _ in range(400)
+    ] + [("A", 7)] * 25 + [("B", 7)] * 25  # heavy shared tie
+    assert _run_ks(spark, rows) == _brute_ks(rows)
+
+
+def test_ks_disjoint_ranges_saturate_and_identical_dists_zero(spark):
+    # disjoint supports => D = 1 (ks_ppm = 1e6) for both groups
+    rows = [("A", v) for v in range(10)] + [("B", v + 100) for v in range(10)]
+    got = _run_ks(spark, rows)
+    assert got["A"][3] == 1000000 and got["B"][3] == 1000000
+    # identical distributions => D = 0
+    rows = [("A", v % 5) for v in range(20)] + [
+        ("B", v % 5) for v in range(20)
+    ]
+    got = _run_ks(spark, rows)
+    assert got["A"] == (20, 20, "0", 0)
+
+
+def test_ks_single_group_null_ppm_and_group_cap(spark):
+    import pytest
+
+    from distributed_computing_spark.operators.analytics import (
+        ks_two_sample_vs_rest,
+    )
+
+    got = _run_ks(spark, [("A", v) for v in range(5)])
+    assert got["A"] == (5, 0, "0", None)  # no ANSI divide error
+
+    df = spark.createDataFrame(
+        [(str(i), i) for i in range(70)], "g string, v long"
+    )
+    with pytest.raises(ValueError, match="max_groups"):
+        ks_two_sample_vs_rest(df, "g", "v")
+
+
+# ---------------------------------------------------------------------------
+# vocab_growth (round 11 late): Heaps-law curve vs brute force
+# ---------------------------------------------------------------------------
+
+
+def _write_docs(spark, path, texts):
+    rows = [
+        (i, t, "en", f"src{i % 2}", len(t)) for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def test_vocab_growth_matches_brute_force(spark, tmp_path):
+    import re
+
+    from distributed_computing_spark.operators.textstats import vocab_growth
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog! the dog ran",
+        "",  # zero-token doc still counts as a doc
+        "a brand new vocabulary appears here",
+        "the cat returns, nothing new but THE and Cat differ by case",
+        "zz zz zz zz",
+    ] * 4  # 24 docs; duplicates add tokens but no vocabulary
+    d = str(tmp_path / "sf")
+    _write_docs(spark, d, texts)
+    got = [
+        (r["bucket_i"], r["doc_cutoff"], r["n_docs"], r["n_tokens"],
+         r["n_vocab"], r["ttr_ppm"])
+        for r in vocab_growth(spark, d).collect()
+    ]
+    tok = re.compile(r"[A-Za-z0-9]+", re.ASCII)
+    toksets = [tok.findall(t) for t in texts]
+    m = len(texts) - 1
+    want = []
+    for i in range(20):
+        thr = ((i + 1) * (m + 1)) // 20
+        docs = [ts for d_, ts in enumerate(toksets) if d_ < thr]
+        if not docs:
+            continue
+        n_toks = sum(len(ts) for ts in docs)
+        vocab = set().union(*[set(ts) for ts in docs]) if docs else set()
+        want.append(
+            (i, thr, len(docs), n_toks, len(vocab),
+             (len(vocab) * 1000000) // n_toks if n_toks else None)
+        )
+    assert got == want
+    # vocabulary growth is monotone while tokens keep arriving
+    vs = [w[4] for w in want]
+    assert vs == sorted(vs)
+
+
+# ---------------------------------------------------------------------------
+# winnow_fingerprints (round 11 late): literal-MOSS reference + guarantee
+# ---------------------------------------------------------------------------
+
+
+def _moss_reference(texts):
+    """Independent literal implementation of robust winnowing
+    (Schleimer et al. 2003): per window of W gram hashes select the
+    minimum, rightmost occurrence on ties — WITHOUT the key-encoding
+    trick the operator uses. Returns per-source aggregate rows."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    K, W = 4, 5
+    tok = re.compile(r"[A-Za-z0-9]+", re.ASCII)
+    agg = defaultdict(lambda: [0, 0, 0, set()])  # docs, grams, fp, hashes
+    for i, t in enumerate(texts):
+        src = f"src{i % 2}"
+        toks = tok.findall(t)
+        n = len(toks) - (K - 1)
+        if n < 1:
+            continue
+        hs = [
+            int(
+                hashlib.md5(
+                    " ".join(toks[p : p + K]).encode()
+                ).hexdigest()[:10],
+                16,
+            )
+            for p in range(n)
+        ]
+        sel = set()  # distinct (position, hash) selections
+        for j in range(max(1, n - W + 1)):
+            win = hs[j : j + W]
+            m = min(win)
+            # rightmost occurrence of the min in this window
+            p = j + max(q for q, h in enumerate(win) if h == m)
+            sel.add((p, m))
+        a = agg[src]
+        a[0] += 1
+        a[1] += n
+        a[2] += len(sel)
+        a[3] |= {h for _, h in sel}
+    return {
+        s: (v[0], v[1], v[2], len(v[3]), (v[2] * 1000000) // v[1])
+        for s, v in agg.items()
+    }
+
+
+def test_winnow_matches_literal_moss_reference_with_ties(spark, tmp_path):
+    from distributed_computing_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    texts = [
+        # heavy gram repetition => min-hash TIES inside single windows
+        "a b c d " * 12,
+        "x y z w q " * 8 + "a b c d a b c d",
+        "one two three",  # < K tokens after the 3rd: 0 grams? (3 toks, K=4)
+        "",  # empty
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pad " * 30,
+    ] * 3
+    d = str(tmp_path / "sf")
+    _write_docs(spark, d, texts)
+    got = {
+        r["source"]: (r["n_docs"], r["n_grams"], r["n_fp"], r["n_hashes"],
+                      r["fp_pmg"])
+        for r in winnow_fingerprints(spark, d).collect()
+    }
+    assert got == _moss_reference(texts)
+
+
+def test_winnow_shared_run_guarantee(spark, tmp_path):
+    """The winnowing guarantee: two documents sharing a token run of
+    length >= W + K - 1 = 8 share at least one fingerprint HASH. Verify
+    via the literal reference on the same texts (the operator equals it
+    by the test above); here assert the distinct-hash union arithmetic:
+    n_hashes(src with both docs) < sum of per-doc hash counts."""
+    from distributed_computing_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    texts = [
+        "unique one prefix " + shared + " suffix uno",
+        "totally different words here " + shared + " trailing bits",
+    ]
+    d = str(tmp_path / "sf")
+    # both docs land in different sources under _write_docs (i % 2) —
+    # put them in ONE source instead
+    rows = [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    row = winnow_fingerprints(spark, d).collect()
+    assert len(row) == 1
+    r = row[0]
+    ref = _moss_reference([texts[0]])  # doc 0 alone
+    ref1 = _moss_reference(["", texts[1]])  # doc 1 alone (src1)
+    h0 = ref["src0"][3]
+    h1 = ref1["src1"][3]
+    # shared run forces overlap: union is strictly smaller than the sum
+    assert r["n_hashes"] < h0 + h1
