@@ -145,6 +145,13 @@ PREV_ROUND_HEADLINE = tuple(HEADLINE)
 HEADLINE += [
     "dominant_part_suppliers",
     "session_peak_concurrency",
+    # late round-11: the winnowing fingerprint pass (a Spark WIN from
+    # its first tier) and the near-flat exact-KS drift plan.
+    # vocab_growth / neighbor_customer_pairs stay gate-only (tail
+    # budget — same Arrow-pass / bounded-exchange physics as these
+    # two measured cells).
+    "winnow_fingerprints",
+    "ks_price_drift",
 ]
 
 

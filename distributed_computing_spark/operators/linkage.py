@@ -25,7 +25,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -215,4 +215,189 @@ def fastss_edit1_pairs(
         .join(names.withColumnRenamed("_nid", "b").withColumnRenamed("_nm", "_nb"), "b")
         .where(F.levenshtein("_na", "_nb") <= 1)
         .select("a", "b", F.levenshtein("_na", "_nb").cast("int").alias("dist"))
+    )
+
+
+def global_rank_by_range(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    n_parts: int | None = None,
+    keep_pid: bool = False,
+):
+    """Exact 1-based GLOBAL dense row number over ``order_cols``
+    (must be a unique total order) WITHOUT a single-task global sort:
+    range-partition on the order columns, rank within each partition,
+    and add per-partition row-count offsets (a bounded |partitions|
+    collect). The result is invariant to WHERE the RangePartitioner
+    draws its sampled boundaries (CLAUDE.md: boundaries shift with
+    session history — any boundary placement yields the same global
+    order), but the partitioned frame PERSISTS because two consumers
+    (the counts and the ranked rows) would otherwise re-evaluate the
+    range exchange with potentially different sampled boundaries,
+    making offsets inconsistent with ranks.
+
+    Returns (ranked_df, offsets, persisted_handle) — ``offsets`` maps
+    partition id → rows before it (the contiguity contract callers
+    like the boundary-replication pair generator need); the caller
+    releases the handle (or leaves it to session cleanup —
+    track_persist registers it). ``keep_pid=True`` retains the ``_pid``
+    column on the ranked frame.
+    """
+    from pyspark.sql import Window
+
+    from distributed_computing_spark.caching import track_persist
+
+    sess = df.sparkSession
+    if n_parts is None:
+        n_parts = sess.sparkContext.defaultParallelism
+    parted = track_persist(
+        df.repartitionByRange(n_parts, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in parted.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )  # bounded: one row per partition
+    offs, acc = {}, 0
+    for pid, n in counts:
+        offs[pid] = acc
+        acc += n
+    off_df = F.broadcast(
+        sess.createDataFrame(
+            [(p, o) for p, o in offs.items()], "_pid int, _off long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    ranked = (
+        parted.join(off_df, "_pid")
+        # pin the window exchange's parallelism: AQE sizes post-shuffle
+        # partitions by BYTES and coalesces this narrow (pid, keys)
+        # frame to ~1 task, serializing the per-partition sort (the
+        # CLAUDE.md round-3 rule — compute-bound stage parallelism
+        # should track cores, not the shuffle byte target; measured in
+        # the sorted-neighborhood decomposition, BASELINE.md).
+        .repartition(n_parts, "_pid")
+        .withColumn(out_col, F.col("_off") + F.row_number().over(w))
+        .drop(*([] if keep_pid else ["_pid"]), "_off")
+    )
+    return ranked, offs, parted
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    window: int = 8,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernández & Stolfo 1995,
+    the merge/purge method): sort all records by the key, slide a
+    fixed window of ``window`` positions, and verify only pairs that
+    fall in a common window — candidate generation linear in n with a
+    FIXED per-row fan-out (window−1), where blocking methods depend on
+    block-size distributions. The complement of the pigeonhole
+    family: it catches near-misses that disagree on every block but
+    sort adjacently.
+
+    Exact and engine-portable: the global position comes from
+    ``global_rank_by_range`` over the unique total order
+    (name, id) — two-level range ranking, never a single-task global
+    sort (the spearman skew-cliff rule); the pair set is then
+    POSITION-DEFINED (0 < rn_b − rn_a < window), so the oracle's
+    row_number() window reproduces it exactly, and the Levenshtein
+    verify is identical on both engines (cross-checked in
+    test_round11_ops).
+
+    Candidate generation is BOUNDARY REPLICATION, not a join (measured
+    re-plan, BASELINE.md round-11 late: the draft exploded d∈[1,w)
+    offsets and hash-joined rn+d back onto the rank table — AQE turned
+    the (w−1)×-fan side into a BuildLeft broadcast hash relation and
+    the R20 tier ran 22.5 s, SLOWER than R100's 16.9; this shape runs
+    4.5/9.5 s). Each group's rows are a contiguous global-rank slice,
+    so a row additionally ships to every group whose first (w−1)
+    positions it occupies (a ≤ (w−1)/avg-partition-size fractional
+    fan-out via a |partitions|-row broadcast range join); after ONE
+    exchange on the group id, every neighbor pair is (lead(d) over the
+    group, d < w) — window + Generate + Levenshtein all in the same
+    stage, no pair join, no data-sized broadcast. A pair is kept only
+    in the group where b is an ORIGINAL row (rn_b > group start), so
+    band-internal pairs never duplicate.
+    """
+    nm = df.select(
+        F.col(id_col).alias("id"), F.col(name_col).alias("name")
+    )
+    w = window
+    ranked, offs, _parted = global_rank_by_range(
+        nm, ["name", "id"], "rn", keep_pid=True
+    )
+    sess = df.sparkSession
+    starts = F.broadcast(
+        sess.createDataFrame(
+            [(h, o) for h, o in offs.items()], "_grp int, _start long"
+        )
+    )
+    own = ranked.select(
+        F.col("_pid").alias("_grp"), "rn", "id", "name"
+    )
+    # replica band of group h = global ranks [start_h − w + 2, start_h]
+    repl = ranked.join(
+        starts,
+        (F.col("_start") >= F.col("rn"))
+        & (F.col("_start") <= F.col("rn") + (w - 2)),
+    ).select("_grp", "rn", "id", "name")
+    assigned = own.unionByName(repl).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "_grp"
+    )  # pinned for the same AQE-coalescing reason as the rank window
+    wspec = Window.partitionBy("_grp").orderBy("rn")
+    leads = assigned.select(
+        "_grp",
+        "rn",
+        "id",
+        "name",
+        *[
+            F.lead("id", d).over(wspec).alias(f"_bid{d}")
+            for d in range(1, w)
+        ],
+        *[
+            F.lead("name", d).over(wspec).alias(f"_bnm{d}")
+            for d in range(1, w)
+        ],
+    )
+    fan = leads.select(
+        "_grp",
+        "rn",
+        F.col("id").alias("a_id"),
+        F.col("name").alias("a_name"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.col(f"_bid{d}").alias("b_id"),
+                        F.col(f"_bnm{d}").alias("b_name"),
+                    )
+                    for d in range(1, w)
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        "_grp",
+        "rn",
+        "a_id",
+        "a_name",
+        F.col("s.d").alias("_d"),
+        F.col("s.b_id").alias("b_id"),
+        F.col("s.b_name").alias("b_name"),
+    )
+    return (
+        fan.where(F.col("b_id").isNotNull())
+        .join(starts, "_grp")
+        .where(F.col("rn") + F.col("_d") > F.col("_start"))
+        .withColumn("dist", F.levenshtein("a_name", "b_name"))
+        .where(F.col("dist") <= max_dist)
+        .select("a_id", "b_id", F.col("dist").cast("long").alias("dist"))
     )

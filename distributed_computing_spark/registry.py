@@ -7288,6 +7288,40 @@ FROM srcg JOIN srcf ON srcg.source = srcf.source
 ORDER BY 1"""
 
 
+def neighbor_customer_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood linkage over customer names (round 11):
+    pairs within 7 sort positions at Levenshtein <= 2 — the
+    merge/purge candidate strategy, complementary to
+    fuzzy_customer_match's pigeonhole blocking (see
+    linkage.sorted_neighborhood_pairs for the exact-global-rank
+    plan)."""
+    from distributed_computing_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+    from distributed_computing_spark.sources.catalog import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    return sorted_neighborhood_pairs(
+        cust, "c_custkey", "c_name", window=8, max_dist=2
+    ).orderBy("a_id", "b_id")
+
+
+QUERIES["neighbor_customer_pairs"] = neighbor_customer_pairs_q
+# The pair set is POSITION-defined (0 < rn_b − rn_a < window over the
+# unique (name, id) total order), so the oracle's plain row_number()
+# window is the exact same candidate set; levenshtein semantics are
+# cross-engine-identical (tested).
+ORACLES["neighbor_customer_pairs"] = """
+WITH r AS (SELECT c_custkey AS id, c_name AS name,
+                  row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+           FROM customer),
+p AS (SELECT a.id AS a_id, b.id AS b_id,
+             levenshtein(a.name, b.name) AS dist
+      FROM r a JOIN r b ON b.rn > a.rn AND b.rn < a.rn + 8)
+SELECT a_id, b_id, CAST(dist AS BIGINT) AS dist
+FROM p WHERE dist <= 2 ORDER BY 1, 2"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 11 — VERDICT r10 item 2)
 # ---------------------------------------------------------------------------
@@ -7331,7 +7365,7 @@ ORDER BY 1"""
 # every suite.
 _R11_WINDOW = [
     # the 30 r6-stale entries (round 10's named first picks)
-    "bigram_logprob", "bloom_semi_orders", "clean_docs",
+    "bigram_logprob", "bloom_semi_orders",
     "copurchase_bfs", "copurchase_shortest_paths", "curated_read_pruned",
     "event_transitions", "events_gapfill", "events_ohlc",
     "fuzzy_customer_match", "ivf_topk", "lsh_topk", "mixture_sample",
@@ -7362,8 +7396,9 @@ _R11_WINDOW = [
     # late round-11 additions (never driver-gated -> must be in the
     # 50; each displaces one unchanged-green r6-stale entry, which
     # joins the r12 first picks: epoch_shuffle, dq_audit,
-    # decayed_user_activity)
+    # decayed_user_activity, clean_docs)
     "ks_price_drift", "vocab_growth", "winnow_fingerprints",
+    "neighbor_customer_pairs",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R11_WINDOW} | {
@@ -7380,6 +7415,7 @@ _R11_NEW: list[str] = [
     "user_burst_rates", "stream_burst_rates",
     "user_burst_alerts", "stream_burst_alerts",
     "ks_price_drift", "vocab_growth", "winnow_fingerprints",
+    "neighbor_customer_pairs",
 ]
 _order = list(QUERIES)
 for _q in _R11_NEW:

@@ -835,3 +835,23 @@ def test_ks_drift_cumulative_window_is_bucket_partitioned(spark):
     assert re.search(r"hashpartitioning\(_kb#\d+", plan), plan
     # no data-sized window keyed by the bare group column
     assert not re.search(r"Window.*partitionBy.*l_returnflag", plan)
+
+
+def test_sorted_neighborhood_has_no_pair_join(spark):
+    """Round 11 late re-plan: candidate pairs come from boundary
+    replication + lead() windows, never a rank-equality join — the
+    draft's rn+d hash join let AQE build a data-sized broadcast hash
+    relation from the 7×-fan side (BASELINE.md). The only joins are
+    the |partitions|-row starts/offsets broadcasts; both window
+    exchanges are pinned on the group id."""
+    import re
+
+    df = QUERIES["neighbor_customer_pairs"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    # lead()-window pair generation rides hashpartitioning(_grp);
+    # the rank window rides hashpartitioning(_pid)
+    assert re.search(r"hashpartitioning\(_grp#\d+", plan), plan
+    assert re.search(r"hashpartitioning\(_pid#\d+", plan), plan
+    # exactly one Generate (the d∈[1,w) struct explode over lead cols)
+    assert operator_tree(df).count("Generate") == 1

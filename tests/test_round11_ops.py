@@ -632,3 +632,83 @@ def test_winnow_shared_run_guarantee(spark, tmp_path):
     h1 = ref1["src1"][3]
     # shared run forces overlap: union is strictly smaller than the sum
     assert r["n_hashes"] < h0 + h1
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood linkage (round 11 late)
+# ---------------------------------------------------------------------------
+
+
+def test_global_rank_by_range_is_exact_total_order(spark):
+    import random
+
+    from distributed_computing_spark.operators.linkage import (
+        global_rank_by_range,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        ("".join(rng.choice("abcz") for _ in range(rng.randint(1, 6))), i)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "name string, id long")
+    ranked, offs, _ = global_rank_by_range(
+        df, ["name", "id"], "rn", n_parts=7
+    )
+    assert sum(1 for _ in offs) <= 7 and offs[min(offs)] == 0
+    got = {(r["name"], r["id"]): r["rn"] for r in ranked.collect()}
+    want = {
+        key: i + 1 for i, key in enumerate(sorted(rows))
+    }
+    assert got == want
+
+
+def test_sorted_neighborhood_matches_brute_force(spark):
+    import random
+
+    from distributed_computing_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    rng = random.Random(42)
+    base = ["alpha", "alpho", "alphq", "beta", "betta", "bett", "gamma",
+            "gamna", "gamn", "delta"]
+    rows = []
+    i = 0
+    for _ in range(30):
+        for b in base:
+            # random light mutations create near-sorted clusters
+            s = list(b)
+            if rng.random() < 0.5:
+                s[rng.randrange(len(s))] = rng.choice("abgd")
+            rows.append(("".join(s), i))
+            i += 1
+    df = spark.createDataFrame(rows, "name string, id long")
+    got = {
+        (r["a_id"], r["b_id"], r["dist"])
+        for r in sorted_neighborhood_pairs(
+            df, "id", "name", window=6, max_dist=2
+        ).collect()
+    }
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for x in range(1, m + 1):
+            prev, dp[0] = dp[0], x
+            for y in range(1, n + 1):
+                prev, dp[y] = dp[y], min(
+                    dp[y] + 1, dp[y - 1] + 1,
+                    prev + (a[x - 1] != b[y - 1]),
+                )
+        return dp[n]
+
+    order = sorted((nm, i) for nm, i in rows)
+    want = set()
+    for p in range(len(order)):
+        for q in range(p + 1, min(p + 6, len(order))):
+            d = lev(order[p][0], order[q][0])
+            if d <= 2:
+                want.add((order[p][1], order[q][1], d))
+    assert got == want
+    assert want  # teeth: the synthetic data produces matches
