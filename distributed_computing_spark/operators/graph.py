@@ -784,3 +784,49 @@ SELECT d.src AS p_partkey, CAST(d.core_deg AS BIGINT) AS core_deg
 FROM d{rounds} d JOIN a{rounds} a ON d.src = a.src
 ORDER BY p_partkey"""
     )
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Per-node LOCAL CLUSTERING COEFFICIENT over a symmetric directed
+    edge list (round 11): cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),
+    shipped as the truncated ppm — the "how clique-like is this node's
+    neighborhood" statistic (Watts & Strogatz 1998) that degree and
+    triangle counts individually miss. Nodes with deg < 2 are excluded
+    (cc undefined); triangle-free nodes report 0.
+
+    Exact: triangle counts ride the degree-ordered wedge closure
+    (``triangle_counts`` — Suri & Vassilvitskii orientation, O(m^1.5)
+    wedges), degrees are one partial-aggregated groupBy, and the ppm
+    division is truncating on non-negative integers on both engines.
+    2·tri·10^6 rides DECIMAL(38,0) internally (a hub's triangle count
+    is O(d²) — past 2^63 at extreme degree) and ships nothing wider
+    than the provably-bounded cc_ppm <= 10^6 BIGINT.
+
+    The edge list PERSISTS here: the degree rollup and the closure's
+    three oriented-edge consumers would otherwise re-evaluate the
+    basket-explode edge build (shared-subtree rule)."""
+    from distributed_computing_spark.caching import track_persist
+
+    e = track_persist(edges)
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    tri = triangle_counts(e)
+    dec = "decimal(38,0)"
+    return (
+        deg.where(F.col("d") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+            F.expr(
+                f"cast((2 * cast(coalesce(n_triangles, 0) as {dec})"
+                f" * cast(1000000 as {dec}))"
+                f" div (cast(d as {dec}) * cast(d - 1 as {dec}))"
+                " as bigint)"
+            ).alias("cc_ppm"),
+        )
+    )

@@ -7322,6 +7322,150 @@ SELECT a_id, b_id, CAST(dist AS BIGINT) AS dist
 FROM p WHERE dist <= 2 ORDER BY 1, 2"""
 
 
+def copurchase_clustering_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part local clustering coefficient over the co-purchase
+    graph (round 11) — see graph.clustering_coefficients. Output is
+    dimension-sized (one row per part with degree >= 2)."""
+    from distributed_computing_spark.operators.graph import (
+        clustering_coefficients,
+        copurchase_edges,
+    )
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    return (
+        clustering_coefficients(edges)
+        .select(
+            F.col("node").alias("p_partkey"),
+            "degree",
+            "n_triangles",
+            "cc_ppm",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+QUERIES["copurchase_clustering"] = copurchase_clustering_q
+
+
+def _clustering_oracle_sql() -> str:
+    """Same orientation/closure CTE chain as the triangles oracle
+    (MATERIALIZED per the recursive/multi-reference rule), extended to
+    per-node cc. `//` operands: counts with a d >= 2 guard —
+    allowlisted in test_oracle_portability."""
+    return """
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT la.l_partkey AS src, lb.l_partkey AS dst
+  FROM lineitem la JOIN lineitem lb
+    ON la.l_orderkey = lb.l_orderkey AND la.l_partkey <> lb.l_partkey),
+deg AS MATERIALIZED (
+  SELECT src AS node, count(*) AS d FROM edges GROUP BY 1),
+oe AS MATERIALIZED (
+  SELECT CASE WHEN lt THEN a ELSE b END AS u,
+         CASE WHEN lt THEN b ELSE a END AS v,
+         CASE WHEN lt THEN db ELSE da END AS dv
+  FROM (
+    SELECT e.src AS a, e.dst AS b, x.d AS da, y.d AS db,
+           (x.d < y.d OR (x.d = y.d AND e.src < e.dst)) AS lt
+    FROM edges e
+    JOIN deg x ON e.src = x.node
+    JOIN deg y ON e.dst = y.node
+    WHERE e.src < e.dst)),
+tri AS MATERIALIZED (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM oe e1
+  JOIN oe e2 ON e1.u = e2.u
+    AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+  JOIN oe e3 ON e3.u = e1.v AND e3.v = e2.v),
+members AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri),
+tcnt AS (SELECT node, count(*)::HUGEINT AS n_tri FROM members GROUP BY 1)
+SELECT d.node AS p_partkey,
+       CAST(d.d AS BIGINT) AS degree,
+       CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_triangles,
+       CAST((2 * COALESCE(t.n_tri, 0)::HUGEINT * 1000000)
+            // (d.d::HUGEINT * (d.d - 1)) AS BIGINT) AS cc_ppm
+FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+WHERE d.d >= 2 ORDER BY 1"""
+
+
+ORACLES["copurchase_clustering"] = _clustering_oracle_sql()
+
+
+def returned_top_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (round 11): the returned-item revenue report —
+    top 20 customers by revenue lost to returns in one quarter, with
+    customer attributes. Reference analog: none (SURVEY §2.8 relational
+    surface); the TPC-H family's remaining distinctive plan shape on
+    this schema (no nation/address columns here, so the rollup keys on
+    the customer dimension's own attrs).
+
+    Plan: both facts pre-reduce before the ONE fact-fact exchange
+    (returnflag filter reaches the lineitem scan, the quarter filter
+    the orders scan — both as PushedFilters); revenue sums exact
+    integer myriacents; the per-custkey rollup partial-aggregates;
+    TakeOrdered(20) on (revenue desc, custkey) is deterministic under
+    ties; and the CUSTOMER DIMENSION NEVER SHUFFLES — the 20-row
+    result broadcasts into it (broadcast-of-aggregate+limit, the Q18
+    motion, sweep-safe by construction)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            ).cast("long").alias("rev_mc"),
+        )
+        .join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_mc").alias("revenue_mc"))
+        .orderBy(F.desc("revenue_mc"), F.asc("o_custkey"))
+        .limit(20)
+    )
+    return (
+        F.broadcast(rev)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_custkey"),
+            "c_name",
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            "c_mktsegment",
+            F.col("revenue_mc").cast("long").alias("revenue_mc"),
+        )
+        .orderBy(F.desc("revenue_mc"), F.asc("c_custkey"))
+    )
+
+
+QUERIES["returned_top_customers"] = returned_top_customers_q
+ORACLES["returned_top_customers"] = """
+WITH rev AS (
+  SELECT o.o_custkey,
+         CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                             * 10000) AS BIGINT)) AS BIGINT) AS revenue_mc
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-04-01'
+  GROUP BY 1
+  ORDER BY revenue_mc DESC, o_custkey ASC
+  LIMIT 20)
+SELECT c.c_custkey, c.c_name,
+       CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       c.c_mktsegment, rev.revenue_mc
+FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
+ORDER BY rev.revenue_mc DESC, c.c_custkey ASC"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 11 — VERDICT r10 item 2)
 # ---------------------------------------------------------------------------
@@ -7366,9 +7510,9 @@ FROM p WHERE dist <= 2 ORDER BY 1, 2"""
 _R11_WINDOW = [
     # the 30 r6-stale entries (round 10's named first picks)
     "bigram_logprob", "bloom_semi_orders",
-    "copurchase_bfs", "copurchase_shortest_paths", "curated_read_pruned",
+    "copurchase_bfs", "copurchase_shortest_paths",
     "event_transitions", "events_gapfill", "events_ohlc",
-    "fuzzy_customer_match", "ivf_topk", "lsh_topk", "mixture_sample",
+    "fuzzy_customer_match", "ivf_topk", "lsh_topk",
     "multimodal_ann", "multimodal_avi_frames", "multimodal_bmp_decode",
     "multimodal_frames", "multimodal_real_ann",
     "multimodal_stats", "multimodal_wav_decode", "prefix_dups",
@@ -7396,9 +7540,11 @@ _R11_WINDOW = [
     # late round-11 additions (never driver-gated -> must be in the
     # 50; each displaces one unchanged-green r6-stale entry, which
     # joins the r12 first picks: epoch_shuffle, dq_audit,
-    # decayed_user_activity, clean_docs)
+    # decayed_user_activity, clean_docs, curated_read_pruned,
+    # mixture_sample)
     "ks_price_drift", "vocab_growth", "winnow_fingerprints",
-    "neighbor_customer_pairs",
+    "neighbor_customer_pairs", "copurchase_clustering",
+    "returned_top_customers",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R11_WINDOW} | {
@@ -7415,7 +7561,8 @@ _R11_NEW: list[str] = [
     "user_burst_rates", "stream_burst_rates",
     "user_burst_alerts", "stream_burst_alerts",
     "ks_price_drift", "vocab_growth", "winnow_fingerprints",
-    "neighbor_customer_pairs",
+    "neighbor_customer_pairs", "copurchase_clustering",
+    "returned_top_customers",
 ]
 _order = list(QUERIES)
 for _q in _R11_NEW:

@@ -258,6 +258,9 @@ _AUDITED_FLOORDIV = [
     # non-negative with a CASE-guarded positive denominator.
     r"wmin // 2097152",
     r"\(srcf\.n_fp \* 1000000\) // srcg\.n_grams",
+    # round 11 clustering coefficient: triangle/degree counts are
+    # non-negative and the WHERE guards d >= 2.
+    r"// \(d\.d::HUGEINT \* \(d\.d - 1\)\)",
 ]
 
 

@@ -855,3 +855,19 @@ def test_sorted_neighborhood_has_no_pair_join(spark):
     assert re.search(r"hashpartitioning\(_pid#\d+", plan), plan
     # exactly one Generate (the d∈[1,w) struct explode over lead cols)
     assert operator_tree(df).count("Generate") == 1
+
+
+def test_returned_top_customers_customer_never_shuffles(spark):
+    """Round 11 late (Q10 shape): both fact filters reach their scans;
+    the customer dimension is joined by broadcasting the 20-row
+    aggregate+limit result — customer itself never exchanges."""
+    import re
+
+    df = QUERIES["returned_top_customers"](spark, SF_DIR)
+    plan = _plan(df)
+    assert has_pushed_filter(df, "EqualTo(l_returnflag,R)") or \
+        "l_returnflag" in plan
+    assert "BroadcastHashJoin" in plan
+    # no hash exchange keyed on the customer key: the dimension side
+    # joins against the broadcast 20-row frame
+    assert not re.search(r"Exchange hashpartitioning\(c_custkey#\d+", plan), plan

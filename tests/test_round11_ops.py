@@ -712,3 +712,48 @@ def test_sorted_neighborhood_matches_brute_force(spark):
                 want.add((order[p][1], order[q][1], d))
     assert got == want
     assert want  # teeth: the synthetic data produces matches
+
+
+# ---------------------------------------------------------------------------
+# clustering coefficient (round 11 late): brute force on known graphs
+# ---------------------------------------------------------------------------
+
+
+def test_clustering_coefficients_match_brute_force(spark):
+    from itertools import combinations
+
+    from distributed_computing_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    # K4 clique (cc=1), a square with one diagonal, a star (cc=0 hub),
+    # and a pendant node (deg 1 — excluded).
+    und = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+        (10, 11), (11, 12), (12, 13), (13, 10), (10, 12),  # square+diag
+        (20, 21), (20, 22), (20, 23), (20, 24),  # star, hub 20
+        (30, 31),  # pendant pair: both deg 1, excluded
+    ]
+    sym = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["cc_ppm"])
+        for r in clustering_coefficients(edges).collect()
+    }
+
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for v, ns in adj.items():
+        d = len(ns)
+        if d < 2:
+            continue
+        tri = sum(
+            1 for x, y in combinations(sorted(ns), 2) if y in adj[x]
+        )
+        want[v] = (d, tri, (2 * tri * 1000000) // (d * (d - 1)))
+    assert got == want
+    assert got[1] == (3, 3, 1000000)  # clique corner: cc = 1
+    assert got[20][2] == 0  # star hub: no closure
