@@ -826,6 +826,78 @@ _WINNOW_POS_BITS = 21  # position payload width in the tie-break key
 _WINNOW_POS_MAX = (1 << _WINNOW_POS_BITS) - 1
 
 
+def winnow_docs(docs_df: DataFrame) -> DataFrame:
+    """STATELESS per-document winnowing transform (the fused Arrow
+    pass winnow_fingerprints aggregates over): (doc_id, source,
+    n_grams, n_fp, fp_hashes) per fingerprintable doc. Works on batch
+    AND streaming frames — per-doc winnowing needs no cross-row state,
+    so the streaming twin (stream_winnow_ingest) is a plain append-mode
+    map over the same function (the stream_dhash_ingest motion)."""
+    k, w, pos_max = WINNOW_K, WINNOW_W, _WINNOW_POS_MAX
+
+    def winnow_pass(it):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        tok = re.compile(r"[A-Za-z0-9]+", re.ASCII)
+        for pdf in it:
+            ids, srcs, ngs, nfs, hs = [], [], [], [], []
+            for i, s, t in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                toks = tok.findall(t)
+                n = len(toks) - (k - 1)
+                if n < 1:
+                    continue
+                if n > pos_max:
+                    raise ValueError(
+                        f"winnow_docs: {n} grams exceeds the "
+                        f"2^{_WINNOW_POS_BITS}-1 position contract"
+                    )
+                keys = [
+                    int(
+                        hashlib.md5(
+                            " ".join(toks[p - 1 : p - 1 + k]).encode(
+                                "utf-8"
+                            )
+                        ).hexdigest()[:10],
+                        16,
+                    )
+                    * (pos_max + 1)
+                    + (pos_max - p)
+                    for p in range(1, n + 1)
+                ]
+                sel = {
+                    min(keys[p - 1 : p - 1 + w])
+                    for p in range(1, max(1, n - w + 1) + 1)
+                }
+                ids.append(i)
+                srcs.append(s)
+                ngs.append(n)
+                nfs.append(len(sel))
+                hs.append(sorted({key // (pos_max + 1) for key in sel}))
+            # explicit dtypes: a batch where every doc has zero grams
+            # yields empty lists, which pandas would otherwise infer as
+            # float64 — Arrow then cannot convert to string/list types.
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "source": pd.Series(srcs, dtype=object),
+                    "n_grams": pd.Series(ngs, dtype="int64"),
+                    "n_fp": pd.Series(nfs, dtype="int64"),
+                    "fp_hashes": pd.Series(hs, dtype=object),
+                }
+            )
+
+    return docs_df.select("doc_id", "source", "text").mapInPandas(
+        winnow_pass,
+        "doc_id long, source string, n_grams long, n_fp long, "
+        "fp_hashes array<long>",
+    )
+
+
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (round 11, [EXT] — Schleimer,
     Wilkerson & Aiken 2003, the MOSS algorithm): per document, hash
@@ -861,67 +933,7 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_computing_spark.caching import track_persist
 
     docs = load_table(spark, sf_dir, "documents")
-    k, w, pos_max = WINNOW_K, WINNOW_W, _WINNOW_POS_MAX
-
-    def winnow_pass(it):
-        import hashlib
-        import re
-
-        import pandas as pd
-
-        tok = re.compile(r"[A-Za-z0-9]+", re.ASCII)
-        for pdf in it:
-            srcs, ngs, nfs, hs = [], [], [], []
-            for s, t in zip(pdf["source"], pdf["text"]):
-                toks = tok.findall(t)
-                n = len(toks) - (k - 1)
-                if n < 1:
-                    continue
-                if n > pos_max:
-                    raise ValueError(
-                        f"winnow_fingerprints: {n} grams exceeds the "
-                        f"2^{_WINNOW_POS_BITS}-1 position contract"
-                    )
-                keys = [
-                    int(
-                        hashlib.md5(
-                            " ".join(toks[p - 1 : p - 1 + k]).encode(
-                                "utf-8"
-                            )
-                        ).hexdigest()[:10],
-                        16,
-                    )
-                    * (pos_max + 1)
-                    + (pos_max - p)
-                    for p in range(1, n + 1)
-                ]
-                sel = {
-                    min(keys[p - 1 : p - 1 + w])
-                    for p in range(1, max(1, n - w + 1) + 1)
-                }
-                srcs.append(s)
-                ngs.append(n)
-                nfs.append(len(sel))
-                hs.append(sorted({key // (pos_max + 1) for key in sel}))
-            # explicit dtypes: a batch where every doc has zero grams
-            # yields empty lists, which pandas would otherwise infer as
-            # float64 — Arrow then cannot convert to string/list types.
-            yield pd.DataFrame(
-                {
-                    "source": pd.Series(srcs, dtype=object),
-                    "n_grams": pd.Series(ngs, dtype="int64"),
-                    "n_fp": pd.Series(nfs, dtype="int64"),
-                    "fp_hashes": pd.Series(hs, dtype=object),
-                }
-            )
-
-    per_doc = track_persist(
-        docs.select("source", "text").mapInPandas(
-            winnow_pass,
-            "source string, n_grams long, n_fp long, "
-            "fp_hashes array<long>",
-        )
-    )
+    per_doc = track_persist(winnow_docs(docs))
     counters = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_grams").alias("n_grams"),

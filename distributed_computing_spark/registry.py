@@ -7466,6 +7466,66 @@ FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
 ORDER BY rev.revenue_mc DESC, c.c_custkey ASC"""
 
 
+def stream_winnow_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-on-ingest (round 11): the MOSS fingerprint pass as a
+    STATELESS streaming map — per-doc winnowing needs no cross-row
+    state, so the Arrow pass runs unchanged over a bounded document
+    stream in append mode with no state store (the
+    stream_dhash_ingest / blocklist-on-ingest class); gated by the
+    same per-doc batch oracle, so stream == batch is value-proven."""
+    from distributed_computing_spark.operators.textstats import winnow_docs
+    from distributed_computing_spark.streaming.runner import (
+        run_to_batch,
+        stream_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    sdf = stream_table(spark, docs)
+    out = run_to_batch(winnow_docs(sdf), spark, output_mode="append")
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_fp",
+        F.size("fp_hashes").cast("long").alias("n_hashes"),
+    ).orderBy("doc_id")
+
+
+QUERIES["stream_winnow_ingest"] = stream_winnow_ingest
+ORACLES["stream_winnow_ingest"] = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+gl AS (SELECT doc_id,
+              list_transform(range(1, greatest(len(toks) - 3, 0) + 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     || ' ' || toks[i+3]) AS grams
+       FROM t),
+g AS (SELECT doc_id, len(grams) AS n,
+             unnest(grams) AS gram,
+             generate_subscripts(grams, 1) AS p
+      FROM gl WHERE len(grams) >= 1),
+k AS (SELECT doc_id, n, p,
+             ('0x' || substr(md5(gram), 1, 10))::BIGINT * 2097152
+               + (2097151 - p) AS key
+      FROM g),
+w AS (SELECT doc_id, n, p,
+             min(key) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN CURRENT ROW
+                            AND 4 FOLLOWING) AS wmin
+      FROM k),
+sel AS (SELECT DISTINCT doc_id, wmin
+        FROM w WHERE p <= greatest(1, n - 4)),
+f AS (SELECT doc_id, count(*)::HUGEINT AS n_fp,
+             count(DISTINCT wmin // 2097152)::HUGEINT AS n_hashes
+      FROM sel GROUP BY 1)
+SELECT gl.doc_id,
+       CAST(len(gl.grams) AS BIGINT) AS n_grams,
+       CAST(f.n_fp AS BIGINT) AS n_fp,
+       CAST(f.n_hashes AS BIGINT) AS n_hashes
+FROM gl JOIN f ON gl.doc_id = f.doc_id
+ORDER BY 1"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 11 — VERDICT r10 item 2)
 # ---------------------------------------------------------------------------
@@ -7511,7 +7571,7 @@ _R11_WINDOW = [
     # the 30 r6-stale entries (round 10's named first picks)
     "bigram_logprob", "bloom_semi_orders",
     "copurchase_bfs", "copurchase_shortest_paths",
-    "event_transitions", "events_gapfill", "events_ohlc",
+    "events_gapfill", "events_ohlc",
     "fuzzy_customer_match", "ivf_topk", "lsh_topk",
     "multimodal_ann", "multimodal_avi_frames", "multimodal_bmp_decode",
     "multimodal_frames", "multimodal_real_ann",
@@ -7541,10 +7601,10 @@ _R11_WINDOW = [
     # 50; each displaces one unchanged-green r6-stale entry, which
     # joins the r12 first picks: epoch_shuffle, dq_audit,
     # decayed_user_activity, clean_docs, curated_read_pruned,
-    # mixture_sample)
+    # mixture_sample, event_transitions)
     "ks_price_drift", "vocab_growth", "winnow_fingerprints",
     "neighbor_customer_pairs", "copurchase_clustering",
-    "returned_top_customers",
+    "returned_top_customers", "stream_winnow_ingest",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R11_WINDOW} | {
@@ -7562,7 +7622,7 @@ _R11_NEW: list[str] = [
     "user_burst_alerts", "stream_burst_alerts",
     "ks_price_drift", "vocab_growth", "winnow_fingerprints",
     "neighbor_customer_pairs", "copurchase_clustering",
-    "returned_top_customers",
+    "returned_top_customers", "stream_winnow_ingest",
 ]
 _order = list(QUERIES)
 for _q in _R11_NEW:
