@@ -960,3 +960,53 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def winnow_neardup(
+    spark: SparkSession,
+    sf_dir: str,
+    min_shared: int = 2,
+    max_posting: int = 200,
+) -> DataFrame:
+    """Near-duplicate CANDIDATE PAIRS from shared winnowing
+    fingerprints (round 11) — the pairing half of the MOSS pipeline:
+    two documents sharing >= ``min_shared`` selected fingerprint
+    hashes are overlap candidates, with the winnowing GUARANTEE that
+    any shared token run of length >= W+K−1 (= 8) yields at least one
+    shared fingerprint — so long verbatim overlaps cannot be missed,
+    at ~2/(W+1) the index size of full shingling (contrast
+    ngram_jaccard_pairs, which indexes every gram).
+
+    Scale discipline (the MinHash-band rules): the fingerprint index
+    carries (doc_id, hash) longs only — text never joins; every
+    posting list has an ABSOLUTE ``max_posting`` cap (relative caps
+    don't survive scale-up; dropped lists are dropped identically in
+    the oracle via HAVING count <= cap); the pair exchange is id-pairs
+    only. The per-doc fingerprint extraction is the same fused Arrow
+    pass the other winnow queries ride (``winnow_docs``)."""
+    from distributed_computing_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = winnow_docs(docs).select(
+        "doc_id", F.explode("fp_hashes").alias("h")
+    )
+    # fp_hashes is distinct per doc by construction, so (doc_id, h) is
+    # already a set — no dedup exchange needed before the index.
+    ok = (
+        fp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_posting)
+        .select("h")
+    )
+    blocked = fp.join(ok, "h")
+    pairs = (
+        blocked.select("h", F.col("doc_id").alias("a_id"))
+        .join(blocked.select("h", F.col("doc_id").alias("b_id")), "h")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return pairs.select(
+        "a_id", "b_id", F.col("n_shared").cast("long").alias("n_shared")
+    ).orderBy("a_id", "b_id")

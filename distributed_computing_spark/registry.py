@@ -7526,6 +7526,51 @@ FROM gl JOIN f ON gl.doc_id = f.doc_id
 ORDER BY 1"""
 
 
+def winnow_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.textstats import (
+        winnow_neardup,
+    )
+
+    return winnow_neardup(spark, sf_dir)
+
+
+QUERIES["winnow_neardup"] = winnow_neardup_q
+# Multiply-referenced CTEs (hp: cap + index; bl: self-join) are
+# MATERIALIZED per the CLAUDE.md recursive/multi-reference rule.
+ORACLES["winnow_neardup"] = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+gl AS (SELECT doc_id,
+              list_transform(range(1, greatest(len(toks) - 3, 0) + 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     || ' ' || toks[i+3]) AS grams
+       FROM t),
+g AS (SELECT doc_id, len(grams) AS n,
+             unnest(grams) AS gram,
+             generate_subscripts(grams, 1) AS p
+      FROM gl WHERE len(grams) >= 1),
+k AS (SELECT doc_id, n, p,
+             ('0x' || substr(md5(gram), 1, 10))::BIGINT * 2097152
+               + (2097151 - p) AS key
+      FROM g),
+w AS (SELECT doc_id, n, p,
+             min(key) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN CURRENT ROW
+                            AND 4 FOLLOWING) AS wmin
+      FROM k),
+sel AS (SELECT DISTINCT doc_id, wmin
+        FROM w WHERE p <= greatest(1, n - 4)),
+hp AS MATERIALIZED (
+  SELECT DISTINCT doc_id, wmin // 2097152 AS h FROM sel),
+ok AS (SELECT h FROM hp GROUP BY 1 HAVING count(*) <= 200),
+bl AS MATERIALIZED (
+  SELECT hp.doc_id, hp.h FROM hp JOIN ok ON hp.h = ok.h)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM bl a JOIN bl b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY 1, 2"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 11 — VERDICT r10 item 2)
 # ---------------------------------------------------------------------------
@@ -7572,7 +7617,7 @@ _R11_WINDOW = [
     "bigram_logprob", "bloom_semi_orders",
     "copurchase_bfs", "copurchase_shortest_paths",
     "events_gapfill", "events_ohlc",
-    "fuzzy_customer_match", "ivf_topk", "lsh_topk",
+    "ivf_topk", "lsh_topk",
     "multimodal_ann", "multimodal_avi_frames", "multimodal_bmp_decode",
     "multimodal_frames", "multimodal_real_ann",
     "multimodal_stats", "multimodal_wav_decode", "prefix_dups",
@@ -7601,10 +7646,11 @@ _R11_WINDOW = [
     # 50; each displaces one unchanged-green r6-stale entry, which
     # joins the r12 first picks: epoch_shuffle, dq_audit,
     # decayed_user_activity, clean_docs, curated_read_pruned,
-    # mixture_sample, event_transitions)
+    # mixture_sample, event_transitions, fuzzy_customer_match)
     "ks_price_drift", "vocab_growth", "winnow_fingerprints",
     "neighbor_customer_pairs", "copurchase_clustering",
     "returned_top_customers", "stream_winnow_ingest",
+    "winnow_neardup",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R11_WINDOW} | {
@@ -7623,6 +7669,7 @@ _R11_NEW: list[str] = [
     "ks_price_drift", "vocab_growth", "winnow_fingerprints",
     "neighbor_customer_pairs", "copurchase_clustering",
     "returned_top_customers", "stream_winnow_ingest",
+    "winnow_neardup",
 ]
 _order = list(QUERIES)
 for _q in _R11_NEW:

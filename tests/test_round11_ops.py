@@ -757,3 +757,62 @@ def test_clustering_coefficients_match_brute_force(spark):
     assert got == want
     assert got[1] == (3, 3, 1000000)  # clique corner: cc = 1
     assert got[20][2] == 0  # star hub: no closure
+
+
+def test_winnow_neardup_matches_brute_force_and_guarantee(spark, tmp_path):
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from distributed_computing_spark.operators.textstats import (
+        winnow_neardup,
+    )
+
+    run = " ".join(f"shared{i}" for i in range(30))  # 30-token run
+    texts = [
+        "alpha prelude words " + run + " alpha coda",
+        "completely different intro " + run + " other tail words",
+        "no overlap here at all just filler tokens repeated filler",
+        "another unrelated document with its own words only",
+        run,  # a third holder of the run
+    ]
+    d = str(tmp_path / "sf")
+    _write_docs(spark, d, texts)
+    got = {
+        (r["a_id"], r["b_id"]): r["n_shared"]
+        for r in winnow_neardup(spark, d).collect()
+    }
+
+    K, W = 4, 5
+    tok = re.compile(r"[A-Za-z0-9]+", re.ASCII)
+    doc_h = {}
+    for i, t in enumerate(texts):
+        toks = tok.findall(t)
+        n = len(toks) - (K - 1)
+        if n < 1:
+            continue
+        keys = [
+            int(hashlib.md5(" ".join(toks[p - 1:p - 1 + K]).encode())
+                .hexdigest()[:10], 16) * (1 << 21) + ((1 << 21) - 1 - p)
+            for p in range(1, n + 1)
+        ]
+        sel = {min(keys[p - 1:p - 1 + W])
+               for p in range(1, max(1, n - W + 1) + 1)}
+        doc_h[i] = {k >> 21 for k in sel}
+    posting = defaultdict(set)
+    for i, hs in doc_h.items():
+        for h in hs:
+            posting[h].add(i)
+    ok = {h for h, ds in posting.items() if len(ds) <= 200}
+    want = {}
+    ids = sorted(doc_h)
+    for x in ids:
+        for y in ids:
+            if x < y:
+                shared = len(doc_h[x] & doc_h[y] & ok)
+                if shared >= 2:
+                    want[(x, y)] = shared
+    assert got == want
+    # the winnowing guarantee: every pair of run-holders is a candidate
+    assert (0, 1) in got and (0, 4) in got and (1, 4) in got
+    assert (2, 3) not in got
