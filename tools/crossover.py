@@ -816,6 +816,25 @@ RECORDED_R11_TIERS: dict = {
         "R100": {"spark_s": 9.1, "duckdb_s": 13.8, "ratio": 0.66,
                  "note": "warm; contended-host band 9.0-36.0 / 13.8-36.6"},
     },
+    # late batch 4-6 (or-li / li / do subset replicas). returned_top is
+    # the Q10 shape: Spark near-FLAT across the 5× step (the broadcast
+    # pre-reduction keeps everything after the one fact-fact exchange
+    # 20-row-sized) — a small-absolute floor. Clustering joins the
+    # triangle family's parity band (r6: 1.5-1.85). winnow_neardup is
+    # the pair family's FIFTH measured flip and the largest since Q20:
+    # DuckDB's fingerprint self-join goes superlinear on the dup-dense
+    # 500 k-doc corpus while the capped id-only pair exchange scales.
+    "returned_top_customers": {
+        "R20": {"spark_s": 4.00, "duckdb_s": 0.26, "ratio": 15.2},
+        "R100": {"spark_s": 4.63, "duckdb_s": 0.44, "ratio": 10.4},
+    },
+    "copurchase_clustering": {
+        "R20": {"spark_s": 17.56, "duckdb_s": 13.41, "ratio": 1.31},
+    },
+    "winnow_neardup": {
+        "R20": {"spark_s": 10.93, "duckdb_s": 4.41, "ratio": 2.5},
+        "R100": {"spark_s": 123.4, "duckdb_s": 1110.4, "ratio": 0.11},
+    },
 }
 
 # The stdout-echo subset of the recorded tiers: the bench's compact
