@@ -3330,3 +3330,83 @@ def ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_two_sample_vs_rest(li, "l_returnflag", "v").orderBy(
         "l_returnflag"
     )
+
+
+def events_lag_autocorr(
+    spark: SparkSession, sf_dir: str, lags: tuple[int, ...] = (1, 7)
+) -> DataFrame:
+    """Per-type LAG AUTOCORRELATION of the daily event-count series
+    (round 11): for each lag L, the Spearman rank correlation between
+    day d's count and day d+L's count over all day pairs where both
+    days exist — the seasonality detector that complements the family
+    (events_dow_anomalies assumes the weekly rhythm; this MEASURES it:
+    lag-7 rho high ⇒ weekly structure; lag-1 high ⇒ momentum/trend).
+    Rank correlation, not Pearson: exact in integers at ANY data scale
+    because ranks (not counts) enter the statistic — Pearson's
+    n·Σxy − Σx·Σy square overflows every fixed-width type at large
+    replica tiers, while Σd² <= n³ stays comfortably in BIGINT·10^6
+    for any realistic day count (n days, not rows).
+
+    Semantics pinned for exactness: min-ranks (SQL rank()) within each
+    (type, lag) pair set, ranked separately for the x and y sides;
+    ``rho_ppm = 10^6 − (6·Σd²·10^6) div (n·(n²−1))`` — the spearman
+    d² variant (deterministic under ties, same on both engines);
+    n < 2 ⇒ NULL. Days are epoch days (engine-portable, the dow rule).
+
+    Scale shape: ONE partial-aggregated exchange builds the daily
+    rollup (types × days rows — series-sized, the cusum/theilsen
+    class); the lag join, both rank windows and the d² aggregate all
+    run on that tiny frame (windows partition by (type, lag) — bounded
+    by the series, not the fact table). The daily table persists: the
+    lag fan-out consumes it twice (x and shifted y sides)."""
+    from distributed_computing_spark.caching import track_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = track_persist(
+        ev.groupBy(
+            "event_type",
+            F.expr("cast(ts as long) div 86400").alias("d"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    lag_col = F.explode(F.array(*[F.lit(x) for x in lags])).alias("lag")
+    x = daily.select("event_type", "d", F.col("c").alias("cx")).select(
+        "event_type", "d", "cx", lag_col
+    )
+    y = daily.select(
+        "event_type",
+        F.col("d").alias("dy"),
+        F.col("c").alias("cy"),
+    )
+    pairs = x.join(
+        y.withColumnRenamed("event_type", "et2"),
+        (F.col("et2") == F.col("event_type"))
+        & (F.col("dy") == F.col("d") + F.col("lag")),
+    ).select("event_type", "lag", "d", "cx", "cy")
+    wx = Window.partitionBy("event_type", "lag").orderBy("cx")
+    wy = Window.partitionBy("event_type", "lag").orderBy("cy")
+    ranked = pairs.select(
+        "event_type",
+        "lag",
+        F.rank().over(wx).alias("rx"),
+        F.rank().over(wy).alias("ry"),
+    )
+    sums = ranked.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+        ).cast("long").alias("sum_d2"),
+    )
+    return sums.select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        "sum_d2",
+        F.when(
+            F.col("n_pairs") >= 2,
+            F.lit(1000000)
+            - F.expr(
+                "(6 * sum_d2 * 1000000) div "
+                "(n_pairs * (n_pairs * n_pairs - 1))"
+            ),
+        ).cast("long").alias("rho_ppm"),
+    ).orderBy("event_type", "lag")

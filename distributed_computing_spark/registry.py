@@ -7571,6 +7571,46 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 ORDER BY 1, 2"""
 
 
+def events_lag_autocorr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.analytics import (
+        events_lag_autocorr,
+    )
+
+    return events_lag_autocorr(spark, sf_dir)
+
+
+QUERIES["events_lag_autocorr"] = events_lag_autocorr_q
+# The (6·sum_d2·10^6) // (n·(n²−1)) form is the audited spearman
+# pattern (non-negative operands, n >= 2 CASE guard); epoch-day `//`
+# already allowlisted.
+ORACLES["events_lag_autocorr"] = """
+WITH daily AS (
+  SELECT event_type, (epoch_us(ts) // 1000000) // 86400 AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+l AS (SELECT unnest([1, 7]) AS lag),
+p AS (SELECT x.event_type, l.lag, x.c AS cx, y.c AS cy
+      FROM daily x CROSS JOIN l
+      JOIN daily y ON y.event_type = x.event_type
+                  AND y.d = x.d + l.lag),
+r AS (SELECT event_type, lag,
+             rank() OVER (PARTITION BY event_type, lag ORDER BY cx)
+               AS rx,
+             rank() OVER (PARTITION BY event_type, lag ORDER BY cy)
+               AS ry
+      FROM p),
+s AS (SELECT event_type, lag, count(*)::HUGEINT AS n,
+             sum((rx - ry)::HUGEINT * (rx - ry)) AS sum_d2
+      FROM r GROUP BY 1, 2)
+SELECT event_type, CAST(lag AS BIGINT) AS lag,
+       CAST(n AS BIGINT) AS n_pairs,
+       CAST(sum_d2 AS BIGINT) AS sum_d2,
+       CAST(CASE WHEN n >= 2 THEN
+              1000000 - (6 * sum_d2 * 1000000) // (n * (n * n - 1))
+            END AS BIGINT) AS rho_ppm
+FROM s ORDER BY 1, 2"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 11 — VERDICT r10 item 2)
 # ---------------------------------------------------------------------------
@@ -7616,7 +7656,7 @@ _R11_WINDOW = [
     # the 30 r6-stale entries (round 10's named first picks)
     "bigram_logprob", "bloom_semi_orders",
     "copurchase_bfs", "copurchase_shortest_paths",
-    "events_gapfill", "events_ohlc",
+    "events_ohlc",
     "ivf_topk", "lsh_topk",
     "multimodal_ann", "multimodal_avi_frames", "multimodal_bmp_decode",
     "multimodal_frames", "multimodal_real_ann",
@@ -7646,11 +7686,12 @@ _R11_WINDOW = [
     # 50; each displaces one unchanged-green r6-stale entry, which
     # joins the r12 first picks: epoch_shuffle, dq_audit,
     # decayed_user_activity, clean_docs, curated_read_pruned,
-    # mixture_sample, event_transitions, fuzzy_customer_match)
+    # mixture_sample, event_transitions, fuzzy_customer_match,
+    # events_gapfill)
     "ks_price_drift", "vocab_growth", "winnow_fingerprints",
     "neighbor_customer_pairs", "copurchase_clustering",
     "returned_top_customers", "stream_winnow_ingest",
-    "winnow_neardup",
+    "winnow_neardup", "events_lag_autocorr",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R11_WINDOW} | {
@@ -7669,7 +7710,7 @@ _R11_NEW: list[str] = [
     "ks_price_drift", "vocab_growth", "winnow_fingerprints",
     "neighbor_customer_pairs", "copurchase_clustering",
     "returned_top_customers", "stream_winnow_ingest",
-    "winnow_neardup",
+    "winnow_neardup", "events_lag_autocorr",
 ]
 _order = list(QUERIES)
 for _q in _R11_NEW:

@@ -816,3 +816,55 @@ def test_winnow_neardup_matches_brute_force_and_guarantee(spark, tmp_path):
     # the winnowing guarantee: every pair of run-holders is a candidate
     assert (0, 1) in got and (0, 4) in got and (1, 4) in got
     assert (2, 3) not in got
+
+
+def test_lag_autocorr_detects_weekly_rhythm(spark, tmp_path):
+    """Semantic anchor: a strict 7-day-periodic series has PERFECT
+    lag-7 rank autocorrelation (rho = 1e6) and weak lag-1; brute-force
+    twin validates the min-rank d² arithmetic."""
+    from collections import Counter
+
+    from distributed_computing_spark.operators.analytics import (
+        events_lag_autocorr,
+    )
+
+    d = str(tmp_path / "sf")
+    t0 = datetime.datetime(2024, 1, 1)
+    week = [5, 40, 11, 28, 3, 17, 33]  # alternating, period 7
+    rows = []
+    eid = 0
+    counts = []
+    for day in range(70):
+        c = week[day % 7]
+        counts.append(c)
+        for j in range(c):
+            eid += 1
+            rows.append(
+                (eid, t0 + datetime.timedelta(days=day, seconds=j + 1),
+                 j, "click", 1.0, "{}")
+            )
+    _write_events(spark, d, rows)
+    got = {
+        r["lag"]: (r["n_pairs"], r["sum_d2"], r["rho_ppm"])
+        for r in events_lag_autocorr(spark, d).collect()
+    }
+
+    def brute(lag):
+        xs = [(counts[i], counts[i + lag])
+              for i in range(len(counts) - lag)]
+        cx = sorted(v for v, _ in xs)
+        cy = sorted(v for _, v in xs)
+        rkx = {}
+        for v in cx:
+            rkx.setdefault(v, cx.index(v) + 1)  # min-rank
+        rky = {}
+        for v in cy:
+            rky.setdefault(v, cy.index(v) + 1)
+        n = len(xs)
+        d2 = sum((rkx[a] - rky[b]) ** 2 for a, b in xs)
+        return (n, d2, 1000000 - (6 * d2 * 1000000) // (n * (n * n - 1)))
+
+    assert got[7] == brute(7)
+    assert got[1] == brute(1)
+    assert got[7][2] == 1000000  # perfect weekly rhythm
+    assert got[1][2] < 400000  # lag-1 is weak on an alternating series

@@ -764,10 +764,14 @@ RECORDED_R11_TIERS: dict = {
     "dedup_savings_report": {
         "R20": {"spark_s": 5.43, "duckdb_s": 0.34, "ratio": 16.1},
         "R100": {"spark_s": 6.72, "duckdb_s": 0.89, "ratio": 7.6},
+        # R400 (2 M docs, the ROADMAP doc-family far point): the Arrow
+        # floor holds its slope — converging toward parity.
+        "R400": {"spark_s": 15.89, "duckdb_s": 7.36, "ratio": 2.2},
     },
     "source_length_quantiles": {
         "R20": {"spark_s": 3.39, "duckdb_s": 0.07, "ratio": 45.7},
         "R100": {"spark_s": 3.07, "duckdb_s": 0.24, "ratio": 12.9},
+        "R400": {"spark_s": 7.06, "duckdb_s": 1.88, "ratio": 3.8},
     },
     "user_burst_rates": {
         "R20": {"spark_s": 2.37, "duckdb_s": 0.12, "ratio": 19.9},
@@ -784,6 +788,7 @@ RECORDED_R11_TIERS: dict = {
     "winnow_fingerprints": {
         "R20": {"spark_s": 3.60, "duckdb_s": 6.62, "ratio": 0.54},
         "R100": {"spark_s": 12.61, "duckdb_s": 63.34, "ratio": 0.20},
+        "R400": {"spark_s": 24.82, "duckdb_s": 158.65, "ratio": 0.16},
     },
     # vocab growth: DuckDB's DISTINCT (doc, token) unnest goes
     # superlinear at 500 k docs (0.32 → 17.8 s for the 5× step) while
@@ -791,7 +796,10 @@ RECORDED_R11_TIERS: dict = {
     # converging toward a crossing near R120.
     "vocab_growth": {
         "R20": {"spark_s": 9.23, "duckdb_s": 0.32, "ratio": 28.6},
-        "R100": {"spark_s": 23.19, "duckdb_s": 17.78, "ratio": 1.30},
+        "R100": {"spark_s": 23.19, "duckdb_s": 17.78, "ratio": 1.30,
+                 "note": "contended-host run; R400 re-measured both "
+                         "sides faster"},
+        "R400": {"spark_s": 12.53, "duckdb_s": 6.30, "ratio": 2.0},
     },
     # KS drift (lineitem-only replicas, 12 M / 60 M rows): Spark is
     # NEAR-FLAT across the 5× step (8.5 → 10.3 s — the cost is the
