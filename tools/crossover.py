@@ -872,7 +872,11 @@ RECORDED_ECHO_KEYS: dict[str, tuple[str, ...]] = {
     # parity — rotate out for the round-11 pair: the Q20
     # double-granularity 22.5× flip and the Q16 distinct-census flip;
     # the full grid stays in .bench_full.json/BASELINE.md.)
+    # (round 11 late: the winnowing pair flip joins the echo — the
+    # largest late-round story; the full grid stays in
+    # .bench_full.json/BASELINE.md.)
     "dominant_part_suppliers": ("R400",),
+    "winnow_neardup": ("R100",),
     "parts_supplier_count": ("R400",),
     "neardup_clusters": ("R50",),
     "kv_replay_hotkey": ("R500",),
