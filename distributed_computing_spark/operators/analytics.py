@@ -3368,6 +3368,19 @@ def events_lag_autocorr(
             F.expr("cast(ts as long) div 86400").alias("d"),
         ).agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    return lag_autocorr_from_daily(daily, lags)
+
+
+def lag_autocorr_from_daily(
+    daily: DataFrame, lags: tuple[int, ...] = (1, 7)
+) -> DataFrame:
+    """The lag-autocorrelation detector factored over a prepared
+    (event_type, d, c) daily frame — shared by the batch operator and
+    the streaming twin (stream_lag_autocorr flushes its streaming
+    aggregation state and runs THIS on the flushed rollup, the
+    stream_cusum_drift handoff pattern). Caller persists ``daily`` if
+    it is expensive to recompute (the x and y sides both consume
+    it)."""
     lag_col = F.explode(F.array(*[F.lit(x) for x in lags])).alias("lag")
     x = daily.select("event_type", "d", F.col("c").alias("cx")).select(
         "event_type", "d", "cx", lag_col

@@ -7611,6 +7611,44 @@ SELECT event_type, CAST(lag AS BIGINT) AS lag,
 FROM s ORDER BY 1, 2"""
 
 
+def stream_lag_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag autocorrelation OVER A STREAM (round 11): the per-type
+    daily count table is maintained as a streaming aggregation
+    (complete mode — state is |types × days| rows, series-bounded for
+    an unbounded stream), flushed to storage, and the rank-correlation
+    detector runs on the flushed rollup (the stream_cusum_drift
+    handoff pattern: the detector needs a self-join of the state,
+    which a memory-sink view cannot express). Gated by the BATCH
+    oracle — stream == batch value-proven."""
+    from distributed_computing_spark.caching import session_tmpdir
+    from distributed_computing_spark.operators.analytics import (
+        lag_autocorr_from_daily,
+    )
+    from distributed_computing_spark.streaming.runner import (
+        run_to_batch,
+        stream_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sdf = stream_table(spark, ev.select("event_type", "ts"))
+    daily_state = run_to_batch(
+        sdf.groupBy(
+            "event_type",
+            F.expr("cast(ts as long) div 86400").alias("d"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("c")),
+        spark,
+    )
+    out = session_tmpdir(prefix="dcs_autocorr_state_")
+    daily_state.write.mode("overwrite").parquet(out)
+    return lag_autocorr_from_daily(spark.read.parquet(out)).orderBy(
+        "event_type", "lag"
+    )
+
+
+QUERIES["stream_lag_autocorr"] = stream_lag_autocorr
+ORACLES["stream_lag_autocorr"] = ORACLES["events_lag_autocorr"]
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 11 — VERDICT r10 item 2)
 # ---------------------------------------------------------------------------
@@ -7656,7 +7694,6 @@ _R11_WINDOW = [
     # the 30 r6-stale entries (round 10's named first picks)
     "bigram_logprob", "bloom_semi_orders",
     "copurchase_bfs", "copurchase_shortest_paths",
-    "events_ohlc",
     "ivf_topk", "lsh_topk",
     "multimodal_ann", "multimodal_avi_frames", "multimodal_bmp_decode",
     "multimodal_frames", "multimodal_real_ann",
@@ -7687,11 +7724,11 @@ _R11_WINDOW = [
     # joins the r12 first picks: epoch_shuffle, dq_audit,
     # decayed_user_activity, clean_docs, curated_read_pruned,
     # mixture_sample, event_transitions, fuzzy_customer_match,
-    # events_gapfill)
+    # events_gapfill, events_ohlc)
     "ks_price_drift", "vocab_growth", "winnow_fingerprints",
     "neighbor_customer_pairs", "copurchase_clustering",
     "returned_top_customers", "stream_winnow_ingest",
-    "winnow_neardup", "events_lag_autocorr",
+    "winnow_neardup", "events_lag_autocorr", "stream_lag_autocorr",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R11_WINDOW} | {
@@ -7710,7 +7747,7 @@ _R11_NEW: list[str] = [
     "ks_price_drift", "vocab_growth", "winnow_fingerprints",
     "neighbor_customer_pairs", "copurchase_clustering",
     "returned_top_customers", "stream_winnow_ingest",
-    "winnow_neardup", "events_lag_autocorr",
+    "winnow_neardup", "events_lag_autocorr", "stream_lag_autocorr",
 ]
 _order = list(QUERIES)
 for _q in _R11_NEW:
