@@ -149,7 +149,11 @@ HEADLINE += [
     # its first tier) and the near-flat exact-KS drift plan.
     # vocab_growth / neighbor_customer_pairs stay gate-only (tail
     # budget — same Arrow-pass / bounded-exchange physics as these
-    # two measured cells).
+    # two measured cells). So do the final late-batch additions:
+    # late_shipment_priority / late_lines_priority_mix (the same
+    # pre-reduced shuffle-hash fact-join physics as the measured Q20
+    # cell) and copurchase_link_prediction (the wedge physics of the
+    # measured triangles/clustering cells).
     "winnow_fingerprints",
     "ks_price_drift",
 ]

@@ -830,3 +830,99 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
             ).alias("cc_ppm"),
         )
     )
+
+
+def common_neighbor_pairs(
+    edges: DataFrame, max_middle_degree: int = 64, k: int = 100
+) -> DataFrame:
+    """LINK PREDICTION by common-neighbor counting (Liben-Nowell &
+    Kleinberg 2003, the integer-exact member of that score family):
+    for node pairs that are NOT already adjacent, count the neighbors
+    they share, and return the top-``k`` candidate pairs by
+    (common_neighbors desc, part_a, part_b) — "parts never bought
+    together that the graph says should be". The reference has no
+    graph surface (SURVEY §2.8); this closes the co-purchase family's
+    recommendation loop: pairs/cosine score EXISTING edges, this
+    scores ABSENT ones.
+
+    Scale design (100 TB posture):
+    - Wedges are generated per MIDDLE node u (one row per neighbor
+      pair of u), so the fan-out is d(u)²; middles above
+      ``max_middle_degree`` are excluded by an ABSOLUTE cap — the
+      ngram max_posting / minhash max_bucket rule (relative caps
+      don't survive scale-up, CLAUDE.md) — mirrored in the oracle as
+      a HAVING bound. The cap is part of the operator's semantics:
+      a hub's neighborhood is weak link evidence anyway (the same
+      argument that weights Adamic–Adar by 1/log d).
+    - Every exchange carries node-id pairs only (u, v) / (y, z); no
+      payload columns travel through the wedge join.
+    - The symmetric edge list is persisted ONCE and serves three
+      consumers (degree rollup, wedge build, adjacency anti-join);
+      the capped neighbor table is persisted because the wedge
+      self-join references it twice (shared-subtree rule).
+    - The wedge pair count partial-aggregates before its (y, z)
+      exchange; the anti-join against adjacency needs only one
+      direction of the symmetric list because y < z orients the pair.
+    """
+    e = track_persist(edges)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nb = track_persist(
+        e.join(
+            deg.where(F.col("d") <= max_middle_degree).select("src"), "src"
+        ).select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    pairs = (
+        nb.select("u", F.col("v").alias("y"))
+        .join(nb.select("u", F.col("v").alias("z")), "u")
+        .where(F.col("y") < F.col("z"))
+        .groupBy("y", "z")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+    )
+    nonadj = pairs.join(
+        e.select(F.col("src").alias("y"), F.col("dst").alias("z")),
+        ["y", "z"],
+        "left_anti",
+    )
+    return (
+        nonadj.orderBy(F.desc("common_neighbors"), "y", "z")
+        .limit(k)
+        .select(
+            F.col("y").alias("part_a"),
+            F.col("z").alias("part_b"),
+            "common_neighbors",
+        )
+    )
+
+
+def link_prediction_oracle_sql(
+    min_support: int = 2, max_middle_degree: int = 64, k: int = 100
+) -> str:
+    """Exact DuckDB oracle: same supported-edge derivation as
+    ``bfs_oracle_sql``, wedge count grouped per unordered pair, the
+    degree cap mirrored as an explicit bound, NOT EXISTS adjacency
+    (an independent formulation of the anti-join)."""
+    return f"""
+WITH op AS MATERIALIZED (
+  SELECT DISTINCT la.l_orderkey AS ok, la.l_partkey AS a, lb.l_partkey AS b
+  FROM lineitem la JOIN lineitem lb
+    ON la.l_orderkey = lb.l_orderkey AND la.l_partkey < lb.l_partkey),
+sup AS MATERIALIZED (
+  SELECT a, b FROM op GROUP BY a, b HAVING count(*) >= {min_support}),
+edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM sup
+  UNION ALL SELECT b AS src, a AS dst FROM sup),
+deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY 1),
+nb AS MATERIALIZED (
+  SELECT e.src AS u, e.dst AS v
+  FROM edges e JOIN deg ON e.src = deg.node
+  WHERE deg.d <= {max_middle_degree}),
+pairs AS (
+  SELECT x.v AS y, w.v AS z, count(*) AS cn
+  FROM nb x JOIN nb w ON x.u = w.u AND x.v < w.v
+  GROUP BY 1, 2)
+SELECT y AS part_a, z AS part_b, CAST(cn AS BIGINT) AS common_neighbors
+FROM pairs p
+WHERE NOT EXISTS (
+  SELECT 1 FROM edges e WHERE e.src = p.y AND e.dst = p.z)
+ORDER BY cn DESC, y, z
+LIMIT {k}"""

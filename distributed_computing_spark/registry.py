@@ -7649,6 +7649,167 @@ QUERIES["stream_lag_autocorr"] = stream_lag_autocorr
 ORACLES["stream_lag_autocorr"] = ORACLES["events_lag_autocorr"]
 
 
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (round 11): order-priority census of orders in a
+    half-year window having at least one lineitem shipped more than 60
+    days after the order date. Reference analog: none (SURVEY §2.8
+    relational surface); the last distinctive correlated-EXISTS shape
+    missing from the TPC-H family (Q21's multi-alias cousin is
+    sole_return_supplier).
+
+    Plan (the 100 TB shape): the correlated EXISTS decorrelates as a
+    per-order MAX — ``exists(l_shipdate > o_orderdate + 60d)`` iff
+    ``max(l_shipdate) > o_orderdate + 60d``, since every line of an
+    order shares its threshold. The lineitem side therefore
+    partial-aggregates to ONE 16-byte (orderkey, max_date) row per
+    order BEFORE its exchange (map-side combine merges the ~4
+    naturally-collocated lines per order), and a HAND-DERIVED bound
+    reaches the lineitem scan as a PushedFilter: a qualifying line has
+    ``l_shipdate > o_orderdate + 60d >= window_start + 60d``, so lines
+    at or before '1996-03-01' can never qualify and are dropped at the
+    scan (the promo_mix_revenue motion). The orders window filter is
+    likewise pushed; the single orderkey join is hinted shuffle-hash
+    (both sides orders-cardinality — no sort legs, no broadcast of an
+    SF-scaling side); the 5-row priority rollup partial-aggregates.
+    The oracle states the ORIGINAL correlated EXISTS — the
+    decorrelation + derived bound are what the gate proves."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    per_order = (
+        li.where(F.col("l_shipdate") > F.lit("1996-03-01 00:00:00"))
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("max_ship"))
+    )
+    q = (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .hint("shuffle_hash")
+        .join(per_order, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(
+            F.col("max_ship")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+    )
+    return (
+        q.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES["late_shipment_priority"] = late_shipment_priority
+ORACLES["late_shipment_priority"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1 ORDER BY 1"""
+
+
+def late_lines_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (round 11): per return flag (this schema's
+    stand-in for ship mode), how many LATE lines — shipped more than 30
+    days after their order date, order placed in 1996 — belong to
+    high-priority (1-URGENT/2-HIGH) vs lower-priority orders. The
+    two-bucket conditional aggregation after a fact-fact join is the
+    Q12 plan shape the suite didn't yet pin.
+
+    Plan: the lateness predicate couples columns from BOTH facts, so
+    exactly ONE fact-fact exchange is irreducible — hinted
+    shuffle-hash on the orderkey (never sort-merge, never a forced
+    broadcast of an SF-scaling side). Each side prunes to 3 columns
+    and carries a pushed scan filter: the orders year window directly,
+    and on lineitem the hand-derived bound ``l_shipdate >
+    '1996-01-31'`` (implied by shipdate > orderdate + 30d and
+    orderdate >= '1996-01-01' — the late_shipment_priority motion).
+    The per-flag conditional sums partial-aggregate to 3 rows before
+    the final exchange. Counts are provably BIGINT-bounded (row
+    counts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = (
+        li.where(F.col("l_shipdate") > F.lit("1996-01-31 00:00:00"))
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+        .hint("shuffle_hash")
+        .join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01"))
+            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+    )
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES["late_lines_priority_mix"] = late_lines_priority_mix
+ORACLES["late_lines_priority_mix"] = """
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1997-01-01'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+GROUP BY 1 ORDER BY 1"""
+
+
+def copurchase_link_prediction_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Link prediction over the co-purchase graph (round 11): top-100
+    NON-adjacent part pairs by shared-neighbor count on the
+    support-filtered (>= 2 co-orders) edge list — the recommendation
+    question the co-purchase family hadn't asked: pairs/cosine score
+    existing edges, this scores ABSENT ones (Liben-Nowell & Kleinberg
+    2003's common-neighbors predictor, the integer-exact member of
+    that score family). See graph.common_neighbor_pairs for the scale
+    contract (absolute middle-degree cap, id-only exchanges, one
+    persisted edge list serving degree/wedge/anti-join)."""
+    from distributed_computing_spark.operators.graph import (
+        common_neighbor_pairs,
+        copurchase_edges_supported,
+    )
+
+    edges = copurchase_edges_supported(
+        load_table(spark, sf_dir, "lineitem"), min_support=2
+    )
+    return common_neighbor_pairs(edges, max_middle_degree=64, k=100)
+
+
+QUERIES["copurchase_link_prediction"] = copurchase_link_prediction_q
+from distributed_computing_spark.operators.graph import (  # noqa: E402
+    link_prediction_oracle_sql,
+)
+
+ORACLES["copurchase_link_prediction"] = link_prediction_oracle_sql(
+    min_support=2, max_middle_degree=64, k=100
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 11 — VERDICT r10 item 2)
 # ---------------------------------------------------------------------------
@@ -7691,13 +7852,15 @@ ORACLES["stream_lag_autocorr"] = ORACLES["events_lag_autocorr"]
 # VERDICT r10 item-5 slot rule; their exact pytest twins still run
 # every suite.
 _R11_WINDOW = [
-    # the 30 r6-stale entries (round 10's named first picks)
-    "bigram_logprob", "bloom_semi_orders",
+    # the 30 r6-stale entries (round 10's named first picks; three
+    # unchanged-green members — bigram_logprob, bloom_semi_orders,
+    # prefix_dups — later yielded their slots to the final late-batch
+    # additions and join the r12 first picks)
     "copurchase_bfs", "copurchase_shortest_paths",
     "ivf_topk", "lsh_topk",
     "multimodal_ann", "multimodal_avi_frames", "multimodal_bmp_decode",
     "multimodal_frames", "multimodal_real_ann",
-    "multimodal_stats", "multimodal_wav_decode", "prefix_dups",
+    "multimodal_stats", "multimodal_wav_decode",
     "salted_revenue_join", "source_token_kl",
     "zorder_cells", "zorder_events_scan",
     # the two r7-stale oracle-backed picks that took the slots of the
@@ -7724,11 +7887,14 @@ _R11_WINDOW = [
     # joins the r12 first picks: epoch_shuffle, dq_audit,
     # decayed_user_activity, clean_docs, curated_read_pruned,
     # mixture_sample, event_transitions, fuzzy_customer_match,
-    # events_gapfill, events_ohlc)
+    # events_gapfill, events_ohlc, and — for the final three below —
+    # bigram_logprob, bloom_semi_orders, prefix_dups)
     "ks_price_drift", "vocab_growth", "winnow_fingerprints",
     "neighbor_customer_pairs", "copurchase_clustering",
     "returned_top_customers", "stream_winnow_ingest",
     "winnow_neardup", "events_lag_autocorr", "stream_lag_autocorr",
+    "late_shipment_priority", "late_lines_priority_mix",
+    "copurchase_link_prediction",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R11_WINDOW} | {
@@ -7748,6 +7914,8 @@ _R11_NEW: list[str] = [
     "neighbor_customer_pairs", "copurchase_clustering",
     "returned_top_customers", "stream_winnow_ingest",
     "winnow_neardup", "events_lag_autocorr", "stream_lag_autocorr",
+    "late_shipment_priority", "late_lines_priority_mix",
+    "copurchase_link_prediction",
 ]
 _order = list(QUERIES)
 for _q in _R11_NEW:

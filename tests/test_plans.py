@@ -871,3 +871,60 @@ def test_returned_top_customers_customer_never_shuffles(spark):
     # no hash exchange keyed on the customer key: the dimension side
     # joins against the broadcast 20-row frame
     assert not re.search(r"Exchange hashpartitioning\(c_custkey#\d+", plan), plan
+
+
+def test_late_shipment_priority_decorrelates_with_pushed_bound(spark):
+    """Round 11 late (Q4 shape): the correlated EXISTS runs as a
+    per-order partial-aggregated MAX (map-side combine BEFORE the
+    lineitem exchange), the hand-derived '1996-03-01' bound reaches
+    the lineitem scan, the one orderkey join is shuffle-hash (never
+    sort-merge), and only three hash exchanges exist (orders side,
+    lineitem pre-aggregate, 5-row priority rollup)."""
+    df = QUERIES["late_shipment_priority"](spark, SF_DIR)
+    plan = _plan(df)
+    assert has_pushed_filter(df, "GreaterThan(l_shipdate")
+    assert has_pushed_filter(df, "GreaterThanOrEqual(o_orderdate")
+    assert "partial_max" in plan, plan
+    tree = operator_tree(df)
+    assert "ShuffledHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert count_exchanges(df, "hashpartitioning") == 3, tree
+
+
+def test_late_lines_priority_mix_one_fact_fact_exchange(spark):
+    """Round 11 late (Q12 shape): the lateness predicate couples both
+    facts, so exactly ONE fact-fact join exists — hinted shuffle-hash;
+    both scans carry pushed filters (the orders year window, the
+    derived lineitem bound), scans prune to the 3 columns each side
+    needs, and the 3-row flag rollup partial-aggregates."""
+    df = QUERIES["late_lines_priority_mix"](spark, SF_DIR)
+    plan = _plan(df)
+    assert has_pushed_filter(df, "GreaterThan(l_shipdate")
+    assert has_pushed_filter(df, "GreaterThanOrEqual(o_orderdate")
+    assert "l_partkey" not in plan and "l_quantity" not in plan, "pruning"
+    assert "partial_sum" in plan, plan
+    tree = operator_tree(df)
+    assert tree.count("ShuffledHashJoin") == 1, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert count_exchanges(df, "hashpartitioning") == 3, tree
+
+
+def test_link_prediction_caches_edges_and_avoids_global_sort(spark):
+    """Round 11 late: the supported edge list and the capped neighbor
+    table both persist (edges feeds degree/wedge/anti-join, nb feeds
+    both wedge sides — shared-subtree rule); the top-k is
+    TakeOrderedAndProject, never a global sort; the wedge-pair count
+    partial-aggregates before its (y, z) exchange; no sort-merge join
+    anywhere."""
+    from distributed_computing_spark.caching import release_tracked
+
+    try:
+        df = QUERIES["copurchase_link_prediction"](spark, SF_DIR)
+        plan = _plan(df)
+        tree = operator_tree(df)
+        assert tree.count("InMemoryRelation") >= 2, tree
+        assert "TakeOrderedAndProject" in tree, tree
+        assert "SortMergeJoin" not in tree, tree
+        assert "partial_count" in plan, plan
+    finally:
+        release_tracked()

@@ -868,3 +868,154 @@ def test_lag_autocorr_detects_weekly_rhythm(spark, tmp_path):
     assert got[1] == brute(1)
     assert got[7][2] == 1000000  # perfect weekly rhythm
     assert got[1][2] < 400000  # lag-1 is weak on an alternating series
+
+
+def test_common_neighbor_pairs_anchors(spark):
+    """Link prediction brute-force anchors (the K4/star/pendant style
+    of the clustering tests): a path predicts its endpoints, a 4-cycle
+    predicts both diagonals with cn=2, a triangle predicts nothing
+    (every pair adjacent), and the middle-degree cap silently excludes
+    hub-centered wedges (the absolute-cap contract)."""
+    from distributed_computing_spark.caching import release_tracked
+    from distributed_computing_spark.operators.graph import (
+        common_neighbor_pairs,
+    )
+
+    def sym(pairs):
+        rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+        return spark.createDataFrame(rows, "src long, dst long")
+
+    try:
+        # path 1-2-3: (1,3) share middle 2
+        got = {
+            (r.part_a, r.part_b, r.common_neighbors)
+            for r in common_neighbor_pairs(sym([(1, 2), (2, 3)])).collect()
+        }
+        assert got == {(1, 3, 1)}
+        # 4-cycle: both diagonals, two shared middles each
+        got = {
+            (r.part_a, r.part_b, r.common_neighbors)
+            for r in common_neighbor_pairs(
+                sym([(1, 2), (2, 3), (3, 4), (4, 1)])
+            ).collect()
+        }
+        assert got == {(1, 3, 2), (2, 4, 2)}
+        # triangle: all pairs adjacent -> empty
+        assert (
+            common_neighbor_pairs(sym([(1, 2), (2, 3), (1, 3)])).count() == 0
+        )
+        # star K1,5: with the hub (deg 5) above the cap no wedge forms;
+        # raising the cap admits all C(5,2) leaf pairs at cn=1
+        star = [(0, i) for i in range(1, 6)]
+        assert (
+            common_neighbor_pairs(sym(star), max_middle_degree=4).count()
+            == 0
+        )
+        got = common_neighbor_pairs(sym(star), max_middle_degree=5)
+        assert got.count() == 10
+        assert {r.common_neighbors for r in got.collect()} == {1}
+    finally:
+        release_tracked()
+
+
+def _write_orders_lineitem(spark, path, orders, lines):
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+
+
+def test_late_shipment_boundary_is_strict(spark, tmp_path):
+    """Q4-shape boundary: a line shipped EXACTLY 60 days after the
+    order date does not qualify (strict >), one second later does, and
+    the hand-derived scan bound drops neither — the decorrelation's
+    exactness at the edge the pushed filter sits on."""
+    import datetime as dt
+
+    from distributed_computing_spark.registry import QUERIES
+
+    d = str(tmp_path / "sf")
+    jan1 = dt.datetime(1996, 1, 1)
+    mar1 = dt.datetime(1996, 3, 1)  # jan1 + 60 days (leap year)
+    orders = [
+        (1, 1, "O", 1.0, jan1, "1-URGENT"),   # line at threshold: out
+        (2, 1, "O", 1.0, jan1, "2-HIGH"),     # one second past: in
+        (3, 1, "O", 1.0, dt.datetime(1995, 12, 31), "3-MEDIUM"),  # window
+    ]
+    line = (1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O")
+    lines = [
+        (1,) + line + (mar1,),
+        (2,) + line + (mar1 + dt.timedelta(seconds=1),),
+        (3,) + line + (dt.datetime(1996, 6, 1),),
+    ]
+    _write_orders_lineitem(spark, d, orders, lines)
+    got = {
+        (r.o_orderpriority, r.order_count)
+        for r in QUERIES["late_shipment_priority"](spark, d).collect()
+    }
+    assert got == {("2-HIGH", 1)}
+
+
+def test_late_shipment_family_equals_undecorrelated_form(spark):
+    """The registry plans (max-decorrelation + derived scan bounds)
+    equal a direct Spark formulation with NO decorrelation and NO
+    derived bound, on real data — the same independence the EXISTS
+    oracle provides, proven engine-side."""
+    from distributed_computing_spark.registry import QUERIES
+    from distributed_computing_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders")
+    late60 = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    alt = (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01"))
+        )
+        .join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey")) & late60,
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+    got = QUERIES["late_shipment_priority"](spark, SF_DIR).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in alt.collect()]
+
+    late30 = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 30 DAYS"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    alt12 = (
+        li.join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .where(late30)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("h"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("l"),
+        )
+        .orderBy("l_returnflag")
+    )
+    got12 = QUERIES["late_lines_priority_mix"](spark, SF_DIR).collect()
+    assert [tuple(r) for r in got12] == [tuple(r) for r in alt12.collect()]
