@@ -1476,3 +1476,57 @@ def phrase_search_indexed(
         .groupBy(id_col, "phrase")
         .agg(F.count(F.lit(1)).alias("n_matches"))
     )
+
+
+def cross_source_contamination(
+    documents: DataFrame, k: int = 16, max_sources: int = 64
+) -> DataFrame:
+    """Cross-SOURCE contamination matrix (round 11): for every
+    unordered source pair, how many distinct k-token-prefix groups
+    both sources contain — "which crawls duplicate each other", the
+    corpus-level view the per-document dup reports (exact_dedup,
+    prefix_dups, the near-dup family) don't aggregate to. A training
+    pipeline reads this before mixture weighting: two sources sharing
+    thousands of prefix groups are one source counted twice.
+
+    The signal is the ``prefix_dup_groups`` fingerprint (md5 of the
+    first ``k`` tokens) because it is ORACLE-EXACT on both engines and
+    catches the truncate/re-chunk/boilerplate dup class between exact
+    dedup and MinHash.
+
+    Scale design: ONE 16-byte prefix-hash exchange (document text
+    never rides a shuffle); the per-hash distinct-source set is
+    collected bounded — a hash held by more than ``max_sources``
+    sources is dropped by an ABSOLUTE cap (the max_posting /
+    max_bucket rule, mirrored in the oracle via BETWEEN), so the pair
+    fan-out per hash is <= C(max_sources, 2) regardless of corpus
+    size; the ordered-pair explode reuses the basket slice pattern
+    (half volume, no self-join); the final rollup is
+    <= C(n_sources, 2) rows."""
+    toks = tokens("text")
+    pref = F.md5(F.concat_ws(" ", F.slice(toks, 1, k)))
+    hs = (
+        documents.where(F.size(toks) > 0)
+        .select(pref.alias("prefix_hash"), "source")
+        .groupBy("prefix_hash")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .where((F.size("ss") >= 2) & (F.size("ss") <= max_sources))
+    )
+    pairs = hs.select(
+        F.posexplode("ss").alias("_i", "a"), "ss"
+    ).select(
+        "a",
+        F.explode(F.expr("slice(ss, _i + 2, size(ss) - _i - 1)")).alias(
+            "b"
+        ),
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_prefixes"))
+        .select(
+            F.col("a").alias("source_a"),
+            F.col("b").alias("source_b"),
+            "n_shared_prefixes",
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -7810,6 +7810,118 @@ ORACLES["copurchase_link_prediction"] = link_prediction_oracle_sql(
 )
 
 
+def cross_source_contamination_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source contamination matrix (round 11): see
+    dedup.cross_source_contamination — per unordered source pair, the
+    count of distinct 16-token-prefix dup groups both contain. The
+    corpus-level observability a mixture-weighting stage reads before
+    trusting per-source token budgets."""
+    return dedup.cross_source_contamination(
+        load_table(spark, sf_dir, "documents"), k=16, max_sources=64
+    )
+
+
+QUERIES["cross_source_contamination"] = cross_source_contamination_q
+ORACLES["cross_source_contamination"] = f"""
+WITH t AS (SELECT source, {_TOKENS} AS toks FROM documents),
+p AS (SELECT DISTINCT md5(array_to_string(toks[1:16], ' ')) AS ph, source
+      FROM t WHERE len(toks) > 0),
+h AS (SELECT ph FROM p GROUP BY ph
+      HAVING count(*) BETWEEN 2 AND 64)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_prefixes
+FROM p a
+JOIN p b ON a.ph = b.ph AND a.source < b.source
+JOIN h ON a.ph = h.ph
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def user_interarrival_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-type INTERARRIVAL-time report (round 11): exact P50/P90/P99
+    of the gap in whole seconds between consecutive events of the same
+    (user, event_type) stream — the latency/cadence distribution that
+    sits under session-gap thresholds and rate-limit budgets (the
+    observability user_sessions' fixed 30-minute gap and
+    user_burst_rates' 60-minute frame silently assume).
+
+    Exactness: timestamps are microsecond-integers on both engines
+    (probed: zero sub-microsecond components), the lag is ordered by
+    (ts, event_id) — a total order, so ties are deterministic — and
+    the gap truncation to seconds divides a provably NON-NEGATIVE
+    difference (ordered within the partition), keeping the oracle's
+    ``//`` engine-version-invariant (the audited-floordiv rule).
+
+    Plan: the lag window partitions by (user_id, event_type) — always
+    high-cardinality, never the few-groups sort cliff (CLAUDE.md round
+    9) — so ONE fact exchange feeds the window; the (type, gap_s)
+    weight table partial-aggregates to |types × distinct gaps| rows
+    (gap seconds are bounded by the table's time span, so the weight
+    table stays small at ANY event count); the fused multi-q core
+    (grouped_weighted_quantiles_multi) serves all three q's from one
+    persisted weight table."""
+    from distributed_computing_spark.caching import track_persist
+    from distributed_computing_spark.operators.analytics import (
+        grouped_weighted_quantiles_multi,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gaps = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("us", F.unix_micros("ts"))
+        .withColumn("prev_us", F.lag("us").over(w))
+        .where(F.col("prev_us").isNotNull())
+        .select(
+            F.col("event_type").alias("g"),
+            F.expr("(us - prev_us) div 1000000").alias("v"),
+        )
+    )
+    vw = track_persist(
+        gaps.groupBy("g", "v").agg(F.count(F.lit(1)).alias("wt"))
+    )
+    return (
+        grouped_weighted_quantiles_multi(vw, [500, 900, 990])
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("q").alias("q_permille"),
+            F.col("w_total").alias("n_gaps"),
+            F.col("q_v").alias("q_gap_s"),
+        )
+        .orderBy("event_type", "q_permille")
+    )
+
+
+QUERIES["user_interarrival_quantiles"] = user_interarrival_quantiles
+# (us - prev_us) // 1000000: non-negative by the window order (see the
+# audited-floordiv allowlist in tests/test_oracle_portability.py).
+ORACLES["user_interarrival_quantiles"] = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+           FROM events),
+l AS (SELECT event_type,
+             us - lag(us) OVER (PARTITION BY user_id, event_type
+                                ORDER BY us, event_id) AS d_us
+      FROM e),
+vw AS (SELECT event_type AS g, (d_us) // 1000000 AS v, count(*) AS wt
+       FROM l WHERE d_us IS NOT NULL GROUP BY 1, 2),
+r AS (SELECT g, v, wt,
+             sum(wt) OVER (PARTITION BY g ORDER BY v) AS cum,
+             sum(wt) OVER (PARTITION BY g) AS tot
+      FROM vw),
+q AS (SELECT unnest([500, 900, 990]) AS q_permille)
+SELECT r.g AS event_type, q.q_permille,
+       CAST(r.tot AS BIGINT) AS n_gaps,
+       CAST(min(CASE WHEN 1000 * r.cum >= q.q_permille * r.tot
+                     THEN r.v END) AS BIGINT) AS q_gap_s
+FROM r, q
+GROUP BY 1, 2, r.tot ORDER BY 1, 2"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 11 — VERDICT r10 item 2)
 # ---------------------------------------------------------------------------
@@ -7861,7 +7973,6 @@ _R11_WINDOW = [
     "multimodal_ann", "multimodal_avi_frames", "multimodal_bmp_decode",
     "multimodal_frames", "multimodal_real_ann",
     "multimodal_stats", "multimodal_wav_decode",
-    "salted_revenue_join", "source_token_kl",
     "zorder_cells", "zorder_events_scan",
     # the two r7-stale oracle-backed picks that took the slots of the
     # UNCHANGED rows-only r6 entries (multimodal_features,
@@ -7887,14 +7998,16 @@ _R11_WINDOW = [
     # joins the r12 first picks: epoch_shuffle, dq_audit,
     # decayed_user_activity, clean_docs, curated_read_pruned,
     # mixture_sample, event_transitions, fuzzy_customer_match,
-    # events_gapfill, events_ohlc, and — for the final three below —
-    # bigram_logprob, bloom_semi_orders, prefix_dups)
+    # events_gapfill, events_ohlc, and — for the final five below —
+    # bigram_logprob, bloom_semi_orders, prefix_dups,
+    # salted_revenue_join, source_token_kl)
     "ks_price_drift", "vocab_growth", "winnow_fingerprints",
     "neighbor_customer_pairs", "copurchase_clustering",
     "returned_top_customers", "stream_winnow_ingest",
     "winnow_neardup", "events_lag_autocorr", "stream_lag_autocorr",
     "late_shipment_priority", "late_lines_priority_mix",
     "copurchase_link_prediction",
+    "cross_source_contamination", "user_interarrival_quantiles",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R11_WINDOW} | {
@@ -7916,6 +8029,7 @@ _R11_NEW: list[str] = [
     "winnow_neardup", "events_lag_autocorr", "stream_lag_autocorr",
     "late_shipment_priority", "late_lines_priority_mix",
     "copurchase_link_prediction",
+    "cross_source_contamination", "user_interarrival_quantiles",
 ]
 _order = list(QUERIES)
 for _q in _R11_NEW:

@@ -203,6 +203,9 @@ _AUDITED_FLOORDIV = [
     r"\(n_orders \* 1000000\) // n_total",
     r"// \(sa\.supp::HUGEINT \* sb\.supp\)",
     r"\(promo_cents \* 1000000\) // total_cents",
+    # round 11: interarrival gap d_us = us - lag(us) over an ORDER BY
+    # us window is non-negative by the window order.
+    r"\(d_us\) // 1000000",
     # pagerank: rank/teleport/support counters are non-negative.
     r"sum\(r\.rank // d2\.outdeg\)",
     r"\d+ \* COALESCE\(s\.c_in, 0\)\) // \d+",

@@ -928,3 +928,43 @@ def test_link_prediction_caches_edges_and_avoids_global_sort(spark):
         assert "partial_count" in plan, plan
     finally:
         release_tracked()
+
+
+def test_cross_source_contamination_two_exchanges_no_text_payload(spark):
+    """Round 11 late: ONE 16-byte prefix-hash exchange (partial
+    collect_set below it) + the tiny pair rollup — 2 hash exchanges
+    total, no join anywhere, and the scan prunes to (text, source)
+    (doc text itself never rides a shuffle: the hash does)."""
+    df = QUERIES["cross_source_contamination"](spark, SF_DIR)
+    plan = _plan(df)
+    tree = operator_tree(df)
+    assert count_exchanges(df, "hashpartitioning") == 2, tree
+    assert "Join" not in tree, tree
+    assert "lang" not in plan and "n_chars" not in plan, "pruning"
+
+
+def test_interarrival_window_partitions_by_user_and_type(spark):
+    """Round 11 late: the lag window partitions by (user_id,
+    event_type) — never the bare low-cardinality type (the round-9
+    few-groups sort-cliff rule); the persisted weight table feeds the
+    fused multi-q core (InMemoryRelation present); quantile-core
+    exchanges are the tiny (g, bucket) frames."""
+    import re
+
+    from distributed_computing_spark.caching import release_tracked
+
+    try:
+        df = QUERIES["user_interarrival_quantiles"](spark, SF_DIR)
+        plan = _plan(df)
+        parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        win_parts = [p for p in parts if "user_id" in p]
+        assert win_parts and all(
+            "event_type" in p for p in win_parts
+        ), parts
+        # no exchange keyed on event_type alone
+        assert not any(
+            p.startswith("event_type") for p in parts
+        ), parts
+        assert "InMemoryRelation" in operator_tree(df)
+    finally:
+        release_tracked()

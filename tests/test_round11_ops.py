@@ -1019,3 +1019,89 @@ def test_late_shipment_family_equals_undecorrelated_form(spark):
     )
     got12 = QUERIES["late_lines_priority_mix"](spark, SF_DIR).collect()
     assert [tuple(r) for r in got12] == [tuple(r) for r in alt12.collect()]
+
+
+def test_cross_source_contamination_planted_and_capped(spark, tmp_path):
+    """Planted cross-source prefix dups: sources A/B share two prefix
+    groups, B/C one, A/C none; a prefix held by more sources than the
+    cap is dropped entirely (the absolute-cap contract)."""
+    from distributed_computing_spark.operators.dedup import (
+        cross_source_contamination,
+    )
+
+    pref1 = " ".join(f"alpha{i}" for i in range(16))
+    pref2 = " ".join(f"beta{i}" for i in range(16))
+    pref3 = " ".join(f"gamma{i}" for i in range(16))
+    hot = " ".join(f"hot{i}" for i in range(16))
+    rows = [
+        (1, pref1 + " tail a", "en", "A", 1),
+        (2, pref1 + " tail b", "en", "B", 1),
+        (3, pref2 + " other a", "en", "A", 1),
+        (4, pref2 + " other b", "en", "B", 1),
+        (5, pref3 + " x", "en", "B", 1),
+        (6, pref3 + " y", "en", "C", 1),
+        # the hot prefix spans A, B, C — dropped at max_sources=2
+        (7, hot + " p", "en", "A", 1),
+        (8, hot + " q", "en", "B", 1),
+        (9, hot + " r", "en", "C", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    got = {
+        (r.source_a, r.source_b): r.n_shared_prefixes
+        for r in cross_source_contamination(docs, max_sources=2).collect()
+    }
+    assert got == {("A", "B"): 2, ("B", "C"): 1}
+    # uncapped: the hot prefix contributes one group to every pair
+    got = {
+        (r.source_a, r.source_b): r.n_shared_prefixes
+        for r in cross_source_contamination(docs, max_sources=64).collect()
+    }
+    assert got == {("A", "B"): 3, ("B", "C"): 2, ("A", "C"): 1}
+
+
+def test_user_interarrival_quantiles_matches_bruteforce(spark, tmp_path):
+    """Known gap structure: one user's 'click' stream has gaps
+    10/20/30/40 s (plus a sub-second pair truncating to 0), a second
+    user contributes independent gaps that must not mix with the
+    first's stream, and a lone 'view' event yields no gap row. Checked
+    against a pure-Python lower-quantile fold."""
+    import datetime as dt
+
+    from distributed_computing_spark.registry import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def add(user, typ, offsets_s):
+        nonlocal eid
+        for off in offsets_s:
+            eid += 1
+            rows.append(
+                (eid, t0 + dt.timedelta(seconds=off), user, typ, 1.0, "{}")
+            )
+
+    add(1, "click", [0, 10, 30, 60, 100, 100.4])  # gaps 10,20,30,40,0
+    add(2, "click", [0, 5])                        # gap 5
+    add(3, "view", [7])                            # no gap
+    d = str(tmp_path / "sf")
+    _write_events(spark, d, rows)
+    got = {
+        (r.event_type, r.q_permille): (r.n_gaps, r.q_gap_s)
+        for r in QUERIES["user_interarrival_quantiles"](spark, d).collect()
+    }
+
+    def brute(vals, q):
+        vals = sorted(vals)
+        n = len(vals)
+        for i, v in enumerate(vals, start=1):
+            if 1000 * i >= q * n:
+                return v
+        return vals[-1]
+
+    gaps = [10, 20, 30, 40, 0, 5]
+    for q in (500, 900, 990):
+        assert got[("click", q)] == (len(gaps), brute(gaps, q))
+    assert not any(t == "view" for t, _ in got)
