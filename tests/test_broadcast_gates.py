@@ -28,6 +28,7 @@ from distributed_computing_spark.caching import release_tracked
 from distributed_computing_spark.plans import ungated_broadcast_tables
 from distributed_computing_spark.registry import (
     QUERIES,
+    late_shipment_priority,
     market_share_ppm,
     nation_trade_volume,
     segment_allocation,
@@ -50,6 +51,12 @@ GATED_ALLOWLIST = {
     "segment_allocation": (
         {"customer"},
         "max_broadcast_customers footer gate, shuffle-hash fallback",
+    ),
+    "late_shipment_priority": (
+        {"orders"},
+        "market_share three-band gate (footer-certify / linear count "
+        "probe / refuse) on the half-year orders window; decorrelated "
+        "per-order-max shuffle-hash fallback",
     ),
     "ivm_segment_revenue": (
         {"customer"},
@@ -157,8 +164,14 @@ def test_every_scaling_broadcast_is_from_a_gated_site(spark):
             {"max_broadcast_orders": 0, "max_broadcast_customers": 0},
         ),
         (segment_allocation, {"max_broadcast_customers": 0}),
+        (late_shipment_priority, {"max_broadcast_orders": 0}),
     ],
-    ids=["nation_trade_volume", "market_share_ppm", "segment_allocation"],
+    ids=[
+        "nation_trade_volume",
+        "market_share_ppm",
+        "segment_allocation",
+        "late_shipment_priority",
+    ],
 )
 def test_round11_gate_fallbacks_answer_identical(spark, fn, kwargs):
     """Cap forced to 0: the scaling-side broadcasts must vanish from

@@ -874,21 +874,38 @@ def test_returned_top_customers_customer_never_shuffles(spark):
 
 
 def test_late_shipment_priority_decorrelates_with_pushed_bound(spark):
-    """Round 11 late (Q4 shape): the correlated EXISTS runs as a
-    per-order partial-aggregated MAX (map-side combine BEFORE the
-    lineitem exchange), the hand-derived '1996-03-01' bound reaches
-    the lineitem scan, the one orderkey join is shuffle-hash (never
-    sort-merge), and only three hash exchanges exist (orders side,
-    lineitem pre-aggregate, 5-row priority rollup)."""
+    """Round 11 late (Q4 shape), both gate bands:
+
+    - under the gate the half-year orders window BROADCASTS into the
+      lineitem scan and the EXISTS collapses to a map-side partial
+      DISTINCT — lineitem never exchanges (no hash exchange keyed on
+      l_orderkey);
+    - with the cap forced to 0 the correlated EXISTS runs as a
+      per-order partial-aggregated MAX before a shuffle-hash orderkey
+      join (never sort-merge);
+    - the hand-derived '1996-03-01' bound reaches the lineitem scan in
+      BOTH plans."""
+    import re
+
+    from distributed_computing_spark.registry import late_shipment_priority
+
     df = QUERIES["late_shipment_priority"](spark, SF_DIR)
     plan = _plan(df)
     assert has_pushed_filter(df, "GreaterThan(l_shipdate")
     assert has_pushed_filter(df, "GreaterThanOrEqual(o_orderdate")
-    assert "partial_max" in plan, plan
     tree = operator_tree(df)
-    assert "ShuffledHashJoin" in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
     assert "SortMergeJoin" not in tree, tree
-    assert count_exchanges(df, "hashpartitioning") == 3, tree
+    assert "partial_count(distinct" in plan or "HashAggregate" in tree
+    assert not re.search(r"Exchange hashpartitioning\(l_orderkey#\d+", plan), plan
+
+    fb = late_shipment_priority(spark, SF_DIR, max_broadcast_orders=0)
+    fplan = _plan(fb)
+    assert has_pushed_filter(fb, "GreaterThan(l_shipdate")
+    assert "partial_max" in fplan, fplan
+    ftree = operator_tree(fb)
+    assert "ShuffledHashJoin" in ftree, ftree
+    assert "SortMergeJoin" not in ftree, ftree
 
 
 def test_late_lines_priority_mix_one_fact_fact_exchange(spark):

@@ -725,6 +725,29 @@ RECORDED_R11_TIERS: dict = {
         "R400": {"spark_s": 4.67, "duckdb_s": 0.71, "ratio": 6.6},
     },
     # Round-11 additions, first far-tier cells on the same replicas.
+    # Late batch 9, measured SOLO at the DEFAULT heap (the round-11
+    # heap lesson, CLAUDE.md: the 48g dedup knob slows relational
+    # cells 5-6× — link prediction measured 303.9 s under 48g vs
+    # 57.1 s default on the same warmed replica; cells earlier in this
+    # dict were taken under 48g and therefore UNDERSTATE Spark).
+    # late_shipment: the gated-broadcast re-plan (the EXISTS collapses
+    # to a map-side partial distinct; draft decorrelated-max shuffle
+    # 8.2-11.0 s); late_lines: the build-side fix (the draft hinted
+    # shuffle_hash on the LINEITEM side, building the hash table from
+    # the 4× bigger relation — 8.9 s orders-side vs 56-83 s
+    # lineitem-side on loaded runs); link prediction opens FLIPPED —
+    # the single-node wedge self-join is superlinear on the densified
+    # R100 graph while the capped id-only wedge exchange is not.
+    "late_shipment_priority": {
+        "R100_draft": {"spark_s": 8.19, "duckdb_s": 0.48, "ratio": 17.1},
+        "R100": {"spark_s": 5.92, "duckdb_s": 0.56, "ratio": 10.6},
+    },
+    "late_lines_priority_mix": {
+        "R100": {"spark_s": 4.52, "duckdb_s": 0.48, "ratio": 9.5},
+    },
+    "copurchase_link_prediction": {
+        "R100": {"spark_s": 57.1, "duckdb_s": 253.6, "ratio": 0.23},
+    },
     # dominant_part_suppliers is the headline: the double-granularity
     # aggregate (per-(part,supplier) rollup + per-part window totals
     # from ONE fact exchange) holds 8.5 s while the single-node
@@ -875,10 +898,13 @@ RECORDED_ECHO_KEYS: dict[str, tuple[str, ...]] = {
     # (round 11 late: the winnowing pair flip joins the echo — the
     # largest late-round story; the full grid stays in
     # .bench_full.json/BASELINE.md.)
+    # (round 11 late batch 9: link prediction's first-tier flip joins;
+    # neardup_clusters' standing DNF datum rotates out to make room —
+    # it remains in .bench_full.json/BASELINE.md.)
+    "copurchase_link_prediction": ("R100",),
     "dominant_part_suppliers": ("R400",),
     "winnow_neardup": ("R100",),
     "parts_supplier_count": ("R400",),
-    "neardup_clusters": ("R50",),
     "kv_replay_hotkey": ("R500",),
     "kmeans_embeddings": ("R50",),
     "edit1_customer_pairs": ("R10",),
