@@ -3423,3 +3423,72 @@ def lag_autocorr_from_daily(
             ),
         ).cast("long").alias("rho_ppm"),
     ).orderBy("event_type", "lag")
+
+
+def segment_revenue_gini(
+    df: DataFrame, group_col: str, val_col: str
+) -> DataFrame:
+    """Exact per-group GINI COEFFICIENT of a non-negative integer
+    metric (round 11): the Lorenz concentration statistic —
+    ``G = (2·Σᵢ rᵢ·xᵢ − (N+1)·ΣX) / (N·ΣX)`` over ascending-ranked
+    values — shipped as the truncated ppm. The "how concentrated is
+    revenue among customers" question that quantiles (spread) and
+    Spearman (association) don't answer; the standard inequality
+    measure (Gini 1912, the rank-sum form).
+
+    Exactness: Σr·x is invariant to tie ORDER (equal x ⇒ any rank
+    permutation of the tied block sums identically), so min-rank +
+    the tied-block closed form ``x·(k·r_min + k·(k−1)/2)`` equals the
+    row_number() sum ANY engine computes — the oracle uses a plain
+    row_number() window, an independent derivation. The ppm division
+    truncates a provably NON-NEGATIVE numerator (2Σrx ≥ (N+1)ΣX by
+    Chebyshev's sum inequality for ascending ranks) so it is
+    engine-version-invariant; zero-total groups yield NULL, never an
+    ANSI throw. Sums ride DECIMAL(38,0) (Σr·x reaches N²·x — far past
+    2^63 at replica scale); the FINAL schema ships the digit-string
+    total and the bounded BIGINT ppm (the decimal-purge rule).
+    Documented bound: a single tied block of k > ~4.3e9 equal values
+    would overflow the BIGINT k·(k−1) div 2 term — beyond any
+    per-(group, value) multiplicity this schema can produce.
+
+    Plan: ranks come from ``grouped_min_rank``'s two-level bucketed
+    decomposition (never a bare ``partition by group`` window — the
+    round-9 few-groups sort cliff); the ranked rows pre-aggregate to
+    (group, value, rank) TIED BLOCKS map-side, so the per-group
+    DECIMAL fold sees block-sized input; one bounded bounds-collect,
+    one (group, bucket) offset exchange, one block exchange.
+    """
+    dec = "decimal(38,0)"
+    ranked = grouped_min_rank(df, group_col, val_col, "_r")
+    blocks = ranked.groupBy(group_col, val_col, "_r").agg(
+        F.count(F.lit(1)).alias("_k")
+    )
+    per = blocks.select(
+        group_col,
+        F.expr(f"cast({val_col} as {dec}) * cast(_k as {dec})").alias(
+            "_sx"
+        ),
+        F.expr(
+            f"cast({val_col} as {dec}) * ("
+            f"cast(_k as {dec}) * cast(_r as {dec})"
+            f" + cast((cast(_k as {dec}) * cast(_k - 1 as {dec}))"
+            f" div 2 as {dec}))"
+        ).alias("_srx"),
+        F.col("_k"),
+    )
+    g = per.groupBy(group_col).agg(
+        F.sum("_k").cast("long").alias("n"),
+        F.sum("_sx").alias("sx"),
+        F.sum("_srx").alias("srx"),
+    )
+    return g.select(
+        group_col,
+        F.col("n").alias("n_members"),
+        F.col("sx").cast("string").alias("total_value"),
+        F.expr(
+            "cast(case when sx > 0 then "
+            f"((2 * srx - (cast(n as {dec}) + 1) * sx)"
+            f" * cast(1000000 as {dec})) div (cast(n as {dec}) * sx) "
+            "end as bigint)"
+        ).alias("gini_ppm"),
+    ).orderBy(group_col)

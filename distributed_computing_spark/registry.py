@@ -7965,6 +7965,66 @@ FROM r, q
 GROUP BY 1, 2, r.tot ORDER BY 1, 2"""
 
 
+def segment_revenue_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment Gini of customer revenue (round 11): how
+    concentrated is order revenue among each segment's customers —
+    see analytics.segment_revenue_gini for the exactness and the
+    bucketed-rank plan. Customers with no orders are excluded by the
+    inner join (the statistic is over the REVENUE-HOLDING population;
+    zero-revenue members would only rescale it monotonically).
+
+    Plan: the per-customer cents rollup is ONE partial-aggregated
+    orders exchange; the segment attaches via the audited
+    joins.gated_broadcast on the customer footer count (the
+    regional_revenue family's gate); then the Gini core (bucketed
+    ranks, block fold)."""
+    from distributed_computing_spark.operators.analytics import (
+        segment_revenue_gini,
+    )
+    from distributed_computing_spark.operators.joins import gated_broadcast
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100).cast("long")
+        ).alias("x")
+    )
+    seg = rev.join(
+        gated_broadcast(
+            cust.select("c_custkey", "c_mktsegment"), cust.count()
+        ),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select("c_mktsegment", "x")
+    return segment_revenue_gini(seg, "c_mktsegment", "x")
+
+
+QUERIES["segment_revenue_gini"] = segment_revenue_gini_q
+# ((2*srx - (n+1)*sx) * 1000000) // (n * sx): numerator non-negative by
+# Chebyshev's sum inequality over ascending ranks (see the audited
+# allowlist in tests/test_oracle_portability.py).
+ORACLES["segment_revenue_gini"] = """
+WITH x AS (SELECT o_custkey,
+                  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                       AS HUGEINT) AS x
+           FROM orders GROUP BY 1),
+s AS (SELECT c.c_mktsegment, x.x
+      FROM x JOIN customer c ON x.o_custkey = c.c_custkey),
+r AS (SELECT c_mktsegment, x,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY x) AS HUGEINT) AS rn
+      FROM s),
+g AS (SELECT c_mktsegment, count(*)::HUGEINT AS n,
+             sum(x) AS sx, sum(rn * x) AS srx
+      FROM r GROUP BY 1)
+SELECT c_mktsegment, CAST(n AS BIGINT) AS n_members,
+       CAST(sx AS VARCHAR) AS total_value,
+       CAST(CASE WHEN sx > 0 THEN
+              ((2 * srx - (n + 1) * sx) * 1000000) // (n * sx)
+            END AS BIGINT) AS gini_ppm
+FROM g ORDER BY 1"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 11 — VERDICT r10 item 2)
 # ---------------------------------------------------------------------------
@@ -8016,7 +8076,7 @@ _R11_WINDOW = [
     "multimodal_ann", "multimodal_avi_frames", "multimodal_bmp_decode",
     "multimodal_frames", "multimodal_real_ann",
     "multimodal_stats", "multimodal_wav_decode",
-    "zorder_cells", "zorder_events_scan",
+    "zorder_events_scan",
     # the two r7-stale oracle-backed picks that took the slots of the
     # UNCHANGED rows-only r6 entries (multimodal_features,
     # sample_by_lang — VERDICT r10 item 5) later yielded them to the
@@ -8041,9 +8101,9 @@ _R11_WINDOW = [
     # joins the r12 first picks: epoch_shuffle, dq_audit,
     # decayed_user_activity, clean_docs, curated_read_pruned,
     # mixture_sample, event_transitions, fuzzy_customer_match,
-    # events_gapfill, events_ohlc, and — for the final five below —
+    # events_gapfill, events_ohlc, and — for the final six below —
     # bigram_logprob, bloom_semi_orders, prefix_dups,
-    # salted_revenue_join, source_token_kl)
+    # salted_revenue_join, source_token_kl, zorder_cells)
     "ks_price_drift", "vocab_growth", "winnow_fingerprints",
     "neighbor_customer_pairs", "copurchase_clustering",
     "returned_top_customers", "stream_winnow_ingest",
@@ -8051,6 +8111,7 @@ _R11_WINDOW = [
     "late_shipment_priority", "late_lines_priority_mix",
     "copurchase_link_prediction",
     "cross_source_contamination", "user_interarrival_quantiles",
+    "segment_revenue_gini",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R11_WINDOW} | {
@@ -8073,6 +8134,7 @@ _R11_NEW: list[str] = [
     "late_shipment_priority", "late_lines_priority_mix",
     "copurchase_link_prediction",
     "cross_source_contamination", "user_interarrival_quantiles",
+    "segment_revenue_gini",
 ]
 _order = list(QUERIES)
 for _q in _R11_NEW:

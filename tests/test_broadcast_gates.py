@@ -62,6 +62,10 @@ GATED_ALLOWLIST = {
         {"customer"},
         "joins.gated_broadcast on the customer footer count",
     ),
+    "segment_revenue_gini": (
+        {"customer"},
+        "joins.gated_broadcast on the customer footer count",
+    ),
     "revenue_by_segment": (
         {"customer"},
         "joins.gated_broadcast on the customer footer count",

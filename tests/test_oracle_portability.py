@@ -206,6 +206,10 @@ _AUDITED_FLOORDIV = [
     # round 11: interarrival gap d_us = us - lag(us) over an ORDER BY
     # us window is non-negative by the window order.
     r"\(d_us\) // 1000000",
+    # round 11: the Gini numerator 2Σr·x − (N+1)ΣX is non-negative by
+    # Chebyshev's sum inequality over ascending ranks; n·sx > 0 under
+    # the CASE guard.
+    r"\(\(2 \* srx - \(n \+ 1\) \* sx\) \* 1000000\) // \(n \* sx\)",
     # pagerank: rank/teleport/support counters are non-negative.
     r"sum\(r\.rank // d2\.outdeg\)",
     r"\d+ \* COALESCE\(s\.c_in, 0\)\) // \d+",

@@ -985,3 +985,29 @@ def test_interarrival_window_partitions_by_user_and_type(spark):
         assert "InMemoryRelation" in operator_tree(df)
     finally:
         release_tracked()
+
+
+def test_gini_rank_windows_are_bucket_partitioned(spark):
+    """Round 11 late: the Gini ranks ride grouped_min_rank's two-level
+    decomposition — every rank window partitions by (group, bucket),
+    never the bare 5-segment group (the round-9 sort-cliff rule); the
+    segment attach is the audited gated broadcast; the block fold
+    partial-aggregates."""
+    import re
+
+    from distributed_computing_spark.caching import release_tracked
+
+    try:
+        df = QUERIES["segment_revenue_gini"](spark, SF_DIR)
+        plan = _plan(df)
+        # the rank window rides (c_mktsegment, _gb) partitioning (the
+        # spearman assertion shape); bare-segment partitionings may
+        # appear only for the TINY offset/final frames
+        assert re.findall(
+            r"hashpartitioning\(c_mktsegment#\d+, _gb", plan
+        ), plan
+        assert operator_tree(df).count("Window") >= 1
+        assert "BroadcastHashJoin" in operator_tree(df)
+        assert "partial_count" in plan and "partial_sum" in plan
+    finally:
+        release_tracked()

@@ -1105,3 +1105,60 @@ def test_user_interarrival_quantiles_matches_bruteforce(spark, tmp_path):
     for q in (500, 900, 990):
         assert got[("click", q)] == (len(gaps), brute(gaps, q))
     assert not any(t == "view" for t, _ in got)
+
+
+def test_segment_revenue_gini_matches_bruteforce(spark):
+    """Gini anchors against the textbook rank-sum fold: all-equal ->
+    0; one holder of everything -> (N-1)/N; a tied mixed distribution
+    must match the pure-Python row_number() sum exactly (tie order
+    can't matter — the invariance the block formula relies on)."""
+    from distributed_computing_spark.caching import release_tracked
+    from distributed_computing_spark.operators.analytics import (
+        segment_revenue_gini,
+    )
+
+    def brute(vals):
+        vals = sorted(vals)
+        n = len(vals)
+        sx = sum(vals)
+        srx = sum(r * x for r, x in enumerate(vals, start=1))
+        if sx == 0:
+            return None
+        num = (2 * srx - (n + 1) * sx) * 1_000_000
+        t = num // (n * sx)
+        return t
+
+    cases = {
+        "equal": [5, 5, 5, 5],
+        "onehot": [0, 0, 0, 100],
+        "tied_mix": [1, 1, 2, 2, 2, 7, 7, 30],
+        "single": [42],
+    }
+    rows = [(g, v) for g, vs in cases.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, x long")
+    try:
+        got = {
+            r.g: (r.n_members, r.total_value, r.gini_ppm)
+            for r in segment_revenue_gini(df, "g", "x").collect()
+        }
+    finally:
+        release_tracked()
+    for g, vs in cases.items():
+        assert got[g] == (len(vs), str(sum(vs)), brute(vs)), (g, got[g])
+    assert got["equal"][2] == 0
+    assert got["onehot"][2] == 750_000  # (N-1)/N = 3/4
+    assert got["single"][2] == 0
+
+
+def test_segment_revenue_gini_zero_total_is_null(spark):
+    from distributed_computing_spark.caching import release_tracked
+    from distributed_computing_spark.operators.analytics import (
+        segment_revenue_gini,
+    )
+
+    df = spark.createDataFrame([("z", 0), ("z", 0)], "g string, x long")
+    try:
+        rows = segment_revenue_gini(df, "g", "x").collect()
+    finally:
+        release_tracked()
+    assert len(rows) == 1 and rows[0]["gini_ppm"] is None
