@@ -688,41 +688,49 @@ RECORDED_R10_TIERS: dict = {
 
 RECORDED_R11_TIERS: dict = {
     # VERDICT r10 item 6: far-tier (R400 orders+lineitem subset
-    # replica, 60 M ⋈ 240 M, zstd + 48g — the documented recipe) third
-    # points for the four R100-only round-10 TPC-H shapes. TWO flips:
-    # parts_supplier_count's distinct-census (DuckDB's 240 M-row
-    # DISTINCT (part,supplier,lineitem-attrs) pass goes superlinear,
-    # 0.79 → 31.0 s for the 4× step, while Spark's partial-distinct
-    # exchange stays linear) and — after the round-11 persist fix —
-    # top_supplier_revenue converging into the scan band.
+    # replica, 60 M ⋈ 240 M) third points for the four R100-only
+    # round-10 TPC-H shapes. The *_48g cells are the ORIGINAL recipe
+    # (zstd + 48g driver); the R400 cells are the round-11-late
+    # RE-MEASUREMENT, solo at the DEFAULT heap (the CLAUDE.md heap
+    # lesson — the 48g environment distorted BOTH engines in the same
+    # process). TWO FLIP CLAIMS RETRACTED on re-measurement:
+    # parts_supplier_count's old DuckDB 31.0 s does not reproduce
+    # (5.2-5.9 s across two clean runs; Spark's distinct-census band
+    # is noisy, 14.2-60.0 s — recorded at the first full-table run)
+    # and important_part_share's old DuckDB 27.2 s reads 3.3-3.4 s
+    # clean. dominant_part_suppliers' win SURVIVES re-measurement
+    # (duck 90.4-131.7, spark 9.2-13.2 → ~10×, was stated as 22.5×).
     "parts_supplier_count": {
-        "R400": {"spark_s": 17.12, "duckdb_s": 30.95, "ratio": 0.55},
+        "R400_48g": {"spark_s": 17.12, "duckdb_s": 30.95, "ratio": 0.55},
+        "R400": {"spark_s": 14.19, "duckdb_s": 5.20, "ratio": 2.7},
     },
     "top_supplier_revenue": {
         # the R400 probe caught the draft re-running the filtered fact
         # aggregate for BOTH consumers (max + join-back): 28.7 s with
         # cold pages; track_persist -> ONE scan + two cache reads,
-        # 4.52 s warm, answer-identical (plan-asserted: two
-        # InMemoryTableScans).
+        # answer-identical (plan-asserted: two InMemoryTableScans).
         "R400_draft": {"spark_s": 28.74, "duckdb_s": 1.68, "ratio": 17.1},
-        "R400": {"spark_s": 4.52, "duckdb_s": 1.30, "ratio": 3.5},
+        "R400_48g": {"spark_s": 4.52, "duckdb_s": 1.30, "ratio": 3.5},
+        "R400": {"spark_s": 2.28, "duckdb_s": 1.24, "ratio": 1.8},
     },
     "sales_opportunity": {
-        "R400": {"spark_s": 2.72, "duckdb_s": 0.22, "ratio": 12.6},
+        "R400_48g": {"spark_s": 2.72, "duckdb_s": 0.22, "ratio": 12.6},
+        "R400": {"spark_s": 1.97, "duckdb_s": 0.16, "ratio": 12.6},
     },
     "min_cost_supplier": {
-        "R400": {"spark_s": 3.87, "duckdb_s": 1.77, "ratio": 2.2},
+        "R400_48g": {"spark_s": 3.87, "duckdb_s": 1.77, "ratio": 2.2},
+        "R400": {"spark_s": 2.79, "duckdb_s": 1.12, "ratio": 2.5},
     },
     # VERDICT r10 item 3: custdist_histogram's re-plan (the Q18
     # motion — the orders aggregate side, bounded by min(|customer|,
     # |orders|) footer counts, BROADCASTS into the outer join so the
     # customer scan never shuffles): recorded cell 6.16 → 4.67 s
-    # (ratio 15.4 → 6.6); warm steady-state decomposes 0.7 s orders
-    # scan+agg + 0.8 s join/histogram (~1.5 s total vs DuckDB 0.71 —
-    # the remaining gap is cold-IO + scheduling floor, not a plan
-    # defect).
+    # under 48g; the default-heap re-measurement reads 1.51 s — the
+    # warm steady-state decomposition (0.7 s scan+agg + 0.8 s
+    # join/histogram) was right and the 48g overhead was the rest.
     "custdist_histogram": {
-        "R400": {"spark_s": 4.67, "duckdb_s": 0.71, "ratio": 6.6},
+        "R400_48g": {"spark_s": 4.67, "duckdb_s": 0.71, "ratio": 6.6},
+        "R400": {"spark_s": 1.51, "duckdb_s": 0.21, "ratio": 7.1},
     },
     # Round-11 additions, first far-tier cells on the same replicas.
     # Late batch 9, measured SOLO at the DEFAULT heap (the round-11
@@ -741,29 +749,37 @@ RECORDED_R11_TIERS: dict = {
     "late_shipment_priority": {
         "R100_draft": {"spark_s": 8.19, "duckdb_s": 0.48, "ratio": 17.1},
         "R100": {"spark_s": 5.92, "duckdb_s": 0.56, "ratio": 10.6},
+        "R400": {"spark_s": 11.10, "duckdb_s": 1.42, "ratio": 7.8},
     },
     "late_lines_priority_mix": {
         "R100": {"spark_s": 4.52, "duckdb_s": 0.48, "ratio": 9.5},
+        "R400": {"spark_s": 9.90, "duckdb_s": 1.57, "ratio": 6.3},
     },
     "copurchase_link_prediction": {
         "R100": {"spark_s": 57.1, "duckdb_s": 253.6, "ratio": 0.23},
     },
     # dominant_part_suppliers is the headline: the double-granularity
     # aggregate (per-(part,supplier) rollup + per-part window totals
-    # from ONE fact exchange) holds 8.5 s while the single-node
-    # two-level GROUP BY + join collapses at 240 M rows — a 22.5×
-    # Spark WIN, the largest recorded flip in the repo.
+    # from ONE fact exchange) holds ~9-13 s while the single-node
+    # two-level GROUP BY + join collapses at 240 M rows (90.4-131.7 s
+    # across two clean default-heap runs; the original 48g-recipe run
+    # read 192.3 s) — a ~10× Spark WIN, the largest surviving flip.
     "dominant_part_suppliers": {
         "R100": {"spark_s": 3.94, "duckdb_s": 7.55, "ratio": 0.52},
-        "R400": {"spark_s": 8.54, "duckdb_s": 192.28, "ratio": 0.04},
+        "R400_48g": {"spark_s": 8.54, "duckdb_s": 192.28, "ratio": 0.04},
+        "R400": {"spark_s": 9.17, "duckdb_s": 90.39, "ratio": 0.10},
     },
+    # FLIP RETRACTED on clean re-measurement (see the heap-lesson
+    # comment above): the old DuckDB 27.2 s reads 3.3-3.4 s solo.
     "important_part_share": {
         "R100": {"spark_s": 4.86, "duckdb_s": 0.61, "ratio": 8.0},
-        "R400": {"spark_s": 10.34, "duckdb_s": 27.20, "ratio": 0.38},
+        "R400_48g": {"spark_s": 10.34, "duckdb_s": 27.20, "ratio": 0.38},
+        "R400": {"spark_s": 9.91, "duckdb_s": 3.44, "ratio": 2.9},
     },
     "promo_mix_revenue": {
         "R100": {"spark_s": 2.59, "duckdb_s": 0.60, "ratio": 4.3},
-        "R400": {"spark_s": 4.09, "duckdb_s": 1.92, "ratio": 2.1},
+        "R400_48g": {"spark_s": 4.09, "duckdb_s": 1.92, "ratio": 2.1},
+        "R400": {"spark_s": 3.57, "duckdb_s": 2.02, "ratio": 1.8},
     },
     # events-only replicas (R500 = 50 M, R1000 = 100 M events): both
     # engines pay the per-user sessionization window sort; Spark's
@@ -900,11 +916,12 @@ RECORDED_ECHO_KEYS: dict[str, tuple[str, ...]] = {
     # .bench_full.json/BASELINE.md.)
     # (round 11 late batch 9: link prediction's first-tier flip joins;
     # neardup_clusters' standing DNF datum rotates out to make room —
-    # it remains in .bench_full.json/BASELINE.md.)
+    # it remains in .bench_full.json/BASELINE.md. parts_supplier_count
+    # leaves the echo entirely: its R400 flip was RETRACTED on the
+    # default-heap re-measurement — see RECORDED_R11_TIERS.)
     "copurchase_link_prediction": ("R100",),
     "dominant_part_suppliers": ("R400",),
     "winnow_neardup": ("R100",),
-    "parts_supplier_count": ("R400",),
     "kv_replay_hotkey": ("R500",),
     "kmeans_embeddings": ("R50",),
     "edit1_customer_pairs": ("R10",),
