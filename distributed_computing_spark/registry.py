@@ -8025,6 +8025,76 @@ SELECT c_mktsegment, CAST(n AS BIGINT) AS n_members,
 FROM g ORDER BY 1"""
 
 
+def stream_interarrival_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ONLINE twin of user_interarrival_quantiles (round 11):
+    per-(user, type) gap extraction as applyInPandasWithState whose
+    state is ONE last-timestamp long per key — the minimal
+    sessionization state (streaming/interarrival.py; the K5 family's
+    third domain). Replayed as 4 time-ordered micro-batches (the
+    seq-source recipe, rebased microseconds so the n-tile split cuts
+    the stream); the emitted gap rows flush to storage (the
+    stream_cusum handoff — the quantile core re-reads its weight
+    table, which a memory-sink view can't serve) and the SAME fused
+    multi-q core reports P50/P90/P99. Gated by the BATCH oracle:
+    online == lag-window exactly (cross-batch gaps included — the
+    boundary case the pytest pins)."""
+    from distributed_computing_spark.caching import (
+        session_tmpdir,
+        track_persist,
+    )
+    from distributed_computing_spark.operators.analytics import (
+        grouped_weighted_quantiles_multi,
+    )
+    from distributed_computing_spark.streaming.interarrival import (
+        gap_stream,
+    )
+    from distributed_computing_spark.streaming.runner import (
+        run_to_batch,
+        stream_in_seq_batches,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    t0 = e.agg(F.min("us").alias("m")).collect()[0]["m"] or 0
+    e = e.withColumn("rel", (F.col("us") - F.lit(int(t0))).cast("long"))
+    sdf = stream_in_seq_batches(spark, e, n=4, order_col="rel")
+    gaps = run_to_batch(
+        gap_stream(sdf.drop("rel")), spark, output_mode="append"
+    )
+    out = session_tmpdir(prefix="dcs_gaps_")
+    gaps.write.mode("overwrite").parquet(out)
+    vw = track_persist(
+        spark.read.parquet(out)
+        .groupBy(
+            F.col("event_type").alias("g"), F.col("gap_s").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("wt"))
+    )
+    return (
+        grouped_weighted_quantiles_multi(vw, [500, 900, 990])
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("q").alias("q_permille"),
+            F.col("w_total").alias("n_gaps"),
+            F.col("q_v").alias("q_gap_s"),
+        )
+        .orderBy("event_type", "q_permille")
+    )
+
+
+QUERIES["stream_interarrival_quantiles"] = stream_interarrival_quantiles
+ORACLES["stream_interarrival_quantiles"] = ORACLES[
+    "user_interarrival_quantiles"
+]
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 11 — VERDICT r10 item 2)
 # ---------------------------------------------------------------------------
@@ -8074,7 +8144,7 @@ _R11_WINDOW = [
     "copurchase_bfs", "copurchase_shortest_paths",
     "ivf_topk", "lsh_topk",
     "multimodal_ann", "multimodal_avi_frames", "multimodal_bmp_decode",
-    "multimodal_frames", "multimodal_real_ann",
+    "multimodal_real_ann",
     "multimodal_stats", "multimodal_wav_decode",
     "zorder_events_scan",
     # the two r7-stale oracle-backed picks that took the slots of the
@@ -8101,9 +8171,10 @@ _R11_WINDOW = [
     # joins the r12 first picks: epoch_shuffle, dq_audit,
     # decayed_user_activity, clean_docs, curated_read_pruned,
     # mixture_sample, event_transitions, fuzzy_customer_match,
-    # events_gapfill, events_ohlc, and — for the final six below —
+    # events_gapfill, events_ohlc, and — for the final seven below —
     # bigram_logprob, bloom_semi_orders, prefix_dups,
-    # salted_revenue_join, source_token_kl, zorder_cells)
+    # salted_revenue_join, source_token_kl, zorder_cells,
+    # multimodal_frames)
     "ks_price_drift", "vocab_growth", "winnow_fingerprints",
     "neighbor_customer_pairs", "copurchase_clustering",
     "returned_top_customers", "stream_winnow_ingest",
@@ -8111,7 +8182,7 @@ _R11_WINDOW = [
     "late_shipment_priority", "late_lines_priority_mix",
     "copurchase_link_prediction",
     "cross_source_contamination", "user_interarrival_quantiles",
-    "segment_revenue_gini",
+    "segment_revenue_gini", "stream_interarrival_quantiles",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R11_WINDOW} | {
@@ -8134,7 +8205,7 @@ _R11_NEW: list[str] = [
     "late_shipment_priority", "late_lines_priority_mix",
     "copurchase_link_prediction",
     "cross_source_contamination", "user_interarrival_quantiles",
-    "segment_revenue_gini",
+    "segment_revenue_gini", "stream_interarrival_quantiles",
 ]
 _order = list(QUERIES)
 for _q in _R11_NEW:

@@ -747,3 +747,57 @@ def test_stream_cusum_drift_equals_batch(spark):
     batch = {tuple(r) for r in QUERIES["events_cusum_drift"](spark, sf).collect()}
     stream = {tuple(r) for r in QUERIES["stream_cusum_drift"](spark, sf).collect()}
     assert batch == stream and len(batch) > 0
+
+
+def test_interarrival_gaps_span_batches(spark, tmp_path):
+    """Cross-batch state: a key whose consecutive events land in
+    DIFFERENT micro-batches must still emit the boundary gap (from the
+    one-long state), and the total gap multiset must equal the batch
+    lag-window fold. Ties within a batch follow (us, event_id)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from distributed_computing_spark.streaming.interarrival import (
+        gap_stream,
+    )
+    from distributed_computing_spark.streaming.runner import (
+        run_to_batch,
+        stream_in_seq_batches,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # user 1 'click': events at 0s, 10s, 1000s, 1990s -> gaps 10, 990, 990
+    # (the 10->1000 and 1000->1990 gaps cross the 2-batch split at 995)
+    # user 2 'click': 500s, 500s (tie), 600s -> gaps 0, 100
+    # user 3 'view': single event -> no gaps
+    rows = [
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=10), 1, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(seconds=1000), 1, "click", 1.0, "{}"),
+        (4, t0 + dt.timedelta(seconds=1990), 1, "click", 1.0, "{}"),
+        (5, t0 + dt.timedelta(seconds=500), 2, "click", 1.0, "{}"),
+        (6, t0 + dt.timedelta(seconds=500), 2, "click", 1.0, "{}"),
+        (7, t0 + dt.timedelta(seconds=600), 2, "click", 1.0, "{}"),
+        (8, t0 + dt.timedelta(seconds=77), 3, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    e = df.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    t_min = e.agg(F.min("us")).collect()[0][0]
+    e = e.withColumn("rel", (F.col("us") - F.lit(int(t_min))).cast("long"))
+    sdf = stream_in_seq_batches(spark, e, n=2, order_col="rel")
+    got = run_to_batch(
+        gap_stream(sdf.drop("rel")), spark, output_mode="append"
+    ).collect()
+    gaps = sorted((r.event_type, r.gap_s) for r in got)
+    assert gaps == sorted(
+        [("click", 10), ("click", 990), ("click", 990),
+         ("click", 0), ("click", 100)]
+    )
