@@ -668,12 +668,17 @@ RECORDED_R10_TIERS: dict = {
         # doubling (3.90 → 3.88) — the series detector's cost is the
         # one daily-rollup exchange, independent of row count at these
         # tiers; the single-node count grows with the data.
+        # (default-heap re-measure, round-11 late: 3.33/1.31 → 2.6 —
+        # same shape, ratio improves.)
         "R1000": {"spark_s": 3.88, "duckdb_s": 0.65, "ratio": 6.0},
         # R2000 = 200 M events (round 11): the flat regime ends where
         # the raw scan becomes the dominant term (7.49 warm; the first
         # cold-page pass read 17.0 — recorded warm per the warm-the-
         # right-things rule). Convergence continues (6.0 → 5.1); the
         # crossing lies beyond this box's replica sizes.
+        # (default-heap re-measures, round-11 late: R1000 3.33/1.31 →
+        # 2.6; R2000 12.89/6.87 → 1.9 — convergence holds, absolutes
+        # wobble inside the documented host band.)
         "R2000": {"spark_s": 7.49, "duckdb_s": 1.46, "ratio": 5.1},
     },
     "events_theilsen": {
@@ -682,6 +687,8 @@ RECORDED_R10_TIERS: dict = {
         "R1000": {"spark_s": 4.57, "duckdb_s": 0.71, "ratio": 6.4},
         # R2000 (round 11): 21.0 → 9.9 → 6.4 → 3.1 — the crossing the
         # r10 slope extrapolated is nearly realized at 200 M events.
+        # (default-heap re-measures: R1000 2.78/0.89 → 3.1; R2000
+        # 7.37/1.57 → 4.7 — ratios band 3-5, host-variance bounded.)
         "R2000": {"spark_s": 3.22, "duckdb_s": 1.04, "ratio": 3.1},
     },
 }
@@ -781,18 +788,29 @@ RECORDED_R11_TIERS: dict = {
         "R400_48g": {"spark_s": 4.09, "duckdb_s": 1.92, "ratio": 2.1},
         "R400": {"spark_s": 3.57, "duckdb_s": 2.02, "ratio": 1.8},
     },
-    # events-only replicas (R500 = 50 M, R1000 = 100 M events): both
-    # engines pay the per-user sessionization window sort; Spark's
-    # parallel sort wins at both tiers (74/96 then 163/183 — both
-    # sides near-linear, the win holds).
+    # events-only replicas (R500 = 50 M, R1000 = 100 M events). The
+    # *_48g cells are the original recipe; the default-heap solo
+    # re-measurement (the CLAUDE.md heap lesson) moves BOTH sides:
+    # Spark's sessionization sort sheds the 48g overhead (74 → 15.5 s
+    # at R500) while DuckDB's R1000 window sort reads far SLOWER solo
+    # than in the original run (303.7-530.5 s across two runs vs the
+    # old 183 — its sort spills; band recorded). The win is robust
+    # under every pairing: worst case 37.7/303.7 = 0.12.
     "session_peak_concurrency": {
-        "R500": {"spark_s": 74.0, "duckdb_s": 96.0, "ratio": 0.77},
-        "R1000": {"spark_s": 163.3, "duckdb_s": 183.0, "ratio": 0.89},
+        "R500_48g": {"spark_s": 74.0, "duckdb_s": 96.0, "ratio": 0.77},
+        "R500": {"spark_s": 15.46, "duckdb_s": 68.42, "ratio": 0.23},
+        "R1000_48g": {"spark_s": 163.3, "duckdb_s": 183.0, "ratio": 0.89},
+        "R1000": {"spark_s": 21.33, "duckdb_s": 303.7, "ratio": 0.07},
     },
     # the seasonal-median detector joins the series-family convergence
-    # band (cusum 6.0, theilsen 6.4 at the same tier).
+    # band (re-measured default-heap: cusum 2.6, theilsen 3.1, lag 2.6
+    # at the same tier).
     "events_dow_anomalies": {
-        "R1000": {"spark_s": 7.80, "duckdb_s": 1.31, "ratio": 6.0},
+        "R1000_48g": {"spark_s": 7.80, "duckdb_s": 1.31, "ratio": 6.0},
+        "R1000": {"spark_s": 6.03, "duckdb_s": 1.74, "ratio": 3.5},
+    },
+    "events_lag_autocorr": {
+        "R1000": {"spark_s": 2.41, "duckdb_s": 0.91, "ratio": 2.6},
     },
     # round-11 batch 2. The doc-family cells carry the fused-Arrow
     # re-plans (drafts: dedup_savings 21.1 s via JVM-regex/explode
@@ -814,10 +832,17 @@ RECORDED_R11_TIERS: dict = {
     },
     "user_burst_rates": {
         "R20": {"spark_s": 2.37, "duckdb_s": 0.12, "ratio": 19.9},
-        "R1000": {"spark_s": 54.3, "duckdb_s": 48.2, "ratio": 1.13},
-        # R2000 (round 11): FLIPS — the single-node per-user RANGE
-        # sort outgrows Spark's parallel form at 200 M events.
-        "R2000": {"spark_s": 93.3, "duckdb_s": 102.4, "ratio": 0.91},
+        # *_48g = the original recipe runs; bare tiers = the solo
+        # default-heap re-measurement (the heap lesson). At R1000 the
+        # re-measure moves BOTH sides down (duck band 7.4-14.9 across
+        # two runs, spark 25.3-27.6 — ratio 1.9-3.4, no longer near
+        # parity); at R2000 the FLIP is CONFIRMED and STRENGTHENS:
+        # DuckDB's per-user RANGE sort goes 14.9 → 181.0 s for the 2×
+        # step (spilling), Spark's 27.6 → 66.5.
+        "R1000_48g": {"spark_s": 54.3, "duckdb_s": 48.2, "ratio": 1.13},
+        "R1000": {"spark_s": 25.30, "duckdb_s": 7.42, "ratio": 3.4},
+        "R2000_48g": {"spark_s": 93.3, "duckdb_s": 102.4, "ratio": 0.91},
+        "R2000": {"spark_s": 66.52, "duckdb_s": 181.0, "ratio": 0.37},
     },
     # round-11 late batch: the winnowing fingerprint pass is a Spark
     # WIN from its FIRST tier (the single-node side pays md5 per gram
