@@ -7977,7 +7977,13 @@ def segment_revenue_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders exchange; the segment attaches via the audited
     joins.gated_broadcast on the customer footer count (the
     regional_revenue family's gate); then the Gini core (bucketed
-    ranks, block fold)."""
+    ranks, block fold). ``seg`` (<= |customer| rows, two narrow
+    columns) is track_persisted: grouped_min_rank's eager bounds
+    collect plus the ranking and counts/offsets branches would
+    otherwise evaluate the rollup+join THREE times (ADVICE r11 —
+    the CLAUDE.md shared-subtree rule; reuse pinned in
+    tests/test_plans.py::test_segment_revenue_gini_persists_seg)."""
+    from distributed_computing_spark.caching import track_persist
     from distributed_computing_spark.operators.analytics import (
         segment_revenue_gini,
     )
@@ -7990,12 +7996,14 @@ def segment_revenue_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100).cast("long")
         ).alias("x")
     )
-    seg = rev.join(
-        gated_broadcast(
-            cust.select("c_custkey", "c_mktsegment"), cust.count()
-        ),
-        F.col("o_custkey") == F.col("c_custkey"),
-    ).select("c_mktsegment", "x")
+    seg = track_persist(
+        rev.join(
+            gated_broadcast(
+                cust.select("c_custkey", "c_mktsegment"), cust.count()
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        ).select("c_mktsegment", "x")
+    )
     return segment_revenue_gini(seg, "c_mktsegment", "x")
 
 

@@ -2,10 +2,12 @@
 
 The ONLINE counterpart of the registry's batch lag-window gap pass
 (``user_interarrival_quantiles``): a per-(user, type)
-``applyInPandasWithState`` operator whose state is ONE (last_us,
-last_event_id) pair per key — the minimal sessionization state, unlike
-the burst family's in-horizon multiset — emitting a gap row the moment
-each next event arrives.
+``applyInPandasWithState`` operator whose state is ONE ``last_us``
+long per key — the minimal sessionization state, unlike the burst
+family's in-horizon multiset — emitting a gap row the moment each
+next event arrives. (No event_id needs to persist: tied-timestamp
+gaps are 0 regardless of tie order, and ties never straddle batches
+per obligation 1 below.)
 
 Exactness contract (the gate bar): emitted gaps must equal the batch
 ``lag(us) over (partition by user_id, event_type order by ts,
@@ -61,6 +63,16 @@ def gap_stream(events: DataFrame) -> DataFrame:
         gaps: list[int] = []
         for u in us:
             if last_us is not None:
+                if u < last_us:
+                    # Replay-order contract violation (obligation 1):
+                    # a silent negative floor-divided gap would corrupt
+                    # the quantiles — fail loudly instead (ADVICE r11).
+                    raise ValueError(
+                        "gap_stream: event for key "
+                        f"{key!r} arrived at {u} us, before stored "
+                        f"last_us={last_us} — the seq-source replay "
+                        "must deliver nondecreasing time order"
+                    )
                 gaps.append((u - last_us) // 1_000_000)
             last_us = u
         state.update((int(last_us),))

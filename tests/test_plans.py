@@ -896,7 +896,22 @@ def test_late_shipment_priority_decorrelates_with_pushed_bound(spark):
     tree = operator_tree(df)
     assert "BroadcastHashJoin" in tree, tree
     assert "SortMergeJoin" not in tree, tree
-    assert "partial_count(distinct" in plan or "HashAggregate" in tree
+    # Pin the map-side distinct mechanism specifically (ADVICE r11:
+    # the old `or "HashAggregate" in tree` fallback was satisfied by
+    # ANY aggregation). Spark plans the EXISTS collapse as a
+    # DEDUPLICATING HashAggregate keyed on (o_orderpriority,
+    # o_orderkey) with an EMPTY function list — and it must appear
+    # twice (partial below the pair exchange + final above it), so
+    # only per-partition-distinct pairs ever shuffle. If the partial
+    # side stopped collapsing map-side, the second occurrence
+    # disappears and this fails.
+    splan = physical_plan(df, "simple")
+    dedup_aggs = re.findall(
+        r"HashAggregate\(keys=\[o_orderpriority#\d+, o_orderkey#\d+L?\],"
+        r" functions=\[\]",
+        splan,
+    )
+    assert len(dedup_aggs) == 2, splan
     assert not re.search(r"Exchange hashpartitioning\(l_orderkey#\d+", plan), plan
 
     fb = late_shipment_priority(spark, SF_DIR, max_broadcast_orders=0)
@@ -1009,5 +1024,23 @@ def test_gini_rank_windows_are_bucket_partitioned(spark):
         assert operator_tree(df).count("Window") >= 1
         assert "BroadcastHashJoin" in operator_tree(df)
         assert "partial_count" in plan and "partial_sum" in plan
+    finally:
+        release_tracked()
+
+
+def test_segment_revenue_gini_persists_seg(spark):
+    """ADVICE r11: the (segment, revenue) base table feeds THREE
+    consumers — grouped_min_rank's eager bounds collect, the ranking
+    branch, and the counts/offsets branch. Without a persist the
+    orders rollup + customer join re-evaluates in each; with the
+    track_persist both in-plan consumers read the cache (two
+    InMemoryTableScans) and the orders relation appears in the tree
+    ONLY under the cache-build dump, never as a live scan."""
+    from distributed_computing_spark.caching import release_tracked
+
+    try:
+        df = QUERIES["segment_revenue_gini"](spark, SF_DIR)
+        tree = operator_tree(df)
+        assert tree.count("InMemoryTableScan") == 2, tree
     finally:
         release_tracked()
