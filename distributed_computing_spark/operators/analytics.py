@@ -935,11 +935,14 @@ def basket_pair_counts(
                     ai = s[i]
                     for j in range(i + 1, len(s)):
                         c[(ai, s[j])] += 1
+        # dtype pins (CLAUDE.md r11): a partition of only over-cap or
+        # single-item baskets emits an all-empty frame, which bare
+        # lists would infer as float64 against the long schema.
         yield pd.DataFrame(
             {
-                "a": [k[0] for k in c],
-                "b": [k[1] for k in c],
-                "n": list(c.values()),
+                "a": pd.Series([k[0] for k in c], dtype="int64"),
+                "b": pd.Series([k[1] for k in c], dtype="int64"),
+                "n": pd.Series(list(c.values()), dtype="int64"),
             }
         )
 

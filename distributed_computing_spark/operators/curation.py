@@ -161,12 +161,20 @@ def fused_chunk_docs(
                     on.append(len(piece))
                     for c, v in zip(extra_cols, ev):
                         extras[c].append(v)
+            # dtype pins (CLAUDE.md r11): an all-empty-doc batch emits
+            # zero rows — bare lists would infer float64 for the string
+            # chunk_text and the pass-through extra columns. object is
+            # the universal pin for pass-through values: Arrow converts
+            # per-value against the declared schema.
             yield pd.DataFrame(
                 {
                     "doc_id": pd.array(od, dtype="int64"),
-                    **{c: extras[c] for c in extra_cols},
+                    **{
+                        c: pd.Series(extras[c], dtype=object)
+                        for c in extra_cols
+                    },
                     "chunk_id": pd.array(oc, dtype="int64"),
-                    "chunk_text": ot,
+                    "chunk_text": pd.Series(ot, dtype=object),
                     "n_tokens": pd.array(on, dtype="int64"),
                 }
             )

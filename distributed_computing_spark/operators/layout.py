@@ -346,7 +346,27 @@ def parquet_footer_profile(spark: SparkSession, paths: list[str]) -> DataFrame:
                         rows["uncompressed_bytes"].append(
                             c.total_uncompressed_size
                         )
-            yield pd.DataFrame(rows)
+            # dtype pins (CLAUDE.md r11): a partition of zero paths (or
+            # zero row groups) emits an empty frame — bare lists would
+            # infer float64 against the string/long schema.
+            yield pd.DataFrame(
+                {
+                    "file_name": pd.Series(rows["file_name"], dtype=object),
+                    "row_group": pd.Series(rows["row_group"], dtype="int64"),
+                    "column_name": pd.Series(
+                        rows["column_name"], dtype=object
+                    ),
+                    "num_values": pd.Series(
+                        rows["num_values"], dtype="int64"
+                    ),
+                    "compressed_bytes": pd.Series(
+                        rows["compressed_bytes"], dtype="int64"
+                    ),
+                    "uncompressed_bytes": pd.Series(
+                        rows["uncompressed_bytes"], dtype="int64"
+                    ),
+                }
+            )
 
     if not paths:  # ADVICE r7: schemaless createDataFrame([]) throws
         raise ValueError("parquet_footer_profile: empty paths list")

@@ -175,7 +175,15 @@ def map_reduce(
                 for ok, ov in map_f(k, v):
                     out_k.append(ok)
                     out_v.append(ov)
-            yield pd.DataFrame({"key": out_k, "value": out_v})
+            # dtype pins (CLAUDE.md r11): a zero-output map_f over a
+            # whole batch leaves both lists empty — bare lists would
+            # infer float64 against the string schema.
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(out_k, dtype=object),
+                    "value": pd.Series(out_v, dtype=object),
+                }
+            )
 
     mapped = df.select(
         F.col("key").cast("string").alias("key"),
@@ -187,7 +195,15 @@ def map_reduce(
 
     def reduce_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
         key = pdf["key"].iloc[0]
-        return pd.DataFrame({"key": [key], "value": [reduce_f(key, list(pdf["value"]))]})
+        return pd.DataFrame(
+            {
+                "key": pd.Series([key], dtype=object),
+                # a None-returning reduce_f must stay object, not float64
+                "value": pd.Series(
+                    [reduce_f(key, list(pdf["value"]))], dtype=object
+                ),
+            }
+        )
 
     return mapped.groupBy("key").applyInPandas(reduce_group, schema="key string, value string")
 

@@ -313,7 +313,15 @@ def extract_features(blobs: DataFrame) -> DataFrame:
                 vec = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 127.5) / 127.5
                 vec = vec / (np.linalg.norm(vec) or 1.0)
                 feats.append([float(x) for x in vec])
-            yield pd.DataFrame({"blob_id": pdf["blob_id"], "embedding": feats})
+            # dtype pins (CLAUDE.md r11): an empty batch would infer
+            # float64 for the list column — the exact winnow Arrow
+            # NumPyConverter failure class (array<float> schema).
+            yield pd.DataFrame(
+                {
+                    "blob_id": pdf["blob_id"],
+                    "embedding": pd.Series(feats, dtype=object),
+                }
+            )
 
     return blobs.select("blob_id", "data").mapInPandas(
         featurize, schema="blob_id long, embedding array<float>"
@@ -721,14 +729,16 @@ def decode_images_gif(blobs: DataFrame, out_w: int = 8, out_h: int = 8) -> DataF
                 mr.append(float(small[..., 0].mean()))
                 mg.append(float(small[..., 1].mean()))
                 mb.append(float(small[..., 2].mean()))
+            # dtype pins (CLAUDE.md r11): empty batch ⇒ bare lists
+            # would infer float64 against the long width/height schema
             yield pd.DataFrame(
                 {
                     "blob_id": pdf["blob_id"],
-                    "width": widths,
-                    "height": heights,
-                    "mean_r": mr,
-                    "mean_g": mg,
-                    "mean_b": mb,
+                    "width": pd.Series(widths, dtype="int64"),
+                    "height": pd.Series(heights, dtype="int64"),
+                    "mean_r": pd.Series(mr, dtype="float64"),
+                    "mean_g": pd.Series(mg, dtype="float64"),
+                    "mean_b": pd.Series(mb, dtype="float64"),
                 }
             )
 

@@ -582,7 +582,15 @@ def embedding_neardup(
             sims = la @ lb.T
             ii, jj = np.nonzero(sims >= t)
             a, b = ids[left][ii], ids[~left][jj]
-        return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+        # dtype pins (CLAUDE.md r11): a/b are int64 ndarrays today, but
+        # an above-threshold-free block emits zero rows — pin so the
+        # declared long schema never meets an inferred float64 frame.
+        return pd.DataFrame(
+            {
+                "a": pd.Series(np.minimum(a, b), dtype="int64"),
+                "b": pd.Series(np.maximum(a, b), dtype="int64"),
+            }
+        )
 
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     rep = (
@@ -631,6 +639,10 @@ def cosine_topk_gemm(
 
     def score(batches):
         for pdf in batches:
+            if not len(pdf):
+                # an empty Arrow batch would make the 1-D empty ndarray
+                # below throw on axis=1 (CLAUDE.md r11 shape class)
+                continue
             mat = np.array(list(pdf[vec_col]), dtype="float64")
             mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
             sims = mat @ q_mat.T  # (batch, Q)
@@ -653,9 +665,15 @@ def cosine_topk_gemm(
                 out_sim.append(sims[sel, j])
             yield pd.DataFrame(
                 {
-                    "q_id": np.concatenate(out_q),
-                    "nn_id": np.concatenate(out_nn),
-                    "sim": np.concatenate(out_sim),
+                    "q_id": pd.Series(
+                        np.concatenate(out_q), dtype="int64"
+                    ),
+                    "nn_id": pd.Series(
+                        np.concatenate(out_nn), dtype="int64"
+                    ),
+                    "sim": pd.Series(
+                        np.concatenate(out_sim), dtype="float64"
+                    ),
                 }
             )
 
@@ -789,6 +807,8 @@ def kmeans_quantized(
 
             def assign(batches):
                 for p in batches:
+                    if not len(p):
+                        continue  # np.stack throws on an empty batch
                     X = np.stack(p["q"].values).astype(np.int64)
                     x2 = (X * X).sum(1)
                     d2 = x2[:, None] + c2[None, :] - 2 * (X @ C.T)

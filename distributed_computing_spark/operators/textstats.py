@@ -280,11 +280,20 @@ def bigram_pmi(
                 toks = pat.findall(text)
                 uni.update(toks)
                 bi.update(zip(toks, toks[1:]))
+        # dtype pins (CLAUDE.md r11): a zero-token partition emits an
+        # all-empty frame, which bare lists would infer as float64.
         yield pd.DataFrame(
             {
-                "x": [w for w in uni] + [a for a, _ in bi],
-                "y": [None] * len(uni) + [b for _, b in bi],
-                "cnt": [c for c in uni.values()] + list(bi.values()),
+                "x": pd.Series(
+                    [w for w in uni] + [a for a, _ in bi], dtype=object
+                ),
+                "y": pd.Series(
+                    [None] * len(uni) + [b for _, b in bi], dtype=object
+                ),
+                "cnt": pd.Series(
+                    [c for c in uni.values()] + list(bi.values()),
+                    dtype="int64",
+                ),
             }
         )
 

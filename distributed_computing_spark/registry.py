@@ -8106,120 +8106,80 @@ ORACLES["stream_interarrival_quantiles"] = ORACLES[
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 11 — VERDICT r10 item 2)
 # ---------------------------------------------------------------------------
-# Staleness-driven (the driver gates the FIRST 50 entries). This
-# window = the full 30-query r6-stale cohort named in round 10's
-# registry comment + the 5 queries displaced from the r10 window
-# (kmv_user_sketches, pagerank_parts, multimodal_gif_decode,
-# ngram_jaccard_prefix, copurchase_kcore) + every round-11-CHANGED
-# query (the broadcast-gate sites: nation_trade_volume,
-# market_share_ppm, segment_allocation, and the older dim-broadcast
-# family revenue_by_segment / regional_revenue /
-# regional_revenue_bucketed / revenue_percentiles / scd2_pointintime /
-# ivm_segment_revenue / lsh_topk_exact / ivf_topk_exact; the theilsen
-# auto-coarsen + persist; the dow-anomalies struct group key; the
-# cusum daily persist; sole_return_supplier's un-pinned repartition).
-# stream_cusum_drift changed only its scratch-dir hygiene (no plan or
-# value change; its detector and oracle are shared with the included
-# events_cusum_drift) and is consciously left out of the 50, as is
-# regional_revenue_bucketed (its change is the SAME audited
-# joins.gated_broadcast call its in-window sibling regional_revenue
-# re-proves; both stay green in the local full gate).
-# custdist_histogram re-enters for its round-11 Q18-motion re-plan
-# (gated aggregate-side broadcast). events_cusum_drift and
-# sole_return_supplier — both GREEN in the r10 driver window, both
-# changed this round only by value-identical plan edits (a shared
-# persist; an un-pinned partition count) that the local gate re-proved
-# at BOTH SFs — yield their slots to the burst-alert pair (never
-# driver-gated) and join the r12 first picks. Four slots go to the round-11
-# additions (important_part_share, dominant_part_suppliers,
-# promo_mix_revenue, session_peak_concurrency — never driver-gated
-# beats re-proving a changed-but-value-identical site), displacing
-# four of the dim-gate riders (revenue_by_segment, regional_revenue,
-# revenue_percentiles, scd2_pointintime) whose sf0.01 plans and
-# values are bit-identical this round: their gates pass at every test
-# SF, and the fallback paths are answer-identity-tested in
-# tests/test_broadcast_gates.py.
-# After this window, no oracle-backed query's latest driver row is
-# older than round 7 except the two unchanged rows-only r6 entries
-# (multimodal_features, sample_by_lang), consciously skipped per the
-# VERDICT r10 item-5 slot rule; their exact pytest twins still run
-# every suite.
-_R11_WINDOW = [
-    # the 30 r6-stale entries (round 10's named first picks; three
-    # unchanged-green members — bigram_logprob, bloom_semi_orders,
-    # prefix_dups — later yielded their slots to the final late-batch
-    # additions and join the r12 first picks)
-    "copurchase_bfs", "copurchase_shortest_paths",
-    "ivf_topk", "lsh_topk",
-    "multimodal_ann", "multimodal_avi_frames", "multimodal_bmp_decode",
-    "multimodal_real_ann",
-    "multimodal_stats", "multimodal_wav_decode",
-    "zorder_events_scan",
-    # the two r7-stale oracle-backed picks that took the slots of the
-    # UNCHANGED rows-only r6 entries (multimodal_features,
-    # sample_by_lang — VERDICT r10 item 5) later yielded them to the
-    # round-11 additions; both join the r12 first picks (lsh/ivf_topk
-    # and multimodal_ann stay because their broadcast gates DID
-    # change)
-    # displaced from the r10 window by its batch-2/3 additions
-    "kmv_user_sketches", "pagerank_parts", "multimodal_gif_decode",
-    "ngram_jaccard_prefix", "copurchase_kcore",
-    # round-11-changed (must re-prove under the driver)
-    "nation_trade_volume", "market_share_ppm", "segment_allocation",
-    "events_theilsen", "events_dow_anomalies",
-    "top_supplier_revenue", "custdist_histogram",
-    # round-11 additions (never driver-gated -> must be in the 50)
-    "important_part_share", "dominant_part_suppliers",
-    "promo_mix_revenue", "session_peak_concurrency",
-    "dedup_savings_report", "source_length_quantiles",
-    "user_burst_rates", "stream_burst_rates",
-    "user_burst_alerts", "stream_burst_alerts",
-    # late round-11 additions (never driver-gated -> must be in the
-    # 50; each displaces one unchanged-green r6-stale entry, which
-    # joins the r12 first picks: epoch_shuffle, dq_audit,
-    # decayed_user_activity, clean_docs, curated_read_pruned,
-    # mixture_sample, event_transitions, fuzzy_customer_match,
-    # events_gapfill, events_ohlc, and — for the final seven below —
-    # bigram_logprob, bloom_semi_orders, prefix_dups,
-    # salted_revenue_join, source_token_kl, zorder_cells,
-    # multimodal_frames)
-    "ks_price_drift", "vocab_growth", "winnow_fingerprints",
-    "neighbor_customer_pairs", "copurchase_clustering",
-    "returned_top_customers", "stream_winnow_ingest",
-    "winnow_neardup", "events_lag_autocorr", "stream_lag_autocorr",
-    "late_shipment_priority", "late_lines_priority_mix",
-    "copurchase_link_prediction",
-    "cross_source_contamination", "user_interarrival_quantiles",
-    "segment_revenue_gini", "stream_interarrival_quantiles",
+# Staleness-driven (the driver gates the FIRST 50 entries). Round-12
+# window (VERDICT r11 item 1): the staleness table rebuilt from
+# CORRECTNESS_r1..r11 puts 19 entries at r6-latest and 49 at
+# r7-latest. This window takes, in priority order:
+#   1. ALL 17 r6-stale oracle-backed entries (the late-batch-displaced
+#      cohort). The two r6 rows-only entries (multimodal_features,
+#      sample_by_lang) stay consciously skipped per the VERDICT r10
+#      item-5 slot rule — unchanged, exact pytest twins run every
+#      suite.
+#   2. Round-12-CHANGED queries that must re-prove under the driver:
+#      segment_revenue_gini (ADVICE r11 — the seg subtree is now
+#      track_persisted, a real plan change) and the stream_kv pair
+#      (kv_stream.py's order-sensitive fold was refactored to
+#      itertuples — value-identical by tests, but it IS the
+#      value-computing loop). The repo-wide mapInPandas dtype pins
+#      (VERDICT item 2: textstats/analytics/mapreduce/similarity/
+#      multimodal/curation/layout/burst emitters) change neither plans
+#      nor values — pd.Series dtype pinning on already-produced
+#      outputs — and are re-proved by the local full gate at both SFs
+#      plus the new tests/test_arrow_emitters.py sweep, so those
+#      queries do not consume slots.
+#   3. 30 of the 46 r7-stale oracle-backed entries, preferring the
+#      VERDICT-named examples, the mapreduce/kv families whose modules
+#      were touched this round, the dim-gate riders
+#      (revenue_by_segment / regional_revenue /
+#      regional_revenue_bucketed), and the heaviest oracles
+#      (neardup_clusters/canonical, bpe). The remaining 16 r7-stale
+#      entries are round 13's first picks: multimodal_mp3_decode,
+#      multimodal_png_decode, ngram_jaccard_pairs, order_percentiles,
+#      phrase_search_index, range_join_views, rolling_weekly_revenue,
+#      semi_anti_orders, set_ops, stream_blocklist_matches,
+#      stream_cms_counts, table_profile, tiered_rollup, top_orders,
+#      train_test_split, value_histogram (plus the r7 rows-only
+#      approx_distinct_users / frequent_items / parquet_profile —
+#      pair-rule: if any re-enters for a plan change its exact twin
+#      rides along, VERDICT r11 item 5).
+# Round-12 additions displace the tail picks below as they land (the
+# _R12_NEW guard enforces it).
+_R12_WINDOW = [
+    # 1. the 17 r6-stale oracle-backed entries
+    "bigram_logprob", "bloom_semi_orders", "clean_docs",
+    "curated_read_pruned", "decayed_user_activity", "dq_audit",
+    "epoch_shuffle", "event_transitions", "events_gapfill",
+    "events_ohlc", "fuzzy_customer_match", "mixture_sample",
+    "multimodal_frames", "prefix_dups", "salted_revenue_join",
+    "source_token_kl", "zorder_cells",
+    # 2. round-12-changed
+    "segment_revenue_gini", "stream_kv_state", "stream_kv_stateful",
+    # 3. thirty r7-stale picks
+    "asof_attribution", "blocklist_phrase_matches", "cms_word_counts",
+    "edit1_customer_pairs", "events_json_extract", "events_windowed",
+    "exact_dedup", "funnel_conversion", "inverted_index",
+    "mapreduce_wordcount", "user_event_profile", "kv_state", "kv_get",
+    "kv_snapshot", "kv_changes", "kv_effective_ops",
+    "neardup_clusters", "neardup_canonical", "bpe_merges",
+    "bpe_encode_stats", "revenue_by_segment", "regional_revenue",
+    "regional_revenue_bucketed", "user_sessions", "shard_routing",
+    "shard_census", "hilbert_cells", "hll_nation_rollup",
+    "ivm_customer_revenue", "kmv_pair_sketches",
 ]
-assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
-QUERIES = {name: QUERIES[name] for name in _R11_WINDOW} | {
-    k: v for k, v in QUERIES.items() if k not in set(_R11_WINDOW)
+assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
+QUERIES = {name: QUERIES[name] for name in _R12_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R12_WINDOW)
 }
 
 # Every never-driver-gated query MUST sit inside the first-50 window —
 # this file-end block is the last statement touching QUERIES, and this
 # guard fails loudly if a future registration lands below it.
-_R11_NEW: list[str] = [
-    "important_part_share", "dominant_part_suppliers",
-    "promo_mix_revenue", "session_peak_concurrency",
-    "dedup_savings_report", "source_length_quantiles",
-    "user_burst_rates", "stream_burst_rates",
-    "user_burst_alerts", "stream_burst_alerts",
-    "ks_price_drift", "vocab_growth", "winnow_fingerprints",
-    "neighbor_customer_pairs", "copurchase_clustering",
-    "returned_top_customers", "stream_winnow_ingest",
-    "winnow_neardup", "events_lag_autocorr", "stream_lag_autocorr",
-    "late_shipment_priority", "late_lines_priority_mix",
-    "copurchase_link_prediction",
-    "cross_source_contamination", "user_interarrival_quantiles",
-    "segment_revenue_gini", "stream_interarrival_quantiles",
-]
+_R12_NEW: list[str] = []
 _order = list(QUERIES)
-for _q in _R11_NEW:
+for _q in _R12_NEW:
     if _order.index(_q) >= 50:
         raise RuntimeError(
-            f"round-11 query {_q!r} fell outside the driver's first-50 "
-            "gate window — keep the _R11_WINDOW block at the END of "
+            f"round-12 query {_q!r} fell outside the driver's first-50 "
+            "gate window — keep the _R12_WINDOW block at the END of "
             "registry.py and add new registrations to it"
         )

@@ -95,9 +95,11 @@ def burst_alert_stream(
         if out_t:
             yield pd.DataFrame(
                 {
-                    "user_id": [int(key[0])] * len(out_t),
-                    "t": out_t,
-                    "n_events": out_n,
+                    "user_id": pd.Series(
+                        [int(key[0])] * len(out_t), dtype="int64"
+                    ),
+                    "t": pd.Series(out_t, dtype="int64"),
+                    "n_events": pd.Series(out_n, dtype="int64"),
                 }
             )
 

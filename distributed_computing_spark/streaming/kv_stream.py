@@ -231,17 +231,24 @@ def stateful_fold_stream(effective_ops: DataFrame) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         value, max_seq = state.get if state.exists else ("", -1)
         rows = pd.concat(list(pdfs)).sort_values("seq")
-        for _, r in rows.iterrows():
-            seq = int(r["seq"])
+        # itertuples, not iterrows: no per-row Series construction in
+        # the order-sensitive fold (ADVICE r11 — ~5x on wide batches)
+        for r in rows.itertuples(index=False):
+            seq = int(r.seq)
             if seq <= max_seq:
                 continue  # redelivered slice — already applied
             max_seq = seq
-            if r["op"] == "put":
-                value = r["value"]
-            elif r["op"] == "append":
-                value = value + r["value"]
+            if r.op == "put":
+                value = r.value
+            elif r.op == "append":
+                value = value + r.value
         state.update((value, max_seq))
-        yield pd.DataFrame({"key": [key[0]], "value": [value]})
+        yield pd.DataFrame(
+            {
+                "key": pd.Series([key[0]], dtype=object),
+                "value": pd.Series([value], dtype=object),
+            }
+        )
 
     return effective_ops.groupBy("key").applyInPandasWithState(
         fold,
