@@ -273,20 +273,41 @@ def _compact_for_tail(payload: dict) -> dict:
         # line landed). test_bench_tail pins the budget.
         rec.update(xo.pop("r10_tier_recorded", None) or {})
         rec.update(xo.pop("r11_tier_recorded", None) or {})
+        rec.update(xo.pop("r12_tier_recorded", None) or {})
         if "queries" in xo:
             # VERDICT r7 item 3: the per-query crossover arrays get shed
             # from the tail when the line outgrows the budget, which in
             # round 7 erased the artifact trail of WHICH queries sit >2×.
             # Distill the weak list first (only cells >2x, 1 decimal) —
             # it is tiny and is never shed.
+            # VERDICT r11 item 6: each weak cell carries its far-tier
+            # disposition from the RECORDED tables, so a small-absolute
+            # fixed-cost floor (custdist: 54.8x at R20, 1.5 s absolute
+            # at R400) never reads like a genuinely open cell. Compact
+            # string form (tail budget): "<r20>><tier>:<far_ratio><c>"
+            # with class letter f=floor c=converging w=win n=noisy
+            # o=open; "<r20>:o" when no clean far tier is recorded.
+            try:
+                from tools.crossover import weak_disposition
+            except Exception:  # pragma: no cover - bench must not die on it
+                def weak_disposition(name, r):
+                    return ["-", None, "open"]
             weak = {}
+            order = {}
             for k, v in xo["queries"].items():
                 s, d = v.get("spark_s"), v.get("duckdb_s")
                 if isinstance(s, (int, float)) and isinstance(d, (int, float)) and d > 0 and s / d > 2:
-                    weak[k] = round(s / d, 1)
+                    r = round(s / d, 1)
+                    tier, fr, cls = weak_disposition(k, r)
+                    if tier == "-":
+                        weak[k] = f"{r}:{cls[0]}"
+                    else:
+                        fr_s = "DNF" if fr is None else f"{fr}"
+                        weak[k] = f"{r}>{tier}:{fr_s}{cls[0]}"
+                    order[k] = r
             if weak:
                 xo["weak"] = dict(
-                    sorted(weak.items(), key=lambda kv: -kv[1])
+                    sorted(weak.items(), key=lambda kv: -order[kv[0]])
                 )
                 # VERDICT r8 item 3: the shed loop may cap `weak` at
                 # its 10 worst cells — record the TOTAL count so a

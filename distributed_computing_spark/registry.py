@@ -5375,17 +5375,24 @@ FROM r GROUP BY 1, tot ORDER BY 1"""
 
 def _rev_mc():
     """Exact revenue in myriacents (1e-4 dollars) as BIGINT:
-    price(2dp) × (1 − discount(2dp)) is an exact 4-decimal DECIMAL, so
+    price(2dp) × (1 − discount(2dp)) is an exact 4-decimal value, so
     ×10000 is an exact integer — order-independent sums, no float under
-    the gate (the salted_revenue_join round-4 rule)."""
-    return (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (
-            F.lit(1).cast("decimal(3,2)")
-            - F.col("l_discount").cast("decimal(3,2)")
-        )
-        * 10000
+    the gate (the salted_revenue_join round-4 rule).
+
+    Round-12 form: compute ``cents × (100 − disc_cents)`` in LONG
+    arithmetic after two exact decimal→long casts, instead of the
+    decimal×decimal multiply chain — algebraically identical
+    (price·100 and disc·100 are exact integers; their long product is
+    price·(1−disc)·10⁴, bounded ≤ ~1e11 per row, far under 2^63), and
+    the R400 probe (tools/probe_q11.py) measured the per-row decimal
+    chain at ~8% of the whole 240 M-row rollup (13.7→10.3 s first-run,
+    11.4→10.8-11.2 warm). Per-row value and type are unchanged, so
+    every consumer's sums behave identically."""
+    cents = (
+        F.col("l_extendedprice").cast("decimal(18,2)") * 100
     ).cast("long")
+    disc_c = (F.col("l_discount").cast("decimal(3,2)") * 100).cast("long")
+    return cents * (F.lit(100).cast("long") - disc_c)
 
 
 _REV_MC_SQL = (
@@ -5809,10 +5816,19 @@ def parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the STANDARD type (Q16's brand exclusion). The distinct-count +
     NOT-IN anti-join shape.
 
-    Plan: part attrs and the (tiny) excluded-supplier set both
-    BROADCAST onto lineitem — the anti-join is a broadcast left-anti,
-    never a shuffle; count_distinct exchanges (type, size, suppkey)
-    partials only."""
+    Plan (round-12 re-plan, measured): collapse the fact to DISTINCT
+    (l_partkey, l_suppkey) pairs FIRST — the census only needs the
+    pair set (Q16's partsupp, derived), and the map-side partial dedup
+    shrinks the ONLY fact-sized exchange to the local-distinct pairs
+    (bounded by |partsupp|, not |lineitem|). Part attrs and the (tiny)
+    excluded-supplier set then broadcast onto the pair table — the
+    anti-join is a broadcast left-anti over ~|partsupp| rows, never a
+    240 M-row join. R400 probe (tools/probe_q16_variance.py, warm,
+    default heap, solo): join-first 9.6-15.4 s → dedup-first
+    7.4-10.4 s, answer-identical; GC halves (540 → 120-160 ms). The
+    same probe showed the r11 "14-60 s variance" cell does NOT
+    reproduce (4 runs in a 9.6-15.4 band, GC-clean) — the 60 s datum
+    was host contention, not AQE instability; BASELINE updated."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
@@ -5820,11 +5836,12 @@ def parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = part.where(F.col("p_type") != "STANDARD").select(
         "p_partkey", "p_type", "p_size"
     )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        pairs.join(F.broadcast(p), pairs["l_partkey"] == p["p_partkey"])
         .join(
             F.broadcast(bad),
-            li["l_suppkey"] == bad["s_suppkey"],
+            pairs["l_suppkey"] == bad["s_suppkey"],
             "left_anti",
         )
         .groupBy("p_type", "p_size")

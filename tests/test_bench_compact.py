@@ -91,8 +91,11 @@ def test_weak_list_rides_the_tail_and_survives_shedding():
         "duckdb_s": 1.0,
     }
     out = bench._compact_for_tail(payload)
-    # 0.784/0.112 = 7.0x is weak; 0.5/1.0 = 0.5x is not
-    assert out["crossover"]["weak"] == {"word_count_top10": 7.0}
+    # 0.784/0.112 = 7.0x is weak; 0.5/1.0 = 0.5x is not. Round 12:
+    # each weak cell now carries its far-tier disposition as a compact
+    # string "<r20>><tier>:<far_ratio><class-letter>"; word_count has
+    # no recorded far tier, so it reads "<r20>:o" (open).
+    assert out["crossover"]["weak"] == {"word_count_top10": "7.0:o"}
 
     saved = bench._TAIL_BUDGET
     bench._TAIL_BUDGET = 1
@@ -101,7 +104,7 @@ def test_weak_list_rides_the_tail_and_survives_shedding():
     finally:
         bench._TAIL_BUDGET = saved
     assert "queries" not in out["crossover"]
-    assert out["crossover"]["weak"] == {"word_count_top10": 7.0}
+    assert out["crossover"]["weak"] == {"word_count_top10": "7.0:o"}
 
 
 def test_fine_shed_stages_keep_recorded_echo():

@@ -721,12 +721,44 @@ def test_custdist_outer_join_preserved_and_orders_preaggregated(spark):
 
 def test_parts_supplier_count_anti_join_is_broadcast(spark):
     """Round 10 (Q16 shape): the excluded-supplier set is tiny — the
-    NOT-IN must compile to a broadcast left-anti, never a shuffle."""
-    tree = operator_tree(QUERIES["parts_supplier_count"](spark, SF_DIR))
+    NOT-IN must compile to a broadcast left-anti, never a shuffle.
+    Round 12: the fact must collapse to distinct (partkey, suppkey)
+    pairs BEFORE either broadcast join (the dedup-first re-plan): the
+    pair dedup HashAggregate appears partial+final with the joins
+    above it, so the only fact-sized exchange carries local-distinct
+    pairs."""
+    import re
+
+    df = QUERIES["parts_supplier_count"](spark, SF_DIR)
+    tree = operator_tree(df)
     assert "LeftAnti" in tree, tree
     anti_line = [l for l in tree.splitlines() if "LeftAnti" in l][0]
     assert "BroadcastHashJoin" in anti_line, tree
     assert "SortMergeJoin" not in tree
+    splan = physical_plan(df, "simple")
+    pair_dedups = re.findall(
+        r"HashAggregate\(keys=\[l_partkey#\d+L?, l_suppkey#\d+L?\],"
+        r" functions=\[\]",
+        splan,
+    )
+    assert len(pair_dedups) == 2, splan
+    # the only fact-sized exchange carries local-distinct pairs: the
+    # (l_partkey, l_suppkey) exchange must sit ABOVE a partial pair
+    # dedup (text after it contains the second dedup occurrence)
+    m = re.search(
+        r"Exchange hashpartitioning\(l_partkey#\d+L?, l_suppkey#\d+L?",
+        splan,
+    )
+    assert m, splan
+    assert pair_dedups[1] in splan[m.end():], splan
+    # the part attr join runs on the deduped pair table, not the fact:
+    # the Inner broadcast join prints ABOVE (before) the pair exchange
+    inner = splan.find("], Inner, ")
+    assert 0 <= inner < m.start(), splan
+    # Catalyst is free to push the broadcast LeftAnti below the dedup
+    # (it is a per-row filter — cheaper there); what must never appear
+    # is a shuffle join anywhere (asserted above via SortMergeJoin and
+    # the anti_line broadcast check)
 
 
 def test_sole_return_one_fact_exchange_serves_agg_and_window(spark):

@@ -909,6 +909,21 @@ RECORDED_R11_TIERS: dict = {
     },
 }
 
+RECORDED_R12_TIERS: dict = {
+    # VERDICT r11 item 3: parts_supplier_count's "14-60 s variance"
+    # did NOT reproduce (tools/probe_q16_variance.py: 4 warm runs
+    # 9.6-15.4 s, GC 230-540 ms — the 60 s r11 datum was host
+    # contention). The dedup-first re-plan (distinct (partkey,
+    # suppkey) pairs BEFORE the part broadcast join) measured
+    # 7.4-10.4 s on the same warmed replica, answer-identical, GC
+    # halved; duckdb_s carries the r11 solo band (5.20-5.85) on the
+    # unchanged oracle.
+    "parts_supplier_count": {
+        "R400_joinfirst": {"spark_s": 10.48, "duckdb_s": 5.20, "ratio": 2.0},
+        "R400": {"spark_s": 7.93, "duckdb_s": 5.20, "ratio": 1.5},
+    },
+}
+
 # The stdout-echo subset of the recorded tiers: the bench's compact
 # line must fit the driver's 2000-char tail capture alongside 40
 # headline timings, so only the CURRENT round's slope tiers plus the
@@ -952,6 +967,80 @@ RECORDED_ECHO_KEYS: dict[str, tuple[str, ...]] = {
     "edit1_customer_pairs": ("R10",),
     "copurchase_components": ("R20",),
 }
+
+
+# --- R20 weak-cell dispositions (VERDICT r11 item 6) -----------------------
+# The R20 weak list alone cannot distinguish a 54.8× small-absolute
+# fixed-cost floor (custdist: 1.5 s absolute at R400) from a genuinely
+# open cell — annotate each weak cell with its FAR-tier verdict, drawn
+# from the RECORDED tables (never a fresh run). Classes:
+#   win        — far-tier ratio < 1 (Spark side of the crossover)
+#   converging — ratio falls materially with scale (far < 2/3 of R20)
+#   floor      — far-tier Spark absolute <= 3 s: an engine-constant
+#                overhead floor, not a scaling problem
+#   noisy      — far-tier band not yet reproducible (named in VERDICT)
+#   open       — no clean far tier recorded, or ratio not falling
+_WEAK_CLASS_OVERRIDES: dict[str, str] = {
+    # Round-12 decomposition (tools/probe_q11.py): the bare global
+    # sum of the revenue expression over 240 M rows is 8.4-9.3 s of
+    # the ~10-15 s total — the cell is single-pass SCAN-bound on both
+    # engines (ratio tracks relative parquet-decode+expression
+    # throughput, flat with scale), not plan-bound. "floor" despite
+    # the ~10 s absolute: there is no structural re-plan, both sides
+    # already one pass.
+    "important_part_share": "floor",
+}
+
+
+def _all_recorded() -> dict:
+    out: dict = {}
+    for tbl in (
+        RECORDED_DEDUP_TIERS, RECORDED_KV_TIERS, RECORDED_R6_TIERS,
+        RECORDED_R7_TIERS, RECORDED_R8_TIERS, RECORDED_R9_TIERS,
+        RECORDED_R10_TIERS, RECORDED_R11_TIERS, RECORDED_R12_TIERS,
+    ):
+        for fam, tiers in tbl.items():
+            if isinstance(tiers, dict):
+                out.setdefault(fam, {}).update(tiers)
+    return out
+
+
+def weak_disposition(name: str, r20_ratio: float) -> list:
+    """``[far_tier, far_ratio, class]`` for a query weak at R20 —
+    far tier = the largest CLEAN recorded tier (bare ``R<N>`` labels
+    only; ``_48g``/``_draft`` recipe cells are excluded per the
+    CLAUDE.md heap rule). far_ratio is null when the single-node side
+    DNF'd there (which is itself a ``win``)."""
+    import re as _re
+
+    tiers = _all_recorded().get(name) or {}
+    clean = {
+        int(m.group(1)): t
+        for t in tiers
+        if (m := _re.fullmatch(r"R(\d+)", t))
+    }
+    far_r = max((r for r in clean if r > 20), default=None)
+    if far_r is None:
+        return ["-", None, _WEAK_CLASS_OVERRIDES.get(name, "open")]
+    cell = tiers[clean[far_r]]
+    s, d = cell.get("spark_s"), cell.get("duckdb_s")
+    if not isinstance(d, (int, float)) or d <= 0:
+        ratio = None  # DuckDB DNF at the far tier
+    else:
+        ratio = round(s / d, 2) if isinstance(s, (int, float)) else None
+    cls = _WEAK_CLASS_OVERRIDES.get(name)
+    if cls is None:
+        if ratio is None:
+            cls = "win"
+        elif ratio < 1:
+            cls = "win"
+        elif isinstance(s, (int, float)) and s <= 3.0:
+            cls = "floor"
+        elif ratio < r20_ratio * (2 / 3):
+            cls = "converging"
+        else:
+            cls = "open"
+    return [clean[far_r], ratio, cls]
 
 # Fact tables are replicated with remapped keys; everything else copied.
 _FACTS = ("documents", "events", "orders", "lineitem")
@@ -1240,6 +1329,7 @@ def run_crossover(
         "r9_tier_recorded": RECORDED_R9_TIERS,
         "r10_tier_recorded": RECORDED_R10_TIERS,
         "r11_tier_recorded": RECORDED_R11_TIERS,
+        "r12_tier_recorded": RECORDED_R12_TIERS,
         "recorded_echo": _recorded_echo(),
     }
 
@@ -1256,6 +1346,7 @@ def _recorded_echo() -> dict:
         **RECORDED_R9_TIERS,
         **RECORDED_R10_TIERS,
         **RECORDED_R11_TIERS,
+        **RECORDED_R12_TIERS,
     }
     return {
         fam: {
