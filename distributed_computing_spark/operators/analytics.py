@@ -1095,6 +1095,102 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event-type TRIGRAMS (round 12): the 3-step
+    extension of ``event_transitions`` — for each consecutive
+    (ts, event_id)-ordered triple of a user's events, count the
+    (t1 → t2 → t3) path corpus-wide plus how many distinct users walk
+    it. The sequence-mining primitive behind funnel discovery and
+    higher-order Markov session models; also the BATCH contract for
+    the online twin ``streaming/trigram.py`` (last-two-events state).
+
+    Plan: ONE shuffle on user_id serves BOTH lead windows (same
+    partitioning, one Window node); the trigram rollup
+    partial-aggregates map-side to the |types|³-bounded path table.
+    The event_id tie-break makes ordering exact on both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t3").isNotNull())
+    return (
+        steps.groupBy("t1", "t2", "t3")
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_paths").desc(), "t1", "t2", "t3")
+    )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort triangle (round 12): users cohorted by
+    their FIRST active week (epoch-day div 7 — an integer bucket both
+    engines compute identically; no engine week-start conventions),
+    with one row per (cohort_week, week_offset): how many of the
+    cohort's users were active offset weeks later, and the retention
+    rate in ppm of the cohort's size. The canonical product-analytics
+    cohort table.
+
+    Plan (the dominant_part_suppliers motion on events): ONE
+    ``repartition("user_id")`` serves the (user, week) dedup
+    (partition keys ⊂ group keys — no new exchange) AND the per-user
+    first-week WINDOW over the same partitioning; the deduped
+    (user, week, cohort) rows are unique per (user, week), so the
+    cohort rollup's ``count(1)`` IS the distinct-user count — no
+    count_distinct expand. The rollup is ~|weeks|² rows; cohort size
+    attaches as a window over that tiny table (no self-join). The
+    ppm division is guarded (cohort_size > 0 always holds — offset 0
+    exists for every cohort by construction — but ANSI mode gets an
+    explicit branch anyway)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    # exact integer week bucket: epoch seconds div 86400 div 7 (both
+    # div and DuckDB's // truncate; operands non-negative for this
+    # data — the oracle-portability allowlist documents it)
+    week = F.expr("cast(ts as long) div 86400 div 7")
+    uw = (
+        ev.select("user_id", week.alias("week"))
+        .repartition("user_id")
+        .distinct()
+    )
+    wu = Window.partitionBy("user_id")
+    c = uw.select(
+        "user_id",
+        "week",
+        F.min("week").over(wu).alias("cohort_week"),
+    )
+    r = c.groupBy(
+        "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+    wc = Window.partitionBy("cohort_week")
+    return (
+        r.withColumn(
+            "cohort_size",
+            F.max(
+                F.when(F.col("week_offset") == 0, F.col("n_users"))
+            ).over(wc),
+        )
+        .withColumn(
+            "retention_ppm",
+            F.when(
+                F.col("cohort_size") > 0,
+                F.expr(
+                    "cast(cast(n_users as bigint) * 1000000 "
+                    "div cohort_size as bigint)"
+                ),
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bar resampling (OHLC): per (event_type, hour) the opening,
     highest, lowest, and closing `value` plus the tick count — the

@@ -342,6 +342,120 @@ def bigram_pmi(
     )
 
 
+def doc_cooccurrence(
+    spark: SparkSession,
+    sf_dir: str,
+    min_docs: int = 10,
+    k: int = 40,
+    max_doc_vocab: int = 2000,
+    max_broadcast_vocab: int = 2_000_000,
+) -> DataFrame:
+    """Document-level token co-occurrence LIFT (round 12): for each
+    unordered token pair {x, y}, in how many documents do BOTH appear
+    (distinct per doc), and how does that compare to independence —
+    ``lift_ppm = (n_xy · N · 10⁶) div (n_x · n_y)`` over document
+    frequencies. The topic-signal companion to ``bigram_pmi``:
+    adjacency PMI finds phrases; document co-occurrence finds words
+    that TRAVEL TOGETHER across documents. Top-k by exact integer
+    lift with support floor ``n_xy >= min_docs``; deterministic
+    (lift, n_xy, x, y) tie order.
+
+    Scale contract: per-doc pair fan-out is C(v, 2) in the doc's
+    DISTINCT vocabulary v — the absolute ``max_doc_vocab`` cap (the
+    relative-cap lesson: caps must be absolute) SKIPS degenerate
+    mega-vocabulary docs entirely (pairs AND df AND the doc count,
+    so N stays consistent), mirrored in the oracle's WHERE. The
+    Arrow pass emits per-partition PARTIAL (x, y, cnt) rows — the
+    exchange is bounded by the distinct pair set per partition,
+    never the raw C(v,2)·docs stream (the count_grams/count_pairs
+    map-side-combine shape); the doc-count row rides the same frame
+    as an (x=NULL) sentinel, so ONE pass serves pair counts, doc
+    frequencies, and N. Integer products ride DECIMAL(38,0) (n_xy·N
+    ·10⁶ approaches 2^63 at replica scale); the FINAL schema ships
+    BIGINT counts and the bounded BIGINT lift_ppm (decimal-purge
+    rule)."""
+    import re
+    from collections import Counter
+    from itertools import combinations
+
+    import pandas as pd
+
+    from distributed_computing_spark.caching import track_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    pat = re.compile(TOKEN_MATCH_RE)
+
+    def count_cooc(batches):
+        pair_c: Counter = Counter()
+        tok_c: Counter = Counter()
+        ndocs = 0
+        for pdf in batches:
+            for text in pdf["text"]:
+                toks = sorted(set(pat.findall(text)))
+                if not toks or len(toks) > max_doc_vocab:
+                    continue
+                ndocs += 1
+                tok_c.update(toks)
+                pair_c.update(combinations(toks, 2))
+        xs = [w for w in tok_c] + [a for a, _ in pair_c] + [None]
+        ys = [None] * len(tok_c) + [b for _, b in pair_c] + [None]
+        cs = list(tok_c.values()) + list(pair_c.values()) + [ndocs]
+        yield pd.DataFrame(
+            {
+                "x": pd.Series(xs, dtype=object),
+                "y": pd.Series(ys, dtype=object),
+                "cnt": pd.Series(cs, dtype="int64"),
+            }
+        )
+
+    grams = track_persist(
+        docs.select("text")
+        .mapInPandas(count_cooc, schema="x string, y string, cnt long")
+        .groupBy("x", "y")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    n_total = grams.where(F.col("x").isNull()).select(
+        F.col("cnt").alias("n_docs")
+    )
+    df_tok = grams.where(
+        F.col("x").isNotNull() & F.col("y").isNull()
+    ).select(F.col("x").alias("w"), F.col("cnt").alias("df"))
+    pairs = grams.where(F.col("y").isNotNull()).select(
+        F.col("x"), F.col("y"), F.col("cnt").alias("n_xy")
+    )
+    cx = df_tok.select(F.col("w").alias("x"), F.col("df").alias("n_x"))
+    cy = df_tok.select(F.col("w").alias("y"), F.col("df").alias("n_y"))
+    # Size gate on the df re-attach (the bigram_pmi rule: a web-scale
+    # vocabulary must not broadcast): grams is persisted, so the count
+    # is a cache-served bounded aggregate, not an extra scan.
+    vocab_fits = df_tok.count() <= max_broadcast_vocab
+    cx = F.broadcast(cx) if vocab_fits else cx
+    cy = F.broadcast(cy) if vocab_fits else cy
+    dec = "decimal(38,0)"
+    scored = (
+        pairs.where(F.col("n_xy") >= min_docs)
+        .join(cx, "x")
+        .join(cy, "y")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "x",
+            "y",
+            "n_xy",
+            "n_x",
+            "n_y",
+            F.expr(
+                f"cast(cast(n_xy as {dec}) * cast(n_docs as {dec})"
+                f" * cast(1000000 as {dec})"
+                f" div (cast(n_x as {dec}) * cast(n_y as {dec}))"
+                " as bigint)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_ppm").desc(), F.col("n_xy").desc(), "x", "y"
+    ).limit(k)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str = "lang",

@@ -8120,6 +8120,148 @@ ORACLES["stream_interarrival_quantiles"] = ORACLES[
 ]
 
 
+def event_path_trigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.analytics import (
+        event_path_trigrams,
+    )
+
+    return event_path_trigrams(spark, sf_dir)
+
+
+QUERIES["event_path_trigrams"] = event_path_trigrams_q
+ORACLES["event_path_trigrams"] = """
+WITH s AS (
+  SELECT user_id, event_type AS t1,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS t2,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS t3
+  FROM events)
+SELECT t1, t2, t3,
+       CAST(count(*) AS BIGINT) AS n_paths,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM s WHERE t3 IS NOT NULL
+GROUP BY 1, 2, 3 ORDER BY n_paths DESC, t1, t2, t3"""
+
+
+def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.analytics import (
+        retention_cohorts,
+    )
+
+    return retention_cohorts(spark, sf_dir)
+
+
+QUERIES["retention_cohorts"] = retention_cohorts_q
+# (epoch_us // 86400000000) // 7 and (n_users * 1000000) // cohort_size:
+# non-negative (2024 timestamps; counts) — audited in
+# tests/test_oracle_portability.py.
+ORACLES["retention_cohorts"] = """
+WITH uw AS (SELECT DISTINCT user_id,
+                   (epoch_us(ts) // 86400000000) // 7 AS week
+            FROM events),
+c AS (SELECT user_id, week,
+             min(week) OVER (PARTITION BY user_id) AS cohort_week
+      FROM uw),
+r AS (SELECT cohort_week, week - cohort_week AS week_offset,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM c GROUP BY 1, 2),
+f AS (SELECT cohort_week, week_offset, n_users,
+             max(CASE WHEN week_offset = 0 THEN n_users END)
+               OVER (PARTITION BY cohort_week) AS cohort_size
+      FROM r)
+SELECT cohort_week, week_offset, n_users, cohort_size,
+       CAST(CASE WHEN cohort_size > 0
+            THEN (n_users * 1000000) // cohort_size END AS BIGINT)
+         AS retention_ppm
+FROM f ORDER BY 1, 2"""
+
+
+def doc_cooccurrence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_computing_spark.operators.textstats import (
+        doc_cooccurrence,
+    )
+
+    return doc_cooccurrence(spark, sf_dir)
+
+
+QUERIES["doc_cooccurrence"] = doc_cooccurrence_q
+# (n_xy * n_docs * 1000000) // (n_x * n_y): all counts, non-negative —
+# audited in tests/test_oracle_portability.py. The a.tok < b.tok pair
+# order is ASCII-binary on both engines (tokens are [A-Za-z0-9]+).
+ORACLES["doc_cooccurrence"] = f"""
+WITH d AS (SELECT doc_id, list_distinct({_TOKENS}) AS toks
+           FROM documents),
+ok AS (SELECT doc_id, toks FROM d
+       WHERE len(toks) >= 1 AND len(toks) <= 2000),
+n AS (SELECT CAST(count(*) AS HUGEINT) AS n_docs FROM ok),
+e AS (SELECT doc_id, unnest(toks) AS tok FROM ok),
+dfq AS (SELECT tok, CAST(count(*) AS HUGEINT) AS df FROM e GROUP BY 1),
+p AS (SELECT a.tok AS x, b.tok AS y, CAST(count(*) AS HUGEINT) AS n_xy
+      FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2 HAVING count(*) >= 10)
+SELECT p.x, p.y,
+       CAST(p.n_xy AS BIGINT) AS n_xy,
+       CAST(dx.df AS BIGINT) AS n_x,
+       CAST(dy.df AS BIGINT) AS n_y,
+       CAST((p.n_xy * n.n_docs * 1000000) // (dx.df * dy.df) AS BIGINT)
+         AS lift_ppm
+FROM p, n
+JOIN dfq dx ON dx.tok = p.x
+JOIN dfq dy ON dy.tok = p.y
+ORDER BY lift_ppm DESC, n_xy DESC, x, y LIMIT 40"""
+
+
+def stream_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONLINE twin of event_path_trigrams (round 12): per-user
+    path extraction as applyInPandasWithState whose state is the last
+    TWO event types per key (streaming/trigram.py — the K5 family's
+    fourth domain). Replayed as 4 time-ordered micro-batches (the
+    seq-source recipe); emitted trigram rows flush to storage (the
+    stream_cusum handoff) and aggregate to the SAME path table the
+    batch operator produces. Gated by the BATCH oracle: online ==
+    double-lead window exactly, including paths that straddle
+    micro-batch boundaries (the state carries them across — the
+    boundary case the pytest pins)."""
+    from distributed_computing_spark.caching import session_tmpdir
+    from distributed_computing_spark.streaming.runner import (
+        run_to_batch,
+        stream_in_seq_batches,
+    )
+    from distributed_computing_spark.streaming.trigram import (
+        trigram_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    t0 = e.agg(F.min("us").alias("m")).collect()[0]["m"] or 0
+    e = e.withColumn("rel", (F.col("us") - F.lit(int(t0))).cast("long"))
+    sdf = stream_in_seq_batches(spark, e, n=4, order_col="rel")
+    tris = run_to_batch(
+        trigram_stream(sdf.drop("rel")), spark, output_mode="append"
+    )
+    out = session_tmpdir(prefix="dcs_tris_")
+    tris.write.mode("overwrite").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("t1", "t2", "t3")
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_paths").desc(), "t1", "t2", "t3")
+    )
+
+
+QUERIES["stream_event_trigrams"] = stream_event_trigrams
+ORACLES["stream_event_trigrams"] = ORACLES["event_path_trigrams"]
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate window rotation (round 11 — VERDICT r10 item 2)
 # ---------------------------------------------------------------------------
@@ -8159,8 +8301,12 @@ ORACLES["stream_interarrival_quantiles"] = ORACLES[
 #      approx_distinct_users / frequent_items / parquet_profile —
 #      pair-rule: if any re-enters for a plan change its exact twin
 #      rides along, VERDICT r11 item 5).
-# Round-12 additions displace the tail picks below as they land (the
-# _R12_NEW guard enforces it).
+#   4. The four round-12 additions (never driver-gated -> must be in
+#      the 50): event_path_trigrams, retention_cohorts,
+#      doc_cooccurrence, stream_event_trigrams — displacing the four
+#      tail r7-stale picks hilbert_cells, hll_nation_rollup,
+#      ivm_customer_revenue, kmv_pair_sketches, which join the r13
+#      first-picks list above (making it 20 entries).
 _R12_WINDOW = [
     # 1. the 17 r6-stale oracle-backed entries
     "bigram_logprob", "bloom_semi_orders", "clean_docs",
@@ -8180,8 +8326,10 @@ _R12_WINDOW = [
     "neardup_clusters", "neardup_canonical", "bpe_merges",
     "bpe_encode_stats", "revenue_by_segment", "regional_revenue",
     "regional_revenue_bucketed", "user_sessions", "shard_routing",
-    "shard_census", "hilbert_cells", "hll_nation_rollup",
-    "ivm_customer_revenue", "kmv_pair_sketches",
+    "shard_census",
+    # 4. round-12 additions (never driver-gated)
+    "event_path_trigrams", "retention_cohorts",
+    "doc_cooccurrence", "stream_event_trigrams",
 ]
 assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 QUERIES = {name: QUERIES[name] for name in _R12_WINDOW} | {
@@ -8191,7 +8339,10 @@ QUERIES = {name: QUERIES[name] for name in _R12_WINDOW} | {
 # Every never-driver-gated query MUST sit inside the first-50 window —
 # this file-end block is the last statement touching QUERIES, and this
 # guard fails loudly if a future registration lands below it.
-_R12_NEW: list[str] = []
+_R12_NEW: list[str] = [
+    "event_path_trigrams", "retention_cohorts",
+    "doc_cooccurrence", "stream_event_trigrams",
+]
 _order = list(QUERIES)
 for _q in _R12_NEW:
     if _order.index(_q) >= 50:

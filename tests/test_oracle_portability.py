@@ -268,6 +268,15 @@ _AUDITED_FLOORDIV = [
     # round 11 clustering coefficient: triangle/degree counts are
     # non-negative and the WHERE guards d >= 2.
     r"// \(d\.d::HUGEINT \* \(d\.d - 1\)\)",
+    # round 12 retention cohorts: epoch_us of 2024 timestamps and the
+    # week bucket are non-negative; counts non-negative with the CASE
+    # guarding a positive cohort_size.
+    r"\(epoch_us\(ts\) // 86400000000\) // 7",
+    r"\(n_users \* 1000000\) // cohort_size",
+    # round 12 doc co-occurrence: document-frequency counts, all
+    # non-negative; denominators are df's of tokens present in some
+    # pair (>= 1 by construction).
+    r"\(p\.n_xy \* n\.n_docs \* 1000000\) // \(dx\.df \* dy\.df\)",
 ]
 
 

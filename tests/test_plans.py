@@ -1076,3 +1076,57 @@ def test_segment_revenue_gini_persists_seg(spark):
         assert tree.count("InMemoryTableScan") == 2, tree
     finally:
         release_tracked()
+
+
+def test_event_path_trigrams_one_user_exchange_one_window(spark):
+    """Round 12: both lead() columns ride ONE Window node over ONE
+    user_id exchange; the trigram rollup partial-aggregates map-side;
+    the scan prunes to the 4 needed columns."""
+    import re
+
+    df = QUERIES["event_path_trigrams"](spark, SF_DIR)
+    plan = _plan(df)
+    tree = operator_tree(df)
+    assert tree.count("Window") == 1, tree
+    assert "partial_count" in plan, plan
+    user_ex = re.findall(r"hashpartitioning\(user_id#\d+L?,", plan)
+    assert len(user_ex) >= 1, plan
+    assert "value" not in plan and "props" not in plan, "pruning"
+
+
+def test_retention_cohorts_one_exchange_serves_dedup_and_window(spark):
+    """Round 12 (the dominant_part_suppliers motion on events): the
+    explicit repartition(user_id) serves the (user, week) dedup
+    (partition keys subset of group keys - no new exchange) AND the
+    per-user first-week window; only the tiny cohort rollup and its
+    cohort-size window add exchanges. 3 hash exchanges total, 2
+    Window nodes."""
+    import re
+
+    df = QUERIES["retention_cohorts"](spark, SF_DIR)
+    plan = _plan(df)
+    tree = operator_tree(df)
+    assert count_exchanges(df, "hashpartitioning") == 3, tree
+    assert tree.count("Window") == 2, tree
+    # exactly ONE exchange keyed on user_id (the repartition); the
+    # dedup must NOT add a (user_id, week) exchange
+    assert len(re.findall(r"hashpartitioning\(user_id#\d+L?, 8\)", plan)) == 1, plan
+    assert not re.search(r"hashpartitioning\(user_id#\d+L?, week", plan), plan
+
+
+def test_doc_cooccurrence_broadcasts_df_and_caches_grams(spark):
+    """Round 12: the persisted gram table serves the doc-count scalar,
+    both document-frequency re-attaches, and the pair branch (>= 3
+    cache reads); under the vocab gate both df joins broadcast; the
+    top-k is TakeOrderedAndProject, never a global sort."""
+    from distributed_computing_spark.caching import release_tracked
+
+    try:
+        df = QUERIES["doc_cooccurrence"](spark, SF_DIR)
+        tree = operator_tree(df)
+        assert tree.count("InMemoryTableScan") >= 3, tree
+        assert tree.count("BroadcastHashJoin") >= 2, tree
+        assert "TakeOrderedAndProject" in tree, tree
+        assert "SortMergeJoin" not in tree, tree
+    finally:
+        release_tracked()
