@@ -922,6 +922,26 @@ RECORDED_R12_TIERS: dict = {
         "R400_joinfirst": {"spark_s": 10.48, "duckdb_s": 5.20, "ratio": 2.0},
         "R400": {"spark_s": 7.93, "duckdb_s": 5.20, "ratio": 1.5},
     },
+    # VERDICT r11 item 4: the Q4/Q12 R400 cells CONFIRMED with repeat
+    # runs, both engines solo at the default heap (spark warm band /
+    # duck band): late_shipment 11.2-22.2 vs 1.8-2.2, late_lines
+    # 11.0-23.0 vs 2.2 — the r11 single-run cells were real, ratio ~6
+    # with ~11 s absolutes. Both plans carry exactly one fact-fact
+    # exchange and pushed bounds; the gap is single-node hash-join
+    # throughput while the working set fits RAM — the sole_return
+    # profile, whose flip arrived only when DuckDB's fan-out went
+    # superlinear. The deciding R800 cell was ATTEMPTED and aborted:
+    # the replica build's one-task ×800 explode had written 33 GB of
+    # shuffle with 32 GB of disk left (~48 GB projected + the parquet
+    # write — over this box's budget; the neardup_clusters disk class).
+    # Verdict: open-converging, bounded by the recorded mechanism, not
+    # re-planned — deciding cell carried until a bigger disk quota.
+    "late_shipment_priority": {
+        "R400_confirm": {"spark_s": 11.21, "duckdb_s": 1.80, "ratio": 6.2},
+    },
+    "late_lines_priority_mix": {
+        "R400_confirm": {"spark_s": 10.95, "duckdb_s": 2.18, "ratio": 5.0},
+    },
 }
 
 # The stdout-echo subset of the recorded tiers: the bench's compact
