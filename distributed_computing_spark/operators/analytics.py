@@ -922,6 +922,39 @@ def basket_pair_counts(
     C(k,2) alone, so baskets above the cap are SKIPPED (a >10k-item
     "basket" is a data artifact, not co-purchase signal) — mirrored in
     the copurchase_pairs oracle's NOT IN basket-size filter."""
+    baskets = order_baskets(items, order_col=order_col, item_col=item_col)
+    return pair_counts_from_baskets(
+        baskets, min_count=min_count, max_basket=max_basket
+    )
+
+
+def order_baskets(
+    items: DataFrame,
+    order_col: str = "l_orderkey",
+    item_col: str = "item",
+) -> DataFrame:
+    """Per-order distinct item sets: (order_col, _its array) — the
+    shared upstream of the basket pair counter AND the per-item /
+    per-order support rollups (round-12 optimization). Factored out so
+    consumers that need pairs + supports + totals can build the basket
+    table ONCE (track_persist it) instead of re-scanning the fact and
+    paying the distinct exchange again per rollup: collect_set already
+    dedups within the order, so ``explode(_its)`` IS the
+    (order, item)-distinct row set and ``count(baskets)`` IS the
+    distinct-order count."""
+    return items.groupBy(order_col).agg(
+        F.collect_set(item_col).alias("_its")
+    )
+
+
+def pair_counts_from_baskets(
+    baskets: DataFrame,
+    min_count: int = 3,
+    max_basket: int = 10_000,
+    its_col: str = "_its",
+) -> DataFrame:
+    """The fused-Arrow pair-support pass over a prebuilt basket table
+    (see ``basket_pair_counts`` for the plan rationale)."""
     from collections import Counter
 
     import pandas as pd
@@ -929,7 +962,7 @@ def basket_pair_counts(
     def count_pairs(batches):
         c: Counter = Counter()
         for pdf in batches:
-            for its in pdf["_its"]:
+            for its in pdf[its_col]:
                 s = sorted(set(its))
                 for i in range(len(s)):
                     ai = s[i]
@@ -946,12 +979,9 @@ def basket_pair_counts(
             }
         )
 
-    baskets = items.groupBy(order_col).agg(
-        F.collect_set(item_col).alias("_its")
-    )
     return (
-        baskets.where(F.size("_its") <= max_basket)
-        .select("_its")
+        baskets.where(F.size(its_col) <= max_basket)
+        .select(its_col)
         .mapInPandas(count_pairs, "a long, b long, n long")
         .groupBy("a", "b")
         .agg(F.sum("n").alias("n_orders"))
@@ -999,6 +1029,8 @@ def association_rules(
     Overflow audit: supp_ab·N·10^6 <= |lineitem|²·10^6 — cast through
     DECIMAL(38,0) and divide there, landing back in BIGINT.
     """
+    from distributed_computing_spark.caching import track_persist
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", F.col("l_partkey").alias("item")
     )
@@ -1007,14 +1039,24 @@ def association_rules(
     # basket, so downstream counts are plain sums that partial-
     # aggregate; the r8 draft's per-pair countDistinct Expand measured
     # 33.7 s at R100, the join plan 11.0 s at R20, the fused pass
-    # 6.6 s). Item supports and N are separate cheap scans of the
-    # projection — no shared subtree left to persist.
-    pairs = basket_pair_counts(li, min_count=min_count).withColumnRenamed(
-        "n_orders", "supp_ab"
-    )
-    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    supp = li.distinct().groupBy("item").agg(
-        F.count(F.lit(1)).alias("supp")
+    # 6.6 s).
+    # Round-12 optimization: pairs, item supports AND the basket total
+    # all derive from ONE persisted basket table — the r9 shape
+    # re-scanned lineitem twice more and paid a full
+    # (l_orderkey, item)-distinct exchange for the supports, but
+    # collect_set has already dedup'd within the order, so
+    # explode(_its) IS that distinct row set (map-side partial agg,
+    # no fact-sized exchange) and count(baskets) IS the distinct-order
+    # count. 3 lineitem scans + 3 fact-sized exchanges → 1 + 1.
+    baskets = track_persist(order_baskets(li))
+    pairs = pair_counts_from_baskets(
+        baskets, min_count=min_count
+    ).withColumnRenamed("n_orders", "supp_ab")
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    supp = (
+        baskets.select(F.explode("_its").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("supp"))
     )
     # both rule directions from ONE pair evaluation (the r6
     # explode-an-array lesson: never unionAll two selects of the same
@@ -2507,12 +2549,27 @@ def copurchase_cosine(
     costs no extra scan: distinct items <= |part| and a parquet count
     is metadata-only, so a web-scale item catalog falls back to a
     shuffle join instead of collecting to every executor."""
+    from distributed_computing_spark.caching import track_persist
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", F.col("l_partkey").alias("item")
     )
-    pairs = basket_pair_counts(li, min_count=min_count)
-    supp = li.distinct().groupBy("item").agg(
-        F.count(F.lit(1)).alias("supp")
+    # Round-12 optimization (same motion as association_rules): ONE
+    # persisted basket table serves the pair counter AND the item
+    # supports — the r9 shape evaluated the support subtree TWICE
+    # (once per join side: 2 extra lineitem scans + 2 full
+    # (l_orderkey, item)-distinct exchanges, visible as operators
+    # 13-21 and 25-33 in plans/r12/copurchase_cosine_before.txt).
+    # collect_set already dedup'd within the order, so explode(_its)
+    # is the distinct row set and the support rollup partial-
+    # aggregates map-side from the cache; the support table itself is
+    # item-sized, persisted so sa/sb share one evaluation.
+    baskets = track_persist(order_baskets(li))
+    pairs = pair_counts_from_baskets(baskets, min_count=min_count)
+    supp = track_persist(
+        baskets.select(F.explode("_its").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("supp"))
     )
     sa = supp.select(F.col("item").alias("a"), F.col("supp").alias("supp_a"))
     sb = supp.select(F.col("item").alias("b"), F.col("supp").alias("supp_b"))

@@ -249,9 +249,15 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     und = edges.where(F.col("src") < F.col("dst")).select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     )
-    # symmetric directed list → out-degree == undirected degree
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("d")
+    # symmetric directed list → out-degree == undirected degree.
+    # Node-sized and referenced twice (the a- and b-side degree
+    # joins): persisted so the second reference reads the cache
+    # instead of re-scanning the edge list (round-12 optimization —
+    # shared-subtree rule at the node scale).
+    deg = track_persist(
+        edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
     )
     j = (
         und.join(deg.withColumnRenamed("node", "a"), "a")
@@ -268,8 +274,6 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lt, F.col("db")).otherwise(F.col("da")).alias("dv"),
     )
-    from distributed_computing_spark.caching import track_persist
-
     oe = track_persist(oe)  # reused three times (e1, e2, closure probe)
     e1 = oe.select(
         F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy")
@@ -300,10 +304,19 @@ def copurchase_triangles(
 ) -> DataFrame:
     """Registry query: top-k parts by co-purchase triangle membership
     (ties broken by part id) — integer counts, exactly oracle-checkable
-    against the three-way self-join in SQL."""
+    against the three-way self-join in SQL.
+
+    The edge list PERSISTS here (round-12 optimization): inside
+    ``triangle_counts`` the un-persisted edges subtree is referenced by
+    ``und`` and twice by the degree joins, so the basket-explode edge
+    build (groupBy + pair distinct — the expensive exchanges) ran THREE
+    times in the oe-persist's build plan. clustering_coefficients
+    already applied the shared-subtree rule; this query had missed it.
+    Measured at the R20 crossover replica: 23.2 s → see
+    OPTIMIZATION_r12.md."""
     from distributed_computing_spark.sources.catalog import load_table
 
-    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    edges = track_persist(copurchase_edges(load_table(spark, sf_dir, "lineitem")))
     out = (
         triangle_counts(edges)
         .orderBy(F.desc("n_triangles"), F.asc("node"))

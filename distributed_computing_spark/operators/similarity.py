@@ -764,13 +764,18 @@ def kmeans_quantized(
         ).alias("q"),
     )
     q = track_persist(q)
-    n_rows = q.count()  # bounded: also dispatches the assignment path
-    # The non-negative contract is CHECKED, not assumed: one bounded
-    # aggregate over the persisted table (1 row to the driver).
-    bounds = q.select(
+    # ONE bounded setup aggregate (round-12 optimization: the separate
+    # count() and bounds jobs each paid a full job round-trip; fused
+    # they materialize the persist once and return 1 row): the row
+    # count dispatches the assignment path, and the non-negative
+    # contract is CHECKED, not assumed.
+    setup = q.select(
+        F.count(F.lit(1)).alias("n"),
         F.min(F.array_min("q")).alias("lo"),
         F.max(F.array_max("q")).alias("hi"),
     ).collect()[0]
+    n_rows = setup["n"]
+    bounds = setup
     if bounds["lo"] < 0 or bounds["hi"] > 4 * scale:
         raise ValueError(
             "embedding values outside [-2, 2]: shifted quantization "
@@ -791,19 +796,37 @@ def kmeans_quantized(
     # startup; above it the GEMM path scales with BLAS-style batch
     # throughput. Same enforced-dispatch discipline as
     # dedup.decontaminate's broadcast contract.
+    # Round-12 re-measure: with WARM Python workers (any pipeline that
+    # has already run one Arrow query — the bench and the gate both
+    # do) the GEMM path wins from far smaller inputs: at 2000×64, k=8
+    # (n·k·d ≈ 1.0M) five GEMM rounds run 1.7-3.7 s vs 7.0-10.5 s
+    # interpreted (the HOF's per-element lambda never codegens). The
+    # threshold drops 10M → 500k; below it (the sf0.01 gate tier,
+    # n·k·d ≈ 100k) the JVM path still avoids a cold worker spin-up.
     use_gemm = (
         force_gemm
         if force_gemm is not None
-        else n_rows * k * dim > 10_000_000
+        else n_rows * k * dim > 500_000
     )
 
-    def _assigned():
+    def _gemm_consts():
+        import numpy as np
+
+        C = np.array([cents[j] for j in range(k)], dtype=np.int64)
+        return C, (C * C).sum(1)
+
+    def _assigned(with_q: bool = True):
+        # ``with_q=False`` (round-12 optimization): the RETURNED frame
+        # never uses q — the old shape declared q in the mapInPandas
+        # schema and .drop()'d it after, which still ships every
+        # vector back across the Arrow boundary (opaque schema: no
+        # column pruning into a Python map). Emitting (id, cluster,
+        # dist) only halves the final pass's JVM←Python transfer.
         if use_gemm:
             import numpy as np
             import pandas as pd
 
-            C = np.array([cents[j] for j in range(k)], dtype=np.int64)
-            c2 = (C * C).sum(1)
+            C, c2 = _gemm_consts()
 
             def assign(batches):
                 for p in batches:
@@ -813,18 +836,17 @@ def kmeans_quantized(
                     x2 = (X * X).sum(1)
                     d2 = x2[:, None] + c2[None, :] - 2 * (X @ C.T)
                     j = d2.argmin(1)  # first min = lowest cluster id
-                    yield pd.DataFrame(
-                        {
-                            id_col: p[id_col],
-                            "q": p["q"],
-                            "cluster": j.astype("int32"),
-                            "dist": d2[np.arange(len(j)), j],
-                        }
-                    )
+                    out = {id_col: p[id_col]}
+                    if with_q:
+                        out["q"] = p["q"]
+                    out["cluster"] = j.astype("int32")
+                    out["dist"] = d2[np.arange(len(j)), j]
+                    yield pd.DataFrame(out)
 
+            schema_q = ", q array<long>" if with_q else ""
             return q.mapInPandas(
                 assign,
-                f"{id_col} long, q array<long>, cluster int, dist long",
+                f"{id_col} long{schema_q}, cluster int, dist long",
             )
         dist_cols = [
             F.aggregate(
@@ -839,24 +861,83 @@ def kmeans_quantized(
             for j in range(k)
         ]
         dists = F.array(*dist_cols)
+        cols = [id_col, "q"] if with_q else [id_col]
         return q.select(
-            id_col,
-            "q",
+            *cols,
             (F.array_position(dists, F.array_min(dists)) - 1)
             .cast("int")
             .alias("cluster"),
             F.array_min(dists).alias("dist"),
         )
 
-    trace = [dict(cents)]
-    for _ in range(n_iter - 1):
-        sums = (
+    def _cluster_sums():
+        """One Lloyd update's (cluster, dim) → (Σx, n) rows.
+
+        GEMM path (round-12 optimization): the assignment AND the
+        per-cluster coordinate sums fuse into ONE mapInPandas pass
+        emitting k×d-bounded PARTIAL sums per batch — the map-side
+        combine moved inside the Arrow stage. The old shape shipped
+        every (id, q, cluster, dist) row back to the JVM (|n|·d longs
+        per round across the Arrow boundary) and then posexploded to
+        |n|·d rows before the partial aggregate; sums of longs are
+        order-independent, so batch-partials then F.sum reproduce the
+        exact same integers. Clusters absent from a batch emit no row
+        (empty keeps previous centroid, as before)."""
+        if use_gemm:
+            import numpy as np
+            import pandas as pd
+
+            C, c2 = _gemm_consts()
+
+            def partial_sums(batches):
+                S = np.zeros((k, dim), dtype=np.int64)
+                cnt = np.zeros(k, dtype=np.int64)
+                for p in batches:
+                    if not len(p):
+                        continue
+                    X = np.stack(p["q"].values).astype(np.int64)
+                    x2 = (X * X).sum(1)
+                    d2 = x2[:, None] + c2[None, :] - 2 * (X @ C.T)
+                    j = d2.argmin(1)
+                    np.add.at(S, j, X)
+                    cnt += np.bincount(j, minlength=k)
+                present = np.flatnonzero(cnt)
+                yield pd.DataFrame(
+                    {
+                        "cluster": pd.Series(
+                            np.repeat(present, dim), dtype="int32"
+                        ),
+                        "dim": pd.Series(
+                            np.tile(np.arange(dim), len(present)),
+                            dtype="int32",
+                        ),
+                        "sx": pd.Series(S[present].ravel(), dtype="int64"),
+                        "n": pd.Series(
+                            np.repeat(cnt[present], dim), dtype="int64"
+                        ),
+                    }
+                )
+
+            return (
+                q.select("q")
+                .mapInPandas(
+                    partial_sums, "cluster int, dim int, sx long, n long"
+                )
+                .groupBy("cluster", "dim")
+                .agg(F.sum("sx").alias("sx"), F.sum("n").alias("n"))
+                .collect()
+            )
+        return (
             _assigned()
             .select("cluster", F.posexplode("q").alias("dim", "x"))
             .groupBy("cluster", "dim")
             .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
+
+    trace = [dict(cents)]
+    for _ in range(n_iter - 1):
+        sums = _cluster_sums()
         new = {j: list(cents[j]) for j in range(k)}  # empty keeps old
         for r in sums:
             # sums of SHIFTED coords are non-negative (checked above),
@@ -871,8 +952,8 @@ def kmeans_quantized(
         cents = new
         trace.append(dict(cents))
     if return_trace:
-        return _assigned().drop("q"), cents, trace
-    return _assigned().drop("q"), cents
+        return _assigned(with_q=False), cents, trace
+    return _assigned(with_q=False), cents
 
 
 def _kmeans_cte_parts(
