@@ -118,16 +118,46 @@ def pagerank(
     n_nodes = deg.count()
     use_broadcast = n_nodes <= broadcast_nodes_max
     teleport = (scale * (damping_den - damping_num)) // damping_den
-    ranks = deg.select("node", F.lit(scale).cast("long").alias("rank"))
-    for _ in range(n_iter):
-        # per-source contribution: node-sized (broadcast-joined below
-        # threshold, so the whole round's vertex side stays shuffle-free)
-        contrib = ranks.join(
-            F.broadcast(deg) if use_broadcast else deg, "node"
-        ).select(
-            F.col("node").alias("src"),
-            F.expr("rank div outdeg").alias("c"),
-        )
+    # Round-12 optimization: the loop state is the incoming-mass table
+    # c_in (NULL-able per node), and the rank expression folds INTO the
+    # next round's contribution build — the old shape materialized TWO
+    # node-sized broadcasts per round (contrib, then c_in for the
+    # ranks left-join); this one materializes ONE (the contrib subtree,
+    # whose plan contains the deg-left-join and the rank expression).
+    # Arithmetic is unchanged and still two separate truncating
+    # divisions: rank = teleport + (num·coalesce(c_in,0)) div den,
+    # then c = rank div outdeg — bit-identical to the unrolled oracle.
+    # Measured at sf0.1 (8 rounds): ~12.1 s → see OPTIMIZATION_r12.md.
+    rank_expr = (
+        F.lit(teleport)
+        + F.expr(f"({damping_num} * coalesce(c_in, 0L)) div {damping_den}")
+    ).cast("long")
+    c_in = None
+    for t in range(n_iter):
+        if t == 0:
+            # r_0(v) = scale for every node: the first contribution
+            # comes straight off the persisted degree table.
+            contrib = deg.select(
+                F.col("node").alias("src"),
+                F.expr(f"cast({scale} as bigint) div outdeg").alias("c"),
+            )
+        else:
+            # LEFT join from the node universe: a node with no
+            # in-edges still receives teleport mass (can't happen on
+            # the symmetric co-purchase graph, but the operator
+            # shouldn't assume it).
+            contrib = (
+                deg.join(
+                    F.broadcast(c_in) if use_broadcast else c_in,
+                    "node",
+                    "left",
+                )
+                .select("node", "outdeg", rank_expr.alias("rank"))
+                .select(
+                    F.col("node").alias("src"),
+                    F.expr("rank div outdeg").alias("c"),
+                )
+            )
         if use_broadcast:
             contrib = F.broadcast(contrib)
         c_in = (
@@ -135,23 +165,11 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("c_in"))
         )
-        # LEFT join from the node universe: a node with no in-edges
-        # still receives teleport mass (can't happen on the symmetric
-        # co-purchase graph, but the operator shouldn't assume it).
-        nodes = deg.select("node")
-        ranks = (
-            nodes.join(F.broadcast(c_in) if use_broadcast else c_in, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.expr(
-                        f"({damping_num} * coalesce(c_in, 0L)) div {damping_den}"
-                    )
-                ).cast("long").alias("rank"),
-            )
-        )
-    return ranks.join(deg, "node").select("node", "outdeg", F.col("rank").alias("rank_score"))
+    ranks = (
+        deg.join(F.broadcast(c_in) if use_broadcast else c_in, "node", "left")
+        .select("node", "outdeg", rank_expr.alias("rank"))
+    )
+    return ranks.select("node", "outdeg", F.col("rank").alias("rank_score"))
 
 
 def pagerank_parts(

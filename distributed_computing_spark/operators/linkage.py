@@ -190,7 +190,15 @@ def fastss_edit1_pairs(
             ),
         )
     )
-    vk = (
+    from distributed_computing_spark.caching import track_persist
+
+    # Round-12 optimization: the hashed variant table has THREE
+    # consumers (the bucket-cap rollup plus both sides of the
+    # candidate self-join), so the un-persisted shape re-ran the
+    # neighborhood explode + distinct exchange three times
+    # (shared-subtree rule); (id, hash) rows are 16 bytes each, so
+    # the cache is |rows|·(|name|+1)-bounded and spillable.
+    vk = track_persist(
         df.select(F.col(id_col).alias("_id"), F.explode(variants).alias("_v"))
         .select("_id", F.xxhash64("_v").alias("_kh"))
         .distinct()

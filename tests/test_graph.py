@@ -227,7 +227,11 @@ def test_triangle_closure_evaluated_once(spark):
         _sym([(1, 2), (2, 3), (1, 3)]), "src long, dst long"
     )
     tree = operator_tree(triangle_counts(edges))
-    assert tree.count("InMemoryTableScan") == 3
+    # >= 3: the oriented-edge cache at its three reference sites;
+    # round-12 also persists the node-sized degree table (its two
+    # join references + its appearance inside cached build plans push
+    # the raw count past 3, so the pin is a floor, not an equality).
+    assert tree.count("InMemoryTableScan") >= 3
     assert "Union" not in tree
     release_tracked()
 
