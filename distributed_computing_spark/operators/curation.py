@@ -179,9 +179,13 @@ def fused_chunk_docs(
                 }
             )
 
+    from distributed_computing_spark.parallelism import spread_for_arrow
+
     types = {f.name: f.dataType.simpleString() for f in docs.schema.fields}
     extra_schema = "".join(f"{c} {types[c]}, " for c in extra_cols)
-    return docs.select("doc_id", *extra_cols, text_col).mapInPandas(
+    return spread_for_arrow(
+        docs.select("doc_id", *extra_cols, text_col)
+    ).mapInPandas(
         run,
         schema=f"doc_id long, {extra_schema}chunk_id long, "
         "chunk_text string, n_tokens long",

@@ -846,7 +846,9 @@ def fused_decontaminate(
                     }
                 )
 
-    per_doc = corpus.select("doc_id", "text").mapInPandas(
+    from distributed_computing_spark.parallelism import spread_for_arrow
+
+    per_doc = spread_for_arrow(corpus.select("doc_id", "text")).mapInPandas(
         probe, schema="doc_id long, n_shingles long, n_matched long"
     )
     frac = F.col("n_matched") / F.col("n_shingles")

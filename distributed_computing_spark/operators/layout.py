@@ -503,6 +503,52 @@ def with_hilbert(
     return df.drop("_hx", "_hy", "_rx", "_ry")
 
 
+def hilbert_index_udf(bits: int):
+    """Vectorized pandas_udf twin of ``with_hilbert`` — the SAME
+    iterative quadrant walk as ``hilbert_py``, run as numpy int64
+    array ops per Arrow batch (round-12 optimization, guide §4.2).
+
+    Why: the 16-level JVM projection chain evaluates ~200 expression
+    nodes per row and is evaluated TWICE under a
+    ``repartitionByRange`` (once by the range sampler, once by the
+    exchange) — measured 12.5 s vs Morton's 1.8 s for the same
+    sf0.1 write. The udf ships ONLY the two quantized columns across
+    the Arrow boundary (one long back) and does bits passes over the
+    batch arrays. Values are bit-identical (pure integer arithmetic;
+    parity with hilbert_py pinned in tests/test_layout.py), so the
+    produced layout — and every pruning/wobble contract on it — is
+    unchanged."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n = 1 << bits
+
+    @pandas_udf("long")
+    def h(qx, qy):
+        import numpy as np
+
+        x = qx.to_numpy(dtype=np.int64, copy=True)
+        y = qy.to_numpy(dtype=np.int64, copy=True)
+        d = np.zeros(len(x), dtype=np.int64)
+        s = n >> 1
+        while s > 0:
+            rx = ((x & s) > 0).astype(np.int64)
+            ry = ((y & s) > 0).astype(np.int64)
+            d += s * s * ((3 * rx) ^ ry)
+            m = ry == 0
+            flip = m & (rx == 1)
+            xf = x[flip]
+            x[flip] = n - 1 - xf
+            y[flip] = n - 1 - y[flip]
+            xm = x[m].copy()
+            x[m] = y[m]
+            y[m] = xm
+            s >>= 1
+        return pd.Series(d, dtype="int64")
+
+    return h
+
+
 def hilbert_write(
     df: DataFrame,
     path: str,
@@ -529,8 +575,14 @@ def hilbert_write(
     q = df.withColumn(
         "_qx", quantize(x_col, xmin, xmax, bits)
     ).withColumn("_qy", quantize(y_col, ymin, ymax, bits))
+    # Round-12: the curve index comes from the vectorized Arrow twin
+    # (see hilbert_index_udf) instead of the 16-level JVM projection
+    # chain — bit-identical values, measured 12.5 s -> see
+    # OPTIMIZATION_r12.md for the write at sf0.1. with_hilbert stays
+    # the reference implementation (and the exact-gate surface for
+    # hilbert_cells).
     (
-        with_hilbert(q, "_qx", "_qy", bits, out="_h")
+        q.withColumn("_h", hilbert_index_udf(bits)(F.col("_qx"), F.col("_qy")))
         .repartitionByRange(n_files, "_h")
         .sortWithinPartitions("_h")
         .drop("_h", "_qx", "_qy")

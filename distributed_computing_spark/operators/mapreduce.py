@@ -90,7 +90,9 @@ def fused_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
         if c:
             yield flush(c)
 
-    partial = docs.select(text_col).mapInPandas(
+    from distributed_computing_spark.parallelism import spread_for_arrow
+
+    partial = spread_for_arrow(docs.select(text_col)).mapInPandas(
         count_batches, schema="word string, cnt long"
     )
     return partial.groupBy("word").agg(F.sum("cnt").alias("cnt"))

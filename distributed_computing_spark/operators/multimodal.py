@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from distributed_computing_spark.parallelism import spread_for_arrow
+
 BLOB_SCHEMA = (
     "blob_id long, modality string, data binary, "
     "meta struct<mime:string, width:int, height:int, duration_ms:long>"
@@ -372,7 +374,7 @@ def bmp_wav_blobs(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_for_arrow(docs.select("doc_id")).mapInPandas(
         gen, schema="blob_id long, modality string, data binary"
     )
 
@@ -466,7 +468,7 @@ def avi_blobs(docs: DataFrame, n_frames: int = 4, size: int = 8) -> DataFrame:
                 {"blob_id": pd.array(ids, dtype="int64"), "data": datas}
             )
 
-    return docs.select("doc_id").mapInPandas(gen, schema="blob_id long, data binary")
+    return spread_for_arrow(docs.select("doc_id")).mapInPandas(gen, schema="blob_id long, data binary")
 
 
 def sample_frames_avi(blobs: DataFrame, stride: int = 2) -> DataFrame:
@@ -539,7 +541,7 @@ def png_blobs(docs: DataFrame) -> DataFrame:
                 {"blob_id": pd.array(ids, dtype="int64"), "data": datas}
             )
 
-    return docs.select("doc_id").mapInPandas(gen, schema="blob_id long, data binary")
+    return spread_for_arrow(docs.select("doc_id")).mapInPandas(gen, schema="blob_id long, data binary")
 
 
 def decode_images_png(blobs: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
@@ -642,7 +644,7 @@ def jpeg_blobs(docs: DataFrame) -> DataFrame:
                 {"blob_id": pd.array(ids, dtype="int64"), "data": datas}
             )
 
-    return docs.select("doc_id").mapInPandas(gen, schema="blob_id long, data binary")
+    return spread_for_arrow(docs.select("doc_id")).mapInPandas(gen, schema="blob_id long, data binary")
 
 
 def decode_images_jpeg(blobs: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
@@ -708,7 +710,7 @@ def gif_blobs(docs: DataFrame) -> DataFrame:
                 {"blob_id": pd.array(ids, dtype="int64"), "data": datas}
             )
 
-    return docs.select("doc_id").mapInPandas(gen, schema="blob_id long, data binary")
+    return spread_for_arrow(docs.select("doc_id")).mapInPandas(gen, schema="blob_id long, data binary")
 
 
 def decode_images_gif(blobs: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
@@ -778,7 +780,7 @@ def mp3_blobs(docs: DataFrame) -> DataFrame:
                 {"blob_id": pd.array(ids, dtype="int64"), "data": datas}
             )
 
-    return docs.select("doc_id").mapInPandas(gen, schema="blob_id long, data binary")
+    return spread_for_arrow(docs.select("doc_id")).mapInPandas(gen, schema="blob_id long, data binary")
 
 
 def decode_audio_mp3(blobs: DataFrame) -> DataFrame:
@@ -899,7 +901,7 @@ def textured_blobs(docs: DataFrame, group_size: int = 20) -> DataFrame:
                 {"blob_id": pd.array(ids, dtype="int64"), "data": datas}
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_for_arrow(docs.select("doc_id")).mapInPandas(
         gen, schema="blob_id long, data binary"
     )
 
@@ -1066,7 +1068,7 @@ def textured_avi_blobs(
                 {"blob_id": pd.array(ids, dtype="int64"), "data": datas}
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_for_arrow(docs.select("doc_id")).mapInPandas(
         gen, schema="blob_id long, data binary"
     )
 

@@ -297,8 +297,10 @@ def bigram_pmi(
             }
         )
 
+    from distributed_computing_spark.parallelism import spread_for_arrow
+
     grams = track_persist(
-        docs.select("text")
+        spread_for_arrow(docs.select("text"))
         .mapInPandas(count_grams, schema="x string, y string, cnt long")
         .groupBy("x", "y")
         .agg(F.sum("cnt").alias("cnt"))
@@ -408,8 +410,10 @@ def doc_cooccurrence(
             }
         )
 
+    from distributed_computing_spark.parallelism import spread_for_arrow
+
     grams = track_persist(
-        docs.select("text")
+        spread_for_arrow(docs.select("text"))
         .mapInPandas(count_cooc, schema="x string, y string, cnt long")
         .groupBy("x", "y")
         .agg(F.sum("cnt").alias("cnt"))
@@ -576,7 +580,9 @@ def fused_repetition_scores(documents: DataFrame, n: int = 2) -> DataFrame:
                     }
                 )
 
-    per_doc = documents.select("doc_id", "text").mapInPandas(
+    from distributed_computing_spark.parallelism import spread_for_arrow
+
+    per_doc = spread_for_arrow(documents.select("doc_id", "text")).mapInPandas(
         profile,
         schema="doc_id long, total_ngrams long, distinct_ngrams long, top_count long",
     )
@@ -895,8 +901,10 @@ def vocab_growth(
                 }
             )
 
+    from distributed_computing_spark.parallelism import spread_for_arrow
+
     raw = track_persist(
-        docs.select("doc_id", "text").mapInPandas(
+        spread_for_arrow(docs.select("doc_id", "text")).mapInPandas(
             tokenize_pass,
             "doc_id long, n_tokens long, dtoks array<string>",
         )
@@ -1014,7 +1022,11 @@ def winnow_docs(docs_df: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs_df.select("doc_id", "source", "text").mapInPandas(
+    from distributed_computing_spark.parallelism import spread_for_arrow
+
+    return spread_for_arrow(
+        docs_df.select("doc_id", "source", "text")
+    ).mapInPandas(
         winnow_pass,
         "doc_id long, source string, n_grams long, n_fp long, "
         "fp_hashes array<long>",

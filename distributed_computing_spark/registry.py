@@ -3648,11 +3648,16 @@ def blocklist_phrase_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocklist size (dedup.blocklist_matches docstring has the scale
     contract). Reference analog: none — EXT curation mandate."""
     from distributed_computing_spark.operators.dedup import blocklist_matches
+    from distributed_computing_spark.parallelism import spread_for_arrow
 
     docs = load_table(spark, sf_dir, "documents")
-    return blocklist_matches(docs, _BLOCKLIST_PHRASES).orderBy(
-        "doc_id", "phrase"
-    )
+    # spread BEFORE the Python-bound automaton scan (round-12: the
+    # sf-tier documents table is ONE split, so the whole AC pass ran
+    # on one core; the helper is a no-op on well-split inputs). Batch
+    # site only — the streaming twin can't call .rdd.
+    return blocklist_matches(
+        spread_for_arrow(docs.select("doc_id", "text")), _BLOCKLIST_PHRASES
+    ).orderBy("doc_id", "phrase")
 
 
 QUERIES["blocklist_phrase_matches"] = blocklist_phrase_matches

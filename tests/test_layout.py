@@ -281,3 +281,40 @@ def test_hilbert_column_matches_python_reference(spark):
     for d in range(63):
         (x1, y1), (x2, y2) = inv[d], inv[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_arrow_udf_matches_python_reference(spark):
+    """The vectorized pandas_udf twin (round-12: the hilbert_write
+    fast path) equals hilbert_py on a full small grid and random
+    16-bit points — the same parity pin the JVM chain carries, so the
+    two implementations can never drift apart silently."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from distributed_computing_spark.operators.layout import (
+        hilbert_index_udf,
+        hilbert_py,
+    )
+
+    rng = random.Random(13)
+    pts = [(x, y) for x in range(8) for y in range(8)] + [
+        (rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(200)
+    ]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got3 = {
+        (r["x"], r["y"]): r["h"]
+        for r in df.where("x < 8 and y < 8")
+        .select("x", "y", hilbert_index_udf(3)(F.col("x"), F.col("y")).alias("h"))
+        .collect()
+    }
+    for (x, y), h in got3.items():
+        assert h == hilbert_py(x, y, 3), (x, y)
+    got16 = {
+        (r["x"], r["y"]): r["h"]
+        for r in df.select(
+            "x", "y", hilbert_index_udf(16)(F.col("x"), F.col("y")).alias("h")
+        ).collect()
+    }
+    for (x, y), h in got16.items():
+        assert h == hilbert_py(x, y, 16), (x, y)
