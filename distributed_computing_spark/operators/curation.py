@@ -179,13 +179,14 @@ def fused_chunk_docs(
                 }
             )
 
-    from distributed_computing_spark.parallelism import spread_for_arrow
-
+    # NOT spread_for_arrow here (round-12, measured): the chunk pass is
+    # cheap byte re-slicing, and pipeline callers hand it join outputs
+    # whose .rdd partition probe both compiles a large plan twice and
+    # reads the PRE-AQE partition count; callers that need the Python
+    # stage spread (corpus_pipeline's probe_in) repartition explicitly.
     types = {f.name: f.dataType.simpleString() for f in docs.schema.fields}
     extra_schema = "".join(f"{c} {types[c]}, " for c in extra_cols)
-    return spread_for_arrow(
-        docs.select("doc_id", *extra_cols, text_col)
-    ).mapInPandas(
+    return docs.select("doc_id", *extra_cols, text_col).mapInPandas(
         run,
         schema=f"doc_id long, {extra_schema}chunk_id long, "
         "chunk_text string, n_tokens long",

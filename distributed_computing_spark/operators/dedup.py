@@ -168,7 +168,16 @@ def ngram_jaccard_pairs(
     #              |df|^2 pair work on the same single reducer anyway)
     #   sizes      guarded sh_dedup → groupBy(doc_id).count — third
     #              reuse of the one heavy exchange
-    sh_dedup = (
+    from distributed_computing_spark.caching import track_persist
+
+    # Round-12 correction to the plan note above: the "identical
+    # subplan -> ReusedExchange" assumption does NOT hold at runtime --
+    # the executed AQE plan showed 0 ReusedExchange / 6 parquet scans /
+    # 18 exchanges, i.e. the shingle+dedup pipeline really ran once per
+    # consumer (head rollup, postings, sizes). The (doc_id, shingle_h)
+    # table PERSISTS instead (16-byte rows, spillable), and the
+    # doc-sized size rollup persists for its two join sides.
+    sh_dedup = track_persist(
         shingle_rows(documents, n, distinct=False)
         .select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
         .dropDuplicates(["doc_id", "shingle_h"])
@@ -200,7 +209,9 @@ def ngram_jaccard_pairs(
         )
     )
     common = pairs.groupBy("a", "b").agg(F.count("*").alias("n_common"))
-    sizes = sh_dedup.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sizes = track_persist(
+        sh_dedup.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    )
     sz_a = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a"))
     sz_b = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b"))
     return (
@@ -972,7 +983,22 @@ def duplicate_spans(
     job). ``min_span`` filters short spans after merging (anchors must
     still be built at granularity k, so this is a cheap post-filter).
     """
-    g = gram_positions(documents, k, id_col=id_col)
+    from distributed_computing_spark.caching import track_persist
+    from distributed_computing_spark.parallelism import spread_for_arrow
+
+    # Round-12: (1) the gram table had TWO consumers (the posting-cap
+    # rollup and the guarded anti-join side), so the tokenize+gram
+    # Generate — the heavy pass — ran twice; it persists (24-byte
+    # rows, spillable). (2) the Generate inherits the scan's split
+    # count, so an under-split corpus ran it on one core — spread
+    # first (no-op on well-split inputs).
+    g = track_persist(
+        gram_positions(
+            spread_for_arrow(documents.select(id_col, "text")),
+            k,
+            id_col=id_col,
+        )
+    )
     head = (
         g.groupBy("gram_h")
         .agg(F.count(F.lit(1)).alias("n_occ"))
