@@ -3351,8 +3351,18 @@ def ks_two_sample_vs_rest(
     bounds row. No reference analog (SURVEY §2.8 — relational/statistic
     surface beyond the reference's KV model).
     """
+    # ONE setup pass (round-12 optimization: the group census and the
+    # value bounds were two separate fact aggregates — the global
+    # min/max is exactly the min/max over per-group bounds, so both
+    # ride one bounded collect): <= max_groups rows to the driver.
     tot_rows = (
-        df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(val_col).alias("_lo"),
+            F.max(val_col).alias("_hi"),
+        )
+        .collect()
     )
     if len(tot_rows) > max_groups:
         raise ValueError(
@@ -3369,10 +3379,8 @@ def ks_two_sample_vs_rest(
             "d_num string, ks_ppm long",
         )
     n_tot = sum(n for _, n in groups)
-    b = df.agg(
-        F.min(val_col).alias("lo"), F.max(val_col).alias("hi")
-    ).collect()[0]
-    lo, hi = int(b["lo"]), int(b["hi"])
+    lo = min(int(r["_lo"]) for r in tot_rows)
+    hi = max(int(r["_hi"]) for r in tot_rows)
     width = max(1, (hi - lo) // pre_buckets + 1)
     bucket = F.expr(f"({val_col} - {lo}L) div {width}L")
     gi = list(range(len(groups)))

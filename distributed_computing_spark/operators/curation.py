@@ -284,7 +284,10 @@ def pack_chunks(
     # Derived from the WINDOW output (a band's total == its max running
     # sum), not from a fresh aggregate over ``chunks``: both consumers
     # then share the (group, band) shuffle via ReusedExchange instead
-    # of recomputing the whole chunk pipeline twice.
+    # of recomputing the whole chunk pipeline twice. (Round-12 probe:
+    # a persisted banded_cum variant measured ~0.3 s SLOWER warm at
+    # sf0.1 — the runtime reuse is real here; verify with an EXECUTED
+    # AQE plan, a pre-execution explain prints no ReusedExchange.)
     band_tot = banded_cum.groupBy(group_col, "_band").agg(
         F.max("_cum").alias("_btot")
     )

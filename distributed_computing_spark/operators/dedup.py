@@ -168,16 +168,12 @@ def ngram_jaccard_pairs(
     #              |df|^2 pair work on the same single reducer anyway)
     #   sizes      guarded sh_dedup → groupBy(doc_id).count — third
     #              reuse of the one heavy exchange
-    from distributed_computing_spark.caching import track_persist
-
-    # Round-12 correction to the plan note above: the "identical
-    # subplan -> ReusedExchange" assumption does NOT hold at runtime --
-    # the executed AQE plan showed 0 ReusedExchange / 6 parquet scans /
-    # 18 exchanges, i.e. the shingle+dedup pipeline really ran once per
-    # consumer (head rollup, postings, sizes). The (doc_id, shingle_h)
-    # table PERSISTS instead (16-byte rows, spillable), and the
-    # doc-sized size rollup persists for its two join sides.
-    sh_dedup = track_persist(
+    # Round-12 probe (kept as a record): the claimed ReusedExchange
+    # DOES fire at runtime here (executed AQE plan: 2 ReusedExchange,
+    # covering the dedup and size exchanges), and a persisted variant
+    # measured a WASH at R20 (70-76 s both) with ~0.5 s of cache
+    # overhead at sf0.1 -- the unpersisted reuse-based shape stands.
+    sh_dedup = (
         shingle_rows(documents, n, distinct=False)
         .select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
         .dropDuplicates(["doc_id", "shingle_h"])
@@ -209,9 +205,7 @@ def ngram_jaccard_pairs(
         )
     )
     common = pairs.groupBy("a", "b").agg(F.count("*").alias("n_common"))
-    sizes = track_persist(
-        sh_dedup.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    )
+    sizes = sh_dedup.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sz_a = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a"))
     sz_b = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b"))
     return (

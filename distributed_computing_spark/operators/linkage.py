@@ -190,15 +190,14 @@ def fastss_edit1_pairs(
             ),
         )
     )
-    from distributed_computing_spark.caching import track_persist
-
-    # Round-12 optimization: the hashed variant table has THREE
-    # consumers (the bucket-cap rollup plus both sides of the
-    # candidate self-join), so the un-persisted shape re-ran the
-    # neighborhood explode + distinct exchange three times
-    # (shared-subtree rule); (id, hash) rows are 16 bytes each, so
-    # the cache is |rows|·(|name|+1)-bounded and spillable.
-    vk = track_persist(
+    # Round-12 probe (kept as a record): a track_persist of this
+    # variant table measured NEUTRAL within noise at sf0.1 and on the
+    # R10 customer replica — its three consumers (bucket-cap rollup +
+    # both self-join sides) already share the distinct exchange via
+    # runtime ReusedExchange (verify against an EXECUTED AQE plan;
+    # pre-execution explains print no reuse), so the cache only added
+    # memory pressure.
+    vk = (
         df.select(F.col(id_col).alias("_id"), F.explode(variants).alias("_v"))
         .select("_id", F.xxhash64("_v").alias("_kh"))
         .distinct()
