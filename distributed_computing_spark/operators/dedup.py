@@ -851,9 +851,13 @@ def fused_decontaminate(
                     }
                 )
 
-    from distributed_computing_spark.parallelism import spread_for_arrow
-
-    per_doc = spread_for_arrow(corpus.select("doc_id", "text")).mapInPandas(
+    # NOT spread_for_arrow here (round-12, measured): corpus_pipeline
+    # hands this a complex derived frame that it ALREADY repartitions
+    # (probe_in) — the helper's .rdd partition probe compiles that
+    # whole plan a second time (warm +0.5 s, cold +7 s at sf0.1) for a
+    # guaranteed no-op. Raw-scan callers spread at the registry site
+    # (decontaminate_q), same pattern as blocklist_phrase_matches.
+    per_doc = corpus.select("doc_id", "text").mapInPandas(
         probe, schema="doc_id long, n_shingles long, n_matched long"
     )
     frac = F.col("n_matched") / F.col("n_shingles")

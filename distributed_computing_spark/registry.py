@@ -457,10 +457,21 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs with doc_id % 19 == 0 stand in
     for a held-out eval benchmark; the rest are the training corpus.
     Oracle: same shingle overlap via a DuckDB left join."""
+    from distributed_computing_spark.parallelism import spread_for_arrow
+
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 19 == 0)
     corpus = docs.where(F.col("doc_id") % 19 != 0)
-    return dedup.fused_decontaminate(corpus, bench, n=3, threshold=0.5)
+    # spread BEFORE the Python-bound probe, at the raw-scan site only
+    # (round-12: the sf-tier documents table is one split; inside the
+    # operator the probe would re-compile corpus_pipeline's whole plan
+    # — see fused_decontaminate). Column-pruned to what the pass reads.
+    return dedup.fused_decontaminate(
+        spread_for_arrow(corpus.select("doc_id", "text")),
+        bench,
+        n=3,
+        threshold=0.5,
+    )
 
 
 def lsh_topk_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
