@@ -173,6 +173,22 @@ def ngram_jaccard_pairs(
     # covering the dedup and size exchanges), and a persisted variant
     # measured a WASH at R20 (70-76 s both) with ~0.5 s of cache
     # overhead at sf0.1 -- the unpersisted reuse-based shape stands.
+    # Round-12 second probe (also reverted): a fused Arrow shingle
+    # pass (re.ASCII tokenizer + per-doc set-dedup in one mapInPandas,
+    # bit-identical (doc, hash) set) wired here and into
+    # minhash_signatures. The PASS alone is ~2x faster than the JVM
+    # Generate, but whole-query it LOST warm at sf0.1 in two
+    # alternating A/B rounds (ngram 2.33 -> 2.66 s, neardup_clusters
+    # 3.91 -> 5.50 s, minhash_neardup a wash) and showed no win at the
+    # R20 replica (82.96 s JVM vs 115.31 s fused, same-day runs): with
+    # the per-doc dedup fused, the dropDuplicates exchange that
+    # runtime reuse shares across the three consumers disappears, so
+    # the shingle table must be persisted instead -- and the cache
+    # materialization + round-robin spread cost more than the Generate
+    # they replace. The shingle expressions here are plain
+    # slice/concat_ws (no regex/hash inside the Generate), so the
+    # explode-family lesson's "expensive child expressions" trigger
+    # does not apply.
     sh_dedup = (
         shingle_rows(documents, n, distinct=False)
         .select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
