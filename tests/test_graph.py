@@ -196,6 +196,38 @@ def test_triangle_counts_random_graph_matches_bruteforce(spark):
     assert got == _py_triangles(pairs)
 
 
+def test_triangle_edge_iterator_equals_wedge_fallback(spark):
+    """Round-12: triangle_counts dispatches between the gated
+    edge-iterator fast path (adjacency intersection) and the m^1.5
+    wedge join. Small test graphs always take the fast path, so this
+    pins the FALLBACK (broadcast_edges_max=0) equal to it — the only
+    coverage the wedge shape retains."""
+    import random
+
+    from distributed_computing_spark.operators.graph import triangle_counts
+
+    rng = random.Random(12)
+    pairs = sorted(
+        {
+            (a, b)
+            for _ in range(140)
+            for a, b in [sorted(rng.sample(range(20), 2))]
+        }
+    )
+    edges = spark.createDataFrame(_sym(pairs), "src long, dst long")
+    fast = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(edges).collect()
+    }
+    release_tracked()
+    wedge = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(edges, broadcast_edges_max=0).collect()
+    }
+    release_tracked()
+    assert fast == wedge == _py_triangles(pairs)
+
+
 def test_triangle_plan_no_cartesian_and_orientation_bounds_wedges(spark):
     """The wedge join must be an equi-join (no cartesian/BNLJ), and
     orientation must bound the hub's wedge fan-out: in a star graph the
