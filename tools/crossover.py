@@ -141,10 +141,16 @@ RECORDED_DEDUP_TIERS["neardup_clusters"]["R75"] = {
     "spark_s": 1559.0, "duckdb_s": None, "ratio": None,
     "duckdb_outcome": "not attempted (OOMs solo at R50)",
 }
+# Round 12 (VERDICT r11 item 9): the R100 cell CLOSED — the old
+# DNF-disk was the lz4 recipe; under zstd + 80g driver + 8g
+# maxResultSize (the proven R75 recipe, which the first r12 attempt
+# missed the maxResultSize part of — the broadcast-collect trip
+# session.py documents) the pair shuffle peaks at ~58 GB and fits.
+# 2556 s at 1.78x the R75 pair count = 1.64x time — still sublinear
+# in pairs; 4.04x the R50 pairs at 2.52x the time.
 RECORDED_DEDUP_TIERS["neardup_clusters"]["R100"] = {
-    "spark_s": None, "duckdb_s": None, "ratio": None,
-    "spark_outcome": "DNF-disk: pair shuffle exceeds this box's ~72GB free "
-    "(aggregate disk on a real cluster; see BASELINE.md)",
+    "spark_s": 2556.1, "duckdb_s": None, "ratio": None,
+    "duckdb_outcome": "not attempted (OOMs solo at R50)",
 }
 
 # Round-5 (VERDICT r4 item 1): the KV family's offline tiers —
