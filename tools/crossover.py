@@ -964,9 +964,22 @@ RECORDED_R12_TIERS: dict = {
     # re-planned — deciding cell carried until a bigger disk quota.
     "late_shipment_priority": {
         "R400_confirm": {"spark_s": 11.21, "duckdb_s": 1.80, "ratio": 6.2},
+        # R800 (round 12, the formerly disk-blocked deciding cell —
+        # taken after ensure_scaled learned to spread the ×R explode;
+        # 120 M orders ⋈ 480 M lineitem, both engines solo, default
+        # heap): the ratio is FLAT R400→R800 (6.2→6.2, 5.0→6.8), both
+        # engines ~linear, DuckDB's selective hash join still in-RAM
+        # at 480 M rows on a 128 GB box. Verdict: constant-factor
+        # single-node-throughput floor, NOT converging and NOT
+        # flipping at any tier this box can hold — the flip needs the
+        # single-node working set to exceed RAM. No scale-killer on
+        # the Spark side (one fact-fact exchange, pushed bounds,
+        # ~24 M rows/s through the join at R800).
+        "R800": {"spark_s": 19.91, "duckdb_s": 3.19, "ratio": 6.2},
     },
     "late_lines_priority_mix": {
         "R400_confirm": {"spark_s": 10.95, "duckdb_s": 2.18, "ratio": 5.0},
+        "R800": {"spark_s": 26.82, "duckdb_s": 3.96, "ratio": 6.8},
     },
 }
 
@@ -1148,8 +1161,18 @@ def ensure_scaled(
 
     reps = F.broadcast(spark.range(R).select(F.col("id").alias("_r")))
 
+    # The ×R explode inherits the SOURCE's split count — 1-3 row groups
+    # for every sf-tier fact — so at R≥400 the whole tens-of-GB shuffle
+    # write serializes onto one task (the R800 orders+lineitem build
+    # died this way; BASELINE round-12). Spread the source across the
+    # cluster first: row VALUES are unchanged, only build parallelism
+    # and transient-spill spread. (Pair with SPARK_GRAFT_CODEC=zstd for
+    # the big tiers — ~35% less transient shuffle disk.)
+    def _spread(df):
+        return df.repartition(spark.sparkContext.defaultParallelism)
+
     if "documents" in facts:
-        docs = load_table(spark, sf_dir, "documents")
+        docs = _spread(load_table(spark, sf_dir, "documents"))
         (
             docs.crossJoin(reps)
             .select(
@@ -1164,7 +1187,7 @@ def ensure_scaled(
             .parquet(f"{dest}/documents.parquet")
         )
     if "events" in facts:
-        ev = load_table(spark, sf_dir, "events")
+        ev = _spread(load_table(spark, sf_dir, "events"))
         (
             ev.crossJoin(reps)
             .select(
@@ -1180,7 +1203,7 @@ def ensure_scaled(
             .parquet(f"{dest}/events.parquet")
         )
     if "orders" in facts:
-        orders = load_table(spark, sf_dir, "orders")
+        orders = _spread(load_table(spark, sf_dir, "orders"))
         (
             orders.crossJoin(reps)
             .withColumn("o_orderkey", F.col("o_orderkey") * R + F.col("_r"))
@@ -1190,7 +1213,7 @@ def ensure_scaled(
             .parquet(f"{dest}/orders.parquet")
         )
     if "lineitem" in facts:
-        lineitem = load_table(spark, sf_dir, "lineitem")
+        lineitem = _spread(load_table(spark, sf_dir, "lineitem"))
         (
             lineitem.crossJoin(reps)
             # l_orderkey remap matches orders so join keys stay consistent
@@ -1211,7 +1234,7 @@ def ensure_scaled(
         # grows R×. Requested only via facts=('customer',); the full
         # default replica keeps customer in _COPY so cached tiers stay
         # valid.
-        cust = load_table(spark, sf_dir, "customer")
+        cust = _spread(load_table(spark, sf_dir, "customer"))
         (
             cust.crossJoin(reps)
             .select(
@@ -1239,7 +1262,7 @@ def ensure_scaled(
         # facts=('embeddings',) subset replicas (suffix _em) — the full
         # default replica keeps embeddings in _COPY so existing cached
         # tiers stay valid.
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = _spread(load_table(spark, sf_dir, "embeddings"))
         (
             emb.crossJoin(reps)
             .select(
