@@ -981,6 +981,18 @@ RECORDED_R12_TIERS: dict = {
         "R400_confirm": {"spark_s": 10.95, "duckdb_s": 2.18, "ratio": 5.0},
         "R800": {"spark_s": 26.82, "duckdb_s": 3.96, "ratio": 6.8},
     },
+    # Round 12: the two remaining "open"-class weak cells settled with
+    # far tiers (events+orders R2000 replica — 200 M events / 300 M
+    # orders, both engines solo, default heap). customer_upsert's
+    # ratio falls 30 (R50) → 15.9 (R500) → 5.0; events_windowed's
+    # first far cell reads 3.3 vs ~18 at R20 — both engines ~linear,
+    # both cells class-converging now, not open.
+    "customer_upsert": {
+        "R2000": {"spark_s": 10.81, "duckdb_s": 2.16, "ratio": 5.0},
+    },
+    "events_windowed": {
+        "R2000": {"spark_s": 48.17, "duckdb_s": 14.52, "ratio": 3.3},
+    },
 }
 
 # The stdout-echo subset of the recorded tiers: the bench's compact
