@@ -8367,3 +8367,56 @@ for _q in _R12_NEW:
             "gate window — keep the _R12_WINDOW block at the END of "
             "registry.py and add new registrations to it"
         )
+
+
+# ---------------------------------------------------------------------------
+# Driver-gate window rotation (round 13 — VERDICT r12 item 1)
+# ---------------------------------------------------------------------------
+# Round-12 was rewrite-heavy but its window (correctly, per the r11
+# staleness rule) rotated to the stale cohort — so 23 of the 29
+# round-12-restructured queries have no driver-side value proof of
+# their new plans (VERDICT r12 "What's wrong" §1; round 9 proved a
+# driver-only red class the local harness can't see). This window
+# takes, in priority order:
+#   1. ALL 23 restructured-but-unverified queries (VERDICT's list:
+#      the triangle edge-iterator pair, both Hilbert rewrites, the
+#      basket pair, kmeans, pagerank, the spread multimodal decodes,
+#      the Arrow-pass text family, ks, Q16/Q11, dhash).
+#   2. The 20 r7/r11-stale first-picks VERDICT r11 named for round 13
+#      — minus the 3 already in bucket 1 (multimodal_mp3/png_decode,
+#      hilbert_cells), i.e. 17 entries. The rows-only
+#      approx_distinct_users / frequent_items / parquet_profile stay
+#      consciously skipped (slot rule: exact pytest twins run every
+#      suite; none re-enters for a plan change this round).
+#   3. 10 of the r8-stale oracle-backed entries, stalest cohort next
+#      in line. Queries round 13 itself restructures are all already
+#      inside buckets 1-2 (pagerank_parts, ngram_jaccard_pairs,
+#      minhash riders) — if a late round-13 change lands outside the
+#      window, swap it into bucket 3 before round end.
+_R13_WINDOW = [
+    # 1. the 23 round-12-restructured queries (driver value proof)
+    "pagerank_parts", "copurchase_triangles", "copurchase_clustering",
+    "kmeans_embeddings", "association_rules", "copurchase_cosine",
+    "hilbert_cells", "hilbert_events_scan", "word_count_top10",
+    "bigram_pmi", "multimodal_jpeg_decode", "multimodal_gif_decode",
+    "multimodal_mp3_decode", "multimodal_png_decode",
+    "winnow_fingerprints", "vocab_growth", "dup_spans",
+    "ks_price_drift", "corpus_pipeline", "decontaminate",
+    "image_dhash_neardup", "parts_supplier_count",
+    "important_part_share",
+    # 2. the 17 remaining round-13 first-picks (r7-stale cohort)
+    "ngram_jaccard_pairs", "order_percentiles", "phrase_search_index",
+    "range_join_views", "rolling_weekly_revenue", "semi_anti_orders",
+    "set_ops", "stream_blocklist_matches", "stream_cms_counts",
+    "table_profile", "tiered_rollup", "top_orders", "train_test_split",
+    "value_histogram", "hll_nation_rollup", "ivm_customer_revenue",
+    "kmv_pair_sketches",
+    # 3. ten r8-stale picks (next-stalest oracle-backed cohort)
+    "audience_overlap", "bigram_counts", "bool_aggregates",
+    "build_vocab", "chunk_docs", "corpus_summary", "corr_stats",
+    "cosine_topk", "customer_scd2", "customer_state_cdc",
+]
+assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
+QUERIES = {name: QUERIES[name] for name in _R13_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R13_WINDOW)
+}
