@@ -49,6 +49,12 @@ _PASS_THROUGH = {"Project", "Filter", "SubqueryAlias"}
 # Project/Filter chain over these is trivially cheap.
 _INMEMORY_LEAVES = {"LocalRelation", "LogicalRDD", "Range", "OneRowRelation"}
 
+# An explicit repartition in the input means the caller already set the
+# partitioning deliberately (e.g. a test frame's .repartition(8), or an
+# operator's own probe_in spread) — the helper must respect it rather
+# than raise or stack a second exchange on top.
+_EXPLICIT_REPARTITION = {"Repartition", "RepartitionByExpression"}
+
 
 def _conf_bytes(spark, key: str, default: int) -> int:
     raw = spark.conf.get(key, str(default))
@@ -119,6 +125,12 @@ def spread_for_arrow(df: DataFrame) -> DataFrame:
     ):
         node = node.children().apply(0)
     leaf = node.getClass().getSimpleName()
+    if leaf in _EXPLICIT_REPARTITION:
+        # The caller already chose a partitioning (test frames are
+        # createDataFrame(...).repartition(8); operator call sites with
+        # their own probe_in repartition). Respect it — no probe, no
+        # job, no second exchange.
+        return df
     if leaf == "LogicalRelation":
         if _scan_split_estimate(df, node.relation()) < n:
             return df.repartition(n)

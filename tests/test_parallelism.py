@@ -47,6 +47,20 @@ def test_in_memory_frame_keeps_cheap_probe(spark):
     assert _n_parts(out) == spark.sparkContext.defaultParallelism
 
 
+def test_explicit_repartition_is_respected(spark):
+    # an input the caller already repartitioned (test frames, operator
+    # probe_in sites) must pass through unchanged — no raise, no probe,
+    # no second exchange (this broke every _docs()-based emitter test
+    # when the guard first landed)
+    mem = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    ).repartition(8)
+    out = spread_for_arrow(mem)
+    assert out is mem
+    docs = load_table(spark, SF_DIR, "documents").repartition(4)
+    assert spread_for_arrow(docs) is docs
+
+
 def test_derived_frame_raises(spark):
     docs = load_table(spark, SF_DIR, "documents")
     with pytest.raises(ValueError, match="raw scan"):
