@@ -41,9 +41,13 @@ from pyspark.sql import DataFrame
 
 # Unary nodes that neither change the scan's split count nor make the
 # fallback .rdd probe expensive. Deliberately minimal: joins,
-# aggregates, Generates, unions, repartitions all fall through to the
-# guard below.
-_PASS_THROUGH = {"Project", "Filter", "SubqueryAlias"}
+# aggregates, Generates, unions all fall through to the guard below.
+# Limits are included: a limit-over-scan is strictly cheaper than the
+# scan the walk would otherwise admit (test harnesses hand the blob
+# generators docs.limit(n) frames).
+_PASS_THROUGH = {
+    "Project", "Filter", "SubqueryAlias", "GlobalLimit", "LocalLimit",
+}
 
 # In-memory leaves (unit-test frames): the .rdd probe on a
 # Project/Filter chain over these is trivially cheap.

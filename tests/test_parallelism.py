@@ -61,6 +61,14 @@ def test_explicit_repartition_is_respected(spark):
     assert spread_for_arrow(docs) is docs
 
 
+def test_limit_over_scan_is_accepted(spark):
+    # multimodal tests hand the blob generators docs.limit(n) frames;
+    # a limit-over-scan is strictly cheaper than the admitted scan
+    docs = load_table(spark, SF_DIR, "documents").limit(5).select("doc_id")
+    out = spread_for_arrow(docs)
+    assert out.count() == 5
+
+
 def test_derived_frame_raises(spark):
     docs = load_table(spark, SF_DIR, "documents")
     with pytest.raises(ValueError, match="raw scan"):
