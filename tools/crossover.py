@@ -1304,8 +1304,20 @@ def ensure_scaled(
             shutil.copy(src, f"{dest}/{t}.parquet")
 
     with open(manifest, "w") as fh:
+        # "spread" is a build-recipe marker, NOT part of the cache key
+        # (ADVICE r12): row VALUES are identical with or without the
+        # pre-explode spread, so cached pre-spread replicas stay valid,
+        # but any future layout-sensitive per-file measurement can now
+        # tell which build produced a tier.
         json.dump(
-            {"R": R, "source": sf_dir, "v": _LAYOUT_V, "facts": list(facts)}, fh
+            {
+                "R": R,
+                "source": sf_dir,
+                "v": _LAYOUT_V,
+                "facts": list(facts),
+                "spread": True,
+            },
+            fh,
         )
     return dest
 
