@@ -120,6 +120,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: float | None = 0.2,
     max_posting: int = 10_000,
+    packed_pairs_min_docs: int | None = 50_000,
 ) -> DataFrame:
     """All doc pairs with word-``n``-gram Jaccard ≥ threshold (a < b).
 
@@ -189,11 +190,44 @@ def ngram_jaccard_pairs(
     # slice/concat_ws (no regex/hash inside the Generate), so the
     # explode-family lesson's "expensive child expressions" trigger
     # does not apply.
+    # Round-13 (VERDICT r12 item 6, stage-metrics measured at R20 —
+    # tools/probe_neardup_r20.py): the (a, b) pair exchange + its two
+    # HashAggregates were 57% of the query's 2850 executor-seconds
+    # (4.15 GB shuffled, 8.5 GB spilled across the partial and final
+    # aggs — near-unique keys per task make the partial agg pure
+    # overhead-state), and the tokenize+shingle pipeline evaluated
+    # THREE times (~170 exec-s each: the head rollup branch plus the
+    # postings and sizes branches, whose differently-keyed aggregates
+    # each re-run the Generate). Two changes, both value-identical:
+    #
+    # 1. PACKED PAIR KEY (guide §2.3 "narrower types"): when the doc-id
+    #    range provably fits 31 bits, the pair shuffles ONE long
+    #    pk = (a << 32) | b instead of two — ~33% fewer key bytes and
+    #    half the hash-agg key state on both sides of the exchange;
+    #    unpacked exactly after the count. Gated on
+    #    ``packed_pairs_min_docs`` (the sf-tier bench/gate cells keep
+    #    the two-long shape and pay zero new jobs) plus a measured
+    #    min/max bound on doc_id (one footer-cheap column agg; at real
+    #    scale flip spark.sql.parquet.aggregatePushDown or use catalog
+    #    stats). AQE's initialPartitionNum=256 was A/B'd first and
+    #    LOST every interleaved pair at R20 (101.9/119.1, 76.3/92.3,
+    #    66.9/90.5 s) — more reduce partitions just multiply block
+    #    overhead while the map-side state stays; recorded negative.
+    #
+    # 2. SIZES FROM POSTINGS: n_sh per doc == the explode of the
+    #    guarded posting lists grouped by doc (the collect already
+    #    holds exactly the guarded (doc, shingle) row set), so the
+    #    sizes branch consumes the postings exchange via runtime
+    #    ReusedExchange instead of re-running the tokenize pipeline a
+    #    third time (executed-plan verified; the head anti-join stays
+    #    ABOVE the collection so no agg buffer ever holds a head
+    #    shingle's docs — the 100 TB guard is unchanged).
     sh_dedup = (
         shingle_rows(documents, n, distinct=False)
         .select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
         .dropDuplicates(["doc_id", "shingle_h"])
     )
+    n_docs = None
     if max_df is not None or max_posting is not None:
         if max_df is not None:
             n_docs = documents.count()
@@ -212,16 +246,50 @@ def ngram_jaccard_pairs(
     postings = sh_dedup.groupBy("shingle_h").agg(
         F.array_sort(F.collect_list("doc_id")).alias("docs")
     )
-    pairs = (
-        postings.where(F.size("docs") > 1)
-        .select(F.posexplode("docs").alias("pos", "a"), "docs")
-        .select(
-            "a",
-            F.explode(F.expr("slice(docs, pos + 2, size(docs) - pos - 1)")).alias("b"),
-        )
+    pack = False
+    if packed_pairs_min_docs is not None:
+        if n_docs is None:
+            n_docs = documents.count()  # parquet-footer metadata count
+        if n_docs >= packed_pairs_min_docs:
+            lo, hi = documents.agg(
+                F.min("doc_id"), F.max("doc_id")
+            ).first()
+            pack = lo is not None and lo >= 0 and hi < (1 << 31)
+    sizes = (
+        postings.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
     )
-    common = pairs.groupBy("a", "b").agg(F.count("*").alias("n_common"))
-    sizes = sh_dedup.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # Round-13 probe, REVERTED on measurement: an exact SIZE-RATIO
+    # PREFILTER (jaccard <= min(n_a,n_b)/max(n_a,n_b), and at c = min
+    # the final filter divides the same two integers, so dropping
+    # pairs failing min/max >= threshold before the exchange is a
+    # strict superset of the final survivors) was wired as two gated
+    # broadcasts of the doc-sized sizes table onto the exploded pairs.
+    # Interleaved A/B at R20, order alternated: 65.2/64.8, 64.5/60.2,
+    # 66.5/61.3 s (pre vs nopre) — a wash-to-loss: the replica corpus'
+    # size distribution is near-uniform within a posting list (near-dup
+    # and boilerplate pairs share sizes), so ~2 x 220 M broadcast-hash
+    # probes cost what the pruning saves. On a corpus with heavy size
+    # spread the motion may pay; re-probe before re-adding.
+    exploded = postings.where(F.size("docs") > 1).select(
+        F.posexplode("docs").alias("pos", "a"), "docs"
+    )
+    tail = F.expr("slice(docs, pos + 2, size(docs) - pos - 1)")
+    pairs_ab = exploded.select("a", F.explode(tail).alias("b"))
+    if pack:
+        common = (
+            pairs_ab.select(F.expr("shiftleft(a, 32) | b").alias("pk"))
+            .groupBy("pk")
+            .agg(F.count("*").alias("n_common"))
+            .select(
+                F.expr("shiftright(pk, 32)").alias("a"),
+                F.expr("pk & 4294967295").alias("b"),
+                "n_common",
+            )
+        )
+    else:
+        common = pairs_ab.groupBy("a", "b").agg(F.count("*").alias("n_common"))
     sz_a = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a"))
     sz_b = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b"))
     return (

@@ -61,6 +61,46 @@ def test_jaccard_pairs_exact_values(spark):
     assert [(p["a"], p["b"], p["jaccard"]) for p in pairs] == [(1, 2, 1.0)]
 
 
+def test_packed_pair_key_identical_to_two_long_shape(spark):
+    """Round-13: when the doc-id range fits 31 bits, the pair exchange
+    keys on ONE packed long pk = (a << 32) | b and unpacks after the
+    count. Forced on (min_docs=0) it must be bit-identical to the
+    two-long shape, including at a 31-bit boundary id."""
+    boundary = (1 << 31) - 1
+    rows = [
+        (0, "a b c d e f g h", "en", "s", 10),  # id 0 packs to pk = b
+        (7, "a b c d e f g h x", "en", "s", 10),
+        (boundary, "a b c d e f g h y", "en", "s", 10),
+        (12, "z y x w v u t s", "en", "s", 10),
+    ]
+    docs = _docs(spark, rows)
+    kw = dict(threshold=0.3, max_df=0.5)
+    packed = ngram_jaccard_pairs(docs, packed_pairs_min_docs=0, **kw)
+    plain = ngram_jaccard_pairs(docs, packed_pairs_min_docs=None, **kw)
+    assert "shiftleft" in packed._jdf.queryExecution().toString()
+    assert "shiftleft" not in plain._jdf.queryExecution().toString()
+    got = sorted((r["a"], r["b"], r["jaccard"]) for r in packed.collect())
+    want = sorted((r["a"], r["b"], r["jaccard"]) for r in plain.collect())
+    assert got == want and got  # non-empty: pairs actually flowed
+
+
+def test_packed_pair_gate_refuses_out_of_range_ids(spark):
+    """An id at 2^31 (or negative) must keep the two-long shape even
+    when the doc-count gate passes — the pack is range-gated."""
+    rows = [
+        (1 << 31, "a b c d e f g h", "en", "s", 10),
+        (3, "a b c d e f g h", "en", "s", 10),
+    ]
+    df = ngram_jaccard_pairs(
+        _docs(spark, rows), threshold=0.5, max_df=None,
+        packed_pairs_min_docs=0,
+    )
+    assert "shiftleft" not in df._jdf.queryExecution().toString()
+    assert [(r["a"], r["b"], r["jaccard"]) for r in df.collect()] == [
+        (3, 1 << 31, 1.0)
+    ]
+
+
 def test_max_df_guard_drops_head_shingles(spark):
     """All docs share one boilerplate phrase; max_df kills that bucket."""
     boiler = "subscribe to our newsletter now please thanks"
