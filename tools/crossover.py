@@ -1235,6 +1235,33 @@ def ensure_scaled(
             .write.mode("overwrite")
             .parquet(f"{dest}/lineitem.parquet")
         )
+    if "pklineitem" in facts:
+        # Round 13 (VERDICT r12 items 2c/3): a PART-KEY-SCALING lineitem
+        # subset replica (suffix _pk) for the graph family's far tiers.
+        # The default replica remaps only l_orderkey, so the co-purchase
+        # graph's DISTINCT edge set is R-invariant (replication reuses
+        # part keys and the pair-distinct dedups it away) — every
+        # triangle/pagerank cell so far measured a constant-size graph.
+        # Remapping l_partkey * R + _r as well yields R disconnected
+        # copies of the sf graph: nodes, edges and wedge volume all
+        # grow R×, which (a) pushes the oriented edge count past the
+        # triangle fast-path gate (sf0.1 has 1.196 M oriented edges;
+        # R≥5 crosses the 5 M gate) and (b) makes pagerank's per-round
+        # cost data-scaling. NOTE: this breaks lineitem→part referential
+        # integrity by design (part stays a copied dim), so part-footer
+        # gates (pagerank's AQE-off bound) under-count nodes on this
+        # replica — probe scripts must account for that, registry
+        # queries still compute their declared semantics.
+        li = _spread(load_table(spark, sf_dir, "lineitem"))
+        (
+            li.crossJoin(reps)
+            .withColumn("l_orderkey", F.col("l_orderkey") * R + F.col("_r"))
+            .withColumn("l_partkey", F.col("l_partkey") * R + F.col("_r"))
+            .drop("_r")
+            .repartition(_NFILES)
+            .write.mode("overwrite")
+            .parquet(f"{dest}/lineitem.parquet")
+        )
     if "customer" in facts:
         # Round 8 (VERDICT r7 item 6): a STRING-KEYED scaling regime for
         # the FastSS edit-1 join — customer is normally a copied dim
