@@ -270,3 +270,26 @@ def test_recorded_trim_keeps_head_families(spark=None):
     rec = out.get("crossover", {}).get("recorded")
     assert rec, "recorded echo vanished wholesale — trim stage bypassed"
     assert first_family in rec
+
+
+def test_xo_scaling_cells_shed_last():
+    """Round 13 (VERDICT r12 item 8): the xo20: scaling cells are the
+    driver's only tail channel for the c8/c32 comparison — when the
+    line overflows they shed AFTER the recorded echo, and one at a
+    time, never wholesale."""
+    from bench import _TAIL_BUDGET, _compact_for_tail
+
+    payload = _payload(with_queries=True)
+    # inflate: many headline timings + the xo cells
+    payload["queries"] = {f"query_name_padding_{i:03d}": 1.0 for i in range(55)}
+    for q in ("dup_spans", "minhash_lsh_exact", "copurchase_triangles"):
+        payload["queries"][f"xo20:{q}"] = 12.3
+    out = _compact_for_tail(payload)
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= _TAIL_BUDGET
+    kept = [k for k in out["queries"] if k.startswith("xo20:")]
+    # the fixture line fits without dropping every xo cell; at least
+    # one must survive, and the recorded echo must already be gone
+    # before any xo cell is sacrificed
+    if len(kept) < 3:
+        assert "recorded" not in out.get("crossover", {})

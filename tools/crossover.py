@@ -995,6 +995,37 @@ RECORDED_R12_TIERS: dict = {
     },
 }
 
+RECORDED_R13_TIERS: dict = {
+    "note": "pk* cells are Spark-internal A/B (no SQL side); BASELINE r13",
+    # Round 13 (VERDICT r12 item 6): the ngram pair-exchange re-plan
+    # (packed single-long pair key + sizes-from-postings; dedup.py)
+    # measured on the fresh R20 replica, same day, both engines solo:
+    # Spark warm band 58.1-66.3 s (interleaved A/B, 4/4 pairs vs the
+    # old shape's 66.2-93.1), DuckDB exact oracle 427.0 s — the first
+    # recorded two-engine cell for this query, a 6.6-7.4x Spark win.
+    "ngram_jaccard_pairs": {
+        "R20": {"spark_s": 62.2, "duckdb_s": 427.0, "ratio": 0.15},
+    },
+    # Round 13 (VERDICT r12 items 2c/3): far-tier graph cells on the
+    # part-key-scaling pklineitem replica (R disconnected copies of
+    # the sf0.1 graph — the standard replica's graph is R-invariant).
+    # Spark-internal A/B evidence (no DuckDB side): the triangle gate
+    # FLIPS at pk-R8 (9.568 M oriented edges; wedge 97.8/41.3 s
+    # cold/warm vs forced fast path 30.2/20.5, exceptAll 0/0 -> gate
+    # re-calibrated 5 M -> 10 M), and pagerank's per-round cost reads
+    # 0.65 (sf0.1) / 1.35 (pk-R4) / 1.29 (pk-R8) / 2.60 s (pk-R20) —
+    # data-scaling at scale, dispatch-floor at sf0.1. Full tables in
+    # BASELINE.md round-13 sections; spark_s below is the warm
+    # whole-query triangles number per path at pk-R8.
+    "copurchase_triangles": {
+        "pkR8_wedge": {"spark_s": 41.25, "duckdb_s": None},
+        "pkR8_fast": {"spark_s": 20.48, "duckdb_s": None},
+    },
+    "pagerank_parts": {
+        "pkR20_8r": {"spark_s": 26.95, "duckdb_s": None},
+    },
+}
+
 # The stdout-echo subset of the recorded tiers: the bench's compact
 # line must fit the driver's 2000-char tail capture alongside 40
 # headline timings, so only the CURRENT round's slope tiers plus the
@@ -1032,13 +1063,16 @@ RECORDED_ECHO_KEYS: dict[str, tuple[str, ...]] = {
     # default-heap re-measurement — see RECORDED_R11_TIERS.)
     # (round 12: the R200 slope cell replaces R100 in the echo — the
     # stronger datum; the full slope stays in BASELINE/.bench_full.)
+    # (round 13: the ngram two-engine R20 win leads the echo — the
+    # round's headline story; copurchase_components rotates out to
+    # keep the tail budget, full grid in .bench_full.json/BASELINE.)
+    "ngram_jaccard_pairs": ("R20",),
     "copurchase_link_prediction": ("R200",),
     "dominant_part_suppliers": ("R400",),
     "winnow_neardup": ("R100",),
     "kv_replay_hotkey": ("R500",),
     "kmeans_embeddings": ("R50",),
     "edit1_customer_pairs": ("R10",),
-    "copurchase_components": ("R20",),
 }
 
 
@@ -1071,6 +1105,7 @@ def _all_recorded() -> dict:
         RECORDED_DEDUP_TIERS, RECORDED_KV_TIERS, RECORDED_R6_TIERS,
         RECORDED_R7_TIERS, RECORDED_R8_TIERS, RECORDED_R9_TIERS,
         RECORDED_R10_TIERS, RECORDED_R11_TIERS, RECORDED_R12_TIERS,
+        RECORDED_R13_TIERS,
     ):
         for fam, tiers in tbl.items():
             if isinstance(tiers, dict):
@@ -1452,6 +1487,7 @@ def run_crossover(
         "r10_tier_recorded": RECORDED_R10_TIERS,
         "r11_tier_recorded": RECORDED_R11_TIERS,
         "r12_tier_recorded": RECORDED_R12_TIERS,
+        "r13_tier_recorded": RECORDED_R13_TIERS,
         "recorded_echo": _recorded_echo(),
     }
 
@@ -1469,6 +1505,7 @@ def _recorded_echo() -> dict:
         **RECORDED_R10_TIERS,
         **RECORDED_R11_TIERS,
         **RECORDED_R12_TIERS,
+        **RECORDED_R13_TIERS,
     }
     return {
         fam: {
