@@ -46,14 +46,61 @@ def run_to_batch(
     return spark.table(name)
 
 
+_STAGED: dict[tuple, str] = {}
+
+
+def _staging_key(spark: SparkSession, df: DataFrame) -> tuple | None:
+    """Identity of a file-backed frame for staging reuse: the
+    canonicalized analyzed plan (expr-id-normalized, so two
+    load_table().where(...) builds of the same transform match) plus
+    the source files' (uri, mtime, size). Returns None for frames the
+    key cannot pin exactly (in-memory tests, unstattable files) —
+    those always stage fresh."""
+    import os
+
+    try:
+        files = sorted(df.inputFiles())
+        if not files:
+            return None
+        stats = []
+        for uri in files:
+            path = uri[7:] if uri.startswith("file://") else uri
+            path = path if path.startswith("/") else "/" + path.lstrip("/")
+            st = os.stat(path)
+            stats.append((uri, int(st.st_mtime_ns), st.st_size))
+        analyzed = df._jdf.queryExecution().analyzed()
+        return (
+            spark.sparkContext.applicationId,
+            analyzed.canonicalized().toString(),
+            analyzed.semanticHash(),
+            df.schema.json(),
+            tuple(stats),
+        )
+    except Exception:
+        return None
+
+
 def stream_table(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Re-expose a batch DataFrame as a bounded stream: materialize to a
     temp parquet dir and ``readStream`` it with the same schema. The
     registry uses this to drive streaming operators from the shared
     parquet test tables (whose nanos timestamps need the catalog's
-    batch-side conversion first)."""
-    src = session_tmpdir(prefix="dcs_streamsrc_")
-    df.write.mode("overwrite").parquet(src)
+    batch-side conversion first).
+
+    Round-13 (VERDICT r12 item 7): the staged source is memoized per
+    (session, canonical plan, source files+mtimes+sizes) — a gate run
+    drives ~15 stream queries off the SAME events frame, and each used
+    to re-write the identical staging parquet (~0.4 s/query measured
+    at sf0.01). The memo is process-lifetime only (the tempdir dies at
+    interpreter exit — nothing persists across runs); any frame whose
+    identity can't be pinned exactly stages fresh."""
+    key = _staging_key(spark, df)
+    src = _STAGED.get(key) if key is not None else None
+    if src is None:
+        src = session_tmpdir(prefix="dcs_streamsrc_")
+        df.write.mode("overwrite").parquet(src)
+        if key is not None:
+            _STAGED[key] = src
     return spark.readStream.schema(df.schema).parquet(src)
 
 
