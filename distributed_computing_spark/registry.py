@@ -7801,7 +7801,19 @@ def late_lines_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderdate >= '1996-01-01' — the late_shipment_priority motion).
     The per-flag conditional sums partial-aggregate to 3 rows before
     the final exchange. Counts are provably BIGINT-bounded (row
-    counts)."""
+    counts).
+
+    Round-13 (VERDICT r12 item 5, tools/probe_bucketed_q4.py): the
+    "constant-factor single-node floor" is LAYOUT-DEPENDENT. On the
+    R400 replica with orders+lineitem written bucketed by orderkey
+    (32 buckets, one-time 99.9 s layout investment), the identical
+    join logic runs **3.56-4.27 s vs 12.7-17.9 s** on plain parquet,
+    answer-identical, with the fact-fact exchange GONE (hash
+    exchanges 2 → 1; the ShuffledHashJoin reads the bucketed
+    distribution directly) — ratio vs DuckDB's 2.18 s drops ~6x →
+    1.6-2.0. The declared query keeps reading the plain parquet input
+    (its contract); at 100 TB the production posture is to maintain
+    the co-partitioned bucketed layout and skip the exchange."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -8411,8 +8423,13 @@ _R13_WINDOW = [
     "table_profile", "tiered_rollup", "top_orders", "train_test_split",
     "value_histogram", "hll_nation_rollup", "ivm_customer_revenue",
     "kmv_pair_sketches",
-    # 3. ten r8-stale picks (next-stalest oracle-backed cohort)
-    "audience_overlap", "bigram_counts", "bool_aggregates",
+    # 3. nine r8-stale picks (next-stalest oracle-backed cohort) +
+    # ngram_jaccard_prefix, swapped in at round end per this block's
+    # rule: it shares ngram_jaccard_pairs' round-13 restructure
+    # (packed pair key + sizes-from-postings) and needs the same
+    # driver value proof; bool_aggregates (tiny exact boolean rollup,
+    # untouched since r8) gives up its slot.
+    "audience_overlap", "bigram_counts", "ngram_jaccard_prefix",
     "build_vocab", "chunk_docs", "corpus_summary", "corr_stats",
     "cosine_topk", "customer_scd2", "customer_state_cdc",
 ]

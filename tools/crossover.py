@@ -1024,6 +1024,16 @@ RECORDED_R13_TIERS: dict = {
     "pagerank_parts": {
         "pkR20_8r": {"spark_s": 26.95, "duckdb_s": None},
     },
+    # Round 13 (VERDICT r12 item 5): the Q12 bucketed-layout
+    # experiment (tools/probe_bucketed_q4.py) — same R400 replica,
+    # same session, orderkey-bucketed copies of both facts (one-time
+    # 99.9 s write): the fact-fact exchange disappears and the query
+    # drops ~3x, answer-identical; ratio vs the r12 DuckDB R400 cell
+    # (2.18 s) falls ~6x -> 1.6-2.0. The declared query still reads
+    # plain parquet (input contract); this records the layout posture.
+    "late_lines_priority_mix": {
+        "R400_bucketed": {"spark_s": 3.85, "duckdb_s": 2.18, "ratio": 1.8},
+    },
 }
 
 # The stdout-echo subset of the recorded tiers: the bench's compact
