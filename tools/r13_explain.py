@@ -30,6 +30,8 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="r13-explain", cpus=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
+    from distributed_computing_spark.caching import release_tracked
+
     for name in names:
         df = QUERIES[name](spark, sf_dir)
         txt = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
@@ -39,6 +41,12 @@ def main() -> None:
         with open(path, "w") as fh:
             fh.write(txt)
         print(f"wrote {path} ({len(txt)} chars)", flush=True)
+        # builder persists must not leak into the NEXT query's dump:
+        # the CacheManager is context-shared, so a prior query's cached
+        # subtree (compiled under ITS session conf) would substitute
+        # into later plans — round 13 caught pagerank's AQE-off dump
+        # polluted by triangles' cached edges this way.
+        release_tracked()
 
 
 if __name__ == "__main__":
