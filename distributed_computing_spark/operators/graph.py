@@ -204,6 +204,16 @@ def pagerank_parts(
     if load_table(spark, sf_dir, "part").count() <= 5_000_000:
         s = spark.newSession()
         s.conf.set("spark.sql.adaptive.enabled", "false")
+        # With AQE off there is no runtime coalescing, so every
+        # node-sized per-round exchange (the groupBy(dst) aggregates)
+        # would run at the session's static 32 shuffle partitions —
+        # 64 reduce tasks of dispatch per round for data the gate
+        # bounds at <= 5 M rows (~625 k rows / ~10 MB per partition at
+        # 8). Interleaved A/B at sf0.1 (local[32], warm): 8 partitions
+        # 2.5-4.0 s vs 32's 5.6-6.4; 2/4/16 all measured worse
+        # (4.0-5.5). Sized for the GATED regime, not the cluster —
+        # above the gate the untouched session's AQE does the sizing.
+        s.conf.set("spark.sql.shuffle.partitions", "8")
     else:
         s = spark
     edges = copurchase_edges(load_table(s, sf_dir, "lineitem"))
