@@ -453,10 +453,27 @@ def copurchase_triangles(
     times in the oe-persist's build plan. clustering_coefficients
     already applied the shared-subtree rule; this query had missed it.
     Measured at the R20 crossover replica: 23.2 s → see
-    OPTIMIZATION_r12.md."""
+    OPTIMIZATION_r12.md.
+
+    Round-13: like pagerank_parts, the small-fact regime runs on an
+    AQE-off clone with static shuffle partitions 16. Every exchange in
+    this query is lineitem-bounded (basket groupBy, pair distinct) or
+    smaller (degrees, oriented edges, contributions), so the clone is
+    gated on the LINEITEM parquet-footer count (<= 10 M rows →
+    <= ~10 MB/partition at 16) — metadata-only, no scan. Interleaved
+    A/B at sf0.1 (local[32]): clone wins 6/7 pairs, warm 3.4-4.6 s vs
+    3.8-4.9 (and 4.4 vs 7.3 cold); above the bound the session is
+    untouched and AQE's coalesce/skew machinery keeps the fact
+    exchanges healthy (the pk-R8+ wedge tiers)."""
     from distributed_computing_spark.sources.catalog import load_table
 
-    edges = track_persist(copurchase_edges(load_table(spark, sf_dir, "lineitem")))
+    if load_table(spark, sf_dir, "lineitem").count() <= 10_000_000:
+        s = spark.newSession()
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        s.conf.set("spark.sql.shuffle.partitions", "16")
+    else:
+        s = spark
+    edges = track_persist(copurchase_edges(load_table(s, sf_dir, "lineitem")))
     out = (
         triangle_counts(edges)
         .orderBy(F.desc("n_triangles"), F.asc("node"))
